@@ -1,0 +1,113 @@
+"""Model configuration derived from a HuggingFace config
+(analog of sglang srt/configs/model_config.py ModelConfig: arch probing,
+context-length detection, head-geometry derivation)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ModelConfig:
+    model_path: str
+    hf_config: dict[str, Any] = field(default_factory=dict)
+
+    # Derived geometry (filled by __post_init__ / from_hf)
+    architectures: list[str] = field(default_factory=list)
+    model_type: str = ""
+    num_layers: int = 0
+    hidden_size: int = 0
+    num_heads: int = 0
+    num_kv_heads: int = 0
+    head_dim: int = 0
+    intermediate_size: int = 0
+    vocab_size: int = 0
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict[str, Any]] = None
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    qk_norm: bool = False
+    hidden_act: str = "silu"
+    context_len: int = 4096
+    dtype: str = "bfloat16"
+    # MoE fields (0 => dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    # Sliding-window attention: None => full attention on all layers.
+    sliding_window: Optional[int] = None
+    sliding_window_pattern: Optional[list[bool]] = None  # per-layer "is SWA layer"
+
+    @staticmethod
+    def from_path(model_path: str, context_length: Optional[int] = None,
+                  dtype: str = "auto") -> "ModelConfig":
+        cfg_file = os.path.join(model_path, "config.json")
+        with open(cfg_file) as f:
+            hf = json.load(f)
+        return ModelConfig.from_hf(hf, model_path=model_path,
+                                   context_length=context_length, dtype=dtype)
+
+    @staticmethod
+    def from_hf(hf: dict[str, Any], model_path: str = "",
+                context_length: Optional[int] = None,
+                dtype: str = "auto") -> "ModelConfig":
+        get = hf.get
+        num_heads = get("num_attention_heads", 0)
+        hidden = get("hidden_size", 0)
+        head_dim = get("head_dim") or (hidden // num_heads if num_heads else 0)
+        mc = ModelConfig(
+            model_path=model_path,
+            hf_config=hf,
+            architectures=get("architectures", []) or [],
+            model_type=get("model_type", ""),
+            num_layers=get("num_hidden_layers", 0),
+            hidden_size=hidden,
+            num_heads=num_heads,
+            num_kv_heads=get("num_key_value_heads", num_heads) or num_heads,
+            head_dim=head_dim,
+            intermediate_size=get("intermediate_size", 0),
+            vocab_size=get("vocab_size", 0),
+            rms_norm_eps=get("rms_norm_eps", 1e-6),
+            rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=get("rope_scaling"),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            tie_word_embeddings=get("tie_word_embeddings", False),
+            attention_bias=get("attention_bias", get("qkv_bias", False)),
+            hidden_act=get("hidden_act", "silu"),
+            num_experts=get("num_experts", get("num_local_experts", 0)) or 0,
+            num_experts_per_tok=get("num_experts_per_tok", 0) or 0,
+            moe_intermediate_size=get("moe_intermediate_size", 0) or 0,
+            sliding_window=get("sliding_window")
+            if get("use_sliding_window", True) else None,
+        )
+        # Qwen2 puts qkv bias implicitly (attention_bias absent but the arch
+        # uses bias); handled per-model in the model zoo via arch name.
+        if mc.model_type in ("qwen2",):
+            mc.attention_bias = True
+        if mc.model_type in ("qwen3", "qwen3_moe"):
+            mc.qk_norm = True
+            mc.attention_bias = False
+        mc.context_len = context_length or _probe_context_len(hf)
+        if dtype != "auto":
+            mc.dtype = dtype
+        return mc
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+
+def _probe_context_len(hf: dict[str, Any]) -> int:
+    # Mirrors the reference's context-length probing order
+    # (srt/hf_transformers_utils.py get_context_length).
+    for key in ("max_sequence_length", "seq_length", "max_position_embeddings",
+                "max_seq_len", "model_max_length"):
+        v = hf.get(key)
+        if isinstance(v, int) and v > 0:
+            return v
+    return 4096

@@ -1,0 +1,72 @@
+"""Rotary position embeddings (half-split / NeoX convention, as used by the
+Llama/Qwen families — analog of sglang layers/rotary_embedding.py:78).
+
+Supports the `llama3` and `linear` rope-scaling schemes; YaRN/MRope land
+with the model families that need them.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def compute_inv_freq(head_dim: int, rope_theta: float,
+                     rope_scaling: Optional[dict[str, Any]]) -> np.ndarray:
+    inv_freq = 1.0 / (
+        rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+    if not rope_scaling:
+        return inv_freq.astype(np.float32)
+    rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+    if rope_type == "llama3":
+        # Llama-3.1 frequency-dependent scaling
+        # (layers/rotary_embedding.py Llama3RotaryEmbedding analog).
+        factor = rope_scaling["factor"]
+        low = rope_scaling["low_freq_factor"]
+        high = rope_scaling["high_freq_factor"]
+        orig = rope_scaling["original_max_position_embeddings"]
+        wavelen = 2 * math.pi / inv_freq
+        ratio = orig / wavelen
+        smooth = (ratio - low) / (high - low)
+        scaled = np.where(
+            wavelen > orig / low,  # low-frequency band: fully scaled
+            inv_freq / factor,
+            np.where(
+                wavelen < orig / high,  # high-frequency band: unscaled
+                inv_freq,
+                (1 - smooth) * inv_freq / factor + smooth * inv_freq,
+            ),
+        )
+        return scaled.astype(np.float32)
+    if rope_type == "linear":
+        return (inv_freq / rope_scaling["factor"]).astype(np.float32)
+    if rope_type in ("default", "mrope", ""):
+        return inv_freq.astype(np.float32)
+    raise NotImplementedError(f"rope scaling {rope_type!r} not supported yet")
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
+               inv_freq: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply rotary embedding.
+
+    q: [T, Nq, D], k: [T, Nk, D], positions: i32[T], inv_freq: f32[D/2].
+    Half-split convention: rotate pairs (x[i], x[i + D/2]).
+    """
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(freqs)[:, None, :]  # [T, 1, D/2]
+    sin = jnp.sin(freqs)[:, None, :]
+
+    def rot(x):
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        x1, x2 = x32[..., :half], x32[..., half:]
+        return jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).astype(dtype)
+
+    return rot(q), rot(k)

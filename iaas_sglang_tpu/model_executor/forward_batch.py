@@ -1,0 +1,55 @@
+"""Device-side batch metadata (analog of sglang
+model_executor/forward_batch_info.py:61,151 ForwardMode / ForwardBatch).
+
+All arrays are statically shaped per compile bucket: T (padded token count),
+Bmax (padded sequence count), MP (padded pages-per-seq). The scheduler pads
+with garbage-page slots so every lane is safe to execute — the TPU analog
+of padded CUDA-graph replay (cuda_graph_runner.py:203).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class ForwardMode(enum.IntEnum):
+    EXTEND = 1   # prefill or chunked continuation (ragged q lens)
+    DECODE = 2   # one new token per running sequence
+    IDLE = 3     # lockstep no-op batch (DP attention, later milestone)
+
+    def is_extend(self) -> bool:
+        return self == ForwardMode.EXTEND
+
+    def is_decode(self) -> bool:
+        return self == ForwardMode.DECODE
+
+
+@struct.dataclass
+class ForwardBatch:
+    """Pytree of device arrays passed into the compiled step function."""
+
+    input_ids: jnp.ndarray      # i32[T]
+    positions: jnp.ndarray      # i32[T]
+    out_slots: jnp.ndarray      # i32[T]  per-layer-relative kv slot (page*ps+off)
+    page_indices: jnp.ndarray   # i32[Bmax, MP] per-layer-relative page ids
+    kv_lens: jnp.ndarray        # i32[Bmax] total tokens per seq incl. new
+    cu_q_lens: jnp.ndarray      # i32[Bmax+1]
+    num_seqs: jnp.ndarray       # i32[] number of real sequences
+    last_token_idx: jnp.ndarray # i32[Bmax] index into [0,T) of seq's last token
+
+
+@struct.dataclass
+class SamplingMetadata:
+    """Per-sequence sampling tensors (analog of
+    sampling/sampling_batch_info.py:22)."""
+
+    temperatures: jnp.ndarray   # f32[Bmax]
+    top_ks: jnp.ndarray         # i32[Bmax]  (-1 = all)
+    top_ps: jnp.ndarray         # f32[Bmax]
+    min_ps: jnp.ndarray         # f32[Bmax]
+    seeds: jnp.ndarray          # u32[Bmax] per-request fold-in seeds
+    steps: jnp.ndarray          # i32[Bmax] decode step per request (rng stream)

@@ -1,0 +1,281 @@
+"""ModelRunner: loads the model, owns the paged KV pool, and drives the
+compiled step functions.
+
+Analog of sglang model_executor/model_runner.py:150 *and* of
+cuda_graph_runner.py:203 — on TPU there is no separate capture/replay
+machinery: `jax.jit` keyed on padded bucket shapes IS the graph cache.
+Every (mode, T, Bmax, MP) bucket compiles once and replays forever; the
+scheduler pads batches into the nearest bucket exactly like padded CUDA
+graph replay.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.model_executor.forward_batch import (
+    ForwardBatch,
+    ForwardMode,
+    SamplingMetadata,
+)
+from iaas_sglang_tpu.model_loader import loader as model_loader
+from iaas_sglang_tpu.models.registry import resolve_model_cls
+from iaas_sglang_tpu.parallel.mesh import MeshContext, make_mesh
+from iaas_sglang_tpu.sampling.sampler import sample_tokens
+from iaas_sglang_tpu.server_args import ServerArgs
+from iaas_sglang_tpu.utils import bucket_size, cdiv, logger, make_buckets
+
+
+@dataclass
+class HostBatch:
+    """Host-side batch handed from the scheduler to the runner
+    (analog of schedule_batch.py:1778 ModelWorkerBatch)."""
+
+    mode: ForwardMode
+    input_ids: np.ndarray           # i32[T] (or None when chaining device tokens)
+    positions: np.ndarray           # i32[T]
+    out_slots: np.ndarray           # i32[T] per-layer-relative slots
+    page_tables: list[np.ndarray]   # per-seq page id arrays
+    seq_lens: np.ndarray            # i32[B] total tokens incl. new
+    q_lens: np.ndarray              # i32[B]
+    temperatures: np.ndarray        # f32[B]
+    top_ks: np.ndarray              # i32[B]
+    top_ps: np.ndarray              # f32[B]
+    min_ps: np.ndarray              # f32[B]
+    seeds: np.ndarray               # u32[B]
+    steps: np.ndarray               # i32[B]
+    # set by the runner for the scheduler
+    device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
+    device_logits: Any = None       # jnp f32[Bmax, V] last-token logits
+
+
+class ModelRunner:
+    def __init__(self, server_args: ServerArgs, model_config: ModelConfig,
+                 mesh_ctx: Optional[MeshContext] = None):
+        self.server_args = server_args
+        self.model_config = model_config
+        self.mesh_ctx = mesh_ctx or make_mesh(server_args.tp_size, server_args.dp_size)
+        self.page_size = server_args.page_size
+        self.attn_backend = server_args.attention_backend
+
+        model_cls = resolve_model_cls(model_config)
+        self.model = model_cls(model_config)
+
+        logger.info("loading weights (%s) ...", server_args.load_format)
+        with self.mesh_ctx.mesh:
+            self.params = model_loader.load_params(
+                self.model, model_config, self.mesh_ctx,
+                load_format=server_args.load_format,
+                seed=server_args.random_seed,
+            )
+        jax.block_until_ready(jax.tree.leaves(self.params)[0])
+
+        self._init_kv_pool()
+        self._init_buckets()
+        self._step_fn = self._build_step_fn()
+
+    # -------------------------------------------------------------- KV pool
+
+    def _init_kv_pool(self) -> None:
+        c = self.model_config
+        sa = self.server_args
+        ps = self.page_size
+        kv_bytes_per_token = c.num_layers * 2 * c.num_kv_heads * c.head_dim * 2
+
+        if sa.max_total_tokens is not None:
+            total_tokens = sa.max_total_tokens
+        else:
+            avail = self._profile_available_bytes()
+            if avail is None:
+                total_tokens = 2 ** 16  # CPU/test default
+            else:
+                total_tokens = int(avail // kv_bytes_per_token)
+        pages_per_layer = max(total_tokens // ps, 16)
+        # +1 garbage page per layer (write sink for padding lanes)
+        self.pages_per_layer = pages_per_layer
+        self.num_usable_pages = pages_per_layer
+        shape = (
+            c.num_layers * (pages_per_layer + 1),
+            ps,
+            2 * c.num_kv_heads,
+            c.head_dim,
+        )
+        kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        sharding = self.mesh_ctx.sharding(None, None, "tp", None)
+        self.kv_pages = jax.device_put(
+            jnp.zeros(shape, dtype=kv_dtype), sharding
+        )
+        self.max_pages_per_seq = cdiv(c.context_len, ps)
+        gb = np.prod(shape) * 2 / 1e9
+        logger.info(
+            "KV pool: %d pages/layer x %d tokens/page x %d layers = %d tokens (%.2f GB)",
+            pages_per_layer, ps, c.num_layers, pages_per_layer * ps, gb,
+        )
+
+    def _profile_available_bytes(self) -> Optional[int]:
+        try:
+            dev = jax.local_devices()[0]
+            stats = dev.memory_stats()
+            if not stats or "bytes_limit" not in stats:
+                return None
+            limit = stats["bytes_limit"]
+            in_use = stats.get("bytes_in_use", 0)
+            frac = self.server_args.mem_fraction_static
+            return max(int(limit * frac - in_use), 0)
+        except Exception:
+            return None
+
+    # -------------------------------------------------------------- buckets
+
+    def _init_buckets(self) -> None:
+        sa = self.server_args
+        self.decode_bs_buckets = sa.decode_bs_buckets or make_buckets(
+            sa.max_running_requests, 8
+        )
+        self.prefill_token_buckets = sa.prefill_token_buckets or make_buckets(
+            max(sa.max_prefill_tokens, 64), 64
+        )
+        # pages-per-seq buckets: powers of 4 capped at the model context
+        mp_buckets, b = [], 16
+        while b < self.max_pages_per_seq:
+            mp_buckets.append(b)
+            b *= 4
+        mp_buckets.append(self.max_pages_per_seq)
+        self.mp_buckets = mp_buckets
+
+    # ------------------------------------------------------------- step fns
+
+    def _build_step_fn(self):
+        model = self.model
+        attn_backend = self.attn_backend
+        scan_layers = self.server_args.scan_layers
+
+        def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata):
+            hidden, kv_pages = model.forward(
+                params, fb, kv_pages,
+                attn_backend=attn_backend, scan_layers=scan_layers,
+            )
+            last_h = hidden[fb.last_token_idx]          # [Bmax, H]
+            logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
+            tokens = sample_tokens(logits, meta)
+            return tokens, logits, kv_pages
+
+        self._all_logits_fn = jax.jit(
+            lambda params, kv_pages, fb: (
+                lambda hk: (model.compute_logits(params, hk[0]), hk[1])
+            )(model.forward(params, fb, kv_pages,
+                            attn_backend=attn_backend, scan_layers=scan_layers))
+        )
+        return jax.jit(step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------- forward
+
+    def forward(self, hb: HostBatch) -> np.ndarray:
+        """Run one padded step. Returns sampled token per sequence i32[B]
+        (callers slice the valid prefix). Also stores the padded device
+        token array in hb.device_tokens for overlap chaining."""
+        fb, meta, B = self._pad_to_device(hb)
+        with self.mesh_ctx.mesh:
+            tokens, logits, self.kv_pages = self._step_fn(
+                self.params, self.kv_pages, fb, meta
+            )
+        hb.device_tokens = tokens
+        hb.device_logits = logits
+        return np.asarray(tokens)[:B]
+
+    def forward_all_logits(self, hb: HostBatch) -> np.ndarray:
+        """Debug/golden path: run a (non-donating) forward that returns the
+        logits at EVERY query position, f32[T, V]. Also commits the KV
+        writes so decode can continue afterwards."""
+        fb, _meta, _B = self._pad_to_device(hb)
+        T = len(hb.positions)
+        with self.mesh_ctx.mesh:
+            logits, self.kv_pages = self._all_logits_fn(
+                self.params, self.kv_pages, fb
+            )
+        return np.asarray(logits)[:T]
+
+    # ------------------------------------------------------------- padding
+
+    def _pad_to_device(self, hb: HostBatch):
+        ps = self.page_size
+        B = len(hb.page_tables)
+        T = len(hb.positions)
+        garbage_page = self.pages_per_layer  # per-layer-relative id
+        garbage_slot = garbage_page * ps
+
+        if hb.mode.is_decode():
+            B_pad = bucket_size(B, self.decode_bs_buckets)
+            T_pad = B_pad
+        else:
+            B_pad = bucket_size(B, self.decode_bs_buckets)
+            T_pad = bucket_size(T, self.prefill_token_buckets)
+        mp_needed = max((len(pt) for pt in hb.page_tables), default=1)
+        MP = bucket_size(mp_needed, self.mp_buckets)
+
+        def pad1(arr, size, fill):
+            out = np.full(size, fill, dtype=arr.dtype if hasattr(arr, "dtype") else np.int32)
+            out[: len(arr)] = arr
+            return out
+
+        input_ids = pad1(hb.input_ids.astype(np.int32), T_pad, 0) \
+            if hb.input_ids is not None else None
+        positions = pad1(hb.positions.astype(np.int32), T_pad, 0)
+        out_slots = pad1(hb.out_slots.astype(np.int32), T_pad, garbage_slot)
+
+        page_indices = np.full((B_pad, MP), garbage_page, dtype=np.int32)
+        for i, pt in enumerate(hb.page_tables):
+            page_indices[i, : len(pt)] = pt
+
+        kv_lens = pad1(hb.seq_lens.astype(np.int32), B_pad, 0)
+        cu = np.zeros(B_pad + 1, dtype=np.int32)
+        cu[1 : B + 1] = np.cumsum(hb.q_lens)
+        cu[B + 1 :] = cu[B]
+        last_token_idx = np.zeros(B_pad, dtype=np.int32)
+        last_token_idx[:B] = cu[1 : B + 1] - 1
+
+        fb = ForwardBatch(
+            input_ids=jnp.asarray(input_ids)
+            if input_ids is not None else self._chain_tokens(hb, T_pad),
+            positions=jnp.asarray(positions),
+            out_slots=jnp.asarray(out_slots),
+            page_indices=jnp.asarray(page_indices),
+            kv_lens=jnp.asarray(kv_lens),
+            cu_q_lens=jnp.asarray(cu),
+            num_seqs=jnp.asarray(B, dtype=jnp.int32),
+            last_token_idx=jnp.asarray(last_token_idx),
+        )
+        meta = SamplingMetadata(
+            temperatures=jnp.asarray(pad1(hb.temperatures.astype(np.float32), B_pad, 0.0)),
+            top_ks=jnp.asarray(pad1(hb.top_ks.astype(np.int32), B_pad, -1)),
+            top_ps=jnp.asarray(pad1(hb.top_ps.astype(np.float32), B_pad, 1.0)),
+            min_ps=jnp.asarray(pad1(hb.min_ps.astype(np.float32), B_pad, 0.0)),
+            seeds=jnp.asarray(pad1(hb.seeds.astype(np.uint32), B_pad, 0)),
+            steps=jnp.asarray(pad1(hb.steps.astype(np.int32), B_pad, 0)),
+        )
+        return fb, meta, B
+
+    def _chain_tokens(self, hb: HostBatch, T_pad: int):
+        """Overlap mode: the next decode step's input_ids are the previous
+        step's on-device sampled tokens — the TPU analog of the reference's
+        future-token-ids resolution (tp_worker_overlap_thread.py:45), with
+        no host roundtrip at all."""
+        toks = hb.device_tokens
+        assert toks is not None, "device token chain not set"
+        if toks.shape[0] == T_pad:
+            return toks
+        if toks.shape[0] > T_pad:
+            return toks[:T_pad]
+        return jnp.pad(toks, (0, T_pad - toks.shape[0]))
+
+    # --------------------------------------------------------------- misc
+
+    def flush_kv(self) -> None:
+        self.kv_pages = jnp.zeros_like(self.kv_pages)

@@ -1,0 +1,168 @@
+"""Weight loading: HF safetensors checkpoints / in-memory torch state dicts /
+dummy random init (analog of sglang srt/model_loader/loader.py:169
+DefaultModelLoader and :520 DummyModelLoader — dummy is the perf-testing
+path that needs no checkpoint).
+
+The loader materializes each model weight as a host numpy array (stacking
+per-layer tensors into [L, ...] for the scan), then `jax.device_put`s it
+with its NamedSharding so the transfer itself performs the TP partition.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Dict
+
+import ml_dtypes
+import numpy as np
+import jax
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.models.llama_family import WeightSpec
+from iaas_sglang_tpu.parallel.mesh import MeshContext
+from iaas_sglang_tpu.utils import logger
+
+
+def _np_dtype(dtype_str: str):
+    return {"bfloat16": ml_dtypes.bfloat16, "float32": np.float32}[dtype_str]
+
+
+def _torch_to_numpy(t) -> np.ndarray:
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return t.numpy()
+
+
+def _set_nested(tree: Dict[str, Any], path: str, value) -> None:
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def shardings_for_specs(specs: Dict[str, WeightSpec], mesh_ctx: MeshContext):
+    """Pytree of NamedShardings matching the params pytree structure."""
+    tree: Dict[str, Any] = {}
+    for name, spec in specs.items():
+        dims = spec.pspec
+        if spec.stacked:
+            dims = (None,) + tuple(dims)
+        _set_nested(tree, name, mesh_ctx.sharding(*dims))
+    return tree
+
+
+def load_params(
+    model,
+    config: ModelConfig,
+    mesh_ctx: MeshContext,
+    *,
+    load_format: str = "auto",
+    seed: int = 0,
+) -> Dict[str, Any]:
+    specs = model.weight_specs()
+    if load_format == "dummy":
+        host = _dummy_host_params(specs, config, seed)
+    else:
+        host = _load_host_params_safetensors(specs, config)
+    return put_params(host, specs, mesh_ctx)
+
+
+def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
+               mesh_ctx: MeshContext) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for name, spec in specs.items():
+        dims = spec.pspec
+        if spec.stacked:
+            dims = (None,) + tuple(dims)
+        sharding = mesh_ctx.sharding(*dims)
+        arr = jax.device_put(host[name], sharding)
+        _set_nested(tree, name, arr)
+    return tree
+
+
+def _dummy_host_params(specs: Dict[str, WeightSpec], config: ModelConfig,
+                       seed: int) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    dt = _np_dtype(config.dtype)
+    out = {}
+    for name, spec in specs.items():
+        shape = ((config.num_layers,) + tuple(spec.shape)) if spec.stacked \
+            else tuple(spec.shape)
+        if "norm" in name:
+            out[name] = np.ones(shape, dtype=dt)
+        else:
+            out[name] = rng.standard_normal(shape, dtype=np.float32).astype(dt) * 0.02
+    return out
+
+
+def load_params_from_state_dict(
+    model, config: ModelConfig, mesh_ctx: MeshContext, state_dict: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Load from an in-memory torch state dict (used by the golden tests to
+    share weights with a HF reference model)."""
+    specs = model.weight_specs()
+    getter = lambda key: _torch_to_numpy(state_dict[key].detach().cpu())
+    host = _assemble(specs, config, getter)
+    return put_params(host, specs, mesh_ctx)
+
+
+def _load_host_params_safetensors(
+    specs: Dict[str, WeightSpec], config: ModelConfig
+) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(config.model_path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {config.model_path}")
+    key_to_file: Dict[str, str] = {}
+    handles: Dict[str, Any] = {}
+    for fpath in files:
+        h = safe_open(fpath, framework="pt")
+        handles[fpath] = h
+        for k in h.keys():
+            key_to_file[k] = fpath
+
+    def getter(key: str) -> np.ndarray:
+        if key not in key_to_file:
+            raise KeyError(f"checkpoint missing tensor {key!r}")
+        return _torch_to_numpy(handles[key_to_file[key]].get_tensor(key))
+
+    try:
+        return _assemble(specs, config, getter)
+    finally:
+        del handles
+
+
+def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
+              getter) -> Dict[str, np.ndarray]:
+    dt = _np_dtype(config.dtype)
+    out: Dict[str, np.ndarray] = {}
+    for name, spec in specs.items():
+        if spec.hf_key is None:
+            continue
+        if spec.stacked:
+            stacked = np.empty((config.num_layers,) + tuple(spec.shape), dtype=dt)
+            for l in range(config.num_layers):
+                t = getter(spec.hf_key.format(l=l))
+                if spec.transpose:
+                    t = t.T
+                if tuple(t.shape) != tuple(spec.shape):
+                    raise ValueError(
+                        f"{name} layer {l}: got {t.shape}, want {spec.shape}")
+                stacked[l] = t.astype(dt, copy=False)
+            out[name] = stacked
+        else:
+            t = getter(spec.hf_key)
+            if spec.transpose:
+                t = t.T
+            if tuple(t.shape) != tuple(spec.shape):
+                raise ValueError(f"{name}: got {t.shape}, want {spec.shape}")
+            out[name] = np.ascontiguousarray(t).astype(dt, copy=False)
+    logger.info("loaded %d weights", len(out))
+    return out

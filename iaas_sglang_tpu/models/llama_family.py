@@ -1,0 +1,188 @@
+"""Llama-family causal LM (Llama 1-3, Qwen 2/2.5/3, Mistral, ...).
+
+TPU-first re-design of the reference's per-model torch modules
+(srt/models/llama.py:448, qwen2.py): a single functional decoder
+parameterized by ModelConfig, with
+
+  * params as a pytree of stacked per-layer arrays [L, ...] consumed by
+    `lax.scan` (one compiled layer body instead of L unrolled ones),
+  * TP expressed as PartitionSpecs on the weight pytree — GSPMD inserts
+    the psum that RowParallelLinear (layers/linear.py:1198) does by hand,
+  * the paged KV cache threaded through the scan carry and updated with a
+    single scatter per layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.layers.norms import rms_norm
+from iaas_sglang_tpu.layers.rotary import apply_rope, compute_inv_freq
+from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
+from iaas_sglang_tpu.ops.attention import paged_attention, write_kv_pages
+
+
+@dataclass
+class WeightSpec:
+    shape: tuple
+    pspec: tuple                      # PartitionSpec dims (no leading L)
+    hf_key: Optional[str] = None      # template, may contain {l}
+    transpose: bool = False           # torch stores [out, in]
+    stacked: bool = False             # one array per layer, stacked on dim 0
+
+
+class LlamaFamilyForCausalLM:
+    """Functional causal LM. `forward` returns (last_hidden[T,H], kv_pages)."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        c = config
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
+        )
+        self.sm_scale = c.head_dim ** -0.5
+
+    # ------------------------------------------------------------- weights
+
+    def weight_specs(self) -> dict[str, WeightSpec]:
+        c = self.config
+        H, D = c.hidden_size, c.head_dim
+        Nq, Nk, I, V = c.num_heads, c.num_kv_heads, c.intermediate_size, c.vocab_size
+        s: dict[str, WeightSpec] = {
+            "embed": WeightSpec((V, H), (None, "tp"), "model.embed_tokens.weight"),
+            "final_norm": WeightSpec((H,), (None,), "model.norm.weight"),
+            "layers.input_norm": WeightSpec(
+                (H,), (None,), "model.layers.{l}.input_layernorm.weight", stacked=True),
+            "layers.post_norm": WeightSpec(
+                (H,), (None,), "model.layers.{l}.post_attention_layernorm.weight",
+                stacked=True),
+            "layers.wq": WeightSpec(
+                (H, Nq * D), (None, "tp"), "model.layers.{l}.self_attn.q_proj.weight",
+                transpose=True, stacked=True),
+            "layers.wk": WeightSpec(
+                (H, Nk * D), (None, "tp"), "model.layers.{l}.self_attn.k_proj.weight",
+                transpose=True, stacked=True),
+            "layers.wv": WeightSpec(
+                (H, Nk * D), (None, "tp"), "model.layers.{l}.self_attn.v_proj.weight",
+                transpose=True, stacked=True),
+            "layers.wo": WeightSpec(
+                (Nq * D, H), ("tp", None), "model.layers.{l}.self_attn.o_proj.weight",
+                transpose=True, stacked=True),
+            "layers.w_gate": WeightSpec(
+                (H, I), (None, "tp"), "model.layers.{l}.mlp.gate_proj.weight",
+                transpose=True, stacked=True),
+            "layers.w_up": WeightSpec(
+                (H, I), (None, "tp"), "model.layers.{l}.mlp.up_proj.weight",
+                transpose=True, stacked=True),
+            "layers.w_down": WeightSpec(
+                (I, H), ("tp", None), "model.layers.{l}.mlp.down_proj.weight",
+                transpose=True, stacked=True),
+        }
+        if c.attention_bias:
+            s["layers.bq"] = WeightSpec(
+                (Nq * D,), ("tp",), "model.layers.{l}.self_attn.q_proj.bias",
+                stacked=True)
+            s["layers.bk"] = WeightSpec(
+                (Nk * D,), ("tp",), "model.layers.{l}.self_attn.k_proj.bias",
+                stacked=True)
+            s["layers.bv"] = WeightSpec(
+                (Nk * D,), ("tp",), "model.layers.{l}.self_attn.v_proj.bias",
+                stacked=True)
+        if c.qk_norm:
+            s["layers.q_norm"] = WeightSpec(
+                (D,), (None,), "model.layers.{l}.self_attn.q_norm.weight",
+                stacked=True)
+            s["layers.k_norm"] = WeightSpec(
+                (D,), (None,), "model.layers.{l}.self_attn.k_norm.weight",
+                stacked=True)
+        if not c.tie_word_embeddings:
+            s["lm_head"] = WeightSpec(
+                (H, V), (None, "tp"), "lm_head.weight", transpose=True)
+        return s
+
+    # ------------------------------------------------------------- forward
+
+    def forward(
+        self,
+        params: dict[str, Any],
+        fb: ForwardBatch,
+        kv_pages: jnp.ndarray,   # [L*(P+1), ps, 2*Nk, D] flat page space
+        *,
+        attn_backend: str,
+        scan_layers: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.config
+        L = c.num_layers
+        pages_per_layer = kv_pages.shape[0] // L
+        ps = kv_pages.shape[1]
+
+        hidden = params["embed"][fb.input_ids]  # [T, H]
+
+        def layer_body(carry, xs):
+            hidden, kv = carry
+            lp, layer_idx = xs
+            h = rms_norm(hidden, lp["input_norm"], c.rms_norm_eps)
+            q = h @ lp["wq"]
+            k = h @ lp["wk"]
+            v = h @ lp["wv"]
+            if c.attention_bias:
+                q = q + lp["bq"]
+                k = k + lp["bk"]
+                v = v + lp["bv"]
+            T = q.shape[0]
+            q = q.reshape(T, c.num_heads, c.head_dim)
+            k = k.reshape(T, c.num_kv_heads, c.head_dim)
+            v = v.reshape(T, c.num_kv_heads, c.head_dim)
+            if c.qk_norm:
+                q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
+            q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+
+            slot_off = layer_idx * pages_per_layer * ps
+            page_off = layer_idx * pages_per_layer
+            kv = write_kv_pages(kv, fb.out_slots + slot_off, k, v)
+            attn = paged_attention(
+                q, kv, fb.kv_lens, fb.page_indices + page_off,
+                fb.cu_q_lens, fb.num_seqs,
+                sm_scale=self.sm_scale,
+                sliding_window=c.sliding_window,
+                backend=attn_backend,
+            )
+            attn_out = attn.reshape(T, c.num_heads * c.head_dim) @ lp["wo"]
+            hidden = hidden + attn_out
+
+            h2 = rms_norm(hidden, lp["post_norm"], c.rms_norm_eps)
+            mlp = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
+            hidden = hidden + mlp
+            return (hidden, kv), None
+
+        layer_params = params["layers"]
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
+        if scan_layers:
+            (hidden, kv_pages), _ = jax.lax.scan(
+                layer_body, (hidden, kv_pages), (layer_params, layer_ids)
+            )
+        else:
+            for l in range(L):
+                lp = jax.tree.map(lambda x: x[l], layer_params)
+                (hidden, kv_pages), _ = layer_body(
+                    (hidden, kv_pages), (lp, jnp.int32(l))
+                )
+
+        hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
+        return hidden, kv_pages
+
+    def compute_logits(self, params: dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
+        """hidden [B, H] -> logits f32[B, V] (last-token gather happens in the
+        runner; analog of layers/logits_processor.py:196)."""
+        if self.config.tie_word_embeddings:
+            w = params["embed"].T  # [H, V]
+        else:
+            w = params["lm_head"]
+        return (hidden @ w).astype(jnp.float32)

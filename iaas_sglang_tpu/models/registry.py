@@ -1,0 +1,34 @@
+"""Model registry: HF `architectures` string -> model class
+(analog of sglang srt/models/registry.py:77,107)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.models.llama_family import LlamaFamilyForCausalLM
+
+_REGISTRY: dict[str, Callable[[ModelConfig], object]] = {}
+
+
+def register(arch: str, cls) -> None:
+    _REGISTRY[arch] = cls
+
+
+for _arch in (
+    "LlamaForCausalLM",
+    "Qwen2ForCausalLM",
+    "Qwen3ForCausalLM",
+    "MistralForCausalLM",
+):
+    register(_arch, LlamaFamilyForCausalLM)
+
+
+def resolve_model_cls(config: ModelConfig):
+    for arch in config.architectures:
+        if arch in _REGISTRY:
+            return _REGISTRY[arch]
+    raise ValueError(
+        f"none of architectures {config.architectures} supported; "
+        f"known: {sorted(_REGISTRY)}"
+    )

@@ -1,0 +1,135 @@
+"""Ragged paged attention: the single attention interface of the framework.
+
+This is the TPU re-design of the reference's whole attention-backend zoo
+(srt/layers/attention/, 12k LoC of FlashInfer/FA3/Triton wrappers behind
+base_attn_backend.py:14): ONE metadata-driven ragged paged-attention op
+that serves prefill, chunked extend, and batched decode in the same call.
+
+Calling convention (shared by every backend):
+    q            f32/bf16 [T, Nq, D]   -- all new tokens of the batch, ragged
+    kv_pages     [NP, page_size, 2*Nk, D] -- K at even, V at odd head index
+    kv_lens      i32[Bmax]             -- total tokens per seq (incl. new)
+    page_indices i32[Bmax, MP]         -- page table per sequence
+    cu_q_lens    i32[Bmax+1]           -- prefix sum of new-token counts
+    num_seqs     i32[]                 -- number of real sequences
+Returns [T, Nq, D].
+
+Backends:
+    "jnp"     -- gather-based reference; runs anywhere (CPU tests)
+    "pallas"  -- our Pallas TPU kernel (ops/ragged_paged_attention.py)
+    "jax_rpa" -- jax.experimental built-in ragged paged attention (cross-check)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def paged_attention(
+    q: jnp.ndarray,
+    kv_pages: jnp.ndarray,
+    kv_lens: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    cu_q_lens: jnp.ndarray,
+    num_seqs: jnp.ndarray,
+    *,
+    sm_scale: float,
+    sliding_window: Optional[int] = None,
+    backend: str = "jnp",
+) -> jnp.ndarray:
+    if backend == "jnp":
+        return _jnp_paged_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+        )
+    if backend == "pallas":
+        from iaas_sglang_tpu.ops.ragged_paged_attention import (
+            ragged_paged_attention as our_rpa,
+        )
+
+        return our_rpa(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+        )
+    if backend == "jax_rpa":
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention as jax_rpa,
+        )
+
+        return jax_rpa.ragged_paged_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+        )
+    raise ValueError(f"unknown attention backend {backend!r}")
+
+
+def _jnp_paged_attention(
+    q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+    *, sm_scale, sliding_window=None,
+):
+    T, Nq, D = q.shape
+    NP, ps, NK2, _ = kv_pages.shape
+    Nk = NK2 // 2
+    Bmax, MP = page_indices.shape
+    S = MP * ps
+    group = Nq // Nk
+
+    # token -> sequence id (tokens of seq s live in [cu_q_lens[s], cu_q_lens[s+1]))
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    seg_ids = jnp.searchsorted(cu_q_lens[1:], t_idx, side="right").astype(jnp.int32)
+    seg_ids = jnp.minimum(seg_ids, Bmax - 1)
+    # absolute key-position of each query token within its sequence
+    q_lens = cu_q_lens[1:] - cu_q_lens[:-1]  # [Bmax]
+    q_pos = (
+        t_idx
+        - cu_q_lens[seg_ids]
+        + kv_lens[seg_ids]
+        - q_lens[seg_ids]
+    )  # [T]
+
+    # gather whole sequences (reference path only; kernels stream pages)
+    kv_seq = kv_pages[page_indices]  # [Bmax, MP, ps, 2Nk, D]
+    kv_seq = kv_seq.reshape(Bmax, S, 2 * Nk, D)
+    k_seq = kv_seq[:, :, 0::2, :]  # [Bmax, S, Nk, D]
+    v_seq = kv_seq[:, :, 1::2, :]
+
+    k_tok = k_seq[seg_ids]  # [T, S, Nk, D]
+    v_tok = v_seq[seg_ids]
+
+    qf = q.astype(jnp.float32).reshape(T, Nk, group, D)
+    kf = k_tok.astype(jnp.float32)
+    vf = v_tok.astype(jnp.float32)
+    scores = jnp.einsum("tkgd,tskd->tkgs", qf, kf) * sm_scale  # [T, Nk, g, S]
+
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    valid = (key_pos <= q_pos[:, None]) & (key_pos < kv_lens[seg_ids][:, None])
+    if sliding_window is not None:
+        valid &= key_pos > q_pos[:, None] - sliding_window
+    # padding tokens (seg beyond num_seqs) get a degenerate but finite row
+    valid = valid | (jnp.arange(S)[None, :] == 0)
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgs,tskd->tkgd", probs, vf)
+    return out.reshape(T, Nq, D).astype(q.dtype)
+
+
+def write_kv_pages(
+    kv_pages: jnp.ndarray,   # [NP, ps, 2*Nk, D] (flat page space, all layers)
+    out_slots: jnp.ndarray,  # i32[T] flat slot = page*ps + offset
+    k: jnp.ndarray,          # [T, Nk, D]
+    v: jnp.ndarray,          # [T, Nk, D]
+) -> jnp.ndarray:
+    """Scatter new K/V into the paged pool. Padding lanes must point at the
+    garbage page. (TPU analog of the reference's Triton
+    write_req_to_token_pool / set_kv_buffer paths, schedule_batch.py:1778.)"""
+    NP, ps, NK2, D = kv_pages.shape
+    T, Nk, _ = k.shape
+    updates = jnp.stack([k, v], axis=2).reshape(T, 2 * Nk, D).astype(kv_pages.dtype)
+    flat = kv_pages.reshape(NP * ps, NK2, D)
+    # NOTE: padding lanes share garbage slots, so indices are NOT unique.
+    flat = flat.at[out_slots].set(updates)
+    return flat.reshape(NP, ps, NK2, D)

@@ -1,0 +1,176 @@
+"""ServerArgs: the single config object — CLI flags == Engine kwargs == HTTP
+launch config (analog of sglang srt/server_args.py:43 ServerArgs +
+PortArgs:1748).
+
+TPU-specific departures from the reference:
+  * no per-GPU process ranks: one scheduler process owns all local TPU chips
+    through JAX; parallelism is a logical mesh {dp, tp} not NCCL groups.
+  * cuda-graph flags are replaced by compile-bucket controls
+    (`decode_bs_buckets`, `prefill_token_buckets`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from iaas_sglang_tpu.utils import get_open_port
+
+
+@dataclass
+class ServerArgs:
+    # Model and tokenizer
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    load_format: str = "auto"  # auto | safetensors | dummy
+    dtype: str = "bfloat16"
+    kv_cache_dtype: str = "auto"  # auto | bf16 | fp8_e4m3 (later round)
+    context_length: Optional[int] = None
+    quantization: Optional[str] = None  # int4_awq | fp8 (later rounds)
+    served_model_name: Optional[str] = None
+    revision: Optional[str] = None
+    skip_tokenizer_init: bool = False
+    json_model_override_args: str = "{}"
+
+    # HTTP server
+    host: str = "127.0.0.1"
+    port: int = 30000
+
+    # Memory / KV cache
+    page_size: int = 16
+    mem_fraction_static: float = 0.85
+    max_total_tokens: Optional[int] = None  # KV pool size in tokens; None=profile
+    max_running_requests: int = 128
+    max_queued_requests: int = 4096
+
+    # Scheduling
+    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
+    chunked_prefill_size: int = 2048
+    max_prefill_tokens: int = 8192
+    schedule_conservativeness: float = 1.0
+    stream_interval: int = 1
+    disable_radix_cache: bool = False
+    enable_mixed_chunk: bool = False
+    disable_overlap_schedule: bool = False
+    retract_decode_steps: int = 20
+
+    # Parallelism (logical mesh over ICI/DCN)
+    tp_size: int = 1
+    dp_size: int = 1
+    ep_size: int = 1
+    nnodes: int = 1
+    node_rank: int = 0
+    dist_init_addr: Optional[str] = None
+
+    # Compile buckets (TPU analog of cuda-graph batch sizes)
+    decode_bs_buckets: Optional[List[int]] = None
+    prefill_token_buckets: Optional[List[int]] = None
+    disable_jit_cache_warmup: bool = False
+    scan_layers: bool = True
+
+    # Attention backend: pallas (ours) | jax_rpa (jax builtin) | jnp (reference)
+    attention_backend: str = "auto"
+
+    # Device
+    device: str = "auto"  # auto | tpu | cpu
+
+    # Sampling / output
+    max_new_tokens_default: int = 128
+
+    # Observability
+    log_level: str = "info"
+    log_requests: bool = False
+    decode_log_interval: int = 40
+    enable_metrics: bool = False
+
+    # Misc
+    random_seed: Optional[int] = None
+    watchdog_timeout: float = 300.0
+    warmups: Optional[str] = None
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.random_seed is None:
+            self.random_seed = int.from_bytes(os.urandom(4), "little")
+        if self.device == "auto":
+            self.device = _detect_device()
+        if self.attention_backend == "auto":
+            self.attention_backend = "pallas" if self.device == "tpu" else "jnp"
+        if self.page_size < 1:
+            raise ValueError("page_size must be >= 1")
+
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name.replace("_", "-")
+            ftype = f.type
+            default = (
+                f.default
+                if f.default is not dataclasses.MISSING
+                else f.default_factory()  # type: ignore[misc]
+            )
+            if ftype in ("bool", bool):
+                parser.add_argument(name, action="store_true", default=default)
+            elif "List[int]" in str(ftype):
+                parser.add_argument(name, type=int, nargs="+", default=default)
+            elif "int" in str(ftype):
+                parser.add_argument(name, type=int, default=default)
+            elif "float" in str(ftype):
+                parser.add_argument(name, type=float, default=default)
+            else:
+                parser.add_argument(name, type=str, default=default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(cls)}
+        return cls(**kwargs)
+
+
+def prepare_server_args(argv: List[str]) -> ServerArgs:
+    parser = argparse.ArgumentParser(description="iaas-sglang-tpu server")
+    ServerArgs.add_cli_args(parser)
+    return ServerArgs.from_cli_args(parser.parse_args(argv))
+
+
+def _detect_device() -> str:
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return "cpu"
+    try:
+        import jax
+
+        plat = jax.devices()[0].platform
+        return "tpu" if plat in ("tpu", "axon") else "cpu"
+    except Exception:
+        return "cpu"
+
+
+@dataclass
+class PortArgs:
+    """ZMQ endpoints for the manager process ring
+    (analog of sglang server_args.py:1748 PortArgs.init_new).
+
+    tokenizer -> scheduler -> detokenizer -> tokenizer.
+    """
+
+    tokenizer_ipc: str
+    scheduler_ipc: str
+    detokenizer_ipc: str
+    rpc_ipc: str
+
+    @staticmethod
+    def init_new(server_args: ServerArgs) -> "PortArgs":
+        if server_args.nnodes > 1:
+            host = server_args.dist_init_addr or server_args.host
+            base = get_open_port()
+            mk = lambda off: f"tcp://{host}:{base + off}"
+            return PortArgs(mk(0), mk(1), mk(2), mk(3))
+        d = tempfile.mkdtemp(prefix="iaas_sglang_tpu_ipc_")
+        mk = lambda n: f"ipc://{d}/{n}"
+        return PortArgs(mk("tokenizer"), mk("scheduler"), mk("detokenizer"), mk("rpc"))
