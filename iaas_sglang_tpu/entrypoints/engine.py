@@ -1,0 +1,168 @@
+"""Engine: the public offline/embedded inference API
+(analog of sglang srt/entrypoints/engine.py:87).
+
+Embedded mode drives the Scheduler synchronously in-process — the TPU
+stack has a single controller owning all local chips, so the reference's
+per-GPU subprocess tree collapses to one process; the ZMQ server mode
+(http_server.py) wraps this same scheduler in a process ring for serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Union
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.managers.io_struct import (
+    BatchTokenIDOut,
+    GenerateReqInput,
+    TokenizedGenerateReqInput,
+)
+from iaas_sglang_tpu.managers.scheduler import Scheduler
+from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+from iaas_sglang_tpu.server_args import ServerArgs
+from iaas_sglang_tpu.utils import configure_logger, logger
+
+
+class Engine:
+    def __init__(
+        self,
+        server_args: Optional[ServerArgs] = None,
+        *,
+        hf_config_override: Optional[dict] = None,
+        tokenizer=None,
+        **kwargs,
+    ):
+        if server_args is None:
+            field_names = {f.name for f in dataclasses.fields(ServerArgs)}
+            server_args = ServerArgs(
+                **{k: v for k, v in kwargs.items() if k in field_names}
+            )
+        self.server_args = server_args
+        configure_logger()
+
+        if hf_config_override is not None:
+            self.model_config = ModelConfig.from_hf(
+                hf_config_override, model_path=server_args.model_path,
+                context_length=server_args.context_length,
+                dtype=server_args.dtype,
+            )
+        else:
+            self.model_config = ModelConfig.from_path(
+                server_args.model_path,
+                context_length=server_args.context_length,
+                dtype=server_args.dtype,
+            )
+
+        self.tokenizer = tokenizer
+        if self.tokenizer is None and not server_args.skip_tokenizer_init:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                server_args.tokenizer_path
+            )
+
+        self._outputs: Dict[str, dict] = {}
+        self.scheduler = Scheduler(
+            server_args, self.model_config,
+            tokenizer=self.tokenizer,
+            out_callback=self._collect_output,
+        )
+
+    # ------------------------------------------------------------- internal
+
+    def _collect_output(self, out: BatchTokenIDOut) -> None:
+        for i, rid in enumerate(out.rids):
+            st = self._outputs.setdefault(rid, {"output_ids": [], "finished": None})
+            st["output_ids"] = list(out.decode_ids[i])
+            st["finished"] = out.finished_reasons[i]
+            st["prompt_tokens"] = out.prompt_tokens[i]
+            st["completion_tokens"] = out.completion_tokens[i]
+            st["cached_tokens"] = out.cached_tokens[i]
+            st["stop_strs"] = out.stop_strs[i]
+            st["no_stop_trim"] = out.no_stop_trim[i]
+            st["skip_special_tokens"] = out.skip_special_tokens[i]
+
+    # --------------------------------------------------------------- public
+
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+    ) -> Union[dict, List[dict]]:
+        gri = GenerateReqInput(
+            text=prompt, input_ids=input_ids, sampling_params=sampling_params
+        )
+        was_batch = gri.is_batch()
+        singles = gri.normalize()
+        rids = []
+        for g in singles:
+            ids = g.input_ids
+            if ids is None:
+                assert self.tokenizer is not None, \
+                    "text input requires a tokenizer"
+                ids = self.tokenizer.encode(g.text)
+            sp = SamplingParams.from_dict(g.sampling_params)
+            self.scheduler.process_input(TokenizedGenerateReqInput(
+                rid=g.rid, input_text=g.text, input_ids=ids,
+                sampling_params=sp, stream=False,
+            ))
+            rids.append(g.rid)
+
+        # drive the event loop until all requests finish
+        while any(
+            self._outputs.get(r, {}).get("finished") is None for r in rids
+        ):
+            progressed = self.scheduler.step()
+            if not progressed and self.scheduler.has_work():
+                raise RuntimeError("scheduler stalled with pending work")
+            if not progressed and not self.scheduler.has_work():
+                missing = [r for r in rids
+                           if self._outputs.get(r, {}).get("finished") is None]
+                if missing:
+                    raise RuntimeError(f"requests lost: {missing}")
+
+        results = [self._finalize(rid) for rid in rids]
+        return results if was_batch else results[0]
+
+    def _finalize(self, rid: str) -> dict:
+        st = self._outputs.pop(rid)
+        text = ""
+        if self.tokenizer is not None:
+            text = self.tokenizer.decode(
+                st["output_ids"],
+                skip_special_tokens=st.get("skip_special_tokens", True),
+            )
+            # stop-string trimming (detokenizer_manager.py analog)
+            if not st.get("no_stop_trim"):
+                fin = st.get("finished") or {}
+                matched = fin.get("matched")
+                if isinstance(matched, str) and matched in text:
+                    text = text[: text.index(matched)]
+        return {
+            "text": text,
+            "output_ids": st["output_ids"],
+            "meta_info": {
+                "id": rid,
+                "finish_reason": st["finished"],
+                "prompt_tokens": st["prompt_tokens"],
+                "completion_tokens": st["completion_tokens"],
+                "cached_tokens": st["cached_tokens"],
+            },
+        }
+
+    # ------------------------------------------------------------ admin ops
+
+    def flush_cache(self) -> bool:
+        from iaas_sglang_tpu.managers.io_struct import FlushCacheReqInput
+
+        return self.scheduler.process_input(FlushCacheReqInput()).success
+
+    def get_internal_state(self) -> dict:
+        from iaas_sglang_tpu.managers.io_struct import GetInternalStateReq
+
+        return self.scheduler.process_input(GetInternalStateReq()).state
+
+    def shutdown(self) -> None:
+        pass  # embedded mode holds no extra processes

@@ -1,0 +1,149 @@
+"""Typed IPC messages between TokenizerManager / Scheduler / Detokenizer
+(analog of sglang srt/managers/io_struct.py:50,442,613,666).
+
+Messages travel pickled over ZMQ between the manager processes; every
+message type has exactly one handler registered via TypeBasedDispatcher.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+
+
+@dataclass
+class GenerateReqInput:
+    """User-facing generate request (text in, text/tokens out)."""
+
+    rid: Optional[Union[str, List[str]]] = None
+    text: Optional[Union[str, List[str]]] = None
+    input_ids: Optional[Union[List[int], List[List[int]]]] = None
+    sampling_params: Optional[Union[Dict, List[Dict]]] = None
+    stream: bool = False
+    return_logprob: bool = False
+    logprob_start_len: int = -1
+    top_logprobs_num: int = 0
+
+    def is_batch(self) -> bool:
+        if self.text is not None:
+            return isinstance(self.text, list)
+        return isinstance(self.input_ids[0], list)
+
+    def batch_size(self) -> int:
+        if not self.is_batch():
+            return 1
+        return len(self.text if self.text is not None else self.input_ids)
+
+    def normalize(self) -> List["GenerateReqInput"]:
+        """Expand a batched request into per-sequence requests."""
+        n = self.batch_size()
+        out = []
+        for i in range(n):
+            if self.is_batch():
+                text = self.text[i] if self.text is not None else None
+                ids = self.input_ids[i] if self.input_ids is not None else None
+                sp = (
+                    self.sampling_params[i]
+                    if isinstance(self.sampling_params, list)
+                    else self.sampling_params
+                )
+                rid = self.rid[i] if isinstance(self.rid, list) else None
+            else:
+                text, ids, sp = self.text, self.input_ids, self.sampling_params
+                rid = self.rid if isinstance(self.rid, str) else None
+            out.append(
+                GenerateReqInput(
+                    rid=rid or uuid.uuid4().hex,
+                    text=text,
+                    input_ids=ids,
+                    sampling_params=sp,
+                    stream=self.stream,
+                    return_logprob=self.return_logprob,
+                    logprob_start_len=self.logprob_start_len,
+                    top_logprobs_num=self.top_logprobs_num,
+                )
+            )
+        return out
+
+
+@dataclass
+class TokenizedGenerateReqInput:
+    """Tokenizer -> Scheduler."""
+
+    rid: str
+    input_text: Optional[str]
+    input_ids: List[int]
+    sampling_params: SamplingParams
+    stream: bool = False
+    return_logprob: bool = False
+    logprob_start_len: int = -1
+    top_logprobs_num: int = 0
+
+
+@dataclass
+class BatchTokenIDOut:
+    """Scheduler -> Detokenizer: incremental new token ids per request."""
+
+    rids: List[str]
+    decode_ids: List[List[int]]        # full output ids so far (read offset below)
+    read_offsets: List[int]
+    finished_reasons: List[Optional[dict]]
+    skip_special_tokens: List[bool]
+    spaces_between_special_tokens: List[bool]
+    no_stop_trim: List[bool]
+    stop_strs: List[List[str]]
+    prompt_tokens: List[int]
+    completion_tokens: List[int]
+    cached_tokens: List[int]
+
+
+@dataclass
+class BatchStrOut:
+    """Detokenizer -> TokenizerManager: incremental text per request."""
+
+    rids: List[str]
+    output_strs: List[str]
+    finished_reasons: List[Optional[dict]]
+    prompt_tokens: List[int]
+    completion_tokens: List[int]
+    cached_tokens: List[int]
+    output_ids: List[List[int]]
+
+
+@dataclass
+class AbortReq:
+    rid: str
+
+
+@dataclass
+class FlushCacheReqInput:
+    pass
+
+
+@dataclass
+class FlushCacheReqOutput:
+    success: bool
+    num_pages_freed: int = 0
+
+
+@dataclass
+class GetInternalStateReq:
+    pass
+
+
+@dataclass
+class GetInternalStateReqOutput:
+    state: Dict[str, Any]
+
+
+@dataclass
+class HealthCheckReq:
+    pass
+
+
+@dataclass
+class HealthCheckOutput:
+    healthy: bool = True

@@ -1,0 +1,358 @@
+"""Request + batch state machine (analog of sglang
+srt/managers/schedule_batch.py:418 Req, :797 ScheduleBatch).
+
+Page-granular TPU re-design: a request's KV footprint is
+    [tree-shared prefix pages][request-owned pages][partial tail page]
+and every schedule step manipulates numpy page arrays on the host; the
+device only ever sees padded page tables / slot vectors inside HostBatch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from iaas_sglang_tpu.mem_cache.allocator import PageAllocator, slots_for_tokens
+from iaas_sglang_tpu.mem_cache.radix_cache import BasePrefixCache
+from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+from iaas_sglang_tpu.model_executor.model_runner import HostBatch
+from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+from iaas_sglang_tpu.utils import cdiv
+
+
+# ----------------------------------------------------------- finish reasons
+
+
+@dataclass
+class FinishReason:
+    def to_dict(self) -> dict:
+        raise NotImplementedError
+
+
+@dataclass
+class FinishLength(FinishReason):
+    length: int
+
+    def to_dict(self):
+        return {"type": "length", "length": self.length}
+
+
+@dataclass
+class FinishMatchedToken(FinishReason):
+    matched: int
+
+    def to_dict(self):
+        return {"type": "stop", "matched": self.matched}
+
+
+@dataclass
+class FinishMatchedStr(FinishReason):
+    matched: str
+
+    def to_dict(self):
+        return {"type": "stop", "matched": self.matched}
+
+
+@dataclass
+class FinishAbort(FinishReason):
+    message: str = "aborted"
+
+    def to_dict(self):
+        return {"type": "abort", "message": self.message}
+
+
+# --------------------------------------------------------------------- Req
+
+
+class Req:
+    def __init__(
+        self,
+        rid: str,
+        input_text: Optional[str],
+        input_ids: List[int],
+        sampling_params: SamplingParams,
+        *,
+        stream: bool = False,
+        return_logprob: bool = False,
+        eos_token_ids: Optional[set[int]] = None,
+        seed: int = 0,
+    ):
+        self.rid = rid
+        self.input_text = input_text
+        self.input_ids = list(input_ids)
+        self.sampling_params = sampling_params
+        self.stream = stream
+        self.return_logprob = return_logprob
+        self.eos_token_ids = eos_token_ids or set()
+        self.seed = seed
+
+        self.output_ids: List[int] = []
+        self.finished_reason: Optional[FinishReason] = None
+
+        # KV / page state
+        self.prefix_pages = np.empty(0, dtype=np.int32)  # tree-owned
+        self.cached_prefix_len = 0                       # tokens, page-aligned
+        self.cache_hit_tokens = 0                        # admission-time hits
+        self.owned_pages = np.empty(0, dtype=np.int32)   # request-owned
+        self.fill_len = 0                                # tokens with KV written
+        self.last_node = None                            # radix lock handle
+
+        # per-chunk scheduling state
+        self.extend_len = 0          # tokens to run this forward
+        self.queue_time = time.monotonic()
+        # stream bookkeeping
+        self.sent_tokens = 0
+
+    # ------------------------------------------------------------- helpers
+
+    def fill_ids(self) -> List[int]:
+        return self.input_ids + self.output_ids
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.input_ids)
+
+    def seq_len(self) -> int:
+        return len(self.input_ids) + len(self.output_ids)
+
+    def page_table_np(self) -> np.ndarray:
+        if len(self.prefix_pages) == 0:
+            return self.owned_pages
+        if len(self.owned_pages) == 0:
+            return self.prefix_pages
+        return np.concatenate([self.prefix_pages, self.owned_pages])
+
+    def is_finished(self) -> bool:
+        return self.finished_reason is not None
+
+    def extend_target(self) -> int:
+        """Tokens that must have KV written before decode can run. The newest
+        generated token never has KV yet (it is fed in its decode step), so a
+        retracted request re-fills prompt + outputs except the last one."""
+        return self.seq_len() - (1 if self.output_ids else 0)
+
+    def prefill_done(self) -> bool:
+        return self.fill_len >= self.extend_target()
+
+    def release_pages(self, allocator: PageAllocator, tree_cache: BasePrefixCache):
+        """Drop all request-owned pages and tree locks (retract / abort)."""
+        allocator.free(self.owned_pages)
+        self.owned_pages = np.empty(0, dtype=np.int32)
+        if self.last_node is not None:
+            tree_cache.dec_lock_ref(self.last_node)
+            self.last_node = None
+        self.prefix_pages = np.empty(0, dtype=np.int32)
+        self.cached_prefix_len = 0
+        self.fill_len = 0
+        # tokens generated so far stay in output_ids? No: a retracted request
+        # restarts its decode from the prompt + generated tokens as new fill.
+
+    def adopt_prefix(self, pages: np.ndarray, aligned_len: int, last_node) -> None:
+        """After cache_unfinished_req: the first aligned_len tokens are now
+        backed by tree pages; keep only the tail as owned."""
+        ps_pages = aligned_len  # tokens
+        old_table = self.page_table_np()
+        self.prefix_pages = np.asarray(pages, dtype=np.int32)
+        self.owned_pages = np.asarray(
+            old_table[len(pages):], dtype=np.int32
+        ).copy()
+        self.cached_prefix_len = aligned_len
+        self.last_node = last_node
+
+    # --------------------------------------------------------- finish check
+
+    def check_finished(self, tokenizer=None) -> None:
+        if self.finished_reason is not None:
+            return
+        sp = self.sampling_params
+        if len(self.output_ids) >= sp.max_new_tokens:
+            self.finished_reason = FinishLength(len(self.output_ids))
+            return
+        if len(self.output_ids) < sp.min_new_tokens:
+            return
+        last = self.output_ids[-1] if self.output_ids else None
+        if last is not None and not sp.ignore_eos and last in self.eos_token_ids:
+            self.finished_reason = FinishMatchedToken(last)
+            return
+        if last is not None and last in (sp.stop_token_ids or []):
+            self.finished_reason = FinishMatchedToken(last)
+            return
+        if sp.stop and tokenizer is not None:
+            # decode a tail window just long enough to catch any stop string
+            max_stop = max(len(s) for s in sp.stop)
+            tail_tokens = min(len(self.output_ids), max_stop + 8)
+            tail = tokenizer.decode(self.output_ids[-tail_tokens:])
+            for s in sp.stop:
+                if s in tail:
+                    self.finished_reason = FinishMatchedStr(s)
+                    return
+
+
+# ------------------------------------------------------------ ScheduleBatch
+
+
+class ScheduleBatch:
+    """A set of requests running together in one forward mode."""
+
+    def __init__(self, reqs: List[Req], mode: ForwardMode,
+                 allocator: PageAllocator, tree_cache: BasePrefixCache,
+                 page_size: int):
+        self.reqs = reqs
+        self.mode = mode
+        self.allocator = allocator
+        self.tree_cache = tree_cache
+        self.page_size = page_size
+
+    def __len__(self):
+        return len(self.reqs)
+
+    def is_empty(self) -> bool:
+        return len(self.reqs) == 0
+
+    # --------------------------------------------------------------- alloc
+
+    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
+        """Allocate, evicting from the radix tree when the free list runs dry
+        (mirrors scheduler.py token_to_kv_pool alloc + tree_cache.evict)."""
+        pages = self.allocator.alloc(n)
+        if pages is None:
+            need = n - self.allocator.free_pages
+            self.tree_cache.evict(need)
+            pages = self.allocator.alloc(n)
+        return pages
+
+    # -------------------------------------------------------------- extend
+
+    def prepare_for_extend(self) -> HostBatch:
+        """Build the HostBatch for a prefill/extend step. PrefillAdder has
+        already set req.extend_len per request (schedule_policy.py analog of
+        add_one_req chunking)."""
+        ps = self.page_size
+        ids: List[int] = []
+        positions: List[int] = []
+        slots: List[int] = []
+        page_tables: List[np.ndarray] = []
+        seq_lens: List[int] = []
+        q_lens: List[int] = []
+
+        for req in self.reqs:
+            ext = req.extend_len
+            assert ext > 0
+            fill = req.fill_len
+            new_total = fill + ext
+            table = req.page_table_np()
+            need = cdiv(new_total, ps) - len(table)
+            if need > 0:
+                newp = self._alloc_pages(need)
+                assert newp is not None, "PrefillAdder admitted beyond capacity"
+                req.owned_pages = (
+                    np.concatenate([req.owned_pages, newp])
+                    if len(req.owned_pages) else newp
+                )
+                table = req.page_table_np()
+            chunk = req.fill_ids()[fill:new_total]
+            ids.extend(chunk)
+            positions.extend(range(fill, new_total))
+            slots.extend(slots_for_tokens(table, fill, ext, ps))
+            page_tables.append(table[: cdiv(new_total, ps)])
+            seq_lens.append(new_total)
+            q_lens.append(ext)
+
+        return self._host_batch(
+            ForwardMode.EXTEND,
+            np.asarray(ids, dtype=np.int32),
+            np.asarray(positions, dtype=np.int32),
+            np.asarray(slots, dtype=np.int32),
+            page_tables,
+            np.asarray(seq_lens, dtype=np.int32),
+            np.asarray(q_lens, dtype=np.int32),
+        )
+
+    # -------------------------------------------------------------- decode
+
+    def prepare_for_decode(self) -> Optional[HostBatch]:
+        """Build the HostBatch for one decode step; returns None when page
+        allocation fails (caller must retract)."""
+        ps = self.page_size
+        B = len(self.reqs)
+        # allocate boundary-crossing pages first, all-or-nothing per step
+        n_new = sum(1 for r in self.reqs if r.fill_len % ps == 0)
+        if n_new > 0:
+            newp = self._alloc_pages(n_new)
+            if newp is None:
+                return None
+            i = 0
+            for r in self.reqs:
+                if r.fill_len % ps == 0:
+                    r.owned_pages = (
+                        np.concatenate([r.owned_pages, newp[i : i + 1]])
+                        if len(r.owned_pages) else newp[i : i + 1].copy()
+                    )
+                    i += 1
+
+        ids = np.asarray([r.output_ids[-1] for r in self.reqs], dtype=np.int32)
+        positions = np.asarray([r.fill_len for r in self.reqs], dtype=np.int32)
+        slots = np.empty(B, dtype=np.int32)
+        page_tables, seq_lens = [], []
+        for i, r in enumerate(self.reqs):
+            table = r.page_table_np()
+            slots[i] = table[r.fill_len // ps] * ps + r.fill_len % ps
+            page_tables.append(table[: cdiv(r.fill_len + 1, ps)])
+            seq_lens.append(r.fill_len + 1)
+        return self._host_batch(
+            ForwardMode.DECODE, ids, positions, slots, page_tables,
+            np.asarray(seq_lens, dtype=np.int32),
+            np.ones(B, dtype=np.int32),
+        )
+
+    def _host_batch(self, mode, ids, positions, slots, page_tables,
+                    seq_lens, q_lens) -> HostBatch:
+        reqs = self.reqs
+        B = len(reqs)
+        return HostBatch(
+            mode=mode,
+            input_ids=ids,
+            positions=positions,
+            out_slots=slots,
+            page_tables=page_tables,
+            seq_lens=seq_lens,
+            q_lens=q_lens,
+            temperatures=np.asarray(
+                [r.sampling_params.temperature for r in reqs], dtype=np.float32),
+            top_ks=np.asarray(
+                [r.sampling_params.top_k for r in reqs], dtype=np.int32),
+            top_ps=np.asarray(
+                [r.sampling_params.top_p for r in reqs], dtype=np.float32),
+            min_ps=np.asarray(
+                [r.sampling_params.min_p for r in reqs], dtype=np.float32),
+            seeds=np.asarray([r.seed for r in reqs], dtype=np.uint32),
+            steps=np.asarray([len(r.output_ids) for r in reqs], dtype=np.int32),
+        )
+
+    # ------------------------------------------------------------ mutation
+
+    def filter_finished(self) -> List[Req]:
+        done = [r for r in self.reqs if r.is_finished()]
+        self.reqs = [r for r in self.reqs if not r.is_finished()]
+        return done
+
+    def merge(self, other: "ScheduleBatch") -> None:
+        self.reqs.extend(other.reqs)
+
+    def retract_decode(self) -> List[Req]:
+        """Drop the most-recently-admitted requests back to the waiting queue
+        to relieve memory pressure (analog of schedule_batch.py:1375).
+        Retracts ~1/4 of the batch, at least one."""
+        if len(self.reqs) <= 1:
+            return []
+        self.reqs.sort(key=lambda r: r.queue_time)
+        n_keep = max(1, len(self.reqs) - max(1, len(self.reqs) // 4))
+        retracted = self.reqs[n_keep:]
+        self.reqs = self.reqs[:n_keep]
+        for r in retracted:
+            r.release_pages(self.allocator, self.tree_cache)
+            # generated tokens become part of the new "prompt" to refill
+        return retracted

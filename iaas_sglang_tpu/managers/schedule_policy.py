@@ -1,0 +1,131 @@
+"""Queue ordering + token-budget admission
+(analog of sglang srt/managers/schedule_policy.py:61 SchedulePolicy,
+:270 PrefillAdder).
+
+Policies:
+    lpm    -- longest prefix match: radix-match every waiting request and
+              serve the best cache hits first (cache-aware, the default)
+    fcfs   -- arrival order
+    lof    -- longest output first (most remaining work first)
+    random -- shuffle (starvation-free under adversarial arrival)
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from enum import Enum, auto
+from typing import List
+
+from iaas_sglang_tpu.managers.schedule_batch import Req
+from iaas_sglang_tpu.mem_cache.radix_cache import BasePrefixCache
+from iaas_sglang_tpu.utils import cdiv
+
+
+class AddReqResult(Enum):
+    CONTINUE = auto()     # added; keep admitting
+    NO_TOKEN = auto()     # out of KV budget; stop
+    OTHER = auto()        # hit batch/chunk limits; stop
+
+
+class SchedulePolicy:
+    def __init__(self, policy: str, tree_cache: BasePrefixCache):
+        self.policy = policy
+        self.tree_cache = tree_cache
+
+    def calc_priority(self, waiting_queue: List[Req]) -> None:
+        """Sort the waiting queue in-place; refresh radix matches for lpm."""
+        if self.policy == "fcfs":
+            return
+        if self.policy == "random":
+            random.shuffle(waiting_queue)
+            return
+        if self.policy == "lof":
+            waiting_queue.sort(
+                key=lambda r: -r.sampling_params.max_new_tokens
+            )
+            return
+        if self.policy == "lpm":
+            for r in waiting_queue:
+                res = self.tree_cache.match_prefix(r.fill_ids())
+                r._lpm_match_len = res.prefix_len
+            waiting_queue.sort(key=lambda r: -getattr(r, "_lpm_match_len", 0))
+            return
+        raise ValueError(f"unknown schedule policy {self.policy!r}")
+
+
+class PrefillAdder:
+    """Token-budget admission with chunked prefill
+    (analog of schedule_policy.py:270 PrefillAdder.add_one_req)."""
+
+    def __init__(
+        self,
+        tree_cache: BasePrefixCache,
+        allocator,
+        page_size: int,
+        *,
+        chunk_budget: int,
+        max_batch_reqs: int,
+        running_reqs: int,
+        headroom_tokens: int = 0,
+    ):
+        self.tree_cache = tree_cache
+        self.allocator = allocator
+        self.page_size = page_size
+        self.rem_chunk_tokens = chunk_budget
+        self.rem_reqs = max_batch_reqs - running_reqs
+        self.headroom_tokens = headroom_tokens
+        self.can_run: List[Req] = []
+        self.chunked_req: Req | None = None
+
+    def _available_tokens(self) -> int:
+        return (
+            self.allocator.free_tokens()
+            + self.tree_cache.evictable_pages() * self.page_size
+        )
+
+    def add_one_req(self, req: Req) -> AddReqResult:
+        if self.rem_reqs <= 0 or self.rem_chunk_tokens <= 0:
+            return AddReqResult.OTHER
+
+        # fresh (or retracted) requests get a prefix match + tree lock;
+        # a resuming chunked request already holds its lock and pages.
+        need_lock = req.fill_len == 0
+        if need_lock:
+            res = self.tree_cache.match_prefix(req.fill_ids())
+            req.cache_hit_tokens = res.prefix_len
+            if res.prefix_len > 0:
+                req.prefix_pages = res.pages
+                req.cached_prefix_len = res.prefix_len
+                req.fill_len = res.prefix_len
+                req.last_node = res.last_node
+
+        remaining = req.extend_target() - req.fill_len
+        if remaining <= 0:
+            # fully cached prompt: still need one forward for the last
+            # token's logits — back off one token and re-run it (the KV
+            # rewrite lands in the shared page with identical values)
+            req.fill_len = max(req.fill_len - 1, 0)
+            remaining = req.extend_target() - req.fill_len
+
+        # KV budget: this chunk + decode headroom estimate
+        est_tokens = remaining + min(
+            req.sampling_params.max_new_tokens, 256
+        )
+        if est_tokens + self.headroom_tokens > self._available_tokens():
+            return AddReqResult.NO_TOKEN
+
+        if need_lock and req.last_node is not None:
+            self.tree_cache.inc_lock_ref(req.last_node)
+        if remaining > self.rem_chunk_tokens:
+            # chunked prefill: take the remaining budget slice now
+            req.extend_len = self.rem_chunk_tokens
+            self.rem_chunk_tokens = 0
+            self.can_run.append(req)
+            self.chunked_req = req
+            return AddReqResult.OTHER
+        req.extend_len = remaining
+        self.rem_chunk_tokens -= remaining
+        self.rem_reqs -= 1
+        self.can_run.append(req)
+        return AddReqResult.CONTINUE

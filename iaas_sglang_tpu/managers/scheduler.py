@@ -1,0 +1,341 @@
+"""Scheduler: the continuous-batching event loop
+(analog of sglang srt/managers/scheduler.py:225 — the heart of the system).
+
+One scheduler owns the whole TPU slice through the ModelRunner (vs. the
+reference's one-process-per-GPU): get_next_batch_to_run merges finished
+prefill chunks into the running batch, admits new prefill via PrefillAdder,
+otherwise decodes; results are processed and streamed out.
+
+Runs in two harnesses:
+  * embedded (`step()` driven by the caller — Engine offline mode, tests)
+  * subprocess event loop with ZMQ (tokenizer -> scheduler -> detokenizer)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.managers.io_struct import (
+    AbortReq,
+    BatchTokenIDOut,
+    FlushCacheReqInput,
+    FlushCacheReqOutput,
+    GetInternalStateReq,
+    GetInternalStateReqOutput,
+    TokenizedGenerateReqInput,
+)
+from iaas_sglang_tpu.managers.schedule_batch import (
+    FinishAbort,
+    Req,
+    ScheduleBatch,
+)
+from iaas_sglang_tpu.managers.schedule_policy import (
+    AddReqResult,
+    PrefillAdder,
+    SchedulePolicy,
+)
+from iaas_sglang_tpu.mem_cache.allocator import PageAllocator
+from iaas_sglang_tpu.mem_cache.chunk_cache import ChunkCache
+from iaas_sglang_tpu.mem_cache.radix_cache import RadixCache
+from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+from iaas_sglang_tpu.model_executor.model_runner import ModelRunner
+from iaas_sglang_tpu.server_args import ServerArgs
+from iaas_sglang_tpu.utils import TypeBasedDispatcher, logger
+
+
+class Scheduler:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: ModelConfig,
+        *,
+        model_runner: Optional[ModelRunner] = None,
+        tokenizer=None,
+        out_callback: Optional[Callable[[BatchTokenIDOut], None]] = None,
+    ):
+        self.server_args = server_args
+        self.model_config = model_config
+        self.tokenizer = tokenizer
+        self.out_callback = out_callback or (lambda msg: None)
+
+        self.model_runner = model_runner or ModelRunner(server_args, model_config)
+        self.page_size = server_args.page_size
+        self.allocator = PageAllocator(
+            self.model_runner.num_usable_pages, self.page_size
+        )
+        if server_args.disable_radix_cache:
+            self.tree_cache = ChunkCache(self.allocator, self.page_size)
+        else:
+            self.tree_cache = RadixCache(self.allocator, self.page_size)
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+
+        self.waiting_queue: List[Req] = []
+        self.running_batch = ScheduleBatch(
+            [], ForwardMode.DECODE, self.allocator, self.tree_cache, self.page_size
+        )
+        self.chunked_req: Optional[Req] = None
+        self.eos_token_ids: set[int] = set()
+        if tokenizer is not None and tokenizer.eos_token_id is not None:
+            self.eos_token_ids.add(tokenizer.eos_token_id)
+        gen_cfg = model_config.hf_config.get("eos_token_id")
+        if isinstance(gen_cfg, int):
+            self.eos_token_ids.add(gen_cfg)
+        elif isinstance(gen_cfg, list):
+            self.eos_token_ids.update(gen_cfg)
+
+        # stats
+        self.num_generated_tokens = 0
+        self.num_retracted = 0
+        self.step_count = 0
+        self.last_decode_log = time.monotonic()
+
+        self._dispatcher = TypeBasedDispatcher([
+            (TokenizedGenerateReqInput, self.handle_generate_request),
+            (AbortReq, self.handle_abort),
+            (FlushCacheReqInput, self.handle_flush_cache),
+            (GetInternalStateReq, self.handle_get_internal_state),
+        ])
+
+    # ------------------------------------------------------------ intake
+
+    def process_input(self, msg) -> object:
+        return self._dispatcher(msg)
+
+    def handle_generate_request(self, m: TokenizedGenerateReqInput) -> None:
+        req = Req(
+            m.rid, m.input_text, m.input_ids, m.sampling_params,
+            stream=m.stream, return_logprob=m.return_logprob,
+            eos_token_ids=self.eos_token_ids,
+            seed=self.server_args.random_seed ^ hash(m.rid) & 0xFFFFFFFF,
+        )
+        ctx = self.model_config.context_len
+        if req.prompt_len >= ctx:
+            req.finished_reason = FinishAbort(
+                f"prompt length {req.prompt_len} exceeds context {ctx}")
+            self._emit_output([req])
+            return
+        # clip generation to context
+        sp = req.sampling_params
+        sp.max_new_tokens = min(sp.max_new_tokens, ctx - req.prompt_len - 1)
+        self.waiting_queue.append(req)
+
+    def handle_abort(self, m: AbortReq) -> None:
+        for r in self.waiting_queue:
+            if r.rid == m.rid:
+                r.finished_reason = FinishAbort()
+                self.waiting_queue.remove(r)
+                self._emit_output([r])
+                return
+        for r in self.running_batch.reqs:
+            if r.rid == m.rid:
+                r.finished_reason = FinishAbort()
+                return  # cleaned up in process_batch_result
+        if self.chunked_req is not None and self.chunked_req.rid == m.rid:
+            self.chunked_req.finished_reason = FinishAbort()
+
+    def handle_flush_cache(self, m: FlushCacheReqInput) -> FlushCacheReqOutput:
+        if self.running_batch.reqs or self.waiting_queue:
+            return FlushCacheReqOutput(success=False)
+        freed = self.tree_cache.evictable_pages()
+        self.tree_cache.evict(freed)
+        self.tree_cache.reset()
+        return FlushCacheReqOutput(success=True, num_pages_freed=freed)
+
+    def handle_get_internal_state(self, m: GetInternalStateReq):
+        return GetInternalStateReqOutput(state={
+            "waiting": len(self.waiting_queue),
+            "running": len(self.running_batch.reqs),
+            "free_pages": self.allocator.free_pages,
+            "total_pages": self.allocator.num_pages,
+            "evictable_pages": self.tree_cache.evictable_pages(),
+            "generated_tokens": self.num_generated_tokens,
+            "retracted": self.num_retracted,
+        })
+
+    # ---------------------------------------------------------- scheduling
+
+    def get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
+        if not self.waiting_queue and self.chunked_req is None:
+            return None
+        adder = PrefillAdder(
+            self.tree_cache, self.allocator, self.page_size,
+            chunk_budget=self.server_args.chunked_prefill_size,
+            max_batch_reqs=self.server_args.max_running_requests,
+            running_reqs=len(self.running_batch.reqs),
+        )
+        # an in-flight chunked request continues first (scheduler.py:1529)
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            self.chunked_req = None
+            if req.is_finished():  # aborted mid-chunk
+                self.tree_cache.cache_finished_req(req)
+                self._emit_output([req])
+                return self.get_new_batch_prefill()
+            adder.add_one_req(req)
+            if req not in adder.can_run:
+                # no budget to continue right now; retry next round
+                self.chunked_req = req
+                return None
+
+        self.policy.calc_priority(self.waiting_queue)
+        admitted = []
+        for req in list(self.waiting_queue):
+            if req in adder.can_run:
+                continue
+            result = adder.add_one_req(req)
+            if req in adder.can_run:
+                admitted.append(req)
+            if result != AddReqResult.CONTINUE:
+                break
+        for req in admitted:
+            self.waiting_queue.remove(req)
+        if not adder.can_run:
+            return None
+        self.chunked_req = adder.chunked_req
+        return ScheduleBatch(
+            adder.can_run, ForwardMode.EXTEND,
+            self.allocator, self.tree_cache, self.page_size,
+        )
+
+    def get_next_batch_to_run(self) -> Optional[ScheduleBatch]:
+        batch = self.get_new_batch_prefill()
+        if batch is not None:
+            return batch
+        if self.running_batch.reqs:
+            return self.running_batch
+        return None
+
+    # ------------------------------------------------------------- running
+
+    def run_batch(self, batch: ScheduleBatch) -> Optional[np.ndarray]:
+        if batch.mode.is_extend():
+            hb = batch.prepare_for_extend()
+        else:
+            hb = batch.prepare_for_decode()
+            while hb is None:
+                retracted = batch.retract_decode()
+                self.num_retracted += len(retracted)
+                if retracted:
+                    logger.warning("retracted %d reqs under memory pressure",
+                                   len(retracted))
+                    self.waiting_queue.extend(retracted)
+                elif not batch.reqs:
+                    return None
+                else:
+                    raise RuntimeError(
+                        "KV pool too small: cannot run a single decode step "
+                        f"(free_pages={self.allocator.free_pages})"
+                    )
+                hb = batch.prepare_for_decode()
+        tokens = self.model_runner.forward(hb)
+        return tokens
+
+    def process_batch_result(self, batch: ScheduleBatch, tokens: np.ndarray) -> None:
+        finished: List[Req] = []
+        for i, req in enumerate(batch.reqs):
+            if batch.mode.is_extend():
+                req.fill_len += req.extend_len
+                if not req.prefill_done():
+                    continue  # chunked prefill continues next round
+                if not req.output_ids:
+                    req.output_ids.append(int(tokens[i]))
+                # else: retracted request resuming — pending token already known
+            else:
+                req.fill_len += 1
+                req.output_ids.append(int(tokens[i]))
+                self.num_generated_tokens += 1
+            req.check_finished(self.tokenizer)
+            if req.is_finished():
+                self.tree_cache.cache_finished_req(req)
+                finished.append(req)
+
+        if batch.mode.is_extend():
+            # move prompt-complete requests into the running decode batch
+            newly_running = [
+                r for r in batch.reqs
+                if r.prefill_done() and not r.is_finished()
+            ]
+            self.running_batch.reqs.extend(newly_running)
+            # publish finished-chunk pages for cross-request sharing
+            # (cache_unfinished_req moves the lock to the deeper node)
+            if self.chunked_req is not None:
+                self.tree_cache.cache_unfinished_req(self.chunked_req)
+        else:
+            batch.filter_finished()
+
+        self._emit_output(
+            finished + [r for r in batch.reqs
+                        if r.stream and not r.is_finished()]
+        )
+        self._maybe_log_decode()
+
+    def _emit_output(self, reqs: List[Req]) -> None:
+        reqs = [r for r in reqs if r.is_finished() or
+                (r.stream and len(r.output_ids) > r.sent_tokens)]
+        if not reqs:
+            return
+        out = BatchTokenIDOut(
+            rids=[r.rid for r in reqs],
+            decode_ids=[list(r.output_ids) for r in reqs],
+            read_offsets=[r.sent_tokens for r in reqs],
+            finished_reasons=[
+                r.finished_reason.to_dict() if r.finished_reason else None
+                for r in reqs
+            ],
+            skip_special_tokens=[r.sampling_params.skip_special_tokens for r in reqs],
+            spaces_between_special_tokens=[
+                r.sampling_params.spaces_between_special_tokens for r in reqs],
+            no_stop_trim=[r.sampling_params.no_stop_trim for r in reqs],
+            stop_strs=[list(r.sampling_params.stop or []) for r in reqs],
+            prompt_tokens=[r.prompt_len for r in reqs],
+            completion_tokens=[len(r.output_ids) for r in reqs],
+            cached_tokens=[r.cache_hit_tokens for r in reqs],
+        )
+        for r in reqs:
+            r.sent_tokens = len(r.output_ids)
+        self.out_callback(out)
+
+    def _maybe_log_decode(self) -> None:
+        self.step_count += 1
+        if self.step_count % self.server_args.decode_log_interval == 0:
+            used = self.allocator.num_pages - self.allocator.free_pages
+            logger.info(
+                "#running %d #waiting %d pages %d/%d cache-pages %d gen %d",
+                len(self.running_batch.reqs), len(self.waiting_queue),
+                used, self.allocator.num_pages,
+                self.tree_cache.evictable_pages(), self.num_generated_tokens,
+            )
+
+    # --------------------------------------------------------------- loop
+
+    def step(self) -> bool:
+        """One scheduling iteration. Returns False when idle."""
+        batch = self.get_next_batch_to_run()
+        if batch is None:
+            return False
+        tokens = self.run_batch(batch)
+        if tokens is None:
+            return False
+        self.process_batch_result(batch, tokens)
+        return True
+
+    def has_work(self) -> bool:
+        return bool(
+            self.waiting_queue or self.running_batch.reqs or self.chunked_req
+        )
+
+    def check_memory_leak(self) -> None:
+        """Idle-state invariant (analog of scheduler.py:1408 check_memory):
+        every page is either free or owned by the radix cache."""
+        assert not self.has_work()
+        cached = self.tree_cache.total_cached_pages() \
+            if hasattr(self.tree_cache, "total_cached_pages") else 0
+        free = self.allocator.free_pages
+        total = self.allocator.num_pages
+        if free + cached != total:
+            raise AssertionError(
+                f"page leak: free={free} cached={cached} total={total}")

@@ -254,9 +254,9 @@ class RadixCache(BasePrefixCache):
         aligned = len(token_ids) - (len(token_ids) % self.page_size)
         pages = req.page_table_np()[: aligned // self.page_size]
         prior = self.insert(token_ids[:aligned], pages)
-        # pages in [prefix_len, prior) were freshly written by this request
-        # but already existed in the tree -> free the duplicates
-        dup_lo = req.prefix_len // self.page_size
+        # pages in [cached_prefix_len, prior) were freshly written by this
+        # request but already existed in the tree -> free the duplicates
+        dup_lo = req.cached_prefix_len // self.page_size
         dup_hi = prior // self.page_size
         if dup_hi > dup_lo:
             self.allocator.free(pages[dup_lo:dup_hi])
@@ -276,7 +276,7 @@ class RadixCache(BasePrefixCache):
             return
         pages = req.page_table_np()[: aligned // self.page_size]
         prior = self.insert(token_ids[:aligned], pages)
-        dup_lo = req.prefix_len // self.page_size
+        dup_lo = req.cached_prefix_len // self.page_size
         dup_hi = prior // self.page_size
         res = self.match_prefix(token_ids[:aligned])
         assert res.prefix_len >= aligned, "just-inserted prefix must match"
