@@ -1,0 +1,110 @@
+"""Round benchmark: end-to-end decode throughput through the Engine
+(the analog of sglang's bench_one_batch / bench_offline_throughput).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+vs_baseline is the fraction of the HBM-bandwidth decode roofline achieved
+(BASELINE.json north-star: >= 0.90 of roofline tokens/s/chip).
+
+Model: Llama-3-8B architecture trimmed to 16 layers so BF16 fits one
+v5e chip (the full-depth model needs INT4/FP8 weight quant — later round).
+Weights are dummy-random (model_loader.loader DummyModelLoader analog),
+which exercises the identical compute path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    NUM_LAYERS = 16
+    HIDDEN = 4096
+    N_HEADS = 32
+    N_KV = 8
+    HEAD_DIM = 128
+    INTER = 14336
+    VOCAB = 128256
+
+    hf = dict(
+        architectures=["LlamaForCausalLM"], model_type="llama",
+        num_hidden_layers=NUM_LAYERS, hidden_size=HIDDEN,
+        num_attention_heads=N_HEADS, num_key_value_heads=N_KV,
+        intermediate_size=INTER, vocab_size=VOCAB,
+        rms_norm_eps=1e-5, rope_theta=500000.0,
+        max_position_embeddings=8192, tie_word_embeddings=False,
+    )
+
+    B = 32
+    IN_LEN = 128
+    OUT_LEN = 128
+
+    sa = ServerArgs(
+        model_path="bench://llama3-8b-arch-16L", load_format="dummy",
+        dtype="bfloat16", page_size=16,
+        mem_fraction_static=0.9,
+        max_running_requests=B,
+        max_prefill_tokens=B * IN_LEN,
+        chunked_prefill_size=B * IN_LEN,
+        skip_tokenizer_init=True, random_seed=0,
+    )
+    eng = Engine(sa, hf_config_override=hf)
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(1, VOCAB - 1, size=IN_LEN).tolist() for _ in range(B)
+    ]
+    sp = {"max_new_tokens": OUT_LEN, "temperature": 0.0, "ignore_eos": True}
+
+    # warmup (compiles extend + decode buckets)
+    eng.generate(input_ids=prompts[:2],
+                 sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                                  "ignore_eos": True})
+    eng.flush_cache()
+
+    t0 = time.perf_counter()
+    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    dt = time.perf_counter() - t0
+    total_out = sum(len(o["output_ids"]) for o in outs)
+    toks_per_s = total_out / dt
+
+    # HBM-bandwidth decode roofline for this config on one v5e chip:
+    # each decode step reads all weights once + the batch's KV once.
+    BW = 819e9  # v5e HBM GB/s
+    param_bytes = 2 * (
+        2 * VOCAB * HIDDEN
+        + NUM_LAYERS * (
+            HIDDEN * N_HEADS * HEAD_DIM * 2          # wq, wo
+            + HIDDEN * N_KV * HEAD_DIM * 2           # wk, wv
+            + 3 * HIDDEN * INTER                     # gate/up/down
+            + 2 * HIDDEN                             # norms
+        )
+    )
+    avg_ctx = IN_LEN + OUT_LEN / 2
+    kv_bytes_per_step = B * avg_ctx * NUM_LAYERS * 2 * N_KV * HEAD_DIM * 2
+    step_time_roofline = (param_bytes + kv_bytes_per_step) / BW
+    roofline_toks = B / step_time_roofline
+
+    print(json.dumps({
+        "metric": "decode_throughput_llama3_8b_arch_16L_bf16_bs32",
+        "value": round(toks_per_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / roofline_toks, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

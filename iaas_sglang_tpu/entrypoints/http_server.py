@@ -1,0 +1,345 @@
+"""HTTP server: native + OpenAI endpoints on aiohttp
+(analog of sglang srt/entrypoints/http_server.py — FastAPI is not in this
+image, aiohttp.web provides the same surface).
+
+Process topology (mirrors engine.py:88-99 of the reference):
+  main process:   aiohttp app + TokenizerManager
+  subprocess:     Scheduler (owns the TPU slice)     [ZMQ scheduler_ipc]
+  subprocess:     Detokenizer                        [ZMQ detokenizer_ipc]
+Data ring: tokenizer -> scheduler -> detokenizer -> tokenizer.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import multiprocessing as mp
+import uuid
+from typing import Optional
+
+from aiohttp import web
+
+from iaas_sglang_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatCompletionResponseChoice,
+    ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse,
+    ChatMessage,
+    CompletionRequest,
+    CompletionResponse,
+    CompletionResponseChoice,
+    DeltaMessage,
+    ModelCard,
+    ModelList,
+    UsageInfo,
+    map_finish_reason,
+)
+from iaas_sglang_tpu.managers.detokenizer_manager import run_detokenizer_process
+from iaas_sglang_tpu.managers.io_struct import GenerateReqInput
+from iaas_sglang_tpu.managers.scheduler import run_scheduler_process
+from iaas_sglang_tpu.managers.tokenizer_manager import TokenizerManager
+from iaas_sglang_tpu.server_args import PortArgs, ServerArgs
+from iaas_sglang_tpu.utils import configure_logger, kill_process_tree, logger
+
+
+class ServerState:
+    def __init__(self, server_args: ServerArgs, port_args: PortArgs,
+                 tokenizer_manager: TokenizerManager, procs):
+        self.server_args = server_args
+        self.port_args = port_args
+        self.tokenizer_manager = tokenizer_manager
+        self.procs = procs
+
+
+def _launch_subprocesses(server_args: ServerArgs, port_args: PortArgs):
+    """Spawn scheduler + detokenizer subprocesses; wait for scheduler ready
+    (analog of entrypoints/engine.py:681 _launch_subprocesses)."""
+    ctx = mp.get_context("spawn")
+    reader, writer = ctx.Pipe(duplex=False)
+    sched = ctx.Process(
+        target=run_scheduler_process,
+        args=(server_args, port_args, writer),
+        daemon=True,
+    )
+    sched.start()
+    detok = ctx.Process(
+        target=run_detokenizer_process,
+        args=(server_args, port_args),
+        daemon=True,
+    )
+    detok.start()
+    msg = reader.recv()
+    if msg.get("status") != "ready":
+        raise RuntimeError(f"scheduler failed to start: {msg}")
+    logger.info("scheduler ready: %s", msg)
+    return [sched, detok]
+
+
+# ------------------------------------------------------------------ handlers
+
+
+async def handle_health(request: web.Request) -> web.Response:
+    return web.Response(text="ok")
+
+
+async def handle_health_generate(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    gri = GenerateReqInput(
+        rid=uuid.uuid4().hex,
+        input_ids=[0],
+        sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+    )
+    async for _ in state.tokenizer_manager.generate_request(gri):
+        pass
+    return web.Response(text="ok")
+
+
+async def handle_get_server_info(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    internal = await state.tokenizer_manager.get_internal_state()
+    import dataclasses
+
+    return web.json_response({
+        **dataclasses.asdict(state.server_args),
+        "internal_states": [internal],
+        "version": __import__("iaas_sglang_tpu").__version__,
+    })
+
+
+async def handle_get_model_info(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    return web.json_response({
+        "model_path": state.server_args.model_path,
+        "tokenizer_path": state.server_args.tokenizer_path,
+        "is_generation": True,
+    })
+
+
+async def handle_flush_cache(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    out = await state.tokenizer_manager.flush_cache()
+    return web.json_response(
+        {"success": out.success, "num_pages_freed": out.num_pages_freed},
+        status=200 if out.success else 503,
+    )
+
+
+@web.middleware
+async def error_middleware(request: web.Request, handler):
+    try:
+        return await handler(request)
+    except json.JSONDecodeError:
+        return web.json_response(
+            {"error": {"message": "invalid JSON body"}}, status=400)
+    except (KeyError, TypeError, ValueError, AssertionError) as e:
+        return web.json_response(
+            {"error": {"message": f"{type(e).__name__}: {e}"}}, status=400)
+
+
+async def handle_generate(request: web.Request) -> web.StreamResponse:
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    stream = body.get("stream", False)
+    gri = GenerateReqInput(
+        rid=body.get("rid"),
+        text=body.get("text"),
+        input_ids=body.get("input_ids"),
+        sampling_params=body.get("sampling_params"),
+        stream=stream,
+        return_logprob=body.get("return_logprob", False),
+    )
+    tm = state.tokenizer_manager
+
+    if gri.is_batch():
+        singles = gri.normalize()
+        outs = await asyncio.gather(*[
+            _collect_last(tm, g) for g in singles
+        ])
+        return web.json_response(outs)
+    (gri,) = gri.normalize()
+    gri.stream = stream
+
+    if not stream:
+        return web.json_response(await _collect_last(tm, gri))
+
+    resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+    await resp.prepare(request)
+    async for chunk in tm.generate_request(gri):
+        await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+    await resp.write(b"data: [DONE]\n\n")
+    await resp.write_eof()
+    return resp
+
+
+async def _collect_last(tm: TokenizerManager, gri: GenerateReqInput) -> dict:
+    last = None
+    async for chunk in tm.generate_request(gri):
+        last = chunk
+    return last
+
+
+async def handle_abort_request(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    await state.tokenizer_manager.abort_request(body["rid"])
+    return web.Response(text="ok")
+
+
+# ---------------------------------------------------------------- OpenAI API
+
+
+async def handle_v1_models(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    ml = ModelList(data=[ModelCard(id=state.server_args.served_model_name)])
+    return web.json_response(ml.model_dump())
+
+
+async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
+    state: ServerState = request.app["state"]
+    tm = state.tokenizer_manager
+    try:
+        req = ChatCompletionRequest.model_validate(await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    if not req.messages:
+        return web.json_response(
+            {"error": {"message": "messages must be non-empty"}}, status=400)
+
+    prompt_ids = tm.tokenizer.apply_chat_template(
+        [m.model_dump(exclude_none=True) for m in req.messages],
+        tokenize=True, add_generation_prompt=True,
+    )
+    gri = GenerateReqInput(
+        rid=uuid.uuid4().hex,
+        input_ids=list(prompt_ids),
+        sampling_params=req.to_sampling_params(),
+        stream=req.stream,
+    )
+    model = req.model or state.server_args.served_model_name
+
+    if not req.stream:
+        out = await _collect_last(tm, gri)
+        fin = out["meta_info"]["finish_reason"]
+        resp = ChatCompletionResponse(
+            model=model,
+            choices=[ChatCompletionResponseChoice(
+                index=0,
+                message=ChatMessage(role="assistant", content=out["text"]),
+                finish_reason=map_finish_reason(fin),
+            )],
+            usage=UsageInfo(
+                prompt_tokens=out["meta_info"]["prompt_tokens"],
+                completion_tokens=out["meta_info"]["completion_tokens"],
+                total_tokens=out["meta_info"]["prompt_tokens"]
+                + out["meta_info"]["completion_tokens"],
+            ),
+        )
+        return web.json_response(resp.model_dump())
+
+    resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+    await resp.prepare(request)
+    stream_id = f"chatcmpl-{uuid.uuid4().hex}"
+    first = ChatCompletionStreamResponse(
+        id=stream_id, model=model,
+        choices=[ChatCompletionStreamChoice(
+            index=0, delta=DeltaMessage(role="assistant", content=""))],
+    )
+    await resp.write(f"data: {first.model_dump_json()}\n\n".encode())
+    sent = 0
+    async for chunk in tm.generate_request(gri):
+        delta = chunk["text"][sent:]
+        sent = len(chunk["text"])
+        fin = chunk["meta_info"]["finish_reason"]
+        sc = ChatCompletionStreamResponse(
+            id=stream_id, model=model,
+            choices=[ChatCompletionStreamChoice(
+                index=0, delta=DeltaMessage(content=delta),
+                finish_reason=map_finish_reason(fin),
+            )],
+        )
+        await resp.write(f"data: {sc.model_dump_json()}\n\n".encode())
+    await resp.write(b"data: [DONE]\n\n")
+    await resp.write_eof()
+    return resp
+
+
+async def handle_completions(request: web.Request) -> web.StreamResponse:
+    state: ServerState = request.app["state"]
+    tm = state.tokenizer_manager
+    try:
+        req = CompletionRequest.model_validate(await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    model = req.model or state.server_args.served_model_name
+
+    prompts = req.prompt if isinstance(req.prompt, list) and \
+        req.prompt and isinstance(req.prompt[0], (str, list)) else [req.prompt]
+
+    async def run_one(p):
+        if isinstance(p, str):
+            gri = GenerateReqInput(
+                rid=uuid.uuid4().hex, text=p,
+                sampling_params=req.to_sampling_params())
+        else:
+            gri = GenerateReqInput(
+                rid=uuid.uuid4().hex, input_ids=p,
+                sampling_params=req.to_sampling_params())
+        return await _collect_last(tm, gri), (p if isinstance(p, str) else "")
+
+    outs = await asyncio.gather(*[run_one(p) for p in prompts])
+    choices, pt, ct = [], 0, 0
+    for i, (out, echo_text) in enumerate(outs):
+        text = out["text"]
+        if req.echo:
+            text = echo_text + text
+        choices.append(CompletionResponseChoice(
+            index=i, text=text,
+            finish_reason=map_finish_reason(out["meta_info"]["finish_reason"]),
+        ))
+        pt += out["meta_info"]["prompt_tokens"]
+        ct += out["meta_info"]["completion_tokens"]
+    resp = CompletionResponse(
+        model=model, choices=choices,
+        usage=UsageInfo(prompt_tokens=pt, completion_tokens=ct,
+                        total_tokens=pt + ct),
+    )
+    return web.json_response(resp.model_dump())
+
+
+# ------------------------------------------------------------------- launch
+
+
+def build_app(server_args: ServerArgs, port_args: PortArgs,
+              procs) -> web.Application:
+    app = web.Application(middlewares=[error_middleware])
+    tm = TokenizerManager(server_args, port_args)
+    app["state"] = ServerState(server_args, port_args, tm, procs)
+    app.router.add_get("/health", handle_health)
+    app.router.add_get("/health_generate", handle_health_generate)
+    app.router.add_get("/get_server_info", handle_get_server_info)
+    app.router.add_get("/get_model_info", handle_get_model_info)
+    app.router.add_post("/generate", handle_generate)
+    app.router.add_post("/abort_request", handle_abort_request)
+    app.router.add_post("/flush_cache", handle_flush_cache)
+    app.router.add_get("/v1/models", handle_v1_models)
+    app.router.add_post("/v1/chat/completions", handle_chat_completions)
+    app.router.add_post("/v1/completions", handle_completions)
+    return app
+
+
+def launch_server(server_args: ServerArgs) -> None:
+    """Blocking server entry (analog of http_server.py:878 launch_server)."""
+    configure_logger()
+    port_args = PortArgs.init_new(server_args)
+    procs = _launch_subprocesses(server_args, port_args)
+    app = build_app(server_args, port_args, procs)
+    try:
+        web.run_app(
+            app, host=server_args.host, port=server_args.port,
+            print=lambda *a: logger.info(
+                "server listening on %s:%d", server_args.host, server_args.port),
+        )
+    finally:
+        for p in procs:
+            p.terminate()

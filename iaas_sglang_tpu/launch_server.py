@@ -1,0 +1,15 @@
+"""CLI: python -m iaas_sglang_tpu.launch_server --model-path ...
+(analog of sglang python/sglang/launch_server.py)."""
+
+import sys
+
+from iaas_sglang_tpu.entrypoints.http_server import launch_server
+from iaas_sglang_tpu.server_args import prepare_server_args
+from iaas_sglang_tpu.utils import kill_process_tree
+
+if __name__ == "__main__":
+    server_args = prepare_server_args(sys.argv[1:])
+    try:
+        launch_server(server_args)
+    finally:
+        kill_process_tree(include_parent=False)

@@ -328,6 +328,27 @@ class Scheduler:
             self.waiting_queue or self.running_batch.reqs or self.chunked_req
         )
 
+    def event_loop_normal(self, recv_socket, send_socket) -> None:
+        """ZMQ server loop (analog of scheduler.py:759 event_loop_normal):
+        drain inbound messages, run one scheduling step, ship outputs.
+        RPC responses ride the output socket; the detokenizer forwards
+        non-token messages untouched."""
+        import zmq
+
+        while True:
+            # block only when idle
+            flags = 0 if not self.has_work() else zmq.NOBLOCK
+            while True:
+                try:
+                    msg = recv_socket.recv_pyobj(flags)
+                except zmq.Again:
+                    break
+                resp = self.process_input(msg)
+                if resp is not None:
+                    send_socket.send_pyobj(resp)
+                flags = zmq.NOBLOCK
+            self.step()
+
     def check_memory_leak(self) -> None:
         """Idle-state invariant (analog of scheduler.py:1408 check_memory):
         every page is either free or owned by the radix cache."""
@@ -339,3 +360,48 @@ class Scheduler:
         if free + cached != total:
             raise AssertionError(
                 f"page leak: free={free} cached={cached} total={total}")
+
+
+def run_scheduler_process(server_args, port_args, pipe_writer=None):
+    """Subprocess entry (analog of scheduler.py:2691 run_scheduler_process).
+    Owns the TPU slice; receives TokenizedGenerateReqInput over ZMQ, sends
+    BatchTokenIDOut to the detokenizer."""
+    import zmq
+
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+    from iaas_sglang_tpu.utils import configure_logger
+
+    configure_logger(prefix=" sched")
+    ctx = zmq.Context(2)
+    recv = ctx.socket(zmq.PULL)
+    recv.bind(port_args.scheduler_ipc)
+    send = ctx.socket(zmq.PUSH)
+    send.connect(port_args.detokenizer_ipc)
+
+    tokenizer = None
+    if not server_args.skip_tokenizer_init:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(server_args.tokenizer_path)
+
+    model_config = ModelConfig.from_path(
+        server_args.model_path,
+        context_length=server_args.context_length,
+        dtype=server_args.dtype,
+    )
+    try:
+        scheduler = Scheduler(
+            server_args, model_config, tokenizer=tokenizer,
+            out_callback=lambda out: send.send_pyobj(out),
+        )
+    except Exception as e:
+        if pipe_writer is not None:
+            pipe_writer.send({"status": "error", "message": repr(e)})
+        raise
+    if pipe_writer is not None:
+        pipe_writer.send({
+            "status": "ready",
+            "max_total_tokens": scheduler.allocator.num_pages
+            * scheduler.page_size,
+        })
+    scheduler.event_loop_normal(recv, send)

@@ -1,0 +1,149 @@
+"""TokenizerManager: tokenizes requests, fans them to the scheduler over
+ZMQ, and streams per-rid outputs back to waiting coroutines
+(analog of sglang srt/managers/tokenizer_manager.py:168 TokenizerManager,
+:132 ReqState, :1812 _Communicator).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+from typing import Any, AsyncGenerator, Dict, Optional
+
+import zmq
+import zmq.asyncio
+
+from iaas_sglang_tpu.managers.io_struct import (
+    AbortReq,
+    BatchStrOut,
+    FlushCacheReqInput,
+    FlushCacheReqOutput,
+    GenerateReqInput,
+    GetInternalStateReq,
+    GetInternalStateReqOutput,
+    TokenizedGenerateReqInput,
+)
+from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+from iaas_sglang_tpu.server_args import PortArgs, ServerArgs
+from iaas_sglang_tpu.utils import logger
+
+
+@dataclasses.dataclass
+class ReqState:
+    queue: asyncio.Queue
+    text: str = ""
+    output_ids: list = dataclasses.field(default_factory=list)
+    finished: bool = False
+
+
+class TokenizerManager:
+    def __init__(self, server_args: ServerArgs, port_args: PortArgs,
+                 tokenizer=None):
+        self.server_args = server_args
+        self.context = zmq.asyncio.Context(2)
+        self.send_to_scheduler = self.context.socket(zmq.PUSH)
+        self.send_to_scheduler.connect(port_args.scheduler_ipc)
+        self.recv_from_detokenizer = self.context.socket(zmq.PULL)
+        self.recv_from_detokenizer.bind(port_args.tokenizer_ipc)
+
+        self.tokenizer = tokenizer
+        if tokenizer is None and not server_args.skip_tokenizer_init:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                server_args.tokenizer_path)
+
+        self.states: Dict[str, ReqState] = {}
+        self._rpc_futures: Dict[type, asyncio.Future] = {}
+        self._handle_task: Optional[asyncio.Task] = None
+
+    def start(self) -> None:
+        if self._handle_task is None:
+            self._handle_task = asyncio.get_running_loop().create_task(
+                self.handle_loop())
+
+    # ------------------------------------------------------------- requests
+
+    async def generate_request(
+        self, gri: GenerateReqInput
+    ) -> AsyncGenerator[dict, None]:
+        """Submit one (non-batched) request; yields output dicts
+        (incremental when gri.stream)."""
+        self.start()
+        ids = gri.input_ids
+        if ids is None:
+            assert self.tokenizer is not None, "text input needs a tokenizer"
+            ids = self.tokenizer.encode(gri.text)
+        sp = SamplingParams.from_dict(
+            gri.sampling_params if isinstance(gri.sampling_params, dict)
+            else None)
+        state = ReqState(queue=asyncio.Queue())
+        self.states[gri.rid] = state
+        await self.send_to_scheduler.send_pyobj(TokenizedGenerateReqInput(
+            rid=gri.rid, input_text=gri.text, input_ids=ids,
+            sampling_params=sp, stream=gri.stream,
+            return_logprob=gri.return_logprob,
+        ))
+        try:
+            while True:
+                chunk = await asyncio.wait_for(
+                    state.queue.get(), timeout=self.server_args.watchdog_timeout)
+                yield chunk
+                if chunk["meta_info"]["finish_reason"] is not None:
+                    break
+        finally:
+            self.states.pop(gri.rid, None)
+
+    async def abort_request(self, rid: str) -> None:
+        await self.send_to_scheduler.send_pyobj(AbortReq(rid=rid))
+
+    # ----------------------------------------------------------------- RPCs
+
+    async def _rpc(self, req, resp_type):
+        self.start()
+        fut = asyncio.get_running_loop().create_future()
+        self._rpc_futures[resp_type] = fut
+        await self.send_to_scheduler.send_pyobj(req)
+        return await asyncio.wait_for(fut, timeout=60)
+
+    async def flush_cache(self) -> FlushCacheReqOutput:
+        return await self._rpc(FlushCacheReqInput(), FlushCacheReqOutput)
+
+    async def get_internal_state(self) -> dict:
+        out = await self._rpc(GetInternalStateReq(), GetInternalStateReqOutput)
+        return out.state
+
+    # ------------------------------------------------------------ dispatch
+
+    async def handle_loop(self) -> None:
+        while True:
+            msg = await self.recv_from_detokenizer.recv_pyobj()
+            if isinstance(msg, BatchStrOut):
+                self._handle_batch_str(msg)
+            else:
+                fut = self._rpc_futures.pop(type(msg), None)
+                if fut is not None and not fut.done():
+                    fut.set_result(msg)
+                else:
+                    logger.warning("tokenizer mgr: unexpected %s", type(msg))
+
+    def _handle_batch_str(self, out: BatchStrOut) -> None:
+        for i, rid in enumerate(out.rids):
+            state = self.states.get(rid)
+            if state is None:
+                continue
+            state.text += out.output_strs[i]
+            state.output_ids = out.output_ids[i]
+            fin = out.finished_reasons[i]
+            state.finished = fin is not None
+            state.queue.put_nowait({
+                "text": state.text,
+                "output_ids": list(state.output_ids),
+                "meta_info": {
+                    "id": rid,
+                    "finish_reason": fin,
+                    "prompt_tokens": out.prompt_tokens[i],
+                    "completion_tokens": out.completion_tokens[i],
+                    "cached_tokens": out.cached_tokens[i],
+                },
+            })

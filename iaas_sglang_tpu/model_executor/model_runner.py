@@ -157,10 +157,12 @@ class ModelRunner:
         attn_backend = self.attn_backend
         scan_layers = self.server_args.scan_layers
 
-        def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata):
+        def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
+                 attn_mode: str):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
-                attn_backend=attn_backend, scan_layers=scan_layers,
+                attn_backend=attn_backend, attn_mode=attn_mode,
+                scan_layers=scan_layers,
             )
             last_h = hidden[fb.last_token_idx]          # [Bmax, H]
             logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
@@ -171,9 +173,10 @@ class ModelRunner:
             lambda params, kv_pages, fb: (
                 lambda hk: (model.compute_logits(params, hk[0]), hk[1])
             )(model.forward(params, fb, kv_pages,
-                            attn_backend=attn_backend, scan_layers=scan_layers))
+                            attn_backend=attn_backend, attn_mode="extend",
+                            scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(4,))
 
     # ------------------------------------------------------------- forward
 
@@ -182,9 +185,10 @@ class ModelRunner:
         (callers slice the valid prefix). Also stores the padded device
         token array in hb.device_tokens for overlap chaining."""
         fb, meta, B = self._pad_to_device(hb)
+        attn_mode = "decode" if hb.mode.is_decode() else "extend"
         with self.mesh_ctx.mesh:
             tokens, logits, self.kv_pages = self._step_fn(
-                self.params, self.kv_pages, fb, meta
+                self.params, self.kv_pages, fb, meta, attn_mode
             )
         hb.device_tokens = tokens
         hb.device_logits = logits

@@ -115,6 +115,7 @@ class LlamaFamilyForCausalLM:
         kv_pages: jnp.ndarray,   # [L*(P+1), ps, 2*Nk, D] flat page space
         *,
         attn_backend: str,
+        attn_mode: str = "extend",
         scan_layers: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
@@ -153,6 +154,7 @@ class LlamaFamilyForCausalLM:
                 sm_scale=self.sm_scale,
                 sliding_window=c.sliding_window,
                 backend=attn_backend,
+                mode=attn_mode,
             )
             attn_out = attn.reshape(T, c.num_heads * c.head_dim) @ lp["wo"]
             hidden = hidden + attn_out

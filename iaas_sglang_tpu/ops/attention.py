@@ -40,6 +40,7 @@ def paged_attention(
     sm_scale: float,
     sliding_window: Optional[int] = None,
     backend: str = "jnp",
+    mode: str = "extend",   # static: "extend" (ragged q) | "decode" (q_len==1)
 ) -> jnp.ndarray:
     if backend == "jnp":
         return _jnp_paged_attention(
@@ -47,11 +48,22 @@ def paged_attention(
             sm_scale=sm_scale, sliding_window=sliding_window,
         )
     if backend == "pallas":
-        from iaas_sglang_tpu.ops.ragged_paged_attention import (
-            ragged_paged_attention as our_rpa,
+        if mode == "decode":
+            from iaas_sglang_tpu.ops.decode_attention import (
+                paged_decode_attention,
+            )
+
+            return paged_decode_attention(
+                q, kv_pages, kv_lens, page_indices,
+                sm_scale=sm_scale, sliding_window=sliding_window,
+            )
+        # ragged extend path: jax's built-in ragged paged attention until our
+        # extend kernel lands (tracked for this round)
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention as jax_rpa,
         )
 
-        return our_rpa(
+        return jax_rpa.ragged_paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
         )

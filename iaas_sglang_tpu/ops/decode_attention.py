@@ -1,0 +1,199 @@
+"""Pallas TPU kernel: batched paged-KV decode attention.
+
+The serving hot loop (TPU re-design of the reference's decode attention
+backends — flashinfer_backend.py / triton decode_attention.py). One query
+token per sequence attends over that sequence's paged KV:
+
+    q            [B, Nq, D]
+    kv_pages     [NP, page_size, 2*Nk, D]   K at even, V at odd head index
+    kv_lens      i32[B]
+    page_indices i32[B, MP]
+
+Design: grid over sequences; each program streams its sequence's KV pages
+HBM -> VMEM with double-buffered async DMAs (CHUNK_PAGES pages per step)
+and runs GQA flash-attention accumulation in fp32 on the fly. Decode is
+HBM-bandwidth bound — the kernel's job is to keep the DMA engine saturated
+while the VPU/MXU hides under it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iaas_sglang_tpu.utils import cdiv
+
+DEFAULT_CHUNK_PAGES = 16
+
+
+def _decode_kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[B]            (SMEM)
+    page_indices_ref,  # i32[B, MP]        (SMEM)
+    # inputs
+    q_ref,             # [1, Nq, D]        (VMEM block)
+    kv_hbm_ref,        # [NP, ps, 2Nk, D]  (ANY/HBM)
+    # outputs
+    o_ref,             # [1, Nq, D]        (VMEM block)
+    # scratch
+    kv_buf,            # [2, CP, ps, 2Nk, D] VMEM
+    sems,              # DMA sems (2, CP)
+    *,
+    num_kv_heads: int,
+    chunk_pages: int,
+    page_size: int,
+    max_pages: int,
+    sm_scale: float,
+    sliding_window: Optional[int],
+):
+    s = pl.program_id(0)
+    CP = chunk_pages
+    CT = CP * page_size  # tokens per chunk
+
+    kv_len = kv_lens_ref[s]
+    n_chunks = pl.cdiv(kv_len, CT)
+
+    # padding rows arrive with kv_len == 0: no DMAs, output zeros
+    @pl.when(n_chunks > 0)
+    def _run():
+
+        def start_chunk(ci, slot):
+            for j in range(CP):
+                pidx = jnp.minimum(ci * CP + j, max_pages - 1)
+                page = page_indices_ref[s, pidx]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page],
+                    kv_buf.at[slot, j],
+                    sems.at[slot, j],
+                ).start()
+
+        def wait_chunk(slot):
+            for j in range(CP):
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0],  # shape-only; sem carries identity
+                    kv_buf.at[slot, j],
+                    sems.at[slot, j],
+                ).wait()
+
+        start_chunk(0, 0)
+
+        Nk = num_kv_heads
+        q = q_ref[0]                          # [Nq, D] bf16 (MXU-native)
+        Nq, D = q.shape
+        G = Nq // Nk
+
+        def body(ci, carry):
+            ms, ls, accs = carry  # tuples of per-head [G,1],[G,1],[G,D] fp32
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+
+            wait_chunk(slot)
+            buf = kv_buf[slot]                 # [CP, ps, 2Nk, D]
+            kv4 = buf.reshape(CT, Nk, 2, D)
+
+            pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
+            valid = pos < kv_len
+            if sliding_window is not None:
+                valid &= pos > kv_len - 1 - sliding_window
+
+            new_ms, new_ls, new_accs = [], [], []
+            for h in range(Nk):
+                k_h = kv4[:, h, 0, :]                       # [CT, D] bf16
+                v_h = kv4[:, h, 1, :]                       # [CT, D] bf16
+                q_h = q[h * G : (h + 1) * G]                # [G, D] static slice
+                scores = jax.lax.dot_general(
+                    q_h, k_h,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale                                # f32 [G, CT]
+                scores = jnp.where(valid, scores, -jnp.inf)
+
+                m_c = jnp.max(scores, axis=-1, keepdims=True)
+                m_n = jnp.maximum(ms[h], m_c)
+                alpha = jnp.exp(ms[h] - m_n)
+                p = jnp.exp(scores - m_n)                   # f32 [G, CT]
+                l_n = alpha * ls[h] + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v_h.dtype), v_h,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # f32 [G, D]
+                new_ms.append(m_n)
+                new_ls.append(l_n)
+                new_accs.append(alpha * accs[h] + pv)
+            return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
+        m0 = tuple(jnp.full((G, 1), -jnp.inf, jnp.float32) for _ in range(Nk))
+        l0 = tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(Nk))
+        acc0 = tuple(jnp.zeros((G, D), jnp.float32) for _ in range(Nk))
+        ms, ls, accs = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        out = jnp.concatenate(
+            [accs[h] / jnp.maximum(ls[h], 1e-30) for h in range(Nk)], axis=0
+        )
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    @pl.when(n_chunks == 0)
+    def _pad():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "sliding_window", "chunk_pages"),
+)
+def paged_decode_attention(
+    q: jnp.ndarray,             # [B, Nq, D]
+    kv_pages: jnp.ndarray,      # [NP, ps, 2Nk, D]
+    kv_lens: jnp.ndarray,       # i32[B]
+    page_indices: jnp.ndarray,  # i32[B, MP]
+    *,
+    sm_scale: float,
+    sliding_window: Optional[int] = None,
+    chunk_pages: int = DEFAULT_CHUNK_PAGES,
+) -> jnp.ndarray:
+    B, Nq, D = q.shape
+    NP, ps, NK2, _ = kv_pages.shape
+    Nk = NK2 // 2
+    MP = page_indices.shape[1]
+    CP = min(chunk_pages, MP)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CP, ps, NK2, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, CP)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        num_kv_heads=Nk,
+        chunk_pages=CP,
+        page_size=ps,
+        max_pages=MP,
+        sm_scale=sm_scale,
+        sliding_window=sliding_window,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(kv_lens, page_indices, q, kv_pages)

@@ -1,0 +1,140 @@
+"""End-to-end HTTP server tests: process ring (tokenizer -> scheduler ->
+detokenizer), native /generate (incl. SSE streaming), and the OpenAI
+surface (mirrors sglang's popen_launch_server-based integration suite)."""
+
+import json
+
+import pytest
+import requests
+
+from iaas_sglang_tpu.utils import get_open_port
+from tests.server_utils import kill_server, make_tiny_model_dir, popen_launch_server
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    model_dir = make_tiny_model_dir(
+        str(tmp_path_factory.mktemp("model") / "tiny-llama"))
+    port = get_open_port()
+    proc = popen_launch_server(model_dir, port)
+    yield f"http://127.0.0.1:{port}"
+    kill_server(proc)
+
+
+def test_health(server):
+    assert requests.get(f"{server}/health").status_code == 200
+    assert requests.get(f"{server}/health_generate", timeout=120).status_code == 200
+
+
+def test_get_server_info(server):
+    info = requests.get(f"{server}/get_server_info").json()
+    assert info["model_path"].endswith("tiny-llama")
+    assert info["internal_states"][0]["total_pages"] > 0
+
+
+def test_generate_text(server):
+    r = requests.post(f"{server}/generate", json={
+        "text": "hello world",
+        "sampling_params": {"max_new_tokens": 8, "temperature": 0.0},
+    }, timeout=300)
+    assert r.status_code == 200
+    out = r.json()
+    assert out["meta_info"]["finish_reason"]["type"] in ("length", "stop")
+    assert isinstance(out["text"], str)
+    assert len(out["output_ids"]) <= 8
+
+
+def test_generate_input_ids(server):
+    r = requests.post(f"{server}/generate", json={
+        "input_ids": list(range(10, 30)),
+        "sampling_params": {"max_new_tokens": 5, "temperature": 0.0,
+                            "ignore_eos": True},
+    }, timeout=300)
+    out = r.json()
+    assert len(out["output_ids"]) == 5
+
+
+def test_generate_batch(server):
+    r = requests.post(f"{server}/generate", json={
+        "text": ["abc", "defg"],
+        "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
+    }, timeout=300)
+    outs = r.json()
+    assert len(outs) == 2
+
+
+def test_generate_streaming(server):
+    r = requests.post(f"{server}/generate", json={
+        "text": "stream me",
+        "stream": True,
+        "sampling_params": {"max_new_tokens": 6, "temperature": 0.0,
+                            "ignore_eos": True},
+    }, stream=True, timeout=300)
+    chunks = []
+    for line in r.iter_lines():
+        if line and line.startswith(b"data:"):
+            payload = line[len(b"data:"):].strip()
+            if payload == b"[DONE]":
+                break
+            chunks.append(json.loads(payload))
+    assert len(chunks) >= 2, "streaming must yield incremental chunks"
+    assert chunks[-1]["meta_info"]["finish_reason"] is not None
+    # text must be monotonically growing
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["text"].startswith(a["text"])
+
+
+def test_openai_models(server):
+    data = requests.get(f"{server}/v1/models").json()
+    assert data["data"][0]["id"].endswith("tiny-llama")
+
+
+def test_openai_completions(server):
+    r = requests.post(f"{server}/v1/completions", json={
+        "model": "tiny", "prompt": "one two three",
+        "max_tokens": 5, "temperature": 0.0, "ignore_eos": True,
+    }, timeout=300)
+    out = r.json()
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] == 5
+
+
+def test_openai_chat_completions(server):
+    r = requests.post(f"{server}/v1/chat/completions", json={
+        "model": "tiny",
+        "messages": [{"role": "user", "content": "hi there"}],
+        "max_tokens": 5, "temperature": 0.0, "ignore_eos": True,
+    }, timeout=300)
+    out = r.json()
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert out["usage"]["completion_tokens"] == 5
+
+
+def test_openai_chat_streaming(server):
+    r = requests.post(f"{server}/v1/chat/completions", json={
+        "model": "tiny",
+        "messages": [{"role": "user", "content": "stream please"}],
+        "max_tokens": 6, "temperature": 0.0, "stream": True,
+        "ignore_eos": True,
+    }, stream=True, timeout=300)
+    events = []
+    for line in r.iter_lines():
+        if line and line.startswith(b"data:"):
+            payload = line[len(b"data:"):].strip()
+            if payload == b"[DONE]":
+                break
+            events.append(json.loads(payload))
+    assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert any(e["choices"][0]["finish_reason"] for e in events)
+
+
+def test_openai_bad_request(server):
+    r = requests.post(f"{server}/v1/chat/completions", json={
+        "messages": "not-a-list",
+    }, timeout=60)
+    assert r.status_code == 400
+
+
+def test_flush_cache(server):
+    r = requests.post(f"{server}/flush_cache", json={})
+    assert r.status_code == 200
