@@ -82,6 +82,10 @@ class Engine:
             st["stop_strs"] = out.stop_strs[i]
             st["no_stop_trim"] = out.no_stop_trim[i]
             st["skip_special_tokens"] = out.skip_special_tokens[i]
+            if out.output_token_logprobs and out.output_token_logprobs[i] is not None:
+                st["output_token_logprobs"] = out.output_token_logprobs[i]
+            if out.output_top_logprobs and out.output_top_logprobs[i] is not None:
+                st["output_top_logprobs"] = out.output_top_logprobs[i]
 
     # --------------------------------------------------------------- public
 
@@ -90,9 +94,12 @@ class Engine:
         prompt: Optional[Union[str, List[str]]] = None,
         sampling_params: Optional[Union[Dict, List[Dict]]] = None,
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
     ) -> Union[dict, List[dict]]:
         gri = GenerateReqInput(
-            text=prompt, input_ids=input_ids, sampling_params=sampling_params
+            text=prompt, input_ids=input_ids, sampling_params=sampling_params,
+            return_logprob=return_logprob, top_logprobs_num=top_logprobs_num,
         )
         was_batch = gri.is_batch()
         singles = gri.normalize()
@@ -107,6 +114,8 @@ class Engine:
             self.scheduler.process_input(TokenizedGenerateReqInput(
                 rid=g.rid, input_text=g.text, input_ids=ids,
                 sampling_params=sp, stream=False,
+                return_logprob=g.return_logprob,
+                top_logprobs_num=g.top_logprobs_num,
             ))
             rids.append(g.rid)
 
@@ -140,16 +149,20 @@ class Engine:
                 matched = fin.get("matched")
                 if isinstance(matched, str) and matched in text:
                     text = text[: text.index(matched)]
+        meta = {
+            "id": rid,
+            "finish_reason": st["finished"],
+            "prompt_tokens": st["prompt_tokens"],
+            "completion_tokens": st["completion_tokens"],
+            "cached_tokens": st["cached_tokens"],
+        }
+        for k in ("output_token_logprobs", "output_top_logprobs"):
+            if k in st:
+                meta[k] = st[k]
         return {
             "text": text,
             "output_ids": st["output_ids"],
-            "meta_info": {
-                "id": rid,
-                "finish_reason": st["finished"],
-                "prompt_tokens": st["prompt_tokens"],
-                "completion_tokens": st["completion_tokens"],
-                "cached_tokens": st["cached_tokens"],
-            },
+            "meta_info": meta,
         }
 
     # ------------------------------------------------------------ admin ops

@@ -94,6 +94,8 @@ class Detokenizer:
             completion_tokens=batch.completion_tokens,
             cached_tokens=batch.cached_tokens,
             output_ids=out_ids,
+            output_token_logprobs=batch.output_token_logprobs,
+            output_top_logprobs=batch.output_top_logprobs,
         )
 
 

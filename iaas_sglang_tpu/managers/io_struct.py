@@ -98,6 +98,8 @@ class BatchTokenIDOut:
     prompt_tokens: List[int]
     completion_tokens: List[int]
     cached_tokens: List[int]
+    output_token_logprobs: Optional[List[Optional[List[float]]]] = None
+    output_top_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass
@@ -111,6 +113,8 @@ class BatchStrOut:
     completion_tokens: List[int]
     cached_tokens: List[int]
     output_ids: List[List[int]]
+    output_token_logprobs: Optional[List[Optional[List[float]]]] = None
+    output_top_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass

@@ -77,6 +77,7 @@ class Req:
         *,
         stream: bool = False,
         return_logprob: bool = False,
+        top_logprobs_num: int = 0,
         eos_token_ids: Optional[set[int]] = None,
         seed: int = 0,
     ):
@@ -86,11 +87,14 @@ class Req:
         self.sampling_params = sampling_params
         self.stream = stream
         self.return_logprob = return_logprob
+        self.top_logprobs_num = top_logprobs_num
         self.eos_token_ids = eos_token_ids or set()
         self.seed = seed
 
         self.output_ids: List[int] = []
         self.finished_reason: Optional[FinishReason] = None
+        self.output_token_logprobs: List[float] = []
+        self.output_top_logprobs: List[list] = []
 
         # KV / page state
         self.prefix_pages = np.empty(0, dtype=np.int32)  # tree-owned
@@ -308,11 +312,71 @@ class ScheduleBatch:
             np.ones(B, dtype=np.int32),
         )
 
+    def _build_penalty_arrays(self):
+        """None when no request needs penalties/bias/min-token masking —
+        the step function then compiles without the penalty branch."""
+        reqs = self.reqs
+        need = any(
+            r.sampling_params.frequency_penalty != 0.0
+            or r.sampling_params.presence_penalty != 0.0
+            or r.sampling_params.repetition_penalty != 1.0
+            or r.sampling_params.logit_bias
+            or (len(r.output_ids) < r.sampling_params.min_new_tokens)
+            for r in reqs
+        )
+        if not need:
+            return None
+        B = len(reqs)
+        L = max(max((len(r.output_ids) for r in reqs), default=1), 1)
+        out_ids = np.full((B, L), -1, dtype=np.int32)
+        dis: List[List[int]] = []
+        bias_ids_l: List[List[int]] = []
+        bias_vals_l: List[List[float]] = []
+        for i, r in enumerate(reqs):
+            out_ids[i, : len(r.output_ids)] = r.output_ids
+            sp = r.sampling_params
+            d: List[int] = []
+            if len(r.output_ids) < sp.min_new_tokens:
+                d.extend(r.eos_token_ids)
+                d.extend(sp.stop_token_ids or [])
+            dis.append(d)
+            if sp.logit_bias:
+                bias_ids_l.append([int(t) for t in sp.logit_bias])
+                bias_vals_l.append([float(v) for v in sp.logit_bias.values()])
+            else:
+                bias_ids_l.append([])
+                bias_vals_l.append([])
+        K = max(max(len(d) for d in dis), 1)
+        Kb = max(max(len(b) for b in bias_ids_l), 1)
+        disallow = np.full((B, K), -1, dtype=np.int32)
+        bias_ids = np.full((B, Kb), -1, dtype=np.int32)
+        bias_vals = np.zeros((B, Kb), dtype=np.float32)
+        for i in range(B):
+            disallow[i, : len(dis[i])] = dis[i]
+            bias_ids[i, : len(bias_ids_l[i])] = bias_ids_l[i]
+            bias_vals[i, : len(bias_vals_l[i])] = bias_vals_l[i]
+        return {
+            "output_ids": out_ids,
+            "frequency_penalties": np.asarray(
+                [r.sampling_params.frequency_penalty for r in reqs], np.float32),
+            "presence_penalties": np.asarray(
+                [r.sampling_params.presence_penalty for r in reqs], np.float32),
+            "repetition_penalties": np.asarray(
+                [r.sampling_params.repetition_penalty for r in reqs], np.float32),
+            "disallow_ids": disallow,
+            "bias_ids": bias_ids,
+            "bias_values": bias_vals,
+        }
+
     def _host_batch(self, mode, ids, positions, slots, page_tables,
                     seq_lens, q_lens) -> HostBatch:
         reqs = self.reqs
         B = len(reqs)
         return HostBatch(
+            penalty_arrays=self._build_penalty_arrays(),
+            return_logprob=any(r.return_logprob for r in reqs),
+            top_logprobs_num=max(
+                (getattr(r, "top_logprobs_num", 0) for r in reqs), default=0),
             mode=mode,
             input_ids=ids,
             positions=positions,

@@ -109,6 +109,7 @@ class Scheduler:
         req = Req(
             m.rid, m.input_text, m.input_ids, m.sampling_params,
             stream=m.stream, return_logprob=m.return_logprob,
+            top_logprobs_num=m.top_logprobs_num,
             eos_token_ids=self.eos_token_ids,
             seed=self.server_args.random_seed ^ hash(m.rid) & 0xFFFFFFFF,
         )
@@ -232,10 +233,24 @@ class Scheduler:
                     )
                 hb = batch.prepare_for_decode()
         tokens = self.model_runner.forward(hb)
+        batch.last_hb = hb
         return tokens
 
     def process_batch_result(self, batch: ScheduleBatch, tokens: np.ndarray) -> None:
         finished: List[Req] = []
+        hb = getattr(batch, "last_hb", None)
+
+        def record_logprob(req, i):
+            if hb is None or hb.token_logprobs is None or not req.return_logprob:
+                return
+            req.output_token_logprobs.append(float(hb.token_logprobs[i]))
+            if hb.top_logprob_vals is not None and req.top_logprobs_num > 0:
+                k = req.top_logprobs_num
+                req.output_top_logprobs.append([
+                    [float(v), int(t)] for v, t in zip(
+                        hb.top_logprob_vals[i][:k], hb.top_logprob_ids[i][:k])
+                ])
+
         for i, req in enumerate(batch.reqs):
             if batch.mode.is_extend():
                 req.fill_len += req.extend_len
@@ -243,10 +258,12 @@ class Scheduler:
                     continue  # chunked prefill continues next round
                 if not req.output_ids:
                     req.output_ids.append(int(tokens[i]))
+                    record_logprob(req, i)
                 # else: retracted request resuming — pending token already known
             else:
                 req.fill_len += 1
                 req.output_ids.append(int(tokens[i]))
+                record_logprob(req, i)
                 self.num_generated_tokens += 1
             req.check_finished(self.tokenizer)
             if req.is_finished():
@@ -294,6 +311,15 @@ class Scheduler:
             prompt_tokens=[r.prompt_len for r in reqs],
             completion_tokens=[len(r.output_ids) for r in reqs],
             cached_tokens=[r.cache_hit_tokens for r in reqs],
+            output_token_logprobs=[
+                list(r.output_token_logprobs) if r.return_logprob else None
+                for r in reqs
+            ],
+            output_top_logprobs=[
+                list(r.output_top_logprobs)
+                if r.return_logprob and r.top_logprobs_num > 0 else None
+                for r in reqs
+            ],
         )
         for r in reqs:
             r.sent_tokens = len(r.output_ids)

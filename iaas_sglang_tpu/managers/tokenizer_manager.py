@@ -83,6 +83,7 @@ class TokenizerManager:
             rid=gri.rid, input_text=gri.text, input_ids=ids,
             sampling_params=sp, stream=gri.stream,
             return_logprob=gri.return_logprob,
+            top_logprobs_num=gri.top_logprobs_num,
         ))
         try:
             while True:
@@ -136,14 +137,19 @@ class TokenizerManager:
             state.output_ids = out.output_ids[i]
             fin = out.finished_reasons[i]
             state.finished = fin is not None
+            meta = {
+                "id": rid,
+                "finish_reason": fin,
+                "prompt_tokens": out.prompt_tokens[i],
+                "completion_tokens": out.completion_tokens[i],
+                "cached_tokens": out.cached_tokens[i],
+            }
+            if out.output_token_logprobs and out.output_token_logprobs[i] is not None:
+                meta["output_token_logprobs"] = out.output_token_logprobs[i]
+            if out.output_top_logprobs and out.output_top_logprobs[i] is not None:
+                meta["output_top_logprobs"] = out.output_top_logprobs[i]
             state.queue.put_nowait({
                 "text": state.text,
                 "output_ids": list(state.output_ids),
-                "meta_info": {
-                    "id": rid,
-                    "finish_reason": fin,
-                    "prompt_tokens": out.prompt_tokens[i],
-                    "completion_tokens": out.completion_tokens[i],
-                    "cached_tokens": out.cached_tokens[i],
-                },
+                "meta_info": meta,
             })

@@ -53,3 +53,18 @@ class SamplingMetadata:
     min_ps: jnp.ndarray         # f32[Bmax]
     seeds: jnp.ndarray          # u32[Bmax] per-request fold-in seeds
     steps: jnp.ndarray          # i32[Bmax] decode step per request (rng stream)
+
+
+@struct.dataclass
+class PenaltyMetadata:
+    """Optional penalty tensors (analog of sampling/penaltylib/) — only
+    materialized (and only compiled in) when some request in the batch uses
+    penalties; the common penalty-free batch pays nothing."""
+
+    output_ids: jnp.ndarray     # i32[Bmax, L] generated-so-far, -1 padded
+    frequency_penalties: jnp.ndarray   # f32[Bmax]
+    presence_penalties: jnp.ndarray    # f32[Bmax]
+    repetition_penalties: jnp.ndarray  # f32[Bmax] (1.0 = off)
+    disallow_ids: jnp.ndarray   # i32[Bmax, K] tokens masked to -inf, -1 padded
+    bias_ids: jnp.ndarray       # i32[Bmax, Kb] logit-bias tokens, -1 padded
+    bias_values: jnp.ndarray    # f32[Bmax, Kb]

@@ -23,6 +23,7 @@ from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.model_executor.forward_batch import (
     ForwardBatch,
     ForwardMode,
+    PenaltyMetadata,
     SamplingMetadata,
 )
 from iaas_sglang_tpu.model_loader import loader as model_loader
@@ -51,9 +52,17 @@ class HostBatch:
     min_ps: np.ndarray              # f32[B]
     seeds: np.ndarray               # u32[B]
     steps: np.ndarray               # i32[B]
+    # optional penalty/bias state (None when no request in batch needs it)
+    penalty_arrays: Any = None      # dict of np arrays (see PenaltyMetadata)
+    # logprob requests
+    return_logprob: bool = False
+    top_logprobs_num: int = 0
     # set by the runner for the scheduler
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
     device_logits: Any = None       # jnp f32[Bmax, V] last-token logits
+    token_logprobs: Any = None      # np f32[B] chosen-token logprobs
+    top_logprob_vals: Any = None    # np f32[B, K]
+    top_logprob_ids: Any = None     # np i32[B, K]
 
 
 class ModelRunner:
@@ -157,8 +166,13 @@ class ModelRunner:
         attn_backend = self.attn_backend
         scan_layers = self.server_args.scan_layers
 
+        from iaas_sglang_tpu.sampling.sampler import (
+            apply_penalties,
+            compute_logprobs,
+        )
+
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
-                 attn_mode: str):
+                 pen, attn_mode: str, logprob_top_k: int):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
@@ -166,8 +180,14 @@ class ModelRunner:
             )
             last_h = hidden[fb.last_token_idx]          # [Bmax, H]
             logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
+            if pen is not None:
+                logits = apply_penalties(logits, pen)
             tokens = sample_tokens(logits, meta)
-            return tokens, logits, kv_pages
+            if logprob_top_k >= 0:
+                lp, topv, topi = compute_logprobs(logits, tokens, logprob_top_k)
+            else:
+                lp = topv = topi = None
+            return tokens, logits, lp, topv, topi, kv_pages
 
         self._all_logits_fn = jax.jit(
             lambda params, kv_pages, fb: (
@@ -176,7 +196,7 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(4,))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(5, 6))
 
     # ------------------------------------------------------------- forward
 
@@ -185,14 +205,58 @@ class ModelRunner:
         (callers slice the valid prefix). Also stores the padded device
         token array in hb.device_tokens for overlap chaining."""
         fb, meta, B = self._pad_to_device(hb)
+        pen = self._pad_penalties(hb, meta.temperatures.shape[0])
         attn_mode = "decode" if hb.mode.is_decode() else "extend"
+        logprob_top_k = (
+            (hb.top_logprobs_num if hb.return_logprob else -1)
+            if hb.return_logprob else -1
+        )
         with self.mesh_ctx.mesh:
-            tokens, logits, self.kv_pages = self._step_fn(
-                self.params, self.kv_pages, fb, meta, attn_mode
+            tokens, logits, lp, topv, topi, self.kv_pages = self._step_fn(
+                self.params, self.kv_pages, fb, meta, pen,
+                attn_mode, logprob_top_k,
             )
         hb.device_tokens = tokens
         hb.device_logits = logits
+        if lp is not None:
+            hb.token_logprobs = np.asarray(lp)[:B]
+            if topv is not None:
+                hb.top_logprob_vals = np.asarray(topv)[:B]
+                hb.top_logprob_ids = np.asarray(topi)[:B]
         return np.asarray(tokens)[:B]
+
+    def _pad_penalties(self, hb: HostBatch, B_pad: int):
+        pa = hb.penalty_arrays
+        if pa is None:
+            return None
+        L = pa["output_ids"].shape[1]
+        L_pad = max(64, int(2 ** np.ceil(np.log2(max(L, 1)))))
+        K = pa["disallow_ids"].shape[1]
+        Kb = pa["bias_ids"].shape[1]
+
+        def pad2(a, rows, cols, fill):
+            out = np.full((rows, cols), fill, dtype=a.dtype)
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        def pad1(a, rows, fill):
+            out = np.full(rows, fill, dtype=a.dtype)
+            out[: len(a)] = a
+            return out
+
+        return PenaltyMetadata(
+            output_ids=jnp.asarray(pad2(pa["output_ids"], B_pad, L_pad, -1)),
+            frequency_penalties=jnp.asarray(
+                pad1(pa["frequency_penalties"], B_pad, 0.0)),
+            presence_penalties=jnp.asarray(
+                pad1(pa["presence_penalties"], B_pad, 0.0)),
+            repetition_penalties=jnp.asarray(
+                pad1(pa["repetition_penalties"], B_pad, 1.0)),
+            disallow_ids=jnp.asarray(pad2(pa["disallow_ids"], B_pad, max(K, 8), -1)),
+            bias_ids=jnp.asarray(pad2(pa["bias_ids"], B_pad, max(Kb, 8), -1)),
+            bias_values=jnp.asarray(
+                pad2(pa["bias_values"], B_pad, max(Kb, 8), 0.0)),
+        )
 
     def forward_all_logits(self, hb: HostBatch) -> np.ndarray:
         """Debug/golden path: run a (non-donating) forward that returns the

@@ -63,7 +63,7 @@ def paged_attention(
             ragged_paged_attention as jax_rpa,
         )
 
-        return jax_rpa.ragged_paged_attention(
+        return jax_rpa(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
         )
@@ -72,7 +72,7 @@ def paged_attention(
             ragged_paged_attention as jax_rpa,
         )
 
-        return jax_rpa.ragged_paged_attention(
+        return jax_rpa(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
         )

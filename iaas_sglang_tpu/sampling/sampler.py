@@ -12,9 +12,61 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from iaas_sglang_tpu.model_executor.forward_batch import SamplingMetadata
+from iaas_sglang_tpu.model_executor.forward_batch import (
+    PenaltyMetadata,
+    SamplingMetadata,
+)
 
 NEG_INF = -1e30
+
+
+def apply_penalties(logits: jnp.ndarray, pen: PenaltyMetadata) -> jnp.ndarray:
+    """Frequency / presence / repetition penalties + disallow mask + logit
+    bias (analog of sampling/penaltylib/orchestrator.py + Sampler's logit
+    bias application). Applied to OUTPUT tokens (vLLM/sglang convention)."""
+    B, V = logits.shape
+    L = pen.output_ids.shape[1]
+    valid = pen.output_ids >= 0                         # [B, L]
+    safe_ids = jnp.where(valid, pen.output_ids, 0)
+    ones = valid.astype(jnp.float32)
+    counts = jnp.zeros((B, V), jnp.float32)
+    counts = jax.vmap(lambda c, i, o: c.at[i].add(o))(counts, safe_ids, ones)
+    # the scatter above may hit token 0 from padding lanes with add(0): fine
+    logits = logits - pen.frequency_penalties[:, None] * counts
+    logits = logits - pen.presence_penalties[:, None] * (counts > 0)
+    rep = pen.repetition_penalties[:, None]
+    appeared = counts > 0
+    logits = jnp.where(
+        appeared,
+        jnp.where(logits > 0, logits / rep, logits * rep),
+        logits,
+    )
+    # logit bias
+    bias_valid = pen.bias_ids >= 0
+    bias_safe = jnp.where(bias_valid, pen.bias_ids, 0)
+    bias = jnp.zeros((B, V), jnp.float32)
+    bias = jax.vmap(lambda b, i, v: b.at[i].add(v))(
+        bias, bias_safe, jnp.where(bias_valid, pen.bias_values, 0.0))
+    logits = logits + bias
+    # hard-disallowed tokens (min_new_tokens EOS masking etc.)
+    dis_valid = pen.disallow_ids >= 0
+    dis_safe = jnp.where(dis_valid, pen.disallow_ids, 0)
+    mask = jnp.zeros((B, V), jnp.bool_)
+    mask = jax.vmap(lambda m, i, o: m.at[i].set(o))(mask, dis_safe, dis_valid)
+    return jnp.where(mask, NEG_INF, logits)
+
+
+def compute_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray,
+                     top_k: int = 0):
+    """log-softmax logprob of the chosen tokens (+ optional top-k table)
+    (analog of layers/logits_processor.py logprob paths)."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    chosen = jnp.take_along_axis(
+        logprobs, tokens[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    if top_k > 0:
+        top_vals, top_ids = jax.lax.top_k(logprobs, top_k)
+        return chosen, top_vals, top_ids
+    return chosen, None, None
 
 
 def sample_tokens(

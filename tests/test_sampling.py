@@ -1,0 +1,96 @@
+"""Sampler features: penalties, logit bias, min_new_tokens masking,
+logprobs (analog of the reference's penaltylib + logprob tests)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.test_scheduler import make_engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return make_engine()
+
+
+def test_presence_penalty_reduces_repeats(engine):
+    ids = list(range(12))
+    base = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 16, "temperature": 0.0})
+    pen = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 16, "temperature": 0.0, "presence_penalty": 2.0})
+    # with a strong presence penalty a greedy loop cannot emit the same
+    # token twice in a row as often
+    def max_run(x):
+        best = cur = 1
+        for a, b in zip(x, x[1:]):
+            cur = cur + 1 if a == b else 1
+            best = max(best, cur)
+        return best
+    assert max_run(pen["output_ids"]) <= max_run(base["output_ids"])
+    # penalized run must differ from base if base had repeats
+    if len(set(base["output_ids"])) < len(base["output_ids"]):
+        assert pen["output_ids"] != base["output_ids"]
+
+
+def test_logit_bias_forces_token(engine):
+    ids = list(range(5, 17))
+    out = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 4, "temperature": 0.0,
+        "logit_bias": {"7": 100.0}})
+    # +100 bias makes token 7 the argmax every step
+    assert out["output_ids"] == [7, 7, 7, 7]
+
+
+def test_logit_bias_negative_bans_token(engine):
+    ids = list(range(5, 17))
+    base = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 6, "temperature": 0.0})
+    banned = base["output_ids"][0]
+    out = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 6, "temperature": 0.0,
+        "logit_bias": {str(banned): -1e9}})
+    assert banned not in out["output_ids"]
+
+
+def test_min_new_tokens_blocks_stop(engine):
+    ids = list(range(20, 33))
+    free = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0})
+    stop_tok = free["output_ids"][1]
+    out = engine.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0,
+        "stop_token_ids": [stop_tok], "min_new_tokens": 6})
+    assert len(out["output_ids"]) >= 6
+
+
+def test_logprobs_returned(engine):
+    ids = list(range(40, 52))
+    out = engine.generate(
+        input_ids=ids,
+        sampling_params={"max_new_tokens": 5, "temperature": 0.0},
+        return_logprob=True, top_logprobs_num=3,
+    )
+    lps = out["meta_info"]["output_token_logprobs"]
+    tops = out["meta_info"]["output_top_logprobs"]
+    assert len(lps) == 5 and len(tops) == 5
+    for lp, top, tok in zip(lps, tops, out["output_ids"]):
+        assert lp <= 0.0 + 1e-6
+        assert len(top) == 3
+        # greedy: chosen token must be the top-1 entry
+        assert top[0][1] == tok
+        assert math.isclose(top[0][0], lp, rel_tol=1e-3, abs_tol=1e-4)
+        # top-k sorted descending
+        assert top[0][0] >= top[1][0] >= top[2][0]
+
+
+def test_logprobs_consistent_with_resampling(engine):
+    ids = list(range(60, 70))
+    o1 = engine.generate(input_ids=ids, return_logprob=True,
+                         sampling_params={"max_new_tokens": 4, "temperature": 0.0})
+    o2 = engine.generate(input_ids=ids, return_logprob=True,
+                         sampling_params={"max_new_tokens": 4, "temperature": 0.0})
+    np.testing.assert_allclose(
+        o1["meta_info"]["output_token_logprobs"],
+        o2["meta_info"]["output_token_logprobs"], rtol=1e-5)
