@@ -82,6 +82,7 @@ class ModelRunner:
             self.params = model_loader.load_params(
                 self.model, model_config, self.mesh_ctx,
                 load_format=server_args.load_format,
+                quantization=server_args.quantization,
                 seed=server_args.random_seed,
             )
         jax.block_until_ready(jax.tree.leaves(self.params)[0])

@@ -19,6 +19,7 @@ from typing import Any, Dict
 import ml_dtypes
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.models.llama_family import WeightSpec
@@ -63,6 +64,7 @@ def load_params(
     mesh_ctx: MeshContext,
     *,
     load_format: str = "auto",
+    quantization: str | None = None,
     seed: int = 0,
 ) -> Dict[str, Any]:
     specs = model.weight_specs()
@@ -70,19 +72,54 @@ def load_params(
         host = _dummy_host_params(specs, config, seed)
     else:
         host = _load_host_params_safetensors(specs, config)
-    return put_params(host, specs, mesh_ctx)
+    return put_params(host, specs, mesh_ctx, quantization=quantization)
+
+
+def _quantize_host(arr: np.ndarray, spec: WeightSpec, method: str):
+    """Quantize a (possibly layer-stacked) weight on host -> (q, scale)."""
+    from iaas_sglang_tpu.quantization.qlinear import quantize_weight
+
+    if spec.stacked:
+        qs, ss = [], []
+        for l in range(arr.shape[0]):
+            q, s, dt = quantize_weight(np.asarray(arr[l], dtype=np.float32), method)
+            qs.append(q)
+            ss.append(s)
+        return np.stack(qs), np.stack(ss), dt
+    q, s, dt = quantize_weight(np.asarray(arr, dtype=np.float32), method)
+    return q, s, dt
 
 
 def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
-               mesh_ctx: MeshContext) -> Dict[str, Any]:
+               mesh_ctx: MeshContext,
+               quantization: str | None = None) -> Dict[str, Any]:
+    from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
     tree: Dict[str, Any] = {}
     for name, spec in specs.items():
         dims = spec.pspec
         if spec.stacked:
             dims = (None,) + tuple(dims)
         sharding = mesh_ctx.sharding(*dims)
-        arr = jax.device_put(host[name], sharding)
-        _set_nested(tree, name, arr)
+        if quantization and spec.quantizable:
+            q_np, s_np, target_dtype = _quantize_host(host[name], spec, quantization)
+            # int4 note: this jax version cannot pass native jnp.int4 arrays
+            # into jit (infinite reshard recursion, CPU and TPU alike), so
+            # int4 keeps 4-bit *accuracy* in an int8 container; the 4-bit
+            # HBM-bandwidth win lands with the nibble-packed Pallas
+            # dequant-matmul kernel.
+            q_dev = jax.device_put(q_np, sharding)
+            # scale shards like the weight, except size-1 dims stay unsharded
+            # (fp8 per-channel scale is [1, out])
+            s_dims = tuple(
+                None if s_np.shape[i] == 1 else d
+                for i, d in enumerate(dims)
+            )
+            s_dev = jax.device_put(s_np, mesh_ctx.sharding(*s_dims))
+            _set_nested(tree, name, QuantizedWeight(q=q_dev, scale=s_dev))
+        else:
+            arr = jax.device_put(host[name], sharding)
+            _set_nested(tree, name, arr)
     return tree
 
 

@@ -26,6 +26,7 @@ from iaas_sglang_tpu.layers.norms import rms_norm
 from iaas_sglang_tpu.layers.rotary import apply_rope, compute_inv_freq
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
 from iaas_sglang_tpu.ops.attention import paged_attention, write_kv_pages
+from iaas_sglang_tpu.quantization.qlinear import qmatmul
 
 
 @dataclass
@@ -35,6 +36,7 @@ class WeightSpec:
     hf_key: Optional[str] = None      # template, may contain {l}
     transpose: bool = False           # torch stores [out, in]
     stacked: bool = False             # one array per layer, stacked on dim 0
+    quantizable: bool = False         # eligible for weight-only quantization
 
 
 class LlamaFamilyForCausalLM:
@@ -64,25 +66,25 @@ class LlamaFamilyForCausalLM:
                 stacked=True),
             "layers.wq": WeightSpec(
                 (H, Nq * D), (None, "tp"), "model.layers.{l}.self_attn.q_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
             "layers.wk": WeightSpec(
                 (H, Nk * D), (None, "tp"), "model.layers.{l}.self_attn.k_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
             "layers.wv": WeightSpec(
                 (H, Nk * D), (None, "tp"), "model.layers.{l}.self_attn.v_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
             "layers.wo": WeightSpec(
                 (Nq * D, H), ("tp", None), "model.layers.{l}.self_attn.o_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
             "layers.w_gate": WeightSpec(
                 (H, I), (None, "tp"), "model.layers.{l}.mlp.gate_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
             "layers.w_up": WeightSpec(
                 (H, I), (None, "tp"), "model.layers.{l}.mlp.up_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
             "layers.w_down": WeightSpec(
                 (I, H), ("tp", None), "model.layers.{l}.mlp.down_proj.weight",
-                transpose=True, stacked=True),
+                transpose=True, stacked=True, quantizable=True),
         }
         if c.attention_bias:
             s["layers.bq"] = WeightSpec(
@@ -129,9 +131,9 @@ class LlamaFamilyForCausalLM:
             hidden, kv = carry
             lp, layer_idx = xs
             h = rms_norm(hidden, lp["input_norm"], c.rms_norm_eps)
-            q = h @ lp["wq"]
-            k = h @ lp["wk"]
-            v = h @ lp["wv"]
+            q = qmatmul(h, lp["wq"])
+            k = qmatmul(h, lp["wk"])
+            v = qmatmul(h, lp["wv"])
             if c.attention_bias:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -156,11 +158,15 @@ class LlamaFamilyForCausalLM:
                 backend=attn_backend,
                 mode=attn_mode,
             )
-            attn_out = attn.reshape(T, c.num_heads * c.head_dim) @ lp["wo"]
+            attn_out = qmatmul(attn.reshape(T, c.num_heads * c.head_dim), lp["wo"])
             hidden = hidden + attn_out
 
             h2 = rms_norm(hidden, lp["post_norm"], c.rms_norm_eps)
-            mlp = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
+            mlp = qmatmul(
+                jax.nn.silu(qmatmul(h2, lp["w_gate"]))
+                * qmatmul(h2, lp["w_up"]),
+                lp["w_down"],
+            )
             hidden = hidden + mlp
             return (hidden, kv), None
 

@@ -1,0 +1,110 @@
+"""Weight quantization: INT4/INT8 group-wise weight-only and FP8.
+
+TPU re-design of the reference's quantization stack
+(srt/layers/quantization/, sgl-kernel csrc/gemm/): on GPU the reference
+ships fused CUDA dequant-GEMMs (AWQ/GPTQ INT4, FP8 blockwise); on TPU the
+weight lives as a native narrow-dtype array (XLA packs int4) and the
+dequant is expressed so XLA fuses the convert+scale into the matmul —
+weight bytes read from HBM are the narrow bytes, which is the entire win
+for bandwidth-bound decode. A Pallas fused kernel can replace the XLA
+path per-op when profiling justifies it.
+
+Layout: weight [in, out] -> q [in, out] (int4/int8/fp8), scales
+[in/G, out] f32 with contraction-dim groups of G=128 (AWQ/GPTQ grouping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+GROUP = 128
+
+
+@struct.dataclass
+class QuantizedWeight:
+    q: jnp.ndarray        # [in, out] int4 | int8 | float8_e4m3fn
+    scale: jnp.ndarray    # [in/G, out] f32   (fp8: [1, out])
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def _np_group_quantize(w: np.ndarray, bits: int):
+    """Symmetric group-wise quantization on host. w: [in, out] float."""
+    inn, out = w.shape
+    group = GROUP if inn % GROUP == 0 else inn
+    wg = w.reshape(inn // group, group, out).astype(np.float32)
+    absmax = np.abs(wg).max(axis=1, keepdims=True)  # [in/G, 1, out]
+    qmax = 2 ** (bits - 1) - 1
+    scale = absmax / qmax
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.rint(wg / scale), -qmax - 1, qmax)
+    return q.reshape(inn, out), scale[:, 0, :]
+
+
+def quantize_weight(w: np.ndarray, method: str):
+    """Host-side quantization -> (q_np, scale_np, target_dtype)."""
+    if method in ("int4", "int4_awq"):
+        q, s = _np_group_quantize(w, 4)
+        return q.astype(np.int8), s.astype(np.float32), jnp.int4
+    if method in ("int8", "w8a16"):
+        q, s = _np_group_quantize(w, 8)
+        return q.astype(np.int8), s.astype(np.float32), jnp.int8
+    if method == "fp8":
+        # per-output-channel scale, e4m3 storage
+        w32 = w.astype(np.float32)
+        absmax = np.abs(w32).max(axis=0, keepdims=True)  # [1, out]
+        scale = np.where(absmax == 0, 1.0, absmax / 448.0)
+        q = (w32 / scale).astype(np.float32)
+        import ml_dtypes
+
+        return (
+            q.astype(ml_dtypes.float8_e4m3fn),
+            scale.astype(np.float32),
+            jnp.float8_e4m3fn,
+        )
+    raise ValueError(f"unknown quantization {method!r}")
+
+
+def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    inn, out = qw.q.shape
+    g = qw.scale.shape[0]
+    wf = qw.q.astype(jnp.float32).reshape(g, inn // g, out)
+    return (wf * qw.scale[:, None, :]).reshape(inn, out).astype(dtype)
+
+
+def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
+    """x @ w where w is a plain array or a QuantizedWeight.
+
+    Grouped formulation keeps the dequant inside the dot fusion so HBM
+    traffic stays at the narrow-dtype size."""
+    if not isinstance(w, QuantizedWeight):
+        return x @ w
+    out_dtype = out_dtype or x.dtype
+    inn, out = w.q.shape
+    g = w.scale.shape[0]
+    if g == 1 or w.q.dtype == jnp.float8_e4m3fn:
+        wf = w.q.astype(x.dtype)
+        y = jax.lax.dot_general(
+            x, wf, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * w.scale[0][None, :]).astype(out_dtype)
+    # group-wise: einsum over (group, within-group) with per-group scaling
+    gsz = inn // g
+    xg = x.reshape(*x.shape[:-1], g, gsz)
+    wg = w.q.reshape(g, gsz, out).astype(x.dtype)
+    # [..., g, out] partial sums, scaled per group, then reduced
+    partial = jnp.einsum(
+        "...gi,gio->...go", xg, wg,
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.sum(partial * w.scale[..., :], axis=-2)
+    return y.astype(out_dtype)
