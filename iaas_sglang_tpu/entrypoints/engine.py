@@ -132,6 +132,7 @@ class Engine:
                 if missing:
                     raise RuntimeError(f"requests lost: {missing}")
 
+        self.scheduler.drain()  # retire any speculative overlap step
         results = [self._finalize(rid) for rid in rids]
         return results if was_batch else results[0]
 

@@ -93,6 +93,7 @@ class Req:
 
         self.output_ids: List[int] = []
         self.finished_reason: Optional[FinishReason] = None
+        self.cleaned = False         # cache_finished_req has run
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []
 
@@ -106,6 +107,7 @@ class Req:
 
         # per-chunk scheduling state
         self.extend_len = 0          # tokens to run this forward
+        self.pending_steps = 0       # launched-but-unprocessed decode steps
         self.queue_time = time.monotonic()
         # stream bookkeeping
         self.sent_tokens = 0
@@ -277,40 +279,60 @@ class ScheduleBatch:
 
     # -------------------------------------------------------------- decode
 
-    def prepare_for_decode(self) -> Optional[HostBatch]:
+    def prepare_for_decode(self, chain_from: Optional[HostBatch] = None
+                           ) -> Optional[HostBatch]:
         """Build the HostBatch for one decode step; returns None when page
-        allocation fails (caller must retract)."""
+        allocation fails (caller must retract).
+
+        chain_from: the previous (still in-flight) decode HostBatch over the
+        SAME request list — its on-device sampled tokens become this step's
+        input_ids with no host roundtrip. All host metadata (positions,
+        slots, page growth) is computed from `fill_len + pending_steps`,
+        which is token-value independent."""
         ps = self.page_size
         B = len(self.reqs)
+
+        def eff_fill(r: Req) -> int:
+            return r.fill_len + r.pending_steps
+
         # allocate boundary-crossing pages first, all-or-nothing per step
-        n_new = sum(1 for r in self.reqs if r.fill_len % ps == 0)
+        n_new = sum(1 for r in self.reqs if eff_fill(r) % ps == 0)
         if n_new > 0:
             newp = self._alloc_pages(n_new)
             if newp is None:
                 return None
             i = 0
             for r in self.reqs:
-                if r.fill_len % ps == 0:
+                if eff_fill(r) % ps == 0:
                     r.owned_pages = (
                         np.concatenate([r.owned_pages, newp[i : i + 1]])
                         if len(r.owned_pages) else newp[i : i + 1].copy()
                     )
                     i += 1
 
-        ids = np.asarray([r.output_ids[-1] for r in self.reqs], dtype=np.int32)
-        positions = np.asarray([r.fill_len for r in self.reqs], dtype=np.int32)
+        if chain_from is None:
+            assert all(r.pending_steps == 0 for r in self.reqs)
+            ids = np.asarray([r.output_ids[-1] for r in self.reqs],
+                             dtype=np.int32)
+        else:
+            ids = None
+        positions = np.asarray([eff_fill(r) for r in self.reqs], dtype=np.int32)
         slots = np.empty(B, dtype=np.int32)
         page_tables, seq_lens = [], []
         for i, r in enumerate(self.reqs):
+            f = eff_fill(r)
             table = r.page_table_np()
-            slots[i] = table[r.fill_len // ps] * ps + r.fill_len % ps
-            page_tables.append(table[: cdiv(r.fill_len + 1, ps)])
-            seq_lens.append(r.fill_len + 1)
-        return self._host_batch(
+            slots[i] = table[f // ps] * ps + f % ps
+            page_tables.append(table[: cdiv(f + 1, ps)])
+            seq_lens.append(f + 1)
+        hb = self._host_batch(
             ForwardMode.DECODE, ids, positions, slots, page_tables,
             np.asarray(seq_lens, dtype=np.int32),
             np.ones(B, dtype=np.int32),
         )
+        if chain_from is not None:
+            hb.device_tokens = chain_from.device_tokens
+        return hb
 
     def _build_penalty_arrays(self):
         """None when no request needs penalties/bias/min-token masking —
@@ -393,7 +415,9 @@ class ScheduleBatch:
             min_ps=np.asarray(
                 [r.sampling_params.min_p for r in reqs], dtype=np.float32),
             seeds=np.asarray([r.seed for r in reqs], dtype=np.uint32),
-            steps=np.asarray([len(r.output_ids) for r in reqs], dtype=np.int32),
+            steps=np.asarray(
+                [len(r.output_ids) + r.pending_steps for r in reqs],
+                dtype=np.int32),
         )
 
     # ------------------------------------------------------------ mutation

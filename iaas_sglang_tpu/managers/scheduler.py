@@ -78,6 +78,9 @@ class Scheduler:
             [], ForwardMode.DECODE, self.allocator, self.tree_cache, self.page_size
         )
         self.chunked_req: Optional[Req] = None
+        # overlap scheduling: the launched-but-unprocessed (batch, HostBatch)
+        self._inflight: Optional[tuple] = None
+        self.enable_overlap = not server_args.disable_overlap_schedule
         self.eos_token_ids: set[int] = set()
         if tokenizer is not None and tokenizer.eos_token_id is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
@@ -139,6 +142,7 @@ class Scheduler:
             self.chunked_req.finished_reason = FinishAbort()
 
     def handle_flush_cache(self, m: FlushCacheReqInput) -> FlushCacheReqOutput:
+        self.drain()
         if self.running_batch.reqs or self.waiting_queue:
             return FlushCacheReqOutput(success=False)
         freed = self.tree_cache.evictable_pages()
@@ -212,7 +216,7 @@ class Scheduler:
 
     # ------------------------------------------------------------- running
 
-    def run_batch(self, batch: ScheduleBatch) -> Optional[np.ndarray]:
+    def run_batch(self, batch: ScheduleBatch, fetch: bool = True):
         if batch.mode.is_extend():
             hb = batch.prepare_for_extend()
         else:
@@ -225,16 +229,18 @@ class Scheduler:
                                    len(retracted))
                     self.waiting_queue.extend(retracted)
                 elif not batch.reqs:
-                    return None
+                    return None, None
                 else:
                     raise RuntimeError(
                         "KV pool too small: cannot run a single decode step "
                         f"(free_pages={self.allocator.free_pages})"
                     )
                 hb = batch.prepare_for_decode()
-        tokens = self.model_runner.forward(hb)
+        tokens = self.model_runner.forward(hb, fetch=fetch)
+        for r in batch.reqs:
+            r.pending_steps += 1
         batch.last_hb = hb
-        return tokens
+        return tokens, hb
 
     def process_batch_result(self, batch: ScheduleBatch, tokens: np.ndarray) -> None:
         finished: List[Req] = []
@@ -252,6 +258,11 @@ class Scheduler:
                 ])
 
         for i, req in enumerate(batch.reqs):
+            req.pending_steps = max(0, req.pending_steps - 1)
+            if getattr(req, "cleaned", False):
+                # speculative chained step of an already-finished request:
+                # its token is discarded (overlap scheduling waste, by design)
+                continue
             if batch.mode.is_extend():
                 req.fill_len += req.extend_len
                 if not req.prefill_done():
@@ -260,7 +271,7 @@ class Scheduler:
                     req.output_ids.append(int(tokens[i]))
                     record_logprob(req, i)
                 # else: retracted request resuming — pending token already known
-            else:
+            elif not req.is_finished():
                 req.fill_len += 1
                 req.output_ids.append(int(tokens[i]))
                 record_logprob(req, i)
@@ -268,6 +279,7 @@ class Scheduler:
             req.check_finished(self.tokenizer)
             if req.is_finished():
                 self.tree_cache.cache_finished_req(req)
+                req.cleaned = True
                 finished.append(req)
 
         if batch.mode.is_extend():
@@ -281,8 +293,11 @@ class Scheduler:
             # (cache_unfinished_req moves the lock to the deeper node)
             if self.chunked_req is not None:
                 self.tree_cache.cache_unfinished_req(self.chunked_req)
-        else:
-            batch.filter_finished()
+        if finished:
+            fin_ids = {id(r) for r in finished}
+            self.running_batch.reqs = [
+                r for r in self.running_batch.reqs if id(r) not in fin_ids
+            ]
 
         self._emit_output(
             finished + [r for r in batch.reqs
@@ -338,20 +353,74 @@ class Scheduler:
 
     # --------------------------------------------------------------- loop
 
+    def _can_chain(self, ib: ScheduleBatch) -> bool:
+        """A chained decode launch is valid when the in-flight batch is a
+        decode over live requests, nothing is waiting to prefill, and no
+        request needs host-visible tokens before sampling (penalties)."""
+        return (
+            self.enable_overlap
+            and ib.mode.is_decode()
+            and bool(ib.reqs)
+            and not self.waiting_queue
+            and self.chunked_req is None
+            and all(not r.is_finished() for r in ib.reqs)
+            and getattr(ib, "last_hb", None) is not None
+            and ib.last_hb.penalty_arrays is None
+        )
+
+    def _process_inflight(self) -> None:
+        if self._inflight is None:
+            return
+        batch, hb = self._inflight
+        self._inflight = None
+        tokens = self.model_runner.fetch_tokens(hb)
+        self.process_batch_result(batch, tokens)
+
     def step(self) -> bool:
-        """One scheduling iteration. Returns False when idle."""
+        """One scheduling iteration (overlap-aware). Returns False when idle.
+
+        Zero-overhead decode loop: while steady-state decoding, step N+1 is
+        launched with step N's on-device token array BEFORE step N's results
+        are fetched — the host-side result processing hides entirely under
+        the device step (the reference needs a background thread + future
+        token ids for this, tp_worker_overlap_thread.py:53; JAX async
+        dispatch + device-token chaining gives it directly)."""
+        if self._inflight is not None:
+            ib, ihb = self._inflight
+            if self._can_chain(ib):
+                nb = ScheduleBatch(
+                    list(ib.reqs), ForwardMode.DECODE,
+                    self.allocator, self.tree_cache, self.page_size,
+                )
+                hb = nb.prepare_for_decode(chain_from=ihb)
+                if hb is not None:
+                    self.model_runner.forward(hb, fetch=False)
+                    for r in nb.reqs:
+                        r.pending_steps += 1
+                    nb.last_hb = hb
+                    self._process_inflight()
+                    self._inflight = (nb, hb)
+                    return True
+            self._process_inflight()
+
         batch = self.get_next_batch_to_run()
         if batch is None:
             return False
-        tokens = self.run_batch(batch)
-        if tokens is None:
+        tokens, hb = self.run_batch(batch, fetch=False)
+        if hb is None:
             return False
-        self.process_batch_result(batch, tokens)
+        self._inflight = (batch, hb)
         return True
+
+    def drain(self) -> None:
+        """Fetch+process any in-flight speculative step (idle cleanup)."""
+        while self._inflight is not None:
+            self._process_inflight()
 
     def has_work(self) -> bool:
         return bool(
-            self.waiting_queue or self.running_batch.reqs or self.chunked_req
+            self.waiting_queue or self.running_batch.reqs
+            or self.chunked_req or self._inflight is not None
         )
 
     def event_loop_normal(self, recv_socket, send_socket) -> None:
@@ -378,6 +447,7 @@ class Scheduler:
     def check_memory_leak(self) -> None:
         """Idle-state invariant (analog of scheduler.py:1408 check_memory):
         every page is either free or owned by the radix cache."""
+        self.drain()
         assert not self.has_work()
         cached = self.tree_cache.total_cached_pages() \
             if hasattr(self.tree_cache, "total_cached_pages") else 0

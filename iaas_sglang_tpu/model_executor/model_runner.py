@@ -58,8 +58,10 @@ class HostBatch:
     return_logprob: bool = False
     top_logprobs_num: int = 0
     # set by the runner for the scheduler
+    num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
     device_logits: Any = None       # jnp f32[Bmax, V] last-token logits
+    device_logprobs: Any = (None, None, None)
     token_logprobs: Any = None      # np f32[B] chosen-token logprobs
     top_logprob_vals: Any = None    # np f32[B, K]
     top_logprob_ids: Any = None     # np i32[B, K]
@@ -201,17 +203,18 @@ class ModelRunner:
 
     # ------------------------------------------------------------- forward
 
-    def forward(self, hb: HostBatch) -> np.ndarray:
-        """Run one padded step. Returns sampled token per sequence i32[B]
-        (callers slice the valid prefix). Also stores the padded device
-        token array in hb.device_tokens for overlap chaining."""
+    def forward(self, hb: HostBatch, fetch: bool = True) -> Optional[np.ndarray]:
+        """Launch one padded step. With fetch=True (sync mode) returns the
+        sampled token per sequence i32[B]; with fetch=False the launch
+        returns immediately (async dispatch) and the scheduler reads
+        hb.device_tokens later — the overlap path
+        (tp_worker_overlap_thread.py:53 analog, no thread needed: XLA's
+        async dispatch is the background worker)."""
         fb, meta, B = self._pad_to_device(hb)
+        hb.num_valid = B
         pen = self._pad_penalties(hb, meta.temperatures.shape[0])
         attn_mode = "decode" if hb.mode.is_decode() else "extend"
-        logprob_top_k = (
-            (hb.top_logprobs_num if hb.return_logprob else -1)
-            if hb.return_logprob else -1
-        )
+        logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
         with self.mesh_ctx.mesh:
             tokens, logits, lp, topv, topi, self.kv_pages = self._step_fn(
                 self.params, self.kv_pages, fb, meta, pen,
@@ -219,12 +222,21 @@ class ModelRunner:
             )
         hb.device_tokens = tokens
         hb.device_logits = logits
+        hb.device_logprobs = (lp, topv, topi)
+        if not fetch:
+            return None
+        return self.fetch_tokens(hb)
+
+    def fetch_tokens(self, hb: HostBatch) -> np.ndarray:
+        """Materialize the launched step's results on the host."""
+        B = hb.num_valid
+        lp, topv, topi = hb.device_logprobs
         if lp is not None:
             hb.token_logprobs = np.asarray(lp)[:B]
             if topv is not None:
                 hb.top_logprob_vals = np.asarray(topv)[:B]
                 hb.top_logprob_ids = np.asarray(topi)[:B]
-        return np.asarray(tokens)[:B]
+        return np.asarray(hb.device_tokens)[:B]
 
     def _pad_penalties(self, hb: HostBatch, B_pad: int):
         pa = hb.penalty_arrays

@@ -150,3 +150,30 @@ def test_sampling_reproducible_seeded(engine):
     # same rid-derived seed is NOT reused (different rids), so results may
     # differ; but the call must succeed and produce the right count
     assert len(o1["output_ids"]) == 8 and len(o2["output_ids"]) == 8
+
+
+def test_overlap_matches_sync():
+    """Overlap (chained device tokens) and sync scheduling must produce
+    identical greedy results (zero-overhead scheduler correctness gate)."""
+    eng_o = make_engine()
+    eng_s = make_engine(disable_overlap_schedule=True)
+    prompts = [list(range(i * 5, i * 5 + 11)) for i in range(4)]
+    sp = {"max_new_tokens": 12, "temperature": 0.0}
+    outs_o = eng_o.generate(input_ids=prompts, sampling_params=sp)
+    outs_s = eng_s.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_o, outs_s):
+        assert a["output_ids"] == b["output_ids"]
+    eng_o.scheduler.check_memory_leak()
+    eng_s.scheduler.check_memory_leak()
+
+
+def test_overlap_with_stop_tokens():
+    eng = make_engine()
+    ids = list(range(7, 20))
+    free = eng.generate(input_ids=ids,
+                        sampling_params={"max_new_tokens": 10, "temperature": 0.0})
+    stop_tok = free["output_ids"][4]
+    out = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0, "stop_token_ids": [stop_tok]})
+    assert out["output_ids"][-1] == stop_tok and len(out["output_ids"]) == 5
+    eng.scheduler.check_memory_leak()
