@@ -94,6 +94,7 @@ class Req:
         self.output_ids: List[int] = []
         self.finished_reason: Optional[FinishReason] = None
         self.cleaned = False         # cache_finished_req has run
+        self.grammar = None          # BaseGrammarObject when constrained
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []
 
@@ -390,12 +391,35 @@ class ScheduleBatch:
             "bias_values": bias_vals,
         }
 
+    def _build_grammar_masks(self):
+        """Packed uint8 vocab bitmasks for constrained requests; None when
+        the batch has no grammars (mask branch compiles out)."""
+        reqs = self.reqs
+        if all(r.grammar is None for r in reqs):
+            return None
+        V = None
+        rows = []
+        for r in reqs:
+            mask = r.grammar.allowed_tokens() if r.grammar is not None else None
+            rows.append(mask)
+            if mask is not None:
+                V = len(mask)
+        if V is None:
+            return None  # every grammar is dead/terminated: unconstrained
+        nbytes = (V + 7) // 8
+        out = np.full((len(reqs), nbytes), 0xFF, dtype=np.uint8)
+        for i, mask in enumerate(rows):
+            if mask is not None:
+                out[i] = np.packbits(mask, bitorder="little")
+        return out
+
     def _host_batch(self, mode, ids, positions, slots, page_tables,
                     seq_lens, q_lens) -> HostBatch:
         reqs = self.reqs
         B = len(reqs)
         return HostBatch(
             penalty_arrays=self._build_penalty_arrays(),
+            grammar_masks=self._build_grammar_masks(),
             return_logprob=any(r.return_logprob for r in reqs),
             top_logprobs_num=max(
                 (getattr(r, "top_logprobs_num", 0) for r in reqs), default=0),

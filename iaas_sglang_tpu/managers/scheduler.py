@@ -72,6 +72,9 @@ class Scheduler:
         else:
             self.tree_cache = RadixCache(self.allocator, self.page_size)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+        from iaas_sglang_tpu.constrained import create_grammar_backend
+
+        self.grammar_backend = create_grammar_backend(tokenizer)
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(
@@ -125,6 +128,9 @@ class Scheduler:
         # clip generation to context
         sp = req.sampling_params
         sp.max_new_tokens = min(sp.max_new_tokens, ctx - req.prompt_len - 1)
+        if (sp.json_schema or sp.regex) and self.grammar_backend is not None:
+            req.grammar = self.grammar_backend.get_grammar(
+                regex=sp.regex, json_schema=sp.json_schema)
         self.waiting_queue.append(req)
 
     def handle_abort(self, m: AbortReq) -> None:
@@ -270,11 +276,15 @@ class Scheduler:
                 if not req.output_ids:
                     req.output_ids.append(int(tokens[i]))
                     record_logprob(req, i)
+                    if req.grammar is not None:
+                        req.grammar.accept_token(int(tokens[i]))
                 # else: retracted request resuming — pending token already known
             elif not req.is_finished():
                 req.fill_len += 1
                 req.output_ids.append(int(tokens[i]))
                 record_logprob(req, i)
+                if req.grammar is not None:
+                    req.grammar.accept_token(int(tokens[i]))
                 self.num_generated_tokens += 1
             req.check_finished(self.tokenizer)
             if req.is_finished():
@@ -366,6 +376,7 @@ class Scheduler:
             and all(not r.is_finished() for r in ib.reqs)
             and getattr(ib, "last_hb", None) is not None
             and ib.last_hb.penalty_arrays is None
+            and all(r.grammar is None for r in ib.reqs)
         )
 
     def _process_inflight(self) -> None:

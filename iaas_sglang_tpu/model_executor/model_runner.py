@@ -54,6 +54,8 @@ class HostBatch:
     steps: np.ndarray               # i32[B]
     # optional penalty/bias state (None when no request in batch needs it)
     penalty_arrays: Any = None      # dict of np arrays (see PenaltyMetadata)
+    # grammar-constrained decoding: packed vocab bitmask uint8[B, ceil(V/8)]
+    grammar_masks: Any = None
     # logprob requests
     return_logprob: bool = False
     top_logprobs_num: int = 0
@@ -170,12 +172,13 @@ class ModelRunner:
         scan_layers = self.server_args.scan_layers
 
         from iaas_sglang_tpu.sampling.sampler import (
+            apply_grammar_mask,
             apply_penalties,
             compute_logprobs,
         )
 
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
-                 pen, attn_mode: str, logprob_top_k: int):
+                 pen, grammar_mask, attn_mode: str, logprob_top_k: int):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
@@ -185,6 +188,8 @@ class ModelRunner:
             logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
             if pen is not None:
                 logits = apply_penalties(logits, pen)
+            if grammar_mask is not None:
+                logits = apply_grammar_mask(logits, grammar_mask)
             tokens = sample_tokens(logits, meta)
             if logprob_top_k >= 0:
                 lp, topv, topi = compute_logprobs(logits, tokens, logprob_top_k)
@@ -199,7 +204,7 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(5, 6))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(6, 7))
 
     # ------------------------------------------------------------- forward
 
@@ -215,9 +220,10 @@ class ModelRunner:
         pen = self._pad_penalties(hb, meta.temperatures.shape[0])
         attn_mode = "decode" if hb.mode.is_decode() else "extend"
         logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
+        gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
         with self.mesh_ctx.mesh:
             tokens, logits, lp, topv, topi, self.kv_pages = self._step_fn(
-                self.params, self.kv_pages, fb, meta, pen,
+                self.params, self.kv_pages, fb, meta, pen, gmask,
                 attn_mode, logprob_top_k,
             )
         hb.device_tokens = tokens
@@ -237,6 +243,19 @@ class ModelRunner:
                 hb.top_logprob_vals = np.asarray(topv)[:B]
                 hb.top_logprob_ids = np.asarray(topi)[:B]
         return np.asarray(hb.device_tokens)[:B]
+
+    def _pad_grammar(self, hb: HostBatch, B_pad: int):
+        gm = hb.grammar_masks
+        if gm is None:
+            return None
+        B, nbytes = gm.shape
+        # column padding: model vocab may exceed tokenizer vocab — those
+        # logits must stay DISALLOWED (0x00); row padding allows all (0xFF)
+        nbytes_model = (self.model_config.vocab_size + 7) // 8
+        out = np.zeros((B_pad, nbytes_model), dtype=np.uint8)
+        out[B:, :] = 0xFF
+        out[:B, :nbytes] = gm
+        return jnp.asarray(out)
 
     def _pad_penalties(self, hb: HostBatch, B_pad: int):
         pa = hb.penalty_arrays

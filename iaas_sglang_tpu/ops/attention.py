@@ -64,7 +64,8 @@ def paged_attention(
         )
 
         return jax_rpa(
-            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            q, kv_pages, kv_lens, page_indices, cu_q_lens,
+            num_seqs.reshape(1),
             sm_scale=sm_scale, sliding_window=sliding_window,
         )
     if backend == "jax_rpa":

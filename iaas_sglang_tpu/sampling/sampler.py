@@ -56,6 +56,17 @@ def apply_penalties(logits: jnp.ndarray, pen: PenaltyMetadata) -> jnp.ndarray:
     return jnp.where(mask, NEG_INF, logits)
 
 
+def apply_grammar_mask(logits: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """packed: uint8[B, ceil(V/8)] little-bit-order vocab bitmask; 1 = allowed
+    (TPU analog of sgl-kernel apply_token_bitmask_inplace_cuda)."""
+    B, V = logits.shape
+    idx = jnp.arange(V, dtype=jnp.int32)
+    bytes_ = jnp.take_along_axis(
+        packed, jnp.broadcast_to(idx[None, :] >> 3, (B, V)), axis=1)
+    bits = (bytes_ >> (idx[None, :] & 7).astype(jnp.uint8)) & 1
+    return jnp.where(bits == 1, logits, NEG_INF)
+
+
 def compute_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray,
                      top_k: int = 0):
     """log-softmax logprob of the chosen tokens (+ optional top-k table)

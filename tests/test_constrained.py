@@ -1,0 +1,137 @@
+"""Constrained decoding: regex engine, JSON-schema composer, token FSM,
+and end-to-end grammar-constrained generation through the Engine
+(analog of the reference's srt/constrained tests + json-mode tests)."""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from iaas_sglang_tpu.constrained.json_schema import build_regex_from_schema
+from iaas_sglang_tpu.constrained.regex_engine import RegexDFA
+
+
+def full_match(pattern: str, text: str) -> bool:
+    dfa = RegexDFA(pattern)
+    st = dfa.step_bytes(dfa.start, text.encode())
+    return dfa.is_accepting(st)
+
+
+@pytest.mark.parametrize("pattern,good,bad", [
+    (r"abc", ["abc"], ["ab", "abcd", ""]),
+    (r"a*b+", ["b", "aab", "abbb"], ["a", "", "ba"]),
+    (r"(foo|bar)+", ["foo", "barfoo"], ["fo", "foobaz"]),
+    (r"[a-c]{2,3}", ["ab", "abc", "ccc"], ["a", "abcd", "xy"]),
+    (r"-?\d+", ["0", "-17", "123"], ["-", "", "1a"]),
+    (r"a.c", ["abc", "axc"], ["ac", "abbc"]),
+    (r"[^0-9]+", ["abc", "!!"], ["a1", "3"]),
+    (r'"[a-z]*"', ['"abc"', '""'], ['"abc', 'abc"']),
+    (r"x?y?z?", ["", "x", "xz", "xyz"], ["zz", "yx"]),
+    (r"(ab){2}", ["abab"], ["ab", "ababab"]),
+])
+def test_regex_engine(pattern, good, bad):
+    for t in good:
+        assert full_match(pattern, t), (pattern, t)
+    for t in bad:
+        assert not full_match(pattern, t), (pattern, t)
+
+
+def test_regex_unicode():
+    assert full_match("héllo", "héllo")
+    assert not full_match("héllo", "hello")
+
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string", "maxLength": 10},
+        "age": {"type": "integer"},
+        "happy": {"type": "boolean"},
+    },
+    "required": ["name", "age", "happy"],
+}
+
+
+def test_json_schema_regex_accepts_valid():
+    pattern = build_regex_from_schema(SCHEMA)
+    ok = json.dumps({"name": "bob", "age": 42, "happy": True},
+                    separators=(",", ":"))
+    assert full_match(pattern, ok)
+    assert not full_match(pattern, '{"name":"bob"}')
+    assert not full_match(pattern, '{"age":42,"name":"bob","happy":true}')
+
+
+def test_json_schema_enum_and_array():
+    pattern = build_regex_from_schema({
+        "type": "object",
+        "properties": {
+            "color": {"enum": ["red", "green"]},
+            "nums": {"type": "array", "items": {"type": "integer"},
+                     "minItems": 1, "maxItems": 3},
+        },
+        "required": ["color", "nums"],
+    })
+    assert full_match(pattern, '{"color":"red","nums":[1,2]}')
+    assert not full_match(pattern, '{"color":"blue","nums":[1]}')
+    assert not full_match(pattern, '{"color":"red","nums":[]}')
+
+
+# ------------------------------------------------------- end-to-end engine
+
+
+@pytest.fixture(scope="module")
+def text_engine(tmp_path_factory):
+    from transformers import AutoTokenizer
+
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+    from tests.server_utils import SERVER_TINY_LLAMA, make_tiny_model_dir
+
+    d = make_tiny_model_dir(str(tmp_path_factory.mktemp("m") / "tok"))
+    tok = AutoTokenizer.from_pretrained(d)
+    sa = ServerArgs(
+        model_path="test://tiny-tok", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=2048, device="cpu",
+        max_running_requests=8, max_prefill_tokens=128,
+        chunked_prefill_size=64, random_seed=0, skip_tokenizer_init=True,
+    )
+    return Engine(sa, hf_config_override=SERVER_TINY_LLAMA, tokenizer=tok)
+
+
+def test_regex_constrained_generation(text_engine):
+    out = text_engine.generate(
+        prompt="give me a number: ",
+        sampling_params={"max_new_tokens": 12, "temperature": 1.0,
+                         "regex": r"[0-9]{3}"},
+    )
+    assert re.fullmatch(r"[0-9]{3}", out["text"]), out["text"]
+
+
+def test_json_constrained_generation(text_engine):
+    # bounded value spaces so the object must close within the token budget
+    # (an unbounded integer can legitimately consume the whole budget)
+    schema = json.dumps({
+        "type": "object",
+        "properties": {"a": {"enum": [1, 2, 3]},
+                       "b": {"type": "boolean"}},
+        "required": ["a", "b"],
+    })
+    out = text_engine.generate(
+        prompt="json: ",
+        sampling_params={"max_new_tokens": 40, "temperature": 1.0,
+                         "json_schema": schema},
+    )
+    parsed = json.loads(out["text"])
+    assert parsed["a"] in (1, 2, 3) and isinstance(parsed["b"], bool)
+
+
+def test_constrained_with_random_weights_always_valid(text_engine):
+    # several samples, all must match
+    for seed_try in range(3):
+        out = text_engine.generate(
+            prompt=f"try {seed_try}: ",
+            sampling_params={"max_new_tokens": 10, "temperature": 1.5,
+                             "regex": r"(yes|no|maybe)"},
+        )
+        assert out["text"] in ("yes", "no", "maybe"), out["text"]
