@@ -55,7 +55,10 @@ def main():
     sa = ServerArgs(
         model_path="bench://llama3-8b-arch-16L", load_format="dummy",
         dtype="bfloat16", page_size=16,
-        mem_fraction_static=0.9,
+        # the run needs B*(IN+OUT) + warmup tokens of KV; keep the pool
+        # small to leave activation headroom next to ~9 GB of weights
+        max_total_tokens=4 * B * (IN_LEN + OUT_LEN),
+        mem_fraction_static=0.85,
         max_running_requests=B,
         max_prefill_tokens=B * IN_LEN,
         chunked_prefill_size=B * IN_LEN,

@@ -39,6 +39,7 @@ class ModelConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
     # Sliding-window attention: None => full attention on all layers.
     sliding_window: Optional[int] = None
     sliding_window_pattern: Optional[list[bool]] = None  # per-layer "is SWA layer"
@@ -81,7 +82,9 @@ class ModelConfig:
             hidden_act=get("hidden_act", "silu"),
             num_experts=get("num_experts", get("num_local_experts", 0)) or 0,
             num_experts_per_tok=get("num_experts_per_tok", 0) or 0,
-            moe_intermediate_size=get("moe_intermediate_size", 0) or 0,
+            moe_intermediate_size=get("moe_intermediate_size", 0)
+            or get("intermediate_size", 0),
+            norm_topk_prob=get("norm_topk_prob", True),
             sliding_window=get("sliding_window")
             if get("use_sliding_window", True) else None,
         )

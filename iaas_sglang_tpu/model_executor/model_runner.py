@@ -80,6 +80,13 @@ class ModelRunner:
 
         model_cls = resolve_model_cls(model_config)
         self.model = model_cls(model_config)
+        if getattr(model_config, "num_experts", 0):
+            import jax as _jax
+
+            n_dev = self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
+            on_tpu = _jax.devices()[0].platform != "cpu"
+            self.model.moe_impl = "gmm" if (on_tpu and n_dev == 1) else "dense"
+            logger.info("MoE impl: %s", self.model.moe_impl)
 
         logger.info("loading weights (%s) ...", server_args.load_format)
         with self.mesh_ctx.mesh:

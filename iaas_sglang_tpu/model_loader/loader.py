@@ -186,6 +186,13 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
         if spec.stacked:
             stacked = np.empty((config.num_layers,) + tuple(spec.shape), dtype=dt)
             for l in range(config.num_layers):
+                if spec.num_experts:
+                    for e in range(spec.num_experts):
+                        t = getter(spec.hf_key.format(l=l, e=e))
+                        if spec.transpose:
+                            t = t.T
+                        stacked[l, e] = t.astype(dt, copy=False)
+                    continue
                 t = getter(spec.hf_key.format(l=l))
                 if spec.transpose:
                     t = t.T

@@ -37,10 +37,27 @@ class WeightSpec:
     transpose: bool = False           # torch stores [out, in]
     stacked: bool = False             # one array per layer, stacked on dim 0
     quantizable: bool = False         # eligible for weight-only quantization
+    num_experts: int = 0              # >0: hf_key contains {e}, leading E dim
 
 
 class LlamaFamilyForCausalLM:
     """Functional causal LM. `forward` returns (last_hidden[T,H], kv_pages)."""
+
+    # per-architecture HF key templates for MoE weights
+    MOE_KEYS = {
+        "mixtral": {
+            "router": "model.layers.{l}.block_sparse_moe.gate.weight",
+            "gate": "model.layers.{l}.block_sparse_moe.experts.{e}.w1.weight",
+            "down": "model.layers.{l}.block_sparse_moe.experts.{e}.w2.weight",
+            "up": "model.layers.{l}.block_sparse_moe.experts.{e}.w3.weight",
+        },
+        "qwen3_moe": {
+            "router": "model.layers.{l}.mlp.gate.weight",
+            "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+            "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+            "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+        },
+    }
 
     def __init__(self, config: ModelConfig):
         self.config = config
@@ -49,6 +66,8 @@ class LlamaFamilyForCausalLM:
             compute_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
         )
         self.sm_scale = c.head_dim ** -0.5
+        # set by the runner: "dense" (GSPMD-shardable) or "gmm" (megablox)
+        self.moe_impl = "dense"
 
     # ------------------------------------------------------------- weights
 
@@ -76,16 +95,32 @@ class LlamaFamilyForCausalLM:
             "layers.wo": WeightSpec(
                 (Nq * D, H), ("tp", None), "model.layers.{l}.self_attn.o_proj.weight",
                 transpose=True, stacked=True, quantizable=True),
-            "layers.w_gate": WeightSpec(
-                (H, I), (None, "tp"), "model.layers.{l}.mlp.gate_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
-            "layers.w_up": WeightSpec(
-                (H, I), (None, "tp"), "model.layers.{l}.mlp.up_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
-            "layers.w_down": WeightSpec(
-                (I, H), ("tp", None), "model.layers.{l}.mlp.down_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
         }
+        if c.is_moe:
+            E, Im = c.num_experts, c.moe_intermediate_size
+            keys = self.MOE_KEYS[c.model_type]
+            s["layers.w_router"] = WeightSpec(
+                (H, E), (None, None), keys["router"],
+                transpose=True, stacked=True)
+            s["layers.we_gate"] = WeightSpec(
+                (E, H, Im), (None, None, "tp"), keys["gate"],
+                transpose=True, stacked=True, num_experts=E)
+            s["layers.we_up"] = WeightSpec(
+                (E, H, Im), (None, None, "tp"), keys["up"],
+                transpose=True, stacked=True, num_experts=E)
+            s["layers.we_down"] = WeightSpec(
+                (E, Im, H), (None, "tp", None), keys["down"],
+                transpose=True, stacked=True, num_experts=E)
+        else:
+            s["layers.w_gate"] = WeightSpec(
+                (H, I), (None, "tp"), "model.layers.{l}.mlp.gate_proj.weight",
+                transpose=True, stacked=True, quantizable=True)
+            s["layers.w_up"] = WeightSpec(
+                (H, I), (None, "tp"), "model.layers.{l}.mlp.up_proj.weight",
+                transpose=True, stacked=True, quantizable=True)
+            s["layers.w_down"] = WeightSpec(
+                (I, H), ("tp", None), "model.layers.{l}.mlp.down_proj.weight",
+                transpose=True, stacked=True, quantizable=True)
         if c.attention_bias:
             s["layers.bq"] = WeightSpec(
                 (Nq * D,), ("tp",), "model.layers.{l}.self_attn.q_proj.bias",
@@ -162,11 +197,22 @@ class LlamaFamilyForCausalLM:
             hidden = hidden + attn_out
 
             h2 = rms_norm(hidden, lp["post_norm"], c.rms_norm_eps)
-            mlp = qmatmul(
-                jax.nn.silu(qmatmul(h2, lp["w_gate"]))
-                * qmatmul(h2, lp["w_up"]),
-                lp["w_down"],
-            )
+            if c.is_moe:
+                from iaas_sglang_tpu.ops.moe import moe_block
+
+                mlp = moe_block(
+                    h2, lp["w_router"], lp["we_gate"], lp["we_up"],
+                    lp["we_down"],
+                    top_k=c.num_experts_per_tok,
+                    renormalize=c.norm_topk_prob,
+                    impl=self.moe_impl,
+                )
+            else:
+                mlp = qmatmul(
+                    jax.nn.silu(qmatmul(h2, lp["w_gate"]))
+                    * qmatmul(h2, lp["w_up"]),
+                    lp["w_down"],
+                )
             hidden = hidden + mlp
             return (hidden, kv), None
 

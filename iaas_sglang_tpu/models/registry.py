@@ -20,6 +20,8 @@ for _arch in (
     "Qwen2ForCausalLM",
     "Qwen3ForCausalLM",
     "MistralForCausalLM",
+    "MixtralForCausalLM",
+    "Qwen3MoeForCausalLM",
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

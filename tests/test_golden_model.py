@@ -56,3 +56,79 @@ def test_unscanned_matches_scanned():
     np.testing.assert_allclose(
         d1.prefill_logits(PROMPT), d2.prefill_logits(PROMPT), rtol=1e-5, atol=1e-5
     )
+
+
+TINY_MIXTRAL = dict(
+    architectures=["MixtralForCausalLM"],
+    model_type="mixtral",
+    num_hidden_layers=2,
+    hidden_size=64,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    intermediate_size=96,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=False,
+    num_local_experts=4,
+    num_experts_per_tok=2,
+)
+
+TINY_QWEN3_MOE = dict(
+    architectures=["Qwen3MoeForCausalLM"],
+    model_type="qwen3_moe",
+    num_hidden_layers=2,
+    hidden_size=64,
+    head_dim=16,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    intermediate_size=96,
+    moe_intermediate_size=48,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=False,
+    num_experts=4,
+    num_experts_per_tok=2,
+    norm_topk_prob=True,
+    decoder_sparse_step=1,
+    mlp_only_layers=[],
+)
+
+
+def _hf_moe_model(hf_dict):
+    import torch
+    import transformers
+
+    cls = {"mixtral": transformers.MixtralConfig,
+           "qwen3_moe": transformers.Qwen3MoeConfig}[hf_dict["model_type"]]
+    config = cls(**{k: v for k, v in hf_dict.items() if k != "architectures"})
+    torch.manual_seed(0)
+    from transformers import AutoModelForCausalLM
+
+    return AutoModelForCausalLM.from_config(config).eval()
+
+
+@pytest.mark.parametrize("hf_dict", [TINY_MIXTRAL, TINY_QWEN3_MOE],
+                         ids=["mixtral", "qwen3_moe"])
+def test_moe_prefill_logits_match_hf(hf_dict):
+    hf_model = _hf_moe_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("hf_dict", [TINY_MIXTRAL], ids=["mixtral"])
+def test_moe_greedy_decode_matches_hf(hf_dict):
+    hf_model = _hf_moe_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.generate_greedy(PROMPT, 12)
+    ref = hf_greedy_generate(hf_model, PROMPT, 12)
+    assert ours == ref
