@@ -189,6 +189,38 @@ async def handle_abort_request(request: web.Request) -> web.Response:
 # ---------------------------------------------------------------- OpenAI API
 
 
+async def handle_metrics(request: web.Request) -> web.Response:
+    """Prometheus scrape endpoint. Scheduler gauges are pulled via the
+    internal-state RPC at scrape time (no multiprocess registry needed)."""
+    from prometheus_client import REGISTRY, generate_latest
+
+    state: ServerState = request.app["state"]
+    try:
+        internal = await state.tokenizer_manager.get_internal_state()
+        mc = request.app.get("sched_metrics")
+        if mc is None:
+            from iaas_sglang_tpu.metrics.collector import (
+                SchedulerMetricsCollector,
+                SchedulerStats,
+            )
+
+            mc = SchedulerMetricsCollector()
+            request.app["sched_metrics"] = mc
+        from iaas_sglang_tpu.metrics.collector import SchedulerStats
+
+        total = max(internal.get("total_pages", 1), 1)
+        mc.log_stats(SchedulerStats(
+            num_running_reqs=internal.get("running", 0),
+            num_waiting_reqs=internal.get("waiting", 0),
+            token_usage=1.0 - internal.get("free_pages", 0) / total,
+            num_retracted_reqs=internal.get("retracted", 0),
+        ))
+    except Exception as e:
+        logger.warning("metrics scrape: scheduler state unavailable: %s", e)
+    return web.Response(
+        body=generate_latest(), content_type="text/plain")
+
+
 async def handle_v1_models(request: web.Request) -> web.Response:
     state: ServerState = request.app["state"]
     ml = ModelList(data=[ModelCard(id=state.server_args.served_model_name)])
@@ -322,6 +354,7 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/generate", handle_generate)
     app.router.add_post("/abort_request", handle_abort_request)
     app.router.add_post("/flush_cache", handle_flush_cache)
+    app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/v1/models", handle_v1_models)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)
     app.router.add_post("/v1/completions", handle_completions)

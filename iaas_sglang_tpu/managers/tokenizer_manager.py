@@ -34,6 +34,9 @@ class ReqState:
     text: str = ""
     output_ids: list = dataclasses.field(default_factory=list)
     finished: bool = False
+    created_at: float = 0.0
+    first_token_at: float = 0.0
+    last_token_at: float = 0.0
 
 
 class TokenizerManager:
@@ -57,6 +60,15 @@ class TokenizerManager:
         self._rpc_futures: Dict[type, asyncio.Future] = {}
         self._handle_task: Optional[asyncio.Task] = None
 
+        self.metrics = None
+        if server_args.enable_metrics:
+            from iaas_sglang_tpu.metrics.collector import (
+                TokenizerMetricsCollector,
+            )
+
+            self.metrics = TokenizerMetricsCollector(
+                labels={"model_name": server_args.served_model_name})
+
     def start(self) -> None:
         if self._handle_task is None:
             self._handle_task = asyncio.get_running_loop().create_task(
@@ -77,7 +89,9 @@ class TokenizerManager:
         sp = SamplingParams.from_dict(
             gri.sampling_params if isinstance(gri.sampling_params, dict)
             else None)
-        state = ReqState(queue=asyncio.Queue())
+        import time as _time
+
+        state = ReqState(queue=asyncio.Queue(), created_at=_time.monotonic())
         self.states[gri.rid] = state
         await self.send_to_scheduler.send_pyobj(TokenizedGenerateReqInput(
             rid=gri.rid, input_text=gri.text, input_ids=ids,
@@ -129,10 +143,26 @@ class TokenizerManager:
                     logger.warning("tokenizer mgr: unexpected %s", type(msg))
 
     def _handle_batch_str(self, out: BatchStrOut) -> None:
+        import time as _time
+
+        now = _time.monotonic()
         for i, rid in enumerate(out.rids):
             state = self.states.get(rid)
             if state is None:
                 continue
+            if self.metrics is not None:
+                if state.first_token_at == 0.0:
+                    state.first_token_at = now
+                    self.metrics.observe_time_to_first_token(
+                        now - state.created_at)
+                elif state.last_token_at:
+                    self.metrics.observe_inter_token_latency(
+                        now - state.last_token_at)
+                state.last_token_at = now
+                if out.finished_reasons[i] is not None:
+                    self.metrics.observe_one_finished_request(
+                        out.prompt_tokens[i], out.completion_tokens[i],
+                        now - state.created_at)
             state.text += out.output_strs[i]
             state.output_ids = out.output_ids[i]
             fin = out.finished_reasons[i]

@@ -83,6 +83,7 @@ def popen_launch_server(model_dir: str, port: int, extra_args=(),
          "--page-size", "4", "--max-total-tokens", "4096",
          "--max-running-requests", "8", "--max-prefill-tokens", "128",
          "--chunked-prefill-size", "64", "--random-seed", "0",
+         "--enable-metrics",
          *extra_args],
         env=env, start_new_session=True,
     )

@@ -138,3 +138,17 @@ def test_openai_bad_request(server):
 def test_flush_cache(server):
     r = requests.post(f"{server}/flush_cache", json={})
     assert r.status_code == 200
+
+
+def test_metrics_endpoint(server):
+    # generate something first so counters move
+    requests.post(f"{server}/generate", json={
+        "text": "metrics probe",
+        "sampling_params": {"max_new_tokens": 3, "temperature": 0.0,
+                            "ignore_eos": True},
+    }, timeout=120)
+    r = requests.get(f"{server}/metrics", timeout=30)
+    assert r.status_code == 200
+    body = r.text
+    assert "sglang_tpu:num_running_reqs" in body
+    assert "sglang_tpu:time_to_first_token_seconds" in body

@@ -1,0 +1,82 @@
+"""Reasoning parser + function-call detector tests
+(mirrors the reference's reasoning_parser / function_call unit tests)."""
+
+import json
+
+import pytest
+
+from iaas_sglang_tpu.function_call import FunctionCallParser
+from iaas_sglang_tpu.reasoning_parser import ReasoningParser
+
+
+def test_reasoning_non_stream():
+    p = ReasoningParser("qwen3")
+    r = p.parse_non_stream("<think>step 1 and 2</think>the answer is 4")
+    assert r.reasoning_text == "step 1 and 2"
+    assert r.normal_text == "the answer is 4"
+
+
+def test_reasoning_forced_thinking():
+    # DeepSeek-R1 templates start inside <think>
+    p = ReasoningParser("deepseek-r1")
+    r = p.parse_non_stream("chain of thought</think>final")
+    assert r.reasoning_text == "chain of thought"
+    assert r.normal_text == "final"
+
+
+def test_reasoning_stream_split_tag():
+    p = ReasoningParser("qwen3")
+    reasoning, normal = "", ""
+    # tag split across chunks
+    for chunk in ["<thi", "nk>abc", " def</th", "ink>ghi", " jkl"]:
+        r = p.parse_stream_chunk(chunk)
+        reasoning += r.reasoning_text
+        normal += r.normal_text
+    assert reasoning == "abc def"
+    assert normal == "ghi jkl"
+
+
+def test_reasoning_stream_no_think():
+    p = ReasoningParser("qwen3")
+    out = "".join(p.parse_stream_chunk(c).normal_text for c in ["hel", "lo!"])
+    assert out == "hello!"
+
+
+def test_llama32_tool_call():
+    p = FunctionCallParser("llama32")
+    text = '<|python_tag|>{"name": "get_weather", "parameters": {"city": "Paris"}}'
+    normal, calls = p.parse_non_stream(text)
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Paris"}
+
+
+def test_qwen25_tool_call():
+    p = FunctionCallParser("qwen25")
+    text = ('I will check.\n<tool_call>\n'
+            '{"name": "search", "arguments": {"q": "tpu"}}\n</tool_call>')
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "I will check."
+    assert calls[0].name == "search"
+    assert json.loads(calls[0].parameters) == {"q": "tpu"}
+
+
+def test_mistral_tool_call():
+    p = FunctionCallParser("mistral")
+    text = '[TOOL_CALLS] [{"name": "add", "arguments": {"a": 1, "b": 2}}]'
+    _, calls = p.parse_non_stream(text)
+    assert calls[0].name == "add"
+    assert json.loads(calls[0].parameters) == {"a": 1, "b": 2}
+
+
+def test_pythonic_tool_call():
+    p = FunctionCallParser("pythonic")
+    text = '[get_weather(city="Oslo", days=3)]'
+    _, calls = p.parse_non_stream(text)
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Oslo", "days": 3}
+
+
+def test_no_tool_call_passthrough():
+    p = FunctionCallParser("qwen25")
+    normal, calls = p.parse_non_stream("just a plain answer")
+    assert normal == "just a plain answer" and calls == []
