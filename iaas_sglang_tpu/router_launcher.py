@@ -1,0 +1,47 @@
+"""Build + launch helper for the native C++ router
+(analog of sgl-router's PyO3 bindings + sglang_router.launch_server)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import requests
+
+ROUTER_DIR = Path(__file__).resolve().parent.parent / "router"
+BINARY = ROUTER_DIR / "sgl_tpu_router"
+
+
+def build_router(force: bool = False) -> Path:
+    if BINARY.exists() and not force:
+        return BINARY
+    subprocess.run(["make", "-C", str(ROUTER_DIR)], check=True)
+    return BINARY
+
+
+def launch_router(port: int, worker_urls: List[str],
+                  policy: str = "cache_aware",
+                  host: str = "127.0.0.1",
+                  wait: float = 10.0) -> subprocess.Popen:
+    build_router()
+    cmd = [str(BINARY), "--host", host, "--port", str(port),
+           "--policy", policy]
+    for u in worker_urls:
+        cmd += ["--worker", u]
+    proc = subprocess.Popen(cmd, start_new_session=True)
+    base = f"http://{host}:{port}"
+    deadline = time.time() + wait
+    while time.time() < deadline:
+        try:
+            if requests.get(f"{base}/router_health", timeout=1).ok:
+                return proc
+        except requests.RequestException:
+            pass
+        if proc.poll() is not None:
+            raise RuntimeError(f"router exited with {proc.returncode}")
+        time.sleep(0.2)
+    proc.kill()
+    raise TimeoutError("router did not become healthy")
