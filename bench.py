@@ -7,8 +7,10 @@ Prints ONE JSON line:
 vs_baseline is the fraction of the HBM-bandwidth decode roofline achieved
 (BASELINE.json north-star: >= 0.90 of roofline tokens/s/chip).
 
-Model: Llama-3-8B architecture trimmed to 16 layers so BF16 fits one
-v5e chip (the full-depth model needs INT4/FP8 weight quant — later round).
+Model: Llama-3-8B architecture trimmed to 12 layers so BF16 + double-
+buffered KV fits the chip (full depth needs INT4/FP8 weight quant —
+later round; KV donation does not alias through the remote-execution
+relay, so the pool is budgeted twice).
 Weights are dummy-random (model_loader.loader DummyModelLoader analog),
 which exercises the identical compute path.
 """
@@ -31,7 +33,7 @@ def main():
     from iaas_sglang_tpu.entrypoints.engine import Engine
     from iaas_sglang_tpu.server_args import ServerArgs
 
-    NUM_LAYERS = 16
+    NUM_LAYERS = 12
     HIDDEN = 4096
     N_HEADS = 32
     N_KV = 8
@@ -53,15 +55,15 @@ def main():
     OUT_LEN = 128
 
     sa = ServerArgs(
-        model_path="bench://llama3-8b-arch-16L", load_format="dummy",
+        model_path="bench://llama3-8b-arch-12L", load_format="dummy",
         dtype="bfloat16", page_size=16,
         # the run needs B*(IN+OUT) + warmup tokens of KV; keep the pool
         # small to leave activation headroom next to ~9 GB of weights
-        max_total_tokens=4 * B * (IN_LEN + OUT_LEN),
+        max_total_tokens=2 * B * (IN_LEN + OUT_LEN),
         mem_fraction_static=0.85,
         max_running_requests=B,
         max_prefill_tokens=B * IN_LEN,
-        chunked_prefill_size=B * IN_LEN,
+        chunked_prefill_size=2048,
         skip_tokenizer_init=True, random_seed=0,
     )
     eng = Engine(sa, hf_config_override=hf)
@@ -102,7 +104,7 @@ def main():
     roofline_toks = B / step_time_roofline
 
     print(json.dumps({
-        "metric": "decode_throughput_llama3_8b_arch_16L_bf16_bs32",
+        "metric": "decode_throughput_llama3_8b_arch_12L_bf16_bs32",
         "value": round(toks_per_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline_toks, 4),

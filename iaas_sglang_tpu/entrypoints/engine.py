@@ -14,8 +14,10 @@ from typing import Any, Dict, List, Optional, Union
 
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.managers.io_struct import (
+    BatchEmbeddingOut,
     BatchTokenIDOut,
     GenerateReqInput,
+    TokenizedEmbeddingReqInput,
     TokenizedGenerateReqInput,
 )
 from iaas_sglang_tpu.managers.scheduler import Scheduler
@@ -71,7 +73,18 @@ class Engine:
 
     # ------------------------------------------------------------- internal
 
-    def _collect_output(self, out: BatchTokenIDOut) -> None:
+    def _collect_output(self, out) -> None:
+        if isinstance(out, BatchEmbeddingOut):
+            for i, rid in enumerate(out.rids):
+                self._outputs[rid] = {
+                    "embedding": out.embeddings[i],
+                    "prompt_tokens": out.prompt_tokens[i],
+                    "finished": {"type": "length"},
+                }
+            return
+        self._collect_token_output(out)
+
+    def _collect_token_output(self, out: BatchTokenIDOut) -> None:
         for i, rid in enumerate(out.rids):
             st = self._outputs.setdefault(rid, {"output_ids": [], "finished": None})
             st["output_ids"] = list(out.decode_ids[i])
@@ -136,6 +149,44 @@ class Engine:
         results = [self._finalize(rid) for rid in rids]
         return results if was_batch else results[0]
 
+    def encode(self, prompt=None, input_ids=None):
+        """Embedding API (analog of Engine.encode / EmbeddingReqInput):
+        returns {"embedding": [...], "meta_info": ...} or a list."""
+        import uuid as _uuid
+
+        batch = isinstance(prompt, list) or (
+            input_ids is not None and input_ids and
+            isinstance(input_ids[0], list))
+        prompts = prompt if isinstance(prompt, list) else (
+            [prompt] if prompt is not None else None)
+        idss = input_ids if (input_ids is not None and batch) else (
+            [input_ids] if input_ids is not None else None)
+        n = len(prompts) if prompts is not None else len(idss)
+        rids = []
+        for i in range(n):
+            ids = idss[i] if idss is not None else self.tokenizer.encode(
+                prompts[i])
+            rid = _uuid.uuid4().hex
+            self.scheduler.process_input(TokenizedEmbeddingReqInput(
+                rid=rid,
+                input_text=prompts[i] if prompts is not None else None,
+                input_ids=ids))
+            rids.append(rid)
+        while any(r not in self._outputs for r in rids):
+            if not self.scheduler.step() and not self.scheduler.has_work():
+                missing = [r for r in rids if r not in self._outputs]
+                if missing:
+                    raise RuntimeError(f"embedding requests lost: {missing}")
+        outs = []
+        for rid in rids:
+            st = self._outputs.pop(rid)
+            outs.append({
+                "embedding": st["embedding"],
+                "meta_info": {"id": rid,
+                              "prompt_tokens": st["prompt_tokens"]},
+            })
+        return outs if batch else outs[0]
+
     def _finalize(self, rid: str) -> dict:
         st = self._outputs.pop(rid)
         text = ""
@@ -177,6 +228,40 @@ class Engine:
         from iaas_sglang_tpu.managers.io_struct import GetInternalStateReq
 
         return self.scheduler.process_input(GetInternalStateReq()).state
+
+    def update_weights_from_disk(self, model_path: str,
+                                 load_format: str = "auto"):
+        from iaas_sglang_tpu.managers.io_struct import (
+            UpdateWeightFromDiskReqInput,
+        )
+
+        out = self.scheduler.process_input(
+            UpdateWeightFromDiskReqInput(model_path, load_format))
+        return out.success, out.message
+
+    def update_weights_from_tensor(self, named_arrays) -> tuple:
+        return self.scheduler.model_runner.update_weights_from_tensor(
+            named_arrays)
+
+    def get_weights_by_name(self, name: str):
+        from iaas_sglang_tpu.managers.io_struct import GetWeightsByNameReqInput
+
+        return self.scheduler.process_input(
+            GetWeightsByNameReqInput(name)).value
+
+    def release_memory_occupation(self) -> None:
+        from iaas_sglang_tpu.managers.io_struct import (
+            ReleaseMemoryOccupationReqInput,
+        )
+
+        self.scheduler.process_input(ReleaseMemoryOccupationReqInput())
+
+    def resume_memory_occupation(self) -> None:
+        from iaas_sglang_tpu.managers.io_struct import (
+            ResumeMemoryOccupationReqInput,
+        )
+
+        self.scheduler.process_input(ResumeMemoryOccupationReqInput())
 
     def shutdown(self) -> None:
         pass  # embedded mode holds no extra processes

@@ -118,6 +118,27 @@ class BatchStrOut:
 
 
 @dataclass
+class EmbeddingReqInput:
+    rid: Optional[Union[str, List[str]]] = None
+    text: Optional[Union[str, List[str]]] = None
+    input_ids: Optional[Union[List[int], List[List[int]]]] = None
+
+
+@dataclass
+class TokenizedEmbeddingReqInput:
+    rid: str
+    input_text: Optional[str]
+    input_ids: List[int]
+
+
+@dataclass
+class BatchEmbeddingOut:
+    rids: List[str]
+    embeddings: List[List[float]]
+    prompt_tokens: List[int]
+
+
+@dataclass
 class AbortReq:
     rid: str
 
@@ -141,6 +162,48 @@ class GetInternalStateReq:
 @dataclass
 class GetInternalStateReqOutput:
     state: Dict[str, Any]
+
+
+@dataclass
+class UpdateWeightFromDiskReqInput:
+    model_path: str
+    load_format: str = "auto"
+
+
+@dataclass
+class UpdateWeightFromDiskReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclass
+class ReleaseMemoryOccupationReqInput:
+    pass
+
+
+@dataclass
+class ReleaseMemoryOccupationReqOutput:
+    success: bool = True
+
+
+@dataclass
+class ResumeMemoryOccupationReqInput:
+    pass
+
+
+@dataclass
+class ResumeMemoryOccupationReqOutput:
+    success: bool = True
+
+
+@dataclass
+class GetWeightsByNameReqInput:
+    name: str
+
+
+@dataclass
+class GetWeightsByNameReqOutput:
+    value: Any = None
 
 
 @dataclass

@@ -95,6 +95,8 @@ class Req:
         self.finished_reason: Optional[FinishReason] = None
         self.cleaned = False         # cache_finished_req has run
         self.grammar = None          # BaseGrammarObject when constrained
+        self.is_embedding = False    # prefill-only pooled-hidden request
+        self.embedding = None        # filled for embedding requests
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []
 
@@ -420,6 +422,7 @@ class ScheduleBatch:
         return HostBatch(
             penalty_arrays=self._build_penalty_arrays(),
             grammar_masks=self._build_grammar_masks(),
+            return_hidden=any(r.is_embedding for r in reqs),
             return_logprob=any(r.return_logprob for r in reqs),
             top_logprobs_num=max(
                 (getattr(r, "top_logprobs_num", 0) for r in reqs), default=0),

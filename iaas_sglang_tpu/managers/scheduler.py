@@ -21,15 +21,26 @@ import numpy as np
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.managers.io_struct import (
     AbortReq,
+    BatchEmbeddingOut,
     BatchTokenIDOut,
     FlushCacheReqInput,
     FlushCacheReqOutput,
     GetInternalStateReq,
     GetInternalStateReqOutput,
+    GetWeightsByNameReqInput,
+    GetWeightsByNameReqOutput,
+    ReleaseMemoryOccupationReqInput,
+    ReleaseMemoryOccupationReqOutput,
+    ResumeMemoryOccupationReqInput,
+    ResumeMemoryOccupationReqOutput,
+    TokenizedEmbeddingReqInput,
     TokenizedGenerateReqInput,
+    UpdateWeightFromDiskReqInput,
+    UpdateWeightFromDiskReqOutput,
 )
 from iaas_sglang_tpu.managers.schedule_batch import (
     FinishAbort,
+    FinishLength,
     Req,
     ScheduleBatch,
 )
@@ -101,9 +112,14 @@ class Scheduler:
 
         self._dispatcher = TypeBasedDispatcher([
             (TokenizedGenerateReqInput, self.handle_generate_request),
+            (TokenizedEmbeddingReqInput, self.handle_embedding_request),
             (AbortReq, self.handle_abort),
             (FlushCacheReqInput, self.handle_flush_cache),
             (GetInternalStateReq, self.handle_get_internal_state),
+            (UpdateWeightFromDiskReqInput, self.handle_update_weights),
+            (ReleaseMemoryOccupationReqInput, self.handle_release_memory),
+            (ResumeMemoryOccupationReqInput, self.handle_resume_memory),
+            (GetWeightsByNameReqInput, self.handle_get_weights_by_name),
         ])
 
     # ------------------------------------------------------------ intake
@@ -131,6 +147,21 @@ class Scheduler:
         if (sp.json_schema or sp.regex) and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(
                 regex=sp.regex, json_schema=sp.json_schema)
+        self.waiting_queue.append(req)
+
+    def handle_embedding_request(self, m: TokenizedEmbeddingReqInput) -> None:
+        from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+
+        req = Req(
+            m.rid, m.input_text, m.input_ids,
+            SamplingParams(max_new_tokens=1),
+            eos_token_ids=self.eos_token_ids,
+        )
+        req.is_embedding = True
+        if req.prompt_len >= self.model_config.context_len:
+            req.finished_reason = FinishAbort("prompt exceeds context")
+            self._emit_output([req])
+            return
         self.waiting_queue.append(req)
 
     def handle_abort(self, m: AbortReq) -> None:
@@ -166,6 +197,33 @@ class Scheduler:
             "generated_tokens": self.num_generated_tokens,
             "retracted": self.num_retracted,
         })
+
+    def handle_update_weights(self, m: UpdateWeightFromDiskReqInput):
+        """Idle-only weight hot-reload (scheduler.py:2268 analog)."""
+        self.drain()
+        if self.has_work():
+            return UpdateWeightFromDiskReqOutput(
+                success=False, message="engine busy; flush/drain first")
+        ok, msg = self.model_runner.update_weights_from_disk(
+            m.model_path, m.load_format)
+        return UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+
+    def handle_release_memory(self, m: ReleaseMemoryOccupationReqInput):
+        self.drain()
+        self.handle_flush_cache(FlushCacheReqInput())
+        self.model_runner.release_memory_occupation()
+        return ReleaseMemoryOccupationReqOutput()
+
+    def handle_resume_memory(self, m: ResumeMemoryOccupationReqInput):
+        self.model_runner.resume_memory_occupation()
+        return ResumeMemoryOccupationReqOutput()
+
+    def handle_get_weights_by_name(self, m: GetWeightsByNameReqInput):
+        try:
+            return GetWeightsByNameReqOutput(
+                value=self.model_runner.get_weights_by_name(m.name))
+        except Exception as e:  # noqa: BLE001
+            return GetWeightsByNameReqOutput(value=None)
 
     # ---------------------------------------------------------- scheduling
 
@@ -273,6 +331,14 @@ class Scheduler:
                 req.fill_len += req.extend_len
                 if not req.prefill_done():
                     continue  # chunked prefill continues next round
+                if req.is_embedding:
+                    if hb is not None and hb.hidden_states is not None:
+                        req.embedding = hb.hidden_states[i].tolist()
+                    req.finished_reason = FinishLength(0)
+                    self.tree_cache.cache_finished_req(req)
+                    req.cleaned = True
+                    self._emit_embeddings([req])
+                    continue
                 if not req.output_ids:
                     req.output_ids.append(int(tokens[i]))
                     record_logprob(req, i)
@@ -297,6 +363,7 @@ class Scheduler:
             newly_running = [
                 r for r in batch.reqs
                 if r.prefill_done() and not r.is_finished()
+                and not r.is_embedding
             ]
             self.running_batch.reqs.extend(newly_running)
             # publish finished-chunk pages for cross-request sharing
@@ -314,6 +381,13 @@ class Scheduler:
                         if r.stream and not r.is_finished()]
         )
         self._maybe_log_decode()
+
+    def _emit_embeddings(self, reqs: List[Req]) -> None:
+        self.out_callback(BatchEmbeddingOut(
+            rids=[r.rid for r in reqs],
+            embeddings=[r.embedding or [] for r in reqs],
+            prompt_tokens=[r.prompt_len for r in reqs],
+        ))
 
     def _emit_output(self, reqs: List[Req]) -> None:
         reqs = [r for r in reqs if r.is_finished() or

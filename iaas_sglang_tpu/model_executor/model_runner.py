@@ -59,6 +59,9 @@ class HostBatch:
     # logprob requests
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    # embedding requests: also return pooled (last-token) hidden states
+    return_hidden: bool = False
+    hidden_states: Any = None       # np f32[B, H] when return_hidden
     # set by the runner for the scheduler
     num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
@@ -185,7 +188,8 @@ class ModelRunner:
         )
 
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
-                 pen, grammar_mask, attn_mode: str, logprob_top_k: int):
+                 pen, grammar_mask, attn_mode: str, logprob_top_k: int,
+                 return_hidden: bool = False):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
@@ -202,7 +206,8 @@ class ModelRunner:
                 lp, topv, topi = compute_logprobs(logits, tokens, logprob_top_k)
             else:
                 lp = topv = topi = None
-            return tokens, logits, lp, topv, topi, kv_pages
+            hid = last_h.astype(jnp.float32) if return_hidden else None
+            return tokens, logits, lp, topv, topi, hid, kv_pages
 
         self._all_logits_fn = jax.jit(
             lambda params, kv_pages, fb: (
@@ -211,7 +216,7 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(6, 7))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(6, 7, 8))
 
     # ------------------------------------------------------------- forward
 
@@ -229,13 +234,15 @@ class ModelRunner:
         logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
         gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
         with self.mesh_ctx.mesh:
-            tokens, logits, lp, topv, topi, self.kv_pages = self._step_fn(
+            tokens, logits, lp, topv, topi, hid, self.kv_pages = self._step_fn(
                 self.params, self.kv_pages, fb, meta, pen, gmask,
-                attn_mode, logprob_top_k,
+                attn_mode, logprob_top_k, hb.return_hidden,
             )
         hb.device_tokens = tokens
         hb.device_logits = logits
         hb.device_logprobs = (lp, topv, topi)
+        if hid is not None:
+            hb.hidden_states = np.asarray(hid)[:B]
         if not fetch:
             return None
         return self.fetch_tokens(hb)
@@ -381,6 +388,72 @@ class ModelRunner:
         if toks.shape[0] > T_pad:
             return toks[:T_pad]
         return jnp.pad(toks, (0, T_pad - toks.shape[0]))
+
+    # ------------------------------------------------- weight lifecycle ops
+
+    def update_weights_from_disk(self, model_path: str,
+                                 load_format: str = "auto") -> tuple[bool, str]:
+        """Hot-reload weights (analog of model_runner.py:690
+        update_weights_from_disk). Shapes must match the loaded model."""
+        try:
+            cfg = self.model_config
+            old_path = cfg.model_path
+            cfg.model_path = model_path
+            with self.mesh_ctx.mesh:
+                new_params = model_loader.load_params(
+                    self.model, cfg, self.mesh_ctx,
+                    load_format=load_format,
+                    quantization=self.server_args.quantization,
+                    seed=self.server_args.random_seed,
+                )
+            self.params = new_params
+            jax.block_until_ready(jax.tree.leaves(self.params)[0])
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001 — reported to the caller
+            cfg.model_path = old_path
+            return False, repr(e)
+
+    def update_weights_from_tensor(self, named_arrays) -> tuple[bool, str]:
+        """In-place update from (name -> np.ndarray) pairs (analog of
+        model_runner.py:838 update_weights_from_tensor, the RL hot path)."""
+        try:
+            specs = self.model.weight_specs()
+            from iaas_sglang_tpu.model_loader.loader import _set_nested
+
+            for name, arr in named_arrays.items():
+                if name not in specs:
+                    return False, f"unknown weight {name!r}"
+                spec = specs[name]
+                dims = ((None,) + tuple(spec.pspec)) if spec.stacked                     else tuple(spec.pspec)
+                _set_nested(
+                    self.params, name,
+                    jax.device_put(arr, self.mesh_ctx.sharding(*dims)))
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
+    def get_weights_by_name(self, name: str):
+        node = self.params
+        for part in name.split("."):
+            node = node[part]
+        return np.asarray(node)
+
+    def release_memory_occupation(self) -> None:
+        """Free weights + KV HBM for RL colocation (the
+        torch_memory_saver release analog — on TPU simply dropping the
+        arrays returns HBM to the allocator)."""
+        self.params = None
+        self.kv_pages = None
+
+    def resume_memory_occupation(self) -> None:
+        with self.mesh_ctx.mesh:
+            self.params = model_loader.load_params(
+                self.model, self.model_config, self.mesh_ctx,
+                load_format=self.server_args.load_format,
+                quantization=self.server_args.quantization,
+                seed=self.server_args.random_seed,
+            )
+        self._init_kv_pool()
 
     # --------------------------------------------------------------- misc
 

@@ -177,3 +177,19 @@ def test_overlap_with_stop_tokens():
         "max_new_tokens": 10, "temperature": 0.0, "stop_token_ids": [stop_tok]})
     assert out["output_ids"][-1] == stop_tok and len(out["output_ids"]) == 5
     eng.scheduler.check_memory_leak()
+
+
+def test_embedding_encode():
+    """Embedding path: prefill-only pooled hidden states (Engine.encode)."""
+    eng = make_engine()
+    out = eng.encode(input_ids=list(range(10, 26)))
+    emb = out["embedding"]
+    assert len(emb) == eng.model_config.hidden_size
+    assert any(abs(x) > 1e-6 for x in emb)
+    # deterministic
+    out2 = eng.encode(input_ids=list(range(10, 26)))
+    np.testing.assert_allclose(emb, out2["embedding"], rtol=1e-5)
+    # batch
+    outs = eng.encode(input_ids=[list(range(5)), list(range(8))])
+    assert len(outs) == 2
+    eng.scheduler.check_memory_leak()
