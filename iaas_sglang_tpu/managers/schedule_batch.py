@@ -415,6 +415,63 @@ class ScheduleBatch:
                 out[i] = np.packbits(mask, bitorder="little")
         return out
 
+    def prepare_for_spec_verify(self, drafts, K: int) -> Optional[HostBatch]:
+        """Verify step: each request runs q_len = 1+K new tokens
+        (its pending output token + K draft tokens). Returns None on page
+        exhaustion (caller falls back to plain decode/retract)."""
+        ps = self.page_size
+        B = len(self.reqs)
+        # page needs for fill .. fill+K
+        need = 0
+        for r in self.reqs:
+            table_len = len(r.page_table_np())
+            need += max(cdiv(r.fill_len + 1 + K, ps) - table_len, 0)
+        if need > 0:
+            newp = self._alloc_pages(need)
+            if newp is None:
+                return None
+            i = 0
+            for r in self.reqs:
+                table_len = len(r.page_table_np())
+                n = max(cdiv(r.fill_len + 1 + K, ps) - table_len, 0)
+                if n:
+                    r.owned_pages = (
+                        np.concatenate([r.owned_pages, newp[i : i + n]])
+                        if len(r.owned_pages) else newp[i : i + n].copy())
+                    i += n
+
+        ids, positions, slots_l = [], [], []
+        page_tables, seq_lens, q_lens = [], [], []
+        verify_idx = np.zeros((B, K + 1), dtype=np.int32)
+        t = 0
+        for bi, r in enumerate(self.reqs):
+            d = drafts[bi] if drafts[bi] is not None else []
+            d = (list(d) + [0] * K)[:K]
+            toks = [r.output_ids[-1]] + d
+            f = r.fill_len
+            table = r.page_table_np()
+            ids.extend(toks)
+            positions.extend(range(f, f + K + 1))
+            slots_l.extend(slots_for_tokens(table, f, K + 1, ps))
+            page_tables.append(table[: cdiv(f + K + 1, ps)])
+            seq_lens.append(f + K + 1)
+            q_lens.append(K + 1)
+            verify_idx[bi] = np.arange(t, t + K + 1)
+            t += K + 1
+            r._spec_draft = d
+        hb = self._host_batch(
+            ForwardMode.EXTEND,
+            np.asarray(ids, dtype=np.int32),
+            np.asarray(positions, dtype=np.int32),
+            np.asarray(slots_l, dtype=np.int32),
+            page_tables,
+            np.asarray(seq_lens, dtype=np.int32),
+            np.asarray(q_lens, dtype=np.int32),
+        )
+        hb.verify_k = K
+        hb.verify_idx = verify_idx
+        return hb
+
     def _host_batch(self, mode, ids, positions, slots, page_tables,
                     seq_lens, q_lens) -> HostBatch:
         reqs = self.reqs

@@ -94,7 +94,12 @@ class Scheduler:
         self.chunked_req: Optional[Req] = None
         # overlap scheduling: the launched-but-unprocessed (batch, HostBatch)
         self._inflight: Optional[tuple] = None
-        self.enable_overlap = not server_args.disable_overlap_schedule
+        self.enable_overlap = (not server_args.disable_overlap_schedule
+                               and not server_args.speculative_algorithm)
+        self.spec_algorithm = server_args.speculative_algorithm
+        self.spec_k = server_args.speculative_num_draft_tokens
+        self.spec_steps = 0
+        self.spec_emitted = 0
         self.eos_token_ids: set[int] = set()
         if tokenizer is not None and tokenizer.eos_token_id is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
@@ -196,6 +201,9 @@ class Scheduler:
             "evictable_pages": self.tree_cache.evictable_pages(),
             "generated_tokens": self.num_generated_tokens,
             "retracted": self.num_retracted,
+            "spec_accept_length": (
+                self.spec_emitted / self.spec_steps
+                if self.spec_steps else 0.0),
         })
 
     def handle_update_weights(self, m: UpdateWeightFromDiskReqInput):
@@ -279,6 +287,73 @@ class Scheduler:
         return None
 
     # ------------------------------------------------------------- running
+
+    def _spec_eligible(self, batch: ScheduleBatch) -> bool:
+        return (
+            self.spec_algorithm == "ngram"
+            and batch.mode.is_decode()
+            and all(
+                r.sampling_params.is_greedy
+                and r.grammar is None
+                and r.sampling_params.frequency_penalty == 0.0
+                and r.sampling_params.presence_penalty == 0.0
+                and r.sampling_params.repetition_penalty == 1.0
+                and not r.sampling_params.logit_bias
+                for r in batch.reqs
+            )
+        )
+
+    def run_spec_batch(self, batch: ScheduleBatch):
+        """Speculative decode step: ngram draft -> TARGET_VERIFY forward
+        (eagle_worker.py:298 forward_batch_speculative_generation analog)."""
+        from iaas_sglang_tpu.speculative.ngram_worker import draft_ngram
+
+        drafts = [
+            draft_ngram(r.fill_ids(), self.spec_k) for r in batch.reqs
+        ]
+        hb = batch.prepare_for_spec_verify(drafts, self.spec_k)
+        if hb is None:
+            return None, None  # fall back to plain decode path
+        tokens = self.model_runner.forward(hb)  # [B, K+1] argmax
+        batch.last_hb = hb
+        return tokens, hb
+
+    def process_spec_result(self, batch: ScheduleBatch,
+                            tokens: np.ndarray) -> None:
+        from iaas_sglang_tpu.speculative.ngram_worker import (
+            accept_draft_tokens,
+        )
+
+        finished: List[Req] = []
+        for i, req in enumerate(batch.reqs):
+            if req.is_finished():
+                continue
+            sp = req.sampling_params
+            emitted = accept_draft_tokens(
+                req._spec_draft, tokens[i],
+                eos_token_ids=req.eos_token_ids,
+                stop_token_ids=sp.stop_token_ids or [],
+                ignore_eos=sp.ignore_eos,
+            )
+            room = sp.max_new_tokens - len(req.output_ids)
+            emitted = emitted[:room]
+            req.output_ids.extend(emitted)
+            req.fill_len += len(emitted)
+            self.num_generated_tokens += len(emitted)
+            self.spec_emitted += len(emitted)
+            req.check_finished(self.tokenizer)
+            if req.is_finished():
+                self.tree_cache.cache_finished_req(req)
+                req.cleaned = True
+                finished.append(req)
+        self.spec_steps += 1
+        if finished:
+            fin_ids = {id(r) for r in finished}
+            self.running_batch.reqs = [
+                r for r in self.running_batch.reqs if id(r) not in fin_ids]
+        self._emit_output(
+            finished + [r for r in batch.reqs
+                        if r.stream and not r.is_finished()])
 
     def run_batch(self, batch: ScheduleBatch, fetch: bool = True):
         if batch.mode.is_extend():
@@ -491,6 +566,12 @@ class Scheduler:
         batch = self.get_next_batch_to_run()
         if batch is None:
             return False
+        if self._spec_eligible(batch):
+            tokens, hb = self.run_spec_batch(batch)
+            if hb is not None:
+                self.process_spec_result(batch, tokens)
+                self._maybe_log_decode()
+                return True
         tokens, hb = self.run_batch(batch, fetch=False)
         if hb is None:
             return False

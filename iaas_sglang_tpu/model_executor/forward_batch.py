@@ -40,6 +40,8 @@ class ForwardBatch:
     cu_q_lens: jnp.ndarray      # i32[Bmax+1]
     num_seqs: jnp.ndarray       # i32[] number of real sequences
     last_token_idx: jnp.ndarray # i32[Bmax] index into [0,T) of seq's last token
+    # speculative verify: token indices of each seq's K+1 query positions
+    verify_idx: jnp.ndarray = None  # i32[Bmax, K+1] | None
 
 
 @struct.dataclass

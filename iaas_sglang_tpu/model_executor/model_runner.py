@@ -62,6 +62,9 @@ class HostBatch:
     # embedding requests: also return pooled (last-token) hidden states
     return_hidden: bool = False
     hidden_states: Any = None       # np f32[B, H] when return_hidden
+    # speculative verify: K drafts per seq -> greedy argmax at K+1 positions
+    verify_k: int = 0
+    verify_idx: Any = None          # np i32[B, K+1] token indices
     # set by the runner for the scheduler
     num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
@@ -189,12 +192,21 @@ class ModelRunner:
 
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
                  pen, grammar_mask, attn_mode: str, logprob_top_k: int,
-                 return_hidden: bool = False):
+                 return_hidden: bool = False, verify_k: int = 0):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
                 scan_layers=scan_layers,
             )
+            if verify_k > 0:
+                # TARGET_VERIFY (forward_batch_info.py ForwardMode analog):
+                # greedy argmax at each of the K+1 draft positions
+                Bmax, Kp1 = fb.verify_idx.shape
+                vh = hidden[fb.verify_idx.reshape(-1)]
+                vlogits = model.compute_logits(params, vh)
+                vtokens = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
+                return (vtokens.reshape(Bmax, Kp1), None, None, None, None,
+                        None, kv_pages)
             last_h = hidden[fb.last_token_idx]          # [Bmax, H]
             logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
             if pen is not None:
@@ -216,7 +228,7 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(6, 7, 8))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(6, 7, 8, 9))
 
     # ------------------------------------------------------------- forward
 
@@ -236,7 +248,7 @@ class ModelRunner:
         with self.mesh_ctx.mesh:
             tokens, logits, lp, topv, topi, hid, self.kv_pages = self._step_fn(
                 self.params, self.kv_pages, fb, meta, pen, gmask,
-                attn_mode, logprob_top_k, hb.return_hidden,
+                attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k,
             )
         hb.device_tokens = tokens
         hb.device_logits = logits
@@ -355,7 +367,13 @@ class ModelRunner:
         last_token_idx = np.zeros(B_pad, dtype=np.int32)
         last_token_idx[:B] = cu[1 : B + 1] - 1
 
+        verify_idx = None
+        if hb.verify_k > 0:
+            vi = np.zeros((B_pad, hb.verify_k + 1), dtype=np.int32)
+            vi[: hb.verify_idx.shape[0]] = hb.verify_idx
+            verify_idx = jnp.asarray(vi)
         fb = ForwardBatch(
+            verify_idx=verify_idx,
             input_ids=jnp.asarray(input_ids)
             if input_ids is not None else self._chain_tokens(hb, T_pad),
             positions=jnp.asarray(positions),

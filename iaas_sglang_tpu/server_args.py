@@ -72,6 +72,10 @@ class ServerArgs:
     disable_jit_cache_warmup: bool = False
     scan_layers: bool = True
 
+    # Speculative decoding: None | "ngram"  (EAGLE lands on this interface)
+    speculative_algorithm: Optional[str] = None
+    speculative_num_draft_tokens: int = 4
+
     # Attention backend: pallas (ours) | jax_rpa (jax builtin) | jnp (reference)
     attention_backend: str = "auto"
 
