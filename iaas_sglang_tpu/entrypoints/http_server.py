@@ -57,11 +57,22 @@ def _launch_subprocesses(server_args: ServerArgs, port_args: PortArgs):
     (analog of entrypoints/engine.py:681 _launch_subprocesses)."""
     ctx = mp.get_context("spawn")
     reader, writer = ctx.Pipe(duplex=False)
-    sched = ctx.Process(
-        target=run_scheduler_process,
-        args=(server_args, port_args, writer),
-        daemon=True,
-    )
+    if server_args.dp_size > 1:
+        from iaas_sglang_tpu.managers.data_parallel_controller import (
+            run_data_parallel_controller_process,
+        )
+
+        # not daemonic: the controller spawns the replica schedulers
+        sched = ctx.Process(
+            target=run_data_parallel_controller_process,
+            args=(server_args, port_args, writer),
+        )
+    else:
+        sched = ctx.Process(
+            target=run_scheduler_process,
+            args=(server_args, port_args, writer),
+            daemon=True,
+        )
     sched.start()
     detok = ctx.Process(
         target=run_detokenizer_process,

@@ -152,3 +152,24 @@ def test_metrics_endpoint(server):
     body = r.text
     assert "sglang_tpu:num_running_reqs" in body
     assert "sglang_tpu:time_to_first_token_seconds" in body
+
+
+def test_dp_size_2_server(tmp_path_factory):
+    """dp_size=2: DataParallelController round-robins across two replica
+    schedulers (data_parallel_controller.py analog)."""
+    model_dir = make_tiny_model_dir(
+        str(tmp_path_factory.mktemp("model") / "tiny-dp"))
+    port = get_open_port()
+    proc = popen_launch_server(model_dir, port, extra_args=["--dp-size", "2"])
+    base = f"http://127.0.0.1:{port}"
+    try:
+        outs = requests.post(f"{base}/generate", json={
+            "text": ["a b c", "d e f", "g h i", "j k l"],
+            "sampling_params": {"max_new_tokens": 4, "temperature": 0.0,
+                                "ignore_eos": True},
+        }, timeout=300).json()
+        assert len(outs) == 4
+        for o in outs:
+            assert len(o["output_ids"]) == 4
+    finally:
+        kill_server(proc)
