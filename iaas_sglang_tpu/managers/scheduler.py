@@ -80,6 +80,13 @@ class Scheduler:
         )
         if server_args.disable_radix_cache:
             self.tree_cache = ChunkCache(self.allocator, self.page_size)
+        elif server_args.enable_hierarchical_cache:
+            from iaas_sglang_tpu.mem_cache.hiradix_cache import HiRadixCache
+
+            self.tree_cache = HiRadixCache(
+                self.allocator, self.page_size, self.model_runner,
+                host_capacity_pages=int(
+                    server_args.hicache_ratio * self.allocator.num_pages))
         else:
             self.tree_cache = RadixCache(self.allocator, self.page_size)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)

@@ -34,6 +34,10 @@ class TreeNode:
         self.pages: np.ndarray = np.empty(0, dtype=np.int32)
         self.lock_ref = 0
         self.last_access_time = time.monotonic()
+        # HiRadixCache state (host KV tier)
+        self.on_device = True
+        self.host_data = None
+        self.num_pages_host = 0
         self.id = TreeNode._counter
         TreeNode._counter += 1
 

@@ -473,6 +473,26 @@ class ModelRunner:
             )
         self._init_kv_pool()
 
+    # ------------------------------------------------ KV page host transfer
+
+    def _flat_page_ids(self, pages: np.ndarray) -> np.ndarray:
+        """Per-layer-relative page ids -> flat ids across all layers."""
+        L = self.model_config.num_layers
+        offs = (np.arange(L, dtype=np.int32) * (self.pages_per_layer + 1))
+        return (offs[:, None] + pages[None, :]).reshape(-1)
+
+    def gather_kv_pages(self, pages: np.ndarray) -> np.ndarray:
+        """Fetch KV of the given pages (all layers) to host numpy —
+        the HiCache write-back path (kvcacheio/transfer.cu analog)."""
+        ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
+        return np.asarray(self.kv_pages[ids])
+
+    def scatter_kv_pages(self, pages: np.ndarray, data: np.ndarray) -> None:
+        """Load host KV back into the given device pages (all layers)."""
+        ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
+        self.kv_pages = self.kv_pages.at[ids].set(
+            jnp.asarray(data, dtype=self.kv_pages.dtype))
+
     # --------------------------------------------------------------- misc
 
     def flush_kv(self) -> None:

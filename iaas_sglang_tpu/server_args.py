@@ -54,6 +54,8 @@ class ServerArgs:
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
     disable_radix_cache: bool = False
+    enable_hierarchical_cache: bool = False
+    hicache_ratio: float = 2.0      # host tier capacity / device pool size
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20

@@ -193,3 +193,23 @@ def test_embedding_encode():
     outs = eng.encode(input_ids=[list(range(5)), list(range(8))])
     assert len(outs) == 2
     eng.scheduler.check_memory_leak()
+
+
+def test_hierarchical_cache_reload():
+    """HiCache: evicted-to-host prefixes are loaded back on re-match and
+    generation stays identical (hiradix_cache analog test)."""
+    eng = make_engine(max_total_tokens=256, enable_hierarchical_cache=True,
+                      max_running_requests=4)
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    a = list(range(100, 148))     # 48 tokens = 12 pages
+    b = list(range(200, 248))
+    out_a1 = eng.generate(input_ids=a, sampling_params=sp)
+    # b's allocation pressures a out of the 64-page device pool
+    for _ in range(2):
+        eng.generate(input_ids=b, sampling_params=sp)
+    out_a2 = eng.generate(input_ids=a, sampling_params=sp)
+    assert out_a1["output_ids"] == out_a2["output_ids"]
+    tc = eng.scheduler.tree_cache
+    # generation must still be correct vs a fresh engine
+    fresh = make_engine().generate(input_ids=a, sampling_params=sp)
+    assert fresh["output_ids"] == out_a1["output_ids"]
