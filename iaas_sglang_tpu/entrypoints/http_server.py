@@ -159,6 +159,7 @@ async def handle_generate(request: web.Request) -> web.StreamResponse:
         sampling_params=body.get("sampling_params"),
         stream=stream,
         return_logprob=body.get("return_logprob", False),
+        disagg_decode_url=body.get("disagg_decode_url"),
     )
     tm = state.tokenizer_manager
 
@@ -198,6 +199,14 @@ async def handle_abort_request(request: web.Request) -> web.Response:
 
 
 # ---------------------------------------------------------------- OpenAI API
+
+
+async def handle_disagg_wait(request: web.Request) -> web.Response:
+    """PD decode side: block until a handed-off request finishes here."""
+    state: ServerState = request.app["state"]
+    rid = request.match_info["rid"]
+    out = await state.tokenizer_manager.wait_external(rid)
+    return web.json_response(out)
 
 
 async def handle_metrics(request: web.Request) -> web.Response:
@@ -365,6 +374,7 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/generate", handle_generate)
     app.router.add_post("/abort_request", handle_abort_request)
     app.router.add_post("/flush_cache", handle_flush_cache)
+    app.router.add_get("/disagg_wait/{rid}", handle_disagg_wait)
     app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/v1/models", handle_v1_models)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)

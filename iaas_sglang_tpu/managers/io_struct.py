@@ -26,6 +26,7 @@ class GenerateReqInput:
     return_logprob: bool = False
     logprob_start_len: int = -1
     top_logprobs_num: int = 0
+    disagg_decode_url: Optional[str] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -64,6 +65,7 @@ class GenerateReqInput:
                     return_logprob=self.return_logprob,
                     logprob_start_len=self.logprob_start_len,
                     top_logprobs_num=self.top_logprobs_num,
+                    disagg_decode_url=self.disagg_decode_url,
                 )
             )
         return out
@@ -81,6 +83,9 @@ class TokenizedGenerateReqInput:
     return_logprob: bool = False
     logprob_start_len: int = -1
     top_logprobs_num: int = 0
+    # PD disaggregation: when set, hand the request off to this decode
+    # server's KV-ingest endpoint after prefill
+    disagg_decode_url: Optional[str] = None
 
 
 @dataclass

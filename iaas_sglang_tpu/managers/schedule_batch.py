@@ -96,6 +96,7 @@ class Req:
         self.cleaned = False         # cache_finished_req has run
         self.grammar = None          # BaseGrammarObject when constrained
         self.is_embedding = False    # prefill-only pooled-hidden request
+        self.disagg_decode_url = None  # PD: hand off after prefill
         self.embedding = None        # filled for embedding requests
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []

@@ -55,7 +55,18 @@ from iaas_sglang_tpu.mem_cache.radix_cache import RadixCache
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
 from iaas_sglang_tpu.model_executor.model_runner import ModelRunner
 from iaas_sglang_tpu.server_args import ServerArgs
-from iaas_sglang_tpu.utils import TypeBasedDispatcher, logger
+from iaas_sglang_tpu.utils import TypeBasedDispatcher, cdiv, logger
+
+
+def cdiv_pages(tokens: int, page_size: int) -> int:
+    return cdiv(tokens, page_size)
+
+
+class DisaggHandoff:
+    """Finish reason marking a successful prefill->decode handoff."""
+
+    def to_dict(self):
+        return {"type": "disagg_handoff"}
 
 
 class Scheduler:
@@ -103,6 +114,12 @@ class Scheduler:
         self._inflight: Optional[tuple] = None
         self.enable_overlap = (not server_args.disable_overlap_schedule
                                and not server_args.speculative_algorithm)
+        # PD disaggregation (disaggregation/conn.py)
+        from iaas_sglang_tpu.disaggregation.conn import KVSender
+
+        self.kv_sender = KVSender(server_args.disaggregation_transfer_backend)
+        self.kv_receiver = None  # server mode binds the ingest socket
+
         self.spec_algorithm = server_args.speculative_algorithm
         self.spec_k = server_args.speculative_num_draft_tokens
         self.spec_steps = 0
@@ -159,6 +176,7 @@ class Scheduler:
         if (sp.json_schema or sp.regex) and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(
                 regex=sp.regex, json_schema=sp.json_schema)
+        req.disagg_decode_url = m.disagg_decode_url
         self.waiting_queue.append(req)
 
     def handle_embedding_request(self, m: TokenizedEmbeddingReqInput) -> None:
@@ -426,6 +444,9 @@ class Scheduler:
                     record_logprob(req, i)
                     if req.grammar is not None:
                         req.grammar.accept_token(int(tokens[i]))
+                if req.disagg_decode_url is not None:
+                    self._disagg_handoff(req)
+                    continue
                 # else: retracted request resuming — pending token already known
             elif not req.is_finished():
                 req.fill_len += 1
@@ -463,6 +484,70 @@ class Scheduler:
                         if r.stream and not r.is_finished()]
         )
         self._maybe_log_decode()
+
+    def _disagg_handoff(self, req: Req) -> None:
+        """Prefill side of PD disaggregation: ship token state + KV pages
+        to the decode server, finish the request locally
+        (disaggregation/prefill.py event-loop analog)."""
+        from iaas_sglang_tpu.disaggregation.conn import (
+            KVPoll,
+            KVTransferPayload,
+        )
+
+        pages = req.page_table_np()[: cdiv_pages(req.fill_len, self.page_size)]
+        kv_data = self.model_runner.gather_kv_pages(pages)
+        payload = KVTransferPayload(
+            rid=req.rid, input_ids=list(req.input_ids),
+            output_ids=list(req.output_ids), fill_len=req.fill_len,
+            kv_data=kv_data, sampling_params=req.sampling_params,
+            stream=req.stream,
+        )
+        from iaas_sglang_tpu.disaggregation.conn import KVPoll as _KVPoll
+
+        poll = self.kv_sender.send(req.disagg_decode_url, payload)
+        if poll == _KVPoll.Success:
+            req.finished_reason = DisaggHandoff()
+        else:
+            req.finished_reason = FinishAbort("kv transfer failed")
+        self.tree_cache.cache_finished_req(req)
+        req.cleaned = True
+        self._emit_output([req])
+
+    def poll_disagg_ingest(self) -> bool:
+        """Decode side: adopt handed-off requests
+        (disaggregation/decode.py DecodePreallocQueue analog)."""
+        if self.kv_receiver is None:
+            return False
+        got = False
+        while True:
+            payload = self.kv_receiver.poll()
+            if payload is None:
+                return got
+            got = True
+            self._adopt_disagg_request(payload)
+
+    def _adopt_disagg_request(self, payload) -> None:
+        from iaas_sglang_tpu.utils import cdiv
+
+        n_pages = cdiv(payload.fill_len, self.page_size)
+        pages = self.allocator.alloc(n_pages)
+        if pages is None:
+            self.tree_cache.evict(n_pages - self.allocator.free_pages)
+            pages = self.allocator.alloc(n_pages)
+        if pages is None:
+            logger.warning("disagg ingest: no KV pages for %s", payload.rid)
+            return
+        if payload.kv_data is not None:
+            self.model_runner.scatter_kv_pages(pages, payload.kv_data)
+        req = Req(
+            payload.rid, None, payload.input_ids, payload.sampling_params,
+            stream=payload.stream, eos_token_ids=self.eos_token_ids,
+            seed=self.server_args.random_seed ^ hash(payload.rid) & 0xFFFFFFFF,
+        )
+        req.output_ids = list(payload.output_ids)
+        req.owned_pages = pages
+        req.fill_len = payload.fill_len
+        self.running_batch.reqs.append(req)
 
     def _emit_embeddings(self, reqs: List[Req]) -> None:
         self.out_callback(BatchEmbeddingOut(
@@ -570,6 +655,7 @@ class Scheduler:
                     return True
             self._process_inflight()
 
+        self.poll_disagg_ingest()
         batch = self.get_next_batch_to_run()
         if batch is None:
             return False
@@ -601,11 +687,20 @@ class Scheduler:
         drain inbound messages, run one scheduling step, ship outputs.
         RPC responses ride the output socket; the detokenizer forwards
         non-token messages untouched."""
+        import time as _time
+
         import zmq
 
         while True:
-            # block only when idle
-            flags = 0 if not self.has_work() else zmq.NOBLOCK
+            # decode servers must keep polling the KV ingest socket, so
+            # never fully block on the request socket in that mode
+            if self.kv_receiver is not None:
+                self.poll_disagg_ingest()
+                flags = zmq.NOBLOCK
+                if not self.has_work():
+                    _time.sleep(0.002)
+            else:
+                flags = 0 if not self.has_work() else zmq.NOBLOCK
             while True:
                 try:
                     msg = recv_socket.recv_pyobj(flags)
@@ -667,6 +762,12 @@ def run_scheduler_process(server_args, port_args, pipe_writer=None):
         if pipe_writer is not None:
             pipe_writer.send({"status": "error", "message": repr(e)})
         raise
+    if server_args.disaggregation_mode == "decode":
+        from iaas_sglang_tpu.disaggregation.conn import KVReceiver
+
+        scheduler.kv_receiver = KVReceiver(
+            f"tcp://{server_args.host}:"
+            f"{server_args.disaggregation_bootstrap_port}")
     if pipe_writer is not None:
         pipe_writer.send({
             "status": "ready",

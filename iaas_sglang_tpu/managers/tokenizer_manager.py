@@ -57,6 +57,9 @@ class TokenizerManager:
                 server_args.tokenizer_path)
 
         self.states: Dict[str, ReqState] = {}
+        # outputs for requests this process never submitted (PD decode side)
+        self.external_outputs: Dict[str, dict] = {}
+        self._external_waiters: Dict[str, asyncio.Future] = {}
         self._rpc_futures: Dict[type, asyncio.Future] = {}
         self._handle_task: Optional[asyncio.Task] = None
 
@@ -98,6 +101,7 @@ class TokenizerManager:
             sampling_params=sp, stream=gri.stream,
             return_logprob=gri.return_logprob,
             top_logprobs_num=gri.top_logprobs_num,
+            disagg_decode_url=gri.disagg_decode_url,
         ))
         try:
             while True:
@@ -128,6 +132,36 @@ class TokenizerManager:
         out = await self._rpc(GetInternalStateReq(), GetInternalStateReqOutput)
         return out.state
 
+    def _resolve_external(self, rid: str, out, i: int) -> None:
+        result = {
+            "text": out.output_strs[i],
+            "output_ids": out.output_ids[i],
+            "meta_info": {
+                "id": rid,
+                "finish_reason": out.finished_reasons[i],
+                "prompt_tokens": out.prompt_tokens[i],
+                "completion_tokens": out.completion_tokens[i],
+                "cached_tokens": out.cached_tokens[i],
+            },
+        }
+        fut = self._external_waiters.pop(rid, None)
+        if fut is not None and not fut.done():
+            fut.set_result(result)
+        else:
+            self.external_outputs[rid] = result
+
+    async def wait_external(self, rid: str, timeout: float = 600.0) -> dict:
+        """Await the final output of a request ingested via PD handoff."""
+        self.start()
+        if rid in self.external_outputs:
+            return self.external_outputs.pop(rid)
+        fut = asyncio.get_running_loop().create_future()
+        self._external_waiters[rid] = fut
+        try:
+            return await asyncio.wait_for(fut, timeout=timeout)
+        finally:
+            self._external_waiters.pop(rid, None)
+
     # ------------------------------------------------------------ dispatch
 
     async def handle_loop(self) -> None:
@@ -149,6 +183,8 @@ class TokenizerManager:
         for i, rid in enumerate(out.rids):
             state = self.states.get(rid)
             if state is None:
+                if out.finished_reasons[i] is not None:
+                    self._resolve_external(rid, out, i)
                 continue
             if self.metrics is not None:
                 if state.first_token_at == 0.0:

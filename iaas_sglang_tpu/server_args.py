@@ -74,6 +74,11 @@ class ServerArgs:
     disable_jit_cache_warmup: bool = False
     scan_layers: bool = True
 
+    # PD disaggregation (SURVEY 2.6): none | prefill | decode
+    disaggregation_mode: str = "none"
+    disaggregation_transfer_backend: str = "zmq"  # zmq | fake
+    disaggregation_bootstrap_port: int = 0        # decode-side KV ingest port
+
     # Speculative decoding: None | "ngram"  (EAGLE lands on this interface)
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
