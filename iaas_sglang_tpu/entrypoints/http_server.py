@@ -201,6 +201,31 @@ async def handle_abort_request(request: web.Request) -> web.Response:
 # ---------------------------------------------------------------- OpenAI API
 
 
+async def handle_start_profile(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers.io_struct import ProfileReq, ProfileReqOutput
+
+    body = {}
+    try:
+        body = await request.json()
+    except Exception:
+        pass
+    out = await state.tokenizer_manager._rpc(
+        ProfileReq("start", body.get("output_dir",
+                                     "/tmp/iaas_sglang_tpu_trace")),
+        ProfileReqOutput)
+    return web.json_response({"success": out.success, "message": out.message})
+
+
+async def handle_stop_profile(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers.io_struct import ProfileReq, ProfileReqOutput
+
+    out = await state.tokenizer_manager._rpc(
+        ProfileReq("stop"), ProfileReqOutput)
+    return web.json_response({"success": out.success, "message": out.message})
+
+
 async def handle_disagg_wait(request: web.Request) -> web.Response:
     """PD decode side: block until a handed-off request finishes here."""
     state: ServerState = request.app["state"]
@@ -374,6 +399,8 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/generate", handle_generate)
     app.router.add_post("/abort_request", handle_abort_request)
     app.router.add_post("/flush_cache", handle_flush_cache)
+    app.router.add_post("/start_profile", handle_start_profile)
+    app.router.add_post("/stop_profile", handle_stop_profile)
     app.router.add_get("/disagg_wait/{rid}", handle_disagg_wait)
     app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/v1/models", handle_v1_models)

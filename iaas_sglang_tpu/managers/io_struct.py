@@ -212,6 +212,35 @@ class GetWeightsByNameReqOutput:
 
 
 @dataclass
+class ProfileReq:
+    action: str = "start"   # start | stop
+    output_dir: str = "/tmp/iaas_sglang_tpu_trace"
+
+
+@dataclass
+class ProfileReqOutput:
+    success: bool = True
+    message: str = ""
+
+
+@dataclass
+class OpenSessionReqInput:
+    session_id: Optional[str] = None
+    capacity_of_str_len: int = 8192
+
+
+@dataclass
+class OpenSessionReqOutput:
+    session_id: str = ""
+    success: bool = True
+
+
+@dataclass
+class CloseSessionReqInput:
+    session_id: str = ""
+
+
+@dataclass
 class HealthCheckReq:
     pass
 

@@ -21,6 +21,7 @@ import numpy as np
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.managers.io_struct import (
     AbortReq,
+    ProfileReq,
     BatchEmbeddingOut,
     BatchTokenIDOut,
     FlushCacheReqInput,
@@ -149,7 +150,9 @@ class Scheduler:
             (ReleaseMemoryOccupationReqInput, self.handle_release_memory),
             (ResumeMemoryOccupationReqInput, self.handle_resume_memory),
             (GetWeightsByNameReqInput, self.handle_get_weights_by_name),
+            (ProfileReq, self.handle_profile),
         ])
+        self._profiling = False
 
     # ------------------------------------------------------------ intake
 
@@ -230,6 +233,28 @@ class Scheduler:
                 self.spec_emitted / self.spec_steps
                 if self.spec_steps else 0.0),
         })
+
+    def handle_profile(self, m):
+        """Start/stop a jax.profiler trace (analog of scheduler.py:2390
+        Scheduler.profile driving torch.profiler; output is a
+        TensorBoard/Perfetto trace directory)."""
+        from iaas_sglang_tpu.managers.io_struct import ProfileReqOutput
+
+        import jax
+
+        try:
+            if m.action == "start" and not self._profiling:
+                jax.profiler.start_trace(m.output_dir)
+                self._profiling = True
+                return ProfileReqOutput(True, f"tracing to {m.output_dir}")
+            if m.action == "stop" and self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                return ProfileReqOutput(True, "trace stopped")
+            return ProfileReqOutput(False, f"invalid action in state")
+        except Exception as e:  # noqa: BLE001
+            self._profiling = False
+            return ProfileReqOutput(False, repr(e))
 
     def handle_update_weights(self, m: UpdateWeightFromDiskReqInput):
         """Idle-only weight hot-reload (scheduler.py:2268 analog)."""

@@ -173,3 +173,15 @@ def test_dp_size_2_server(tmp_path_factory):
             assert len(o["output_ids"]) == 4
     finally:
         kill_server(proc)
+
+
+def test_profile_endpoints(server):
+    r = requests.post(f"{server}/start_profile", json={
+        "output_dir": "/tmp/test_trace"}, timeout=60)
+    assert r.json()["success"], r.text
+    requests.post(f"{server}/generate", json={
+        "text": "profile me",
+        "sampling_params": {"max_new_tokens": 2, "temperature": 0.0,
+                            "ignore_eos": True}}, timeout=120)
+    r = requests.post(f"{server}/stop_profile", timeout=60)
+    assert r.json()["success"], r.text
