@@ -40,6 +40,9 @@ class ModelConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Gemma-family quirks
+    rms_weight_offset: float = 0.0   # rmsnorm uses (offset + w)
+    embed_multiplier: float = 1.0    # hidden *= multiplier after embedding
     # Sliding-window attention: None => full attention on all layers.
     sliding_window: Optional[int] = None
     sliding_window_pattern: Optional[list[bool]] = None  # per-layer "is SWA layer"
@@ -95,6 +98,9 @@ class ModelConfig:
         if mc.model_type in ("qwen3", "qwen3_moe"):
             mc.qk_norm = True
             mc.attention_bias = False
+        if mc.model_type in ("gemma", "gemma2", "gemma3_text"):
+            mc.rms_weight_offset = 1.0
+            mc.embed_multiplier = float(mc.hidden_size) ** 0.5
         mc.context_len = context_length or _probe_context_len(hf)
         if dtype != "auto":
             mc.dtype = dtype

@@ -161,11 +161,15 @@ class LlamaFamilyForCausalLM:
         ps = kv_pages.shape[1]
 
         hidden = params["embed"][fb.input_ids]  # [T, H]
+        if c.embed_multiplier != 1.0:
+            # Gemma scales embeddings by sqrt(hidden) in the input dtype
+            hidden = hidden * jnp.asarray(c.embed_multiplier, hidden.dtype)
 
         def layer_body(carry, xs):
             hidden, kv = carry
             lp, layer_idx = xs
-            h = rms_norm(hidden, lp["input_norm"], c.rms_norm_eps)
+            h = rms_norm(hidden, lp["input_norm"] + c.rms_weight_offset,
+                         c.rms_norm_eps)
             q = qmatmul(h, lp["wq"])
             k = qmatmul(h, lp["wk"])
             v = qmatmul(h, lp["wv"])
@@ -196,7 +200,8 @@ class LlamaFamilyForCausalLM:
             attn_out = qmatmul(attn.reshape(T, c.num_heads * c.head_dim), lp["wo"])
             hidden = hidden + attn_out
 
-            h2 = rms_norm(hidden, lp["post_norm"], c.rms_norm_eps)
+            h2 = rms_norm(hidden, lp["post_norm"] + c.rms_weight_offset,
+                         c.rms_norm_eps)
             if c.is_moe:
                 from iaas_sglang_tpu.ops.moe import moe_block
 
@@ -208,8 +213,12 @@ class LlamaFamilyForCausalLM:
                     impl=self.moe_impl,
                 )
             else:
+                act_fn = (
+                    (lambda x: jax.nn.gelu(x, approximate=True))
+                    if "gelu" in c.hidden_act else jax.nn.silu
+                )
                 mlp = qmatmul(
-                    jax.nn.silu(qmatmul(h2, lp["w_gate"]))
+                    act_fn(qmatmul(h2, lp["w_gate"]))
                     * qmatmul(h2, lp["w_up"]),
                     lp["w_down"],
                 )
@@ -229,7 +238,8 @@ class LlamaFamilyForCausalLM:
                     (hidden, kv_pages), (lp, jnp.int32(l))
                 )
 
-        hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
+        hidden = rms_norm(hidden, params["final_norm"] + c.rms_weight_offset,
+                          c.rms_norm_eps)
         return hidden, kv_pages
 
     def compute_logits(self, params: dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:

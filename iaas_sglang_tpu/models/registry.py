@@ -22,6 +22,7 @@ for _arch in (
     "MistralForCausalLM",
     "MixtralForCausalLM",
     "Qwen3MoeForCausalLM",
+    "GemmaForCausalLM",
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

@@ -132,3 +132,40 @@ def test_moe_greedy_decode_matches_hf(hf_dict):
     ours = driver.generate_greedy(PROMPT, 12)
     ref = hf_greedy_generate(hf_model, PROMPT, 12)
     assert ours == ref
+
+
+TINY_GEMMA = dict(
+    architectures=["GemmaForCausalLM"],
+    model_type="gemma",
+    num_hidden_layers=2,
+    hidden_size=64,
+    head_dim=16,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    intermediate_size=128,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=True,
+    hidden_act="gelu_pytorch_tanh",
+    hidden_activation="gelu_pytorch_tanh",
+)
+
+
+def test_gemma_prefill_logits_match_hf():
+    import torch
+    import transformers
+
+    config = transformers.GemmaConfig(**{
+        k: v for k, v in TINY_GEMMA.items() if k != "architectures"})
+    torch.manual_seed(0)
+    from transformers import AutoModelForCausalLM
+
+    hf_model = AutoModelForCausalLM.from_config(config).eval()
+    runner, cfg, sa = make_runner(TINY_GEMMA)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
