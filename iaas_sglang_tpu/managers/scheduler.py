@@ -323,8 +323,20 @@ class Scheduler:
         if not adder.can_run:
             return None
         self.chunked_req = adder.chunked_req
+        reqs = list(adder.can_run)
+        if (self.server_args.enable_mixed_chunk
+                and self.running_batch.reqs
+                and adder.rem_chunk_tokens >= len(self.running_batch.reqs)
+                and all(r.pending_steps == 0 for r in self.running_batch.reqs)):
+            # mixed chunked prefill + decode (schedule_batch.py:1320 analog):
+            # running requests ride along with extend_len=1 — their pending
+            # token is simply the next entry of fill_ids, so the ragged
+            # extend path handles them unmodified
+            for r in self.running_batch.reqs:
+                r.extend_len = 1
+            reqs = reqs + list(self.running_batch.reqs)
         return ScheduleBatch(
-            adder.can_run, ForwardMode.EXTEND,
+            reqs, ForwardMode.EXTEND,
             self.allocator, self.tree_cache, self.page_size,
         )
 
@@ -464,15 +476,19 @@ class Scheduler:
                     req.cleaned = True
                     self._emit_embeddings([req])
                     continue
-                if not req.output_ids:
+                if req.fill_len >= req.seq_len():
+                    # every fill_ids token has KV now -> the sampled token is
+                    # genuinely new (fresh prefill OR mixed-chunk decode ride-
+                    # along); a retracted resume stops one token short and
+                    # skips this (its pending token is already known)
                     req.output_ids.append(int(tokens[i]))
                     record_logprob(req, i)
                     if req.grammar is not None:
                         req.grammar.accept_token(int(tokens[i]))
+                    self.num_generated_tokens += 1
                 if req.disagg_decode_url is not None:
                     self._disagg_handoff(req)
                     continue
-                # else: retracted request resuming — pending token already known
             elif not req.is_finished():
                 req.fill_len += 1
                 req.output_ids.append(int(tokens[i]))
@@ -488,10 +504,11 @@ class Scheduler:
 
         if batch.mode.is_extend():
             # move prompt-complete requests into the running decode batch
+            already = {id(r) for r in self.running_batch.reqs}
             newly_running = [
                 r for r in batch.reqs
                 if r.prefill_done() and not r.is_finished()
-                and not r.is_embedding
+                and not r.is_embedding and id(r) not in already
             ]
             self.running_batch.reqs.extend(newly_running)
             # publish finished-chunk pages for cross-request sharing

@@ -213,3 +213,21 @@ def test_hierarchical_cache_reload():
     # generation must still be correct vs a fresh engine
     fresh = make_engine().generate(input_ids=a, sampling_params=sp)
     assert fresh["output_ids"] == out_a1["output_ids"]
+
+
+def test_mixed_chunk_parity():
+    """--enable-mixed-chunk: decode requests riding along in prefill
+    batches must produce identical greedy outputs."""
+    eng_m = make_engine(enable_mixed_chunk=True, chunked_prefill_size=16)
+    eng_p = make_engine(chunked_prefill_size=16)
+    sp = {"max_new_tokens": 10, "temperature": 0.0}
+    # stagger: first request decodes while the second prefills
+    o1m = eng_m.generate(input_ids=list(range(10)), sampling_params=sp)
+    o1p = eng_p.generate(input_ids=list(range(10)), sampling_params=sp)
+    assert o1m["output_ids"] == o1p["output_ids"]
+    prompts = [list(range(20, 44)), list(range(50, 62))]
+    om = eng_m.generate(input_ids=prompts, sampling_params=sp)
+    op = eng_p.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(om, op):
+        assert a["output_ids"] == b["output_ids"]
+    eng_m.scheduler.check_memory_leak()
