@@ -107,6 +107,11 @@ class ModelRunner:
         self._init_kv_pool()
         self._init_buckets()
         self._step_fn = self._build_step_fn()
+        # AOT executable cache: the runtime jit dispatch path misbehaves on
+        # the remote-compile relay for large programs (pathological compile
+        # memory/time); explicit lower().compile() is fast and sane, so
+        # every bucket shape is compiled ahead-of-time and cached here.
+        self._compiled: dict = {}
 
     # -------------------------------------------------------------- KV pool
 
@@ -246,9 +251,11 @@ class ModelRunner:
         logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
         gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
         with self.mesh_ctx.mesh:
-            tokens, logits, lp, topv, topi, hid, self.kv_pages = self._step_fn(
+            exe = self._get_compiled(
+                fb, meta, pen, gmask,
+                attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k)
+            tokens, logits, lp, topv, topi, hid, self.kv_pages = exe(
                 self.params, self.kv_pages, fb, meta, pen, gmask,
-                attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k,
             )
         hb.device_tokens = tokens
         hb.device_logits = logits
@@ -269,6 +276,28 @@ class ModelRunner:
                 hb.top_logprob_vals = np.asarray(topv)[:B]
                 hb.top_logprob_ids = np.asarray(topi)[:B]
         return np.asarray(hb.device_tokens)[:B]
+
+    def _get_compiled(self, fb, meta, pen, gmask, attn_mode,
+                      logprob_top_k, return_hidden, verify_k):
+        key = (
+            attn_mode, logprob_top_k, return_hidden, verify_k,
+            str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                             (fb, meta, pen, gmask))),
+        )
+        exe = self._compiled.get(key)
+        if exe is None:
+            t0 = __import__("time").perf_counter()
+            exe = self._step_fn.lower(
+                self.params, self.kv_pages, fb, meta, pen, gmask,
+                attn_mode, logprob_top_k, return_hidden, verify_k,
+            ).compile()
+            self._compiled[key] = exe
+            logger.info(
+                "compiled %s step (T=%s B=%s) in %.1fs",
+                attn_mode, fb.input_ids.shape[0], meta.temperatures.shape[0],
+                __import__("time").perf_counter() - t0,
+            )
+        return exe
 
     def _pad_grammar(self, hb: HostBatch, B_pad: int):
         gm = hb.grammar_masks
