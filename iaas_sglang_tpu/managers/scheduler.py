@@ -135,6 +135,11 @@ class Scheduler:
             self.eos_token_ids.update(gen_cfg)
 
         # stats
+        from collections import deque
+
+        self._recent_finished = deque(maxlen=100)
+        self._watchdog_busy = False
+        self._watchdog_last = time.monotonic()
         self.num_generated_tokens = 0
         self.num_retracted = 0
         self.step_count = 0
@@ -501,6 +506,8 @@ class Scheduler:
                 self.tree_cache.cache_finished_req(req)
                 req.cleaned = True
                 finished.append(req)
+                self._recent_finished.append(
+                    (req.rid, req.input_ids, list(req.output_ids)))
 
         if batch.mode.is_extend():
             # move prompt-complete requests into the running decode batch
@@ -697,6 +704,8 @@ class Scheduler:
                     return True
             self._process_inflight()
 
+        self._watchdog_last = time.monotonic()
+        self._watchdog_busy = True
         self.poll_disagg_ingest()
         batch = self.get_next_batch_to_run()
         if batch is None:
@@ -708,6 +717,7 @@ class Scheduler:
                 self._maybe_log_decode()
                 return True
         tokens, hb = self.run_batch(batch, fetch=False)
+        self._watchdog_busy = False
         if hb is None:
             return False
         self._inflight = (batch, hb)
@@ -724,6 +734,50 @@ class Scheduler:
             or self.chunked_req or self._inflight is not None
         )
 
+    def start_watchdog(self) -> None:
+        """Kill the process if a scheduling step wedges for longer than
+        watchdog_timeout (analog of scheduler.py:2024 watchdog_thread)."""
+        import os
+        import threading
+
+        self._watchdog_last = time.monotonic()
+        self._watchdog_busy = False
+
+        def loop():
+            while True:
+                time.sleep(self.server_args.watchdog_timeout / 10)
+                if (self._watchdog_busy
+                        and time.monotonic() - self._watchdog_last
+                        > self.server_args.watchdog_timeout):
+                    logger.error(
+                        "watchdog: step stuck > %.0fs, aborting",
+                        self.server_args.watchdog_timeout)
+                    self.dump_crash_state()
+                    os._exit(1)
+
+        threading.Thread(target=loop, daemon=True).start()
+
+    def dump_crash_state(self, folder: str = "/tmp") -> str:
+        """Pickle recent request state for post-mortem replay
+        (tokenizer_manager.py:1257 crash dump analog)."""
+        import os
+        import pickle
+
+        path = os.path.join(
+            folder, f"iaas_sglang_tpu_crash_{os.getpid()}.pkl")
+        state = {
+            "waiting": [(r.rid, r.input_ids, len(r.output_ids))
+                        for r in self.waiting_queue],
+            "running": [(r.rid, r.input_ids, list(r.output_ids))
+                        for r in self.running_batch.reqs],
+            "recent_finished": list(self._recent_finished),
+            "internal": self.handle_get_internal_state(None).state,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        logger.error("crash state dumped to %s", path)
+        return path
+
     def event_loop_normal(self, recv_socket, send_socket) -> None:
         """ZMQ server loop (analog of scheduler.py:759 event_loop_normal):
         drain inbound messages, run one scheduling step, ship outputs.
@@ -733,6 +787,7 @@ class Scheduler:
 
         import zmq
 
+        self.start_watchdog()
         while True:
             # decode servers must keep polling the KV ingest socket, so
             # never fully block on the request socket in that mode
