@@ -287,8 +287,23 @@ class ModelRunner:
         exe = self._compiled.get(key)
         if exe is None:
             t0 = __import__("time").perf_counter()
+
+            # Lower with ABSTRACT avals: lowering against live committed
+            # arrays pins their current layouts, and XLA then materializes
+            # bf16 layout-conversion copies of every weight inside the
+            # program (~2x weight HBM -> compile OOM on big models).
+            # Abstract lowering lets the compiler pick layouts; any one-off
+            # relayout happens per-array at call time instead.
+            def absify(x):
+                if hasattr(x, "shape") and hasattr(x, "dtype"):
+                    sh = getattr(x, "sharding", None)
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+                return x
+
+            abs_args = jax.tree.map(absify, (
+                self.params, self.kv_pages, fb, meta, pen, gmask))
             exe = self._step_fn.lower(
-                self.params, self.kv_pages, fb, meta, pen, gmask,
+                *abs_args,
                 attn_mode, logprob_top_k, return_hidden, verify_k,
             ).compile()
             self._compiled[key] = exe

@@ -134,7 +134,12 @@ def _dummy_host_params(specs: Dict[str, WeightSpec], config: ModelConfig,
         if "norm" in name:
             out[name] = np.ones(shape, dtype=dt)
         else:
-            out[name] = rng.standard_normal(shape, dtype=np.float32).astype(dt) * 0.02
+            # NOTE: scale BEFORE casting — `astype(bf16) * 0.02` silently
+            # promotes back to float32 (numpy scalar promotion), which
+            # doubles weight HBM and cost a long OOM hunt.
+            out[name] = (
+                rng.standard_normal(shape, dtype=np.float32) * 0.02
+            ).astype(dt)
     return out
 
 

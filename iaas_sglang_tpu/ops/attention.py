@@ -47,7 +47,7 @@ def paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
         )
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_own"):
         if mode == "decode":
             from iaas_sglang_tpu.ops.decode_attention import (
                 paged_decode_attention,
@@ -57,8 +57,18 @@ def paged_attention(
                 q, kv_pages, kv_lens, page_indices,
                 sm_scale=sm_scale, sliding_window=sliding_window,
             )
-        # ragged extend path: jax's built-in ragged paged attention until our
-        # extend kernel lands (tracked for this round)
+        if backend == "pallas_own":
+            from iaas_sglang_tpu.ops.extend_attention import (
+                ragged_extend_attention,
+            )
+
+            return ragged_extend_attention(
+                q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+                sm_scale=sm_scale, sliding_window=sliding_window,
+            )
+        # default extend path: jax's built-in ragged paged attention
+        # (ours above, selected via --attention-backend pallas_own, is the
+        # in-house replacement being tuned against it)
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention as jax_rpa,
         )
