@@ -90,6 +90,12 @@ class Scheduler:
         self.allocator = PageAllocator(
             self.model_runner.num_usable_pages, self.page_size
         )
+        self.kv_event_publisher = None
+        if server_args.kv_events_endpoint:
+            from iaas_sglang_tpu.mem_cache.kv_events import KVEventPublisher
+
+            self.kv_event_publisher = KVEventPublisher(
+                server_args.kv_events_endpoint)
         if server_args.disable_radix_cache:
             self.tree_cache = ChunkCache(self.allocator, self.page_size)
         elif server_args.enable_hierarchical_cache:
@@ -100,7 +106,9 @@ class Scheduler:
                 host_capacity_pages=int(
                     server_args.hicache_ratio * self.allocator.num_pages))
         else:
-            self.tree_cache = RadixCache(self.allocator, self.page_size)
+            self.tree_cache = RadixCache(
+                self.allocator, self.page_size,
+                event_publisher=self.kv_event_publisher)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
         from iaas_sglang_tpu.constrained import create_grammar_backend
 
@@ -641,6 +649,8 @@ class Scheduler:
         self.out_callback(out)
 
     def _maybe_log_decode(self) -> None:
+        if self.kv_event_publisher is not None:
+            self.kv_event_publisher.publish()
         self.step_count += 1
         if self.step_count % self.server_args.decode_log_interval == 0:
             used = self.allocator.num_pages - self.allocator.free_pages

@@ -80,10 +80,39 @@ class BasePrefixCache:
 
 
 class RadixCache(BasePrefixCache):
-    def __init__(self, allocator: PageAllocator, page_size: int):
+    def __init__(self, allocator: PageAllocator, page_size: int,
+                 event_publisher=None):
         self.allocator = allocator
         self.page_size = page_size
+        self.event_publisher = event_publisher
         self.reset()
+
+    def _emit_stored(self, node: "TreeNode") -> None:
+        if self.event_publisher is None:
+            return
+        from iaas_sglang_tpu.mem_cache.kv_events import BlockStored, page_hash
+
+        parent = node.parent
+        parent_hash = getattr(parent, "_tail_hash", None) \
+            if parent is not None else None
+        h = parent_hash or 0
+        hashes = []
+        for i in range(0, len(node.key), self.page_size):
+            h = page_hash(node.key[i:i + self.page_size], h)
+            hashes.append(h)
+        node._tail_hash = h
+        self.event_publisher.record(BlockStored(
+            block_hashes=hashes, token_ids=list(node.key),
+            parent_block_hash=parent_hash))
+
+    def _emit_removed(self, node: "TreeNode") -> None:
+        if self.event_publisher is None:
+            return
+        from iaas_sglang_tpu.mem_cache.kv_events import BlockRemoved
+
+        if getattr(node, "_tail_hash", None) is not None:
+            self.event_publisher.record(
+                BlockRemoved(block_hashes=[node._tail_hash]))
 
     # ------------------------------------------------------------------ core
 
@@ -169,6 +198,7 @@ class RadixCache(BasePrefixCache):
                 new_node.parent = node
                 node.children[ck] = new_node
                 self._evictable_pages += len(new_node.pages)
+                self._emit_stored(new_node)
                 return total_prior
             child.last_access_time = time.monotonic()
             limit = min(len(child.key), len(token_ids) - matched)
@@ -229,6 +259,7 @@ class RadixCache(BasePrefixCache):
             self.allocator.free(leaf.pages)
             freed += len(leaf.pages)
             self._evictable_pages -= len(leaf.pages)
+            self._emit_removed(leaf)
             parent = leaf.parent
             del parent.children[self._child_key(leaf.key)]
             if parent is not self.root and not parent.children and parent.lock_ref == 0:

@@ -55,6 +55,7 @@ class ServerArgs:
     stream_interval: int = 1
     disable_radix_cache: bool = False
     enable_hierarchical_cache: bool = False
+    kv_events_endpoint: Optional[str] = None  # ZMQ PUB addr for cache events
     hicache_ratio: float = 2.0      # host tier capacity / device pool size
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False

@@ -231,3 +231,37 @@ def test_mixed_chunk_parity():
     for a, b in zip(om, op):
         assert a["output_ids"] == b["output_ids"]
     eng_m.scheduler.check_memory_leak()
+
+
+def test_kv_events_published():
+    """Radix block stored/removed events reach a ZMQ subscriber
+    (disaggregation/kv_events.py analog)."""
+    import time
+
+    import zmq
+
+    from iaas_sglang_tpu.utils import get_open_port
+
+    port = get_open_port()
+    eng = make_engine(kv_events_endpoint=f"tcp://127.0.0.1:{port}")
+    ctx = zmq.Context.instance()
+    sub = ctx.socket(zmq.SUB)
+    sub.connect(f"tcp://127.0.0.1:{port}")
+    sub.setsockopt(zmq.SUBSCRIBE, b"")
+    time.sleep(0.3)  # let SUB join
+    eng.generate(input_ids=list(range(40)),
+                 sampling_params={"max_new_tokens": 4, "temperature": 0.0})
+    events = []
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        try:
+            events.extend(sub.recv_pyobj(zmq.NOBLOCK))
+        except zmq.Again:
+            if events:
+                break
+            time.sleep(0.05)
+    from iaas_sglang_tpu.mem_cache.kv_events import BlockStored
+
+    stored = [e for e in events if isinstance(e, BlockStored)]
+    assert stored, "expected BlockStored events"
+    assert sum(len(e.token_ids) for e in stored) >= 40
