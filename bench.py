@@ -74,9 +74,11 @@ def main():
     ]
     sp = {"max_new_tokens": OUT_LEN, "temperature": 0.0, "ignore_eos": True}
 
-    # warmup (compiles extend + decode buckets)
-    eng.generate(input_ids=prompts[:2],
-                 sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+    # warmup with the FULL batch so exactly the two programs of the main
+    # run (extend T=2048/B=16, decode B=32) get compiled — every extra
+    # bucket costs ~30 min of remote compile on this relay
+    eng.generate(input_ids=prompts,
+                 sampling_params={"max_new_tokens": 2, "temperature": 0.0,
                                   "ignore_eos": True})
     eng.flush_cache()
 

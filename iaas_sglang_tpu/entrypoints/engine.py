@@ -109,10 +109,12 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
+        session_id: Optional[str] = None,
     ) -> Union[dict, List[dict]]:
         gri = GenerateReqInput(
             text=prompt, input_ids=input_ids, sampling_params=sampling_params,
             return_logprob=return_logprob, top_logprobs_num=top_logprobs_num,
+            session_id=session_id,
         )
         was_batch = gri.is_batch()
         singles = gri.normalize()
@@ -129,6 +131,7 @@ class Engine:
                 sampling_params=sp, stream=False,
                 return_logprob=g.return_logprob,
                 top_logprobs_num=g.top_logprobs_num,
+                session_id=g.session_id,
             ))
             rids.append(g.rid)
 
@@ -218,6 +221,17 @@ class Engine:
         }
 
     # ------------------------------------------------------------ admin ops
+
+    def open_session(self, session_id=None) -> str:
+        from iaas_sglang_tpu.managers.io_struct import OpenSessionReqInput
+
+        return self.scheduler.process_input(
+            OpenSessionReqInput(session_id)).session_id
+
+    def close_session(self, session_id: str) -> None:
+        from iaas_sglang_tpu.managers.io_struct import CloseSessionReqInput
+
+        self.scheduler.process_input(CloseSessionReqInput(session_id))
 
     def flush_cache(self) -> bool:
         from iaas_sglang_tpu.managers.io_struct import FlushCacheReqInput

@@ -27,6 +27,7 @@ class GenerateReqInput:
     logprob_start_len: int = -1
     top_logprobs_num: int = 0
     disagg_decode_url: Optional[str] = None
+    session_id: Optional[str] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -66,6 +67,7 @@ class GenerateReqInput:
                     logprob_start_len=self.logprob_start_len,
                     top_logprobs_num=self.top_logprobs_num,
                     disagg_decode_url=self.disagg_decode_url,
+                    session_id=self.session_id,
                 )
             )
         return out
@@ -86,6 +88,7 @@ class TokenizedGenerateReqInput:
     # PD disaggregation: when set, hand the request off to this decode
     # server's KV-ingest endpoint after prefill
     disagg_decode_url: Optional[str] = None
+    session_id: Optional[str] = None
 
 
 @dataclass

@@ -153,7 +153,22 @@ class Scheduler:
         self.step_count = 0
         self.last_decode_log = time.monotonic()
 
+        from iaas_sglang_tpu.managers.io_struct import (
+            CloseSessionReqInput,
+            OpenSessionReqInput,
+            OpenSessionReqOutput,
+        )
+        from iaas_sglang_tpu.managers.session_controller import (
+            SessionController,
+        )
+
+        self.sessions = SessionController()
         self._dispatcher = TypeBasedDispatcher([
+            (OpenSessionReqInput,
+             lambda m: OpenSessionReqOutput(
+                 session_id=self.sessions.open(m.session_id))),
+            (CloseSessionReqInput,
+             lambda m: self.sessions.close(m.session_id)),
             (TokenizedGenerateReqInput, self.handle_generate_request),
             (TokenizedEmbeddingReqInput, self.handle_embedding_request),
             (AbortReq, self.handle_abort),
@@ -173,8 +188,13 @@ class Scheduler:
         return self._dispatcher(msg)
 
     def handle_generate_request(self, m: TokenizedGenerateReqInput) -> None:
+        input_ids = m.input_ids
+        if m.session_id is not None:
+            sess = self.sessions.get(m.session_id)
+            if sess is not None:
+                input_ids = sess.compose_input(m.input_ids)
         req = Req(
-            m.rid, m.input_text, m.input_ids, m.sampling_params,
+            m.rid, m.input_text, input_ids, m.sampling_params,
             stream=m.stream, return_logprob=m.return_logprob,
             top_logprobs_num=m.top_logprobs_num,
             eos_token_ids=self.eos_token_ids,
@@ -193,6 +213,7 @@ class Scheduler:
             req.grammar = self.grammar_backend.get_grammar(
                 regex=sp.regex, json_schema=sp.json_schema)
         req.disagg_decode_url = m.disagg_decode_url
+        req.session_id = m.session_id
         self.waiting_queue.append(req)
 
     def handle_embedding_request(self, m: TokenizedEmbeddingReqInput) -> None:
@@ -516,6 +537,12 @@ class Scheduler:
                 finished.append(req)
                 self._recent_finished.append(
                     (req.rid, req.input_ids, list(req.output_ids)))
+                sid = getattr(req, "session_id", None)
+                if sid is not None:
+                    sess = self.sessions.get(sid)
+                    if sess is not None:
+                        sess.commit_turn(
+                            req.rid, req.input_ids, req.output_ids)
 
         if batch.mode.is_extend():
             # move prompt-complete requests into the running decode batch

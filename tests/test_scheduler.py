@@ -265,3 +265,23 @@ def test_kv_events_published():
     stored = [e for e in events if isinstance(e, BlockStored)]
     assert stored, "expected BlockStored events"
     assert sum(len(e.token_ids) for e in stored) >= 40
+
+
+def test_sessions_multiturn():
+    """Session turns continue from accumulated history with cache reuse
+    (session_controller.py analog)."""
+    eng = make_engine()
+    sid = eng.open_session()
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    t1 = list(range(100, 120))
+    o1 = eng.generate(input_ids=t1, sampling_params=sp, session_id=sid)
+    t2 = list(range(150, 158))
+    o2 = eng.generate(input_ids=t2, sampling_params=sp, session_id=sid)
+    # turn 2 must equal generating over the full explicit history
+    full = t1 + o1["output_ids"] + t2
+    ref = eng.generate(input_ids=full, sampling_params=sp)
+    assert o2["output_ids"] == ref["output_ids"]
+    # history prefix should hit the radix cache
+    assert o2["meta_info"]["cached_tokens"] > 0
+    eng.close_session(sid)
+    assert eng.scheduler.sessions.get(sid) is None
