@@ -110,11 +110,12 @@ class Engine:
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
         session_id: Optional[str] = None,
+        lora_path: Optional[str] = None,
     ) -> Union[dict, List[dict]]:
         gri = GenerateReqInput(
             text=prompt, input_ids=input_ids, sampling_params=sampling_params,
             return_logprob=return_logprob, top_logprobs_num=top_logprobs_num,
-            session_id=session_id,
+            session_id=session_id, lora_path=lora_path,
         )
         was_batch = gri.is_batch()
         singles = gri.normalize()
@@ -132,6 +133,7 @@ class Engine:
                 return_logprob=g.return_logprob,
                 top_logprobs_num=g.top_logprobs_num,
                 session_id=g.session_id,
+                lora_path=g.lora_path,
             ))
             rids.append(g.rid)
 
@@ -221,6 +223,19 @@ class Engine:
         }
 
     # ------------------------------------------------------------ admin ops
+
+    def load_lora_adapter(self, name: str, state_dict, *, rank: int,
+                          alpha: float) -> int:
+        """Load a PEFT-style adapter into a slot
+        (analog of /load_lora_adapter, lora_manager.py:45)."""
+        mgr = self.scheduler.model_runner.lora_manager
+        assert mgr is not None, "start the engine with enable_lora=True"
+        return mgr.load_adapter(name, state_dict, rank=rank, alpha=alpha)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        mgr = self.scheduler.model_runner.lora_manager
+        if mgr is not None:
+            mgr.unload_adapter(name)
 
     def open_session(self, session_id=None) -> str:
         from iaas_sglang_tpu.managers.io_struct import OpenSessionReqInput

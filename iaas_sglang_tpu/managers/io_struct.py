@@ -28,6 +28,7 @@ class GenerateReqInput:
     top_logprobs_num: int = 0
     disagg_decode_url: Optional[str] = None
     session_id: Optional[str] = None
+    lora_path: Optional[str] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -68,6 +69,7 @@ class GenerateReqInput:
                     top_logprobs_num=self.top_logprobs_num,
                     disagg_decode_url=self.disagg_decode_url,
                     session_id=self.session_id,
+                    lora_path=self.lora_path,
                 )
             )
         return out
@@ -89,6 +91,7 @@ class TokenizedGenerateReqInput:
     # server's KV-ingest endpoint after prefill
     disagg_decode_url: Optional[str] = None
     session_id: Optional[str] = None
+    lora_path: Optional[str] = None
 
 
 @dataclass

@@ -97,6 +97,7 @@ class Req:
         self.grammar = None          # BaseGrammarObject when constrained
         self.is_embedding = False    # prefill-only pooled-hidden request
         self.disagg_decode_url = None  # PD: hand off after prefill
+        self.lora_slot = 0           # multi-LoRA adapter slot (0 = none)
         self.embedding = None        # filled for embedding requests
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []
@@ -477,9 +478,15 @@ class ScheduleBatch:
                     seq_lens, q_lens) -> HostBatch:
         reqs = self.reqs
         B = len(reqs)
+        lora_ids = None
+        if any(r.lora_slot for r in reqs):
+            lora_ids = np.repeat(
+                np.asarray([r.lora_slot for r in reqs], np.int32),
+                np.asarray(q_lens, np.int64))
         return HostBatch(
             penalty_arrays=self._build_penalty_arrays(),
             grammar_masks=self._build_grammar_masks(),
+            lora_ids=lora_ids,
             return_hidden=any(r.is_embedding for r in reqs),
             return_logprob=any(r.return_logprob for r in reqs),
             top_logprobs_num=max(

@@ -90,7 +90,9 @@ class PrefillAdder:
 
         # fresh (or retracted) requests get a prefix match + tree lock;
         # a resuming chunked request already holds its lock and pages.
-        need_lock = req.fill_len == 0
+        # LoRA requests bypass the shared cache entirely: cached KV was
+        # computed without their adapter and must not be reused.
+        need_lock = req.fill_len == 0 and not getattr(req, "lora_slot", 0)
         if need_lock:
             res = self.tree_cache.match_prefix(req.fill_ids())
             req.cache_hit_tokens = res.prefix_len

@@ -214,6 +214,8 @@ class Scheduler:
                 regex=sp.regex, json_schema=sp.json_schema)
         req.disagg_decode_url = m.disagg_decode_url
         req.session_id = m.session_id
+        if m.lora_path and self.model_runner.lora_manager is not None:
+            req.lora_slot = self.model_runner.lora_manager.slot_of(m.lora_path)
         self.waiting_queue.append(req)
 
     def handle_embedding_request(self, m: TokenizedEmbeddingReqInput) -> None:

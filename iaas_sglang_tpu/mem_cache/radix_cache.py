@@ -285,6 +285,12 @@ class RadixCache(BasePrefixCache):
 
         Analog of radix_cache.py:182 cache_finished_req.
         """
+        if getattr(req, "lora_slot", 0):
+            # adapter-specific KV never enters the shared tree
+            self.allocator.free(np.asarray(req.owned_pages, dtype=np.int32))
+            if req.last_node is not None:
+                self.dec_lock_ref(req.last_node)
+            return
         token_ids = req.fill_ids()[: req.fill_len]
         aligned = len(token_ids) - (len(token_ids) % self.page_size)
         pages = req.page_table_np()[: aligned // self.page_size]
@@ -305,6 +311,8 @@ class RadixCache(BasePrefixCache):
         """Publish the full pages of an in-flight request into the tree so
         concurrent requests can share them (chunked prefill dedup), and
         re-lock the deeper node. Analog of radix_cache.py:219."""
+        if getattr(req, "lora_slot", 0):
+            return
         token_ids = req.fill_ids()[: req.fill_len]
         aligned = len(token_ids) - (len(token_ids) % self.page_size)
         if aligned == 0:

@@ -42,6 +42,8 @@ class ForwardBatch:
     last_token_idx: jnp.ndarray # i32[Bmax] index into [0,T) of seq's last token
     # speculative verify: token indices of each seq's K+1 query positions
     verify_idx: jnp.ndarray = None  # i32[Bmax, K+1] | None
+    # multi-LoRA: per-token adapter slot (0 = none) | None when LoRA unused
+    lora_ids: jnp.ndarray = None    # i32[T] | None
 
 
 @struct.dataclass

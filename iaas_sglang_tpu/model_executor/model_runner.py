@@ -65,6 +65,8 @@ class HostBatch:
     # speculative verify: K drafts per seq -> greedy argmax at K+1 positions
     verify_k: int = 0
     verify_idx: Any = None          # np i32[B, K+1] token indices
+    # multi-LoRA: per-token adapter slot ids (None = no LoRA in batch)
+    lora_ids: Any = None            # np i32[T] | None
     # set by the runner for the scheduler
     num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
@@ -103,6 +105,15 @@ class ModelRunner:
                 seed=server_args.random_seed,
             )
         jax.block_until_ready(jax.tree.leaves(self.params)[0])
+
+        self.lora_manager = None
+        if getattr(server_args, "enable_lora", False):
+            from iaas_sglang_tpu.lora.lora_manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model, model_config, self.mesh_ctx,
+                max_loras=server_args.max_loras_per_batch,
+                max_rank=server_args.max_lora_rank)
 
         self._init_kv_pool()
         self._init_buckets()
@@ -196,12 +207,12 @@ class ModelRunner:
         )
 
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
-                 pen, grammar_mask, attn_mode: str, logprob_top_k: int,
+                 pen, grammar_mask, lora, attn_mode: str, logprob_top_k: int,
                  return_hidden: bool = False, verify_k: int = 0):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
-                scan_layers=scan_layers,
+                scan_layers=scan_layers, lora=lora,
             )
             if verify_k > 0:
                 # TARGET_VERIFY (forward_batch_info.py ForwardMode analog):
@@ -233,7 +244,7 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(6, 7, 8, 9))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(7, 8, 9, 10))
 
     # ------------------------------------------------------------- forward
 
@@ -250,12 +261,15 @@ class ModelRunner:
         attn_mode = "decode" if hb.mode.is_decode() else "extend"
         logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
         gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
+        lora = None
+        if hb.lora_ids is not None and self.lora_manager is not None:
+            lora = self.lora_manager.device_params()
         with self.mesh_ctx.mesh:
             exe = self._get_compiled(
-                fb, meta, pen, gmask,
+                fb, meta, pen, gmask, lora,
                 attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k)
             tokens, logits, lp, topv, topi, hid, self.kv_pages = exe(
-                self.params, self.kv_pages, fb, meta, pen, gmask,
+                self.params, self.kv_pages, fb, meta, pen, gmask, lora,
             )
         hb.device_tokens = tokens
         hb.device_logits = logits
@@ -277,12 +291,12 @@ class ModelRunner:
                 hb.top_logprob_ids = np.asarray(topi)[:B]
         return np.asarray(hb.device_tokens)[:B]
 
-    def _get_compiled(self, fb, meta, pen, gmask, attn_mode,
+    def _get_compiled(self, fb, meta, pen, gmask, lora, attn_mode,
                       logprob_top_k, return_hidden, verify_k):
         key = (
             attn_mode, logprob_top_k, return_hidden, verify_k,
             str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
-                             (fb, meta, pen, gmask))),
+                             (fb, meta, pen, gmask, lora))),
         )
         exe = self._compiled.get(key)
         if exe is None:
@@ -301,7 +315,7 @@ class ModelRunner:
                 return x
 
             abs_args = jax.tree.map(absify, (
-                self.params, self.kv_pages, fb, meta, pen, gmask))
+                self.params, self.kv_pages, fb, meta, pen, gmask, lora))
             exe = self._step_fn.lower(
                 *abs_args,
                 attn_mode, logprob_top_k, return_hidden, verify_k,
@@ -411,6 +425,11 @@ class ModelRunner:
         last_token_idx = np.zeros(B_pad, dtype=np.int32)
         last_token_idx[:B] = cu[1 : B + 1] - 1
 
+        lora_ids = None
+        if hb.lora_ids is not None:
+            la = np.zeros(T_pad, dtype=np.int32)
+            la[: len(hb.lora_ids)] = hb.lora_ids
+            lora_ids = jnp.asarray(la)
         verify_idx = None
         if hb.verify_k > 0:
             vi = np.zeros((B_pad, hb.verify_k + 1), dtype=np.int32)
@@ -418,6 +437,7 @@ class ModelRunner:
             verify_idx = jnp.asarray(vi)
         fb = ForwardBatch(
             verify_idx=verify_idx,
+            lora_ids=lora_ids,
             input_ids=jnp.asarray(input_ids)
             if input_ids is not None else self._chain_tokens(hb, T_pad),
             positions=jnp.asarray(positions),

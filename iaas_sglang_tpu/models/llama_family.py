@@ -154,6 +154,7 @@ class LlamaFamilyForCausalLM:
         attn_backend: str,
         attn_mode: str = "extend",
         scan_layers: bool = True,
+        lora=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
         L = c.num_layers
@@ -161,6 +162,20 @@ class LlamaFamilyForCausalLM:
         ps = kv_pages.shape[1]
 
         hidden = params["embed"][fb.input_ids]  # [T, H]
+        lora_onehot = None
+        if lora is not None and fb.lora_ids is not None:
+            S1 = lora["scaling"].shape[0]
+            lora_onehot = jax.nn.one_hot(
+                fb.lora_ids, S1, dtype=jnp.float32)
+            lora_onehot = lora_onehot * lora["scaling"][None, :]
+
+        def lora_delta(x, A_l, B_l):
+            """x [T, Hin]; A_l [S+1, Hin, r]; B_l [S+1, r, Hout] ->
+            per-token adapter delta [T, Hout] (one-hot slot mixing)."""
+            xa = jnp.einsum(
+                "th,shr->tsr", x.astype(jnp.float32), A_l)
+            xa = xa * lora_onehot[:, :, None]
+            return jnp.einsum("tsr,sro->to", xa, B_l)
         if c.embed_multiplier != 1.0:
             # Gemma scales embeddings by sqrt(hidden) in the input dtype
             hidden = hidden * jnp.asarray(c.embed_multiplier, hidden.dtype)
@@ -173,6 +188,11 @@ class LlamaFamilyForCausalLM:
             q = qmatmul(h, lp["wq"])
             k = qmatmul(h, lp["wk"])
             v = qmatmul(h, lp["wv"])
+            if lora_onehot is not None:
+                dt = q.dtype
+                q = q + lora_delta(h, lp["lora_A_wq"], lp["lora_B_wq"]).astype(dt)
+                k = k + lora_delta(h, lp["lora_A_wk"], lp["lora_B_wk"]).astype(dt)
+                v = v + lora_delta(h, lp["lora_A_wv"], lp["lora_B_wv"]).astype(dt)
             if c.attention_bias:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -197,7 +217,12 @@ class LlamaFamilyForCausalLM:
                 backend=attn_backend,
                 mode=attn_mode,
             )
-            attn_out = qmatmul(attn.reshape(T, c.num_heads * c.head_dim), lp["wo"])
+            attn_flat = attn.reshape(T, c.num_heads * c.head_dim)
+            attn_out = qmatmul(attn_flat, lp["wo"])
+            if lora_onehot is not None:
+                attn_out = attn_out + lora_delta(
+                    attn_flat, lp["lora_A_wo"], lp["lora_B_wo"]
+                ).astype(attn_out.dtype)
             hidden = hidden + attn_out
 
             h2 = rms_norm(hidden, lp["post_norm"] + c.rms_weight_offset,
@@ -217,15 +242,29 @@ class LlamaFamilyForCausalLM:
                     (lambda x: jax.nn.gelu(x, approximate=True))
                     if "gelu" in c.hidden_act else jax.nn.silu
                 )
-                mlp = qmatmul(
-                    act_fn(qmatmul(h2, lp["w_gate"]))
-                    * qmatmul(h2, lp["w_up"]),
-                    lp["w_down"],
-                )
+                gate = qmatmul(h2, lp["w_gate"])
+                up = qmatmul(h2, lp["w_up"])
+                if lora_onehot is not None:
+                    gate = gate + lora_delta(
+                        h2, lp["lora_A_w_gate"], lp["lora_B_w_gate"]
+                    ).astype(gate.dtype)
+                    up = up + lora_delta(
+                        h2, lp["lora_A_w_up"], lp["lora_B_w_up"]
+                    ).astype(up.dtype)
+                inter = act_fn(gate) * up
+                mlp = qmatmul(inter, lp["w_down"])
+                if lora_onehot is not None:
+                    mlp = mlp + lora_delta(
+                        inter, lp["lora_A_w_down"], lp["lora_B_w_down"]
+                    ).astype(mlp.dtype)
             hidden = hidden + mlp
             return (hidden, kv), None
 
-        layer_params = params["layers"]
+        layer_params = dict(params["layers"])
+        if lora_onehot is not None:
+            for t, A in lora["A"].items():
+                layer_params[f"lora_A_{t}"] = A
+                layer_params[f"lora_B_{t}"] = lora["B"][t]
         layer_ids = jnp.arange(L, dtype=jnp.int32)
         if scan_layers:
             (hidden, kv_pages), _ = jax.lax.scan(

@@ -75,6 +75,11 @@ class ServerArgs:
     disable_jit_cache_warmup: bool = False
     scan_layers: bool = True
 
+    # Multi-LoRA serving (SURVEY 2.9)
+    enable_lora: bool = False
+    max_loras_per_batch: int = 8
+    max_lora_rank: int = 16
+
     # PD disaggregation (SURVEY 2.6): none | prefill | decode
     disaggregation_mode: str = "none"
     disaggregation_transfer_backend: str = "zmq"  # zmq | fake
