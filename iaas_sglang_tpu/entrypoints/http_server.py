@@ -160,6 +160,7 @@ async def handle_generate(request: web.Request) -> web.StreamResponse:
         stream=stream,
         return_logprob=body.get("return_logprob", False),
         disagg_decode_url=body.get("disagg_decode_url"),
+        lora_path=body.get("lora_path"),
     )
     tm = state.tokenizer_manager
 
@@ -199,6 +200,36 @@ async def handle_abort_request(request: web.Request) -> web.Response:
 
 
 # ---------------------------------------------------------------- OpenAI API
+
+
+async def handle_load_lora(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers.io_struct import (
+        LoadLoRAAdapterReqInput,
+        LoadLoRAAdapterReqOutput,
+    )
+
+    body = await request.json()
+    out = await state.tokenizer_manager._rpc(
+        LoadLoRAAdapterReqInput(body["lora_name"], body["lora_path"]),
+        LoadLoRAAdapterReqOutput)
+    return web.json_response(
+        {"success": out.success, "message": out.message},
+        status=200 if out.success else 400)
+
+
+async def handle_unload_lora(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers.io_struct import (
+        LoadLoRAAdapterReqOutput,
+        UnloadLoRAAdapterReqInput,
+    )
+
+    body = await request.json()
+    out = await state.tokenizer_manager._rpc(
+        UnloadLoRAAdapterReqInput(body["lora_name"]),
+        LoadLoRAAdapterReqOutput)
+    return web.json_response({"success": out.success})
 
 
 async def handle_start_profile(request: web.Request) -> web.Response:
@@ -399,6 +430,8 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/generate", handle_generate)
     app.router.add_post("/abort_request", handle_abort_request)
     app.router.add_post("/flush_cache", handle_flush_cache)
+    app.router.add_post("/load_lora_adapter", handle_load_lora)
+    app.router.add_post("/unload_lora_adapter", handle_unload_lora)
     app.router.add_post("/start_profile", handle_start_profile)
     app.router.add_post("/stop_profile", handle_stop_profile)
     app.router.add_get("/disagg_wait/{rid}", handle_disagg_wait)

@@ -218,6 +218,23 @@ class GetWeightsByNameReqOutput:
 
 
 @dataclass
+class LoadLoRAAdapterReqInput:
+    lora_name: str
+    lora_path: str
+
+
+@dataclass
+class LoadLoRAAdapterReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclass
+class UnloadLoRAAdapterReqInput:
+    lora_name: str
+
+
+@dataclass
 class ProfileReq:
     action: str = "start"   # start | stop
     output_dir: str = "/tmp/iaas_sglang_tpu_trace"

@@ -21,7 +21,10 @@ import numpy as np
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.managers.io_struct import (
     AbortReq,
+    LoadLoRAAdapterReqInput,
+    LoadLoRAAdapterReqOutput,
     ProfileReq,
+    UnloadLoRAAdapterReqInput,
     BatchEmbeddingOut,
     BatchTokenIDOut,
     FlushCacheReqInput,
@@ -179,6 +182,8 @@ class Scheduler:
             (ResumeMemoryOccupationReqInput, self.handle_resume_memory),
             (GetWeightsByNameReqInput, self.handle_get_weights_by_name),
             (ProfileReq, self.handle_profile),
+            (LoadLoRAAdapterReqInput, self.handle_load_lora),
+            (UnloadLoRAAdapterReqInput, self.handle_unload_lora),
         ])
         self._profiling = False
 
@@ -269,6 +274,41 @@ class Scheduler:
                 self.spec_emitted / self.spec_steps
                 if self.spec_steps else 0.0),
         })
+
+    def handle_load_lora(self, m: LoadLoRAAdapterReqInput):
+        """Load a PEFT adapter directory (adapter_config.json +
+        adapter_model.safetensors) — /load_lora_adapter analog."""
+        import json as _json
+        import os as _os
+
+        mgr = self.model_runner.lora_manager
+        if mgr is None:
+            return LoadLoRAAdapterReqOutput(False, "enable_lora is off")
+        try:
+            with open(_os.path.join(m.lora_path, "adapter_config.json")) as f:
+                acfg = _json.load(f)
+            from safetensors import safe_open
+
+            sd = {}
+            for fname in ("adapter_model.safetensors",):
+                fpath = _os.path.join(m.lora_path, fname)
+                if _os.path.exists(fpath):
+                    with safe_open(fpath, framework="np") as h:
+                        for k in h.keys():
+                            sd[k] = h.get_tensor(k)
+            slot = mgr.load_adapter(
+                m.lora_name, sd,
+                rank=acfg.get("r", 16),
+                alpha=acfg.get("lora_alpha", 16))
+            return LoadLoRAAdapterReqOutput(True, f"slot {slot}")
+        except Exception as e:  # noqa: BLE001
+            return LoadLoRAAdapterReqOutput(False, repr(e))
+
+    def handle_unload_lora(self, m: UnloadLoRAAdapterReqInput):
+        mgr = self.model_runner.lora_manager
+        if mgr is not None:
+            mgr.unload_adapter(m.lora_name)
+        return LoadLoRAAdapterReqOutput(True, "unloaded")
 
     def handle_profile(self, m):
         """Start/stop a jax.profiler trace (analog of scheduler.py:2390

@@ -102,6 +102,8 @@ class TokenizerManager:
             return_logprob=gri.return_logprob,
             top_logprobs_num=gri.top_logprobs_num,
             disagg_decode_url=gri.disagg_decode_url,
+            session_id=gri.session_id,
+            lora_path=gri.lora_path,
         ))
         try:
             while True:
