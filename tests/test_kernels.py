@@ -1,0 +1,85 @@
+"""Pallas kernel correctness vs the jnp reference, run in TPU interpret
+mode on CPU (analog of sgl-kernel/tests/): decode + ragged extend."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shapes():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    Nq, Nk, D, ps, MP, NPg = 8, 4, 128, 16, 8, 64
+    kv = jnp.asarray(
+        rng.standard_normal((NPg, ps, 2 * Nk, D), dtype=np.float32),
+        dtype=jnp.bfloat16) * 0.3
+    return rng, Nq, Nk, D, ps, MP, NPg, kv
+
+
+def _mk_batch(rng, B, kv_lens_l, q_lens, ps, MP, NPg):
+    import jax.numpy as jnp
+
+    pages = np.zeros((B, MP), np.int32)
+    used = set()
+    for b in range(B):
+        n = -(-kv_lens_l[b] // ps) if kv_lens_l[b] else 0
+        ids = [i for i in range(NPg) if i not in used][:n]
+        used.update(ids)
+        pages[b, :len(ids)] = ids
+    cu = np.zeros(B + 1, np.int32)
+    cu[1:] = np.cumsum(q_lens)
+    return (jnp.asarray(kv_lens_l, dtype=jnp.int32), jnp.asarray(pages),
+            jnp.asarray(cu))
+
+
+def test_decode_kernel_interpret(shapes):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    B = 4
+    kv_lens_l = [7, 40, 96, 17]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_decode_attention(q, kv, kv_lens, page_indices,
+                                     sm_scale=D ** -0.5)
+    ref = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_extend_kernel_interpret(shapes):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.extend_attention import ragged_extend_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    q_lens = [40, 17, 1, 0]
+    kv_lens_l = [40, 60, 25, 0]
+    B = len(q_lens)
+    T = sum(q_lens)
+    Tpad = 64
+    q = jnp.asarray(rng.standard_normal((Tpad, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = ragged_extend_attention(
+            q, kv, kv_lens, page_indices, cu, jnp.int32(3),
+            sm_scale=D ** -0.5, bq=32)
+    ref = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                               jnp.int32(3), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
+        rtol=3e-2, atol=3e-2)
