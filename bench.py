@@ -63,7 +63,9 @@ def main():
         mem_fraction_static=0.85,
         max_running_requests=B,
         max_prefill_tokens=B * IN_LEN,
-        chunked_prefill_size=2048,
+        # T=512 extend: the remote compiler handles it in ~10 min, while a
+        # T=2048 ragged-attention program runs past 85 min (empirical)
+        chunked_prefill_size=512,
         skip_tokenizer_init=True, random_seed=0,
     )
     eng = Engine(sa, hf_config_override=hf)
