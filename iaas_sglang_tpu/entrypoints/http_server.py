@@ -314,10 +314,24 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         return web.json_response(
             {"error": {"message": "messages must be non-empty"}}, status=400)
 
-    prompt_ids = tm.tokenizer.apply_chat_template(
-        [m.model_dump(exclude_none=True) for m in req.messages],
-        tokenize=True, add_generation_prompt=True,
-    )
+    msgs = [
+        {k: v for k, v in m.model_dump(exclude_none=True).items()
+         if k in ("role", "content")}
+        for m in req.messages
+    ]
+    template_kwargs = {}
+    if req.tools:
+        template_kwargs["tools"] = [t.model_dump() for t in req.tools]
+    try:
+        prompt_ids = tm.tokenizer.apply_chat_template(
+            msgs, tokenize=True, add_generation_prompt=True,
+            **template_kwargs,
+        )
+    except Exception:
+        # template without tool support: fall back to plain messages
+        prompt_ids = tm.tokenizer.apply_chat_template(
+            msgs, tokenize=True, add_generation_prompt=True,
+        )
     gri = GenerateReqInput(
         rid=uuid.uuid4().hex,
         input_ids=list(prompt_ids),
@@ -329,12 +343,41 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     if not req.stream:
         out = await _collect_last(tm, gri)
         fin = out["meta_info"]["finish_reason"]
+        text = out["text"]
+        reasoning = None
+        if req.separate_reasoning:
+            from iaas_sglang_tpu.reasoning_parser import ReasoningParser
+
+            pr = ReasoningParser(req.reasoning_style).parse_non_stream(text)
+            reasoning, text = pr.reasoning_text or None, pr.normal_text
+        tool_calls = None
+        finish = map_finish_reason(fin)
+        if req.tools and req.tool_choice != "none":
+            from iaas_sglang_tpu.entrypoints.openai.protocol import (
+                FunctionCallOut,
+                ToolCall,
+            )
+            from iaas_sglang_tpu.function_call import FunctionCallParser
+
+            parser = FunctionCallParser(req.tool_call_format)
+            if parser.has_tool_call(text):
+                text, calls = parser.parse_non_stream(text)
+                if calls:
+                    tool_calls = [
+                        ToolCall(id=f"call_{uuid.uuid4().hex[:12]}",
+                                 function=FunctionCallOut(
+                                     name=c.name, arguments=c.parameters))
+                        for c in calls
+                    ]
+                    finish = "tool_calls"
         resp = ChatCompletionResponse(
             model=model,
             choices=[ChatCompletionResponseChoice(
                 index=0,
-                message=ChatMessage(role="assistant", content=out["text"]),
-                finish_reason=map_finish_reason(fin),
+                message=ChatMessage(role="assistant", content=text or None,
+                                    reasoning_content=reasoning,
+                                    tool_calls=tool_calls),
+                finish_reason=finish,
             )],
             usage=UsageInfo(
                 prompt_tokens=out["meta_info"]["prompt_tokens"],

@@ -17,9 +17,33 @@ class UsageInfo(BaseModel):
     total_tokens: int = 0
 
 
+class FunctionSpec(BaseModel):
+    name: str
+    description: Optional[str] = None
+    parameters: Optional[Dict[str, Any]] = None
+
+
+class ToolSpec(BaseModel):
+    type: str = "function"
+    function: FunctionSpec
+
+
+class FunctionCallOut(BaseModel):
+    name: str
+    arguments: str
+
+
+class ToolCall(BaseModel):
+    id: str
+    type: str = "function"
+    function: FunctionCallOut
+
+
 class ChatMessage(BaseModel):
     role: str
     content: Optional[Union[str, List[Dict[str, Any]]]] = None
+    reasoning_content: Optional[str] = None
+    tool_calls: Optional[List[ToolCall]] = None
 
 
 class ChatCompletionRequest(BaseModel):
@@ -36,12 +60,17 @@ class ChatCompletionRequest(BaseModel):
     frequency_penalty: float = 0.0
     logit_bias: Optional[Dict[str, float]] = None
     user: Optional[str] = None
+    tools: Optional[List[ToolSpec]] = None
+    tool_choice: Optional[Union[str, Dict[str, Any]]] = "auto"
     # extensions (mirror sglang's)
     top_k: int = -1
     min_p: float = 0.0
     repetition_penalty: float = 1.0
     ignore_eos: bool = False
     skip_special_tokens: bool = True
+    separate_reasoning: bool = False
+    reasoning_style: str = "qwen3"
+    tool_call_format: str = "qwen25"
 
     def to_sampling_params(self) -> dict:
         return {

@@ -185,3 +185,21 @@ def test_profile_endpoints(server):
                             "ignore_eos": True}}, timeout=120)
     r = requests.post(f"{server}/stop_profile", timeout=60)
     assert r.json()["success"], r.text
+
+
+def test_chat_tool_call_parsing(server):
+    """tools + qwen25-format tool-call output are parsed into tool_calls
+    (function_call_parser analog; random weights rarely emit the format,
+    so this exercises the no-call path and response shape)."""
+    r = requests.post(f"{server}/v1/chat/completions", json={
+        "model": "tiny",
+        "messages": [{"role": "user", "content": "call the tool"}],
+        "max_tokens": 6, "temperature": 0.0, "ignore_eos": True,
+        "tools": [{"type": "function", "function": {
+            "name": "get_time", "parameters": {"type": "object"}}}],
+    }, timeout=300)
+    out = r.json()
+    assert r.status_code == 200, out
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert "tool_calls" in msg  # field present (None or list)
