@@ -21,6 +21,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstring>
@@ -290,19 +291,20 @@ static std::string extract_text_field(const std::string& body) {
 static void proxy_request(int client, const std::string& head,
                           const std::string& body) {
   std::string text = extract_text_field(body);
-  auto w = pick_worker(text);
-  if (!w) {
-    send_simple(client, 503, "{\"error\":\"no healthy workers\"}");
+  std::shared_ptr<Worker> w;
+  int up = -1;
+  for (int attempt = 0; attempt < 3; attempt++) {
+    w = pick_worker(text);
+    if (!w) break;
+    up = connect_to(w->host, w->port);
+    if (up >= 0) break;
+    w->healthy = false;  // health loop may revive it later
+  }
+  if (!w || up < 0) {
+    send_simple(client, 503, "{\"error\":\"no reachable workers\"}");
     return;
   }
   w->load++;
-  int up = connect_to(w->host, w->port);
-  if (up < 0) {
-    w->healthy = false;
-    w->load--;
-    send_simple(client, 503, "{\"error\":\"worker unreachable\"}");
-    return;
-  }
   // rewrite: force upstream to close so we can stream until EOF
   std::string h = head;
   auto cpos = h.find("Connection:");
@@ -342,6 +344,21 @@ static void handle_conn(int client) {
       }
       ss << "]}";
       send_simple(client, 200, ss.str());
+    } else if (path.rfind("/remove_worker", 0) == 0) {
+      auto q = path.find("url=");
+      if (q != std::string::npos) {
+        std::string url = path.substr(q + 4);
+        std::lock_guard<std::mutex> lk(g_workers_mu);
+        g_workers.erase(
+            std::remove_if(g_workers.begin(), g_workers.end(),
+                           [&](const std::shared_ptr<Worker>& w) {
+                             return w->url == url;
+                           }),
+            g_workers.end());
+        send_simple(client, 200, "{\"status\":\"removed\"}");
+      } else {
+        send_simple(client, 404, "{\"error\":\"missing url=\"}");
+      }
     } else if (path.rfind("/add_worker", 0) == 0) {
       auto q = path.find("url=");
       if (q != std::string::npos) {
@@ -395,6 +412,31 @@ int main(int argc, char** argv) {
     return 1;
   }
   listen(srv, 512);
+  // background health probe: revive workers that come back
+  std::thread([] {
+    while (true) {
+      std::this_thread::sleep_for(std::chrono::seconds(5));
+      std::vector<std::shared_ptr<Worker>> snapshot;
+      {
+        std::lock_guard<std::mutex> lk(g_workers_mu);
+        snapshot = g_workers;
+      }
+      for (auto& w : snapshot) {
+        if (w->healthy.load()) continue;
+        int fd = connect_to(w->host, w->port);
+        if (fd >= 0) {
+          const char* req =
+              "GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n";
+          send_all(fd, req, strlen(req));
+          char buf[256];
+          ssize_t n = recv(fd, buf, sizeof(buf) - 1, 0);
+          close(fd);
+          if (n > 12 && std::string(buf, n).find("200") != std::string::npos)
+            w->healthy = true;
+        }
+      }
+    }
+  }).detach();
   std::cerr << "sgl_tpu_router listening on " << host << ":" << port
             << " policy=" << g_policy << " workers=" << g_workers.size()
             << std::endl;
