@@ -80,3 +80,18 @@ def test_no_tool_call_passthrough():
     p = FunctionCallParser("qwen25")
     normal, calls = p.parse_non_stream("just a plain answer")
     assert normal == "just a plain answer" and calls == []
+
+
+def test_file_connector_roundtrip(tmp_path):
+    import numpy as np
+
+    from iaas_sglang_tpu.connector import create_remote_connector
+
+    conn = create_remote_connector(f"file://{tmp_path}/store")
+    conn.set("kv/abc", b"hello")
+    assert conn.get("kv/abc") == b"hello"
+    assert conn.get("kv/missing") is None
+    np.savez(f"{tmp_path}/store/w0.npz",
+             **{"embed": np.ones((4, 4), np.float32)})
+    names = dict(conn.weight_iterator())
+    assert "embed" in names and names["embed"].shape == (4, 4)
