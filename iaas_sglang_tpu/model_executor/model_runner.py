@@ -208,7 +208,8 @@ class ModelRunner:
 
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
                  pen, grammar_mask, lora, attn_mode: str, logprob_top_k: int,
-                 return_hidden: bool = False, verify_k: int = 0):
+                 return_hidden: bool = False, verify_k: int = 0,
+                 sampling_mode: str = "full"):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
@@ -229,7 +230,13 @@ class ModelRunner:
                 logits = apply_penalties(logits, pen)
             if grammar_mask is not None:
                 logits = apply_grammar_mask(logits, grammar_mask)
-            tokens = sample_tokens(logits, meta)
+            if sampling_mode == "greedy":
+                # all-greedy batch: argmax only — drops the [B, V] sort +
+                # per-row RNG from the program (faster decode AND much
+                # faster remote compile)
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                tokens = sample_tokens(logits, meta)
             if logprob_top_k >= 0:
                 lp, topv, topi = compute_logprobs(logits, tokens, logprob_top_k)
             else:
@@ -244,7 +251,7 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(7, 8, 9, 10))
+        return jax.jit(step, donate_argnums=(1,), static_argnums=(7, 8, 9, 10, 11))
 
     # ------------------------------------------------------------- forward
 
@@ -264,10 +271,13 @@ class ModelRunner:
         lora = None
         if hb.lora_ids is not None and self.lora_manager is not None:
             lora = self.lora_manager.device_params()
+        sampling_mode = (
+            "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
         with self.mesh_ctx.mesh:
             exe = self._get_compiled(
                 fb, meta, pen, gmask, lora,
-                attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k)
+                attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k,
+                sampling_mode)
             tokens, logits, lp, topv, topi, hid, self.kv_pages = exe(
                 self.params, self.kv_pages, fb, meta, pen, gmask, lora,
             )
@@ -292,9 +302,10 @@ class ModelRunner:
         return np.asarray(hb.device_tokens)[:B]
 
     def _get_compiled(self, fb, meta, pen, gmask, lora, attn_mode,
-                      logprob_top_k, return_hidden, verify_k):
+                      logprob_top_k, return_hidden, verify_k,
+                      sampling_mode):
         key = (
-            attn_mode, logprob_top_k, return_hidden, verify_k,
+            attn_mode, logprob_top_k, return_hidden, verify_k, sampling_mode,
             str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
                              (fb, meta, pen, gmask, lora))),
         )
@@ -319,6 +330,7 @@ class ModelRunner:
             exe = self._step_fn.lower(
                 *abs_args,
                 attn_mode, logprob_top_k, return_hidden, verify_k,
+                sampling_mode,
             ).compile()
             self._compiled[key] = exe
             logger.info(
