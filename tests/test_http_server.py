@@ -203,3 +203,19 @@ def test_chat_tool_call_parsing(server):
     msg = out["choices"][0]["message"]
     assert msg["role"] == "assistant"
     assert "tool_calls" in msg  # field present (None or list)
+
+
+def test_bench_serving_harness(server):
+    """The load generator runs against a live server and produces sane
+    metrics (bench_serving.py analog smoke)."""
+    import asyncio
+
+    from iaas_sglang_tpu.bench_serving import run_benchmark
+
+    m = asyncio.run(run_benchmark(
+        server, num_prompts=4, request_rate=float("inf"),
+        input_len=16, output_len=6, vocab_size=400))
+    assert m.completed == 4
+    assert m.total_output == 24
+    assert m.mean_ttft_ms > 0
+    assert m.output_throughput > 0
