@@ -46,6 +46,21 @@ class ModelConfig:
     # Sliding-window attention: None => full attention on all layers.
     sliding_window: Optional[int] = None
     sliding_window_pattern: Optional[list[bool]] = None  # per-layer "is SWA layer"
+    # MLA (DeepSeek V2/V3) geometry — kv_lora_rank > 0 marks an MLA model
+    # (analog of srt/configs/model_config.py MLA detection).
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # DeepSeek-style MoE: shared experts + dense first-k layers + grouped topk
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"        # greedy | group_limited_greedy | noaux_tc
+    scoring_func: str = "softmax"      # softmax | sigmoid
+    n_group: int = 0
+    topk_group: int = 0
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -101,6 +116,28 @@ class ModelConfig:
         if mc.model_type in ("gemma", "gemma2", "gemma3_text"):
             mc.rms_weight_offset = 1.0
             mc.embed_multiplier = float(mc.hidden_size) ** 0.5
+        if mc.model_type in ("deepseek_v2", "deepseek_v3"):
+            mc.q_lora_rank = get("q_lora_rank")
+            mc.kv_lora_rank = get("kv_lora_rank", 512) or 0
+            mc.qk_nope_head_dim = get("qk_nope_head_dim", 128)
+            mc.qk_rope_head_dim = get("qk_rope_head_dim", 64)
+            mc.v_head_dim = get("v_head_dim", 128)
+            # MLA attention is MQA over the latent: geometry is per-model
+            mc.head_dim = mc.qk_nope_head_dim + mc.qk_rope_head_dim
+            mc.num_experts = get("n_routed_experts", 0) or 0
+            mc.n_shared_experts = get("n_shared_experts", 0) or 0
+            mc.first_k_dense_replace = get("first_k_dense_replace", 0) or 0
+            mc.routed_scaling_factor = get("routed_scaling_factor", 1.0)
+            mc.n_group = get("n_group") or 0
+            mc.topk_group = get("topk_group") or 0
+            if mc.model_type == "deepseek_v3":
+                mc.topk_method = "noaux_tc"
+                mc.scoring_func = "sigmoid"
+            else:
+                mc.topk_method = get("topk_method", "greedy")
+                mc.scoring_func = "softmax"
+                # HF 4.57 deepseek_v2 gate never renormalizes topk weights
+                mc.norm_topk_prob = False
         mc.context_len = context_length or _probe_context_len(hf)
         if dtype != "auto":
             mc.dtype = dtype
@@ -109,6 +146,10 @@ class ModelConfig:
     @property
     def is_moe(self) -> bool:
         return self.num_experts > 0
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
 
 
 def _probe_context_len(hf: dict[str, Any]) -> int:

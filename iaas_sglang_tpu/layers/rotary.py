@@ -49,6 +49,28 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
     raise NotImplementedError(f"rope scaling {rope_type!r} not supported yet")
 
 
+def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
+                           inv_freq: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved (complex-pair) rotary embedding, the DeepSeek MLA rope
+    convention: pairs (x[..., 2i], x[..., 2i+1]) are rotated by
+    positions * inv_freq[i] (HF deepseek_v2 `apply_rotary_emb` complex
+    multiply; reference srt/layers/rotary_embedding.py DeepseekScalingRotary
+    uses the same pair order).
+
+    x: [T, N, D], positions: i32[T], inv_freq: f32[D/2]. Returns [T, N, D].
+    """
+    dtype = x.dtype
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(freqs)[:, None, :]
+    sin = jnp.sin(freqs)[:, None, :]
+    x32 = x.astype(jnp.float32)
+    x1 = x32[..., 0::2]
+    x2 = x32[..., 1::2]
+    even = x1 * cos - x2 * sin
+    odd = x1 * sin + x2 * cos
+    return jnp.stack([even, odd], axis=-1).reshape(x.shape).astype(dtype)
+
+
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
                inv_freq: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding.

@@ -130,7 +130,8 @@ class ModelRunner:
         c = self.model_config
         sa = self.server_args
         ps = self.page_size
-        kv_bytes_per_token = c.num_layers * 2 * c.num_kv_heads * c.head_dim * 2
+        ne, ed = self.model.kv_entry_shape()
+        kv_bytes_per_token = c.num_layers * ne * ed * 2
 
         if sa.max_total_tokens is not None:
             total_tokens = sa.max_total_tokens
@@ -144,14 +145,9 @@ class ModelRunner:
         # +1 garbage page per layer (write sink for padding lanes)
         self.pages_per_layer = pages_per_layer
         self.num_usable_pages = pages_per_layer
-        shape = (
-            c.num_layers * (pages_per_layer + 1),
-            ps,
-            2 * c.num_kv_heads,
-            c.head_dim,
-        )
+        shape = (c.num_layers * (pages_per_layer + 1), ps, ne, ed)
         kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
-        sharding = self.mesh_ctx.sharding(None, None, "tp", None)
+        sharding = self.mesh_ctx.sharding(*self.model.kv_shard_dims())
         self.kv_pages = jax.device_put(
             jnp.zeros(shape, dtype=kv_dtype), sharding
         )

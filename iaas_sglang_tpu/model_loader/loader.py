@@ -129,7 +129,8 @@ def _dummy_host_params(specs: Dict[str, WeightSpec], config: ModelConfig,
     dt = _np_dtype(config.dtype)
     out = {}
     for name, spec in specs.items():
-        shape = ((config.num_layers,) + tuple(spec.shape)) if spec.stacked \
+        n_stack = spec.num_stack or config.num_layers
+        shape = ((n_stack,) + tuple(spec.shape)) if spec.stacked \
             else tuple(spec.shape)
         if "norm" in name:
             out[name] = np.ones(shape, dtype=dt)
@@ -189,16 +190,18 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
         if spec.hf_key is None:
             continue
         if spec.stacked:
-            stacked = np.empty((config.num_layers,) + tuple(spec.shape), dtype=dt)
-            for l in range(config.num_layers):
+            n_stack = spec.num_stack or config.num_layers
+            stacked = np.empty((n_stack,) + tuple(spec.shape), dtype=dt)
+            for l in range(n_stack):
+                hf_l = l + spec.layer_offset
                 if spec.num_experts:
                     for e in range(spec.num_experts):
-                        t = getter(spec.hf_key.format(l=l, e=e))
+                        t = getter(spec.hf_key.format(l=hf_l, e=e))
                         if spec.transpose:
                             t = t.T
                         stacked[l, e] = t.astype(dt, copy=False)
                     continue
-                t = getter(spec.hf_key.format(l=l))
+                t = getter(spec.hf_key.format(l=hf_l))
                 if spec.transpose:
                     t = t.T
                 if tuple(t.shape) != tuple(spec.shape):

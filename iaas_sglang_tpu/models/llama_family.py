@@ -38,6 +38,8 @@ class WeightSpec:
     stacked: bool = False             # one array per layer, stacked on dim 0
     quantizable: bool = False         # eligible for weight-only quantization
     num_experts: int = 0              # >0: hf_key contains {e}, leading E dim
+    num_stack: int = 0                # stacked size; 0 => config.num_layers
+    layer_offset: int = 0             # hf layer index = stack index + offset
 
 
 class LlamaFamilyForCausalLM:
@@ -68,6 +70,14 @@ class LlamaFamilyForCausalLM:
         self.sm_scale = c.head_dim ** -0.5
         # set by the runner: "dense" (GSPMD-shardable) or "gmm" (megablox)
         self.moe_impl = "dense"
+
+    def kv_entry_shape(self) -> tuple[int, int]:
+        """(entries per token, entry dim) of the paged KV pool — K/V pairs
+        interleaved on the entry axis."""
+        return (2 * self.config.num_kv_heads, self.config.head_dim)
+
+    def kv_shard_dims(self) -> tuple:
+        return (None, None, "tp", None)
 
     # ------------------------------------------------------------- weights
 

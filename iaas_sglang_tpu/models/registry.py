@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Callable
 
 from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.models.deepseek_family import DeepseekFamilyForCausalLM
 from iaas_sglang_tpu.models.llama_family import LlamaFamilyForCausalLM
 
 _REGISTRY: dict[str, Callable[[ModelConfig], object]] = {}
@@ -25,6 +26,9 @@ for _arch in (
     "GemmaForCausalLM",
 ):
     register(_arch, LlamaFamilyForCausalLM)
+
+for _arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM"):
+    register(_arch, DeepseekFamilyForCausalLM)
 
 
 def resolve_model_cls(config: ModelConfig):

@@ -140,6 +140,76 @@ def _jnp_paged_attention(
     return out.reshape(T, Nq, D).astype(q.dtype)
 
 
+def mla_paged_attention(
+    q: jnp.ndarray,            # [T, Nq, Dk]  Dk = kv_lora_rank + rope_dim
+    kv_pages: jnp.ndarray,     # [NP, ps, 1, Dk] compressed latent + roped k_pe
+    kv_lens: jnp.ndarray,      # i32[Bmax]
+    page_indices: jnp.ndarray, # i32[Bmax, MP]
+    cu_q_lens: jnp.ndarray,    # i32[Bmax+1]
+    num_seqs: jnp.ndarray,
+    *,
+    sm_scale: float,
+    v_dim: int,                # kv_lora_rank; V = entry[..., :v_dim]
+    backend: str = "jnp",
+    mode: str = "extend",
+) -> jnp.ndarray:
+    """Multi-head Latent Attention over the paged compressed-KV pool.
+
+    The absorbed-MLA formulation (reference: DeepSeek MLA decode backends,
+    srt/layers/attention/flashinfer_mla_backend.py / flashmla_backend.py):
+    queries are pre-absorbed into latent space by the caller, so attention
+    itself is MQA with one shared KV entry per token whose first `v_dim`
+    channels double as V. Returns the latent context [T, Nq, v_dim].
+    """
+    if backend == "pallas" and mode == "decode":
+        from iaas_sglang_tpu.ops.decode_attention import (
+            mla_paged_decode_attention,
+        )
+
+        return mla_paged_decode_attention(
+            q, kv_pages, kv_lens, page_indices,
+            sm_scale=sm_scale, v_dim=v_dim,
+        )
+    T, Nq, Dk = q.shape
+    NP, ps, _, _ = kv_pages.shape
+    Bmax, MP = page_indices.shape
+    S = MP * ps
+
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    seg_ids = jnp.searchsorted(cu_q_lens[1:], t_idx, side="right").astype(jnp.int32)
+    seg_ids = jnp.minimum(seg_ids, Bmax - 1)
+    q_lens = cu_q_lens[1:] - cu_q_lens[:-1]
+    q_pos = t_idx - cu_q_lens[seg_ids] + kv_lens[seg_ids] - q_lens[seg_ids]
+
+    kv_seq = kv_pages[page_indices].reshape(Bmax, S, Dk)
+    k_tok = kv_seq[seg_ids]                      # [T, S, Dk]
+
+    qf = q.astype(jnp.float32)
+    kf = k_tok.astype(jnp.float32)
+    scores = jnp.einsum("tnd,tsd->tns", qf, kf) * sm_scale  # [T, Nq, S]
+
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = (key_pos <= q_pos[:, None]) & (key_pos < kv_lens[seg_ids][:, None])
+    valid = valid | (jnp.arange(S)[None, :] == 0)
+    scores = jnp.where(valid[:, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tns,tsd->tnd", probs, kf[..., :v_dim])
+    return out.astype(q.dtype)
+
+
+def write_kv_entries(
+    kv_pages: jnp.ndarray,   # [NP, ps, NE, D] flat page space
+    out_slots: jnp.ndarray,  # i32[T] flat slot = page*ps + offset
+    entries: jnp.ndarray,    # [T, NE, D]
+) -> jnp.ndarray:
+    """Scatter arbitrary per-token KV entries into the paged pool (the
+    geometry-agnostic core shared by MHA [2*Nk heads] and MLA [1 latent])."""
+    NP, ps, NE, D = kv_pages.shape
+    flat = kv_pages.reshape(NP * ps, NE, D)
+    flat = flat.at[out_slots].set(entries.astype(kv_pages.dtype))
+    return flat.reshape(NP, ps, NE, D)
+
+
 def write_kv_pages(
     kv_pages: jnp.ndarray,   # [NP, ps, 2*Nk, D] (flat page space, all layers)
     out_slots: jnp.ndarray,  # i32[T] flat slot = page*ps + offset

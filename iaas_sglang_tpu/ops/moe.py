@@ -32,23 +32,83 @@ def route_topk(router_logits: jnp.ndarray, top_k: int,
     return w, ids.astype(jnp.int32)
 
 
-def moe_dense(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
-              top_k: int, renormalize: bool) -> jnp.ndarray:
-    """Dense-dispatch MoE: [T, H] -> [T, H]."""
-    T, H = h.shape
-    E = we_gate.shape[0]
-    router_logits = h @ w_router                     # [T, E]
-    w, ids = route_topk(router_logits, top_k, renormalize)
-    # per-token per-expert combined weight: [T, E]
-    combine = jnp.zeros((T, E), jnp.float32)
-    combine = jax.vmap(lambda c, i, v: c.at[i].add(v))(combine, ids, w)
-    # all experts on all tokens: [E, T, I] -> [E, T, H]
+def combine_weights(ids: jnp.ndarray, w: jnp.ndarray, num_experts: int
+                    ) -> jnp.ndarray:
+    """(ids i32[T, K], weights f32[T, K]) -> dense combine matrix f32[T, E]."""
+    T = ids.shape[0]
+    combine = jnp.zeros((T, num_experts), jnp.float32)
+    return jax.vmap(lambda c, i, v: c.at[i].add(v))(combine, ids, w)
+
+
+def dense_expert_mix(h: jnp.ndarray, combine: jnp.ndarray,
+                     we_gate, we_up, we_down) -> jnp.ndarray:
+    """All experts on all tokens, combined by [T, E] weights (the
+    GSPMD-shardable dense dispatch path)."""
     up = jnp.einsum("th,ehi->eti", h, we_up)
     gate = jnp.einsum("th,ehi->eti", h, we_gate)
     act = jax.nn.silu(gate) * up
     out = jnp.einsum("eti,eih->eth", act, we_down)   # [E, T, H]
     return jnp.einsum("eth,te->th", out.astype(jnp.float32),
                       combine).astype(h.dtype)
+
+
+def deepseek_route(
+    h: jnp.ndarray,              # [T, H]
+    w_router: jnp.ndarray,       # [H, E]
+    e_bias,                      # f32[E] | None (V3 noaux_tc correction bias)
+    *,
+    top_k: int,
+    scoring_func: str,           # "softmax" (V2) | "sigmoid" (V3)
+    topk_method: str,            # greedy | group_limited_greedy | noaux_tc
+    n_group: int,
+    topk_group: int,
+    norm_topk_prob: bool,
+    routed_scaling_factor: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DeepSeek grouped top-k router (HF DeepseekV2MoEGate /
+    DeepseekV3TopkRouter semantics; reference srt/layers/moe/topk.py
+    grouped_topk / biased_grouped_topk). Returns (weights [T,K], ids [T,K])."""
+    logits = h.astype(jnp.float32) @ w_router.astype(jnp.float32)  # [T, E]
+    E = logits.shape[-1]
+    if scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+
+    choice = scores + e_bias[None, :] if e_bias is not None else scores
+    if topk_method in ("group_limited_greedy", "noaux_tc") and n_group > 1:
+        T = choice.shape[0]
+        grouped = choice.reshape(T, n_group, E // n_group)
+        if topk_method == "noaux_tc":
+            # V3: group score = sum of the group's top-2 choices
+            top2, _ = jax.lax.top_k(grouped, 2)
+            group_scores = top2.sum(axis=-1)
+        else:
+            group_scores = grouped.max(axis=-1)
+        _, gidx = jax.lax.top_k(group_scores, topk_group)      # [T, topk_group]
+        gmask = combine_weights(gidx, jnp.ones_like(gidx, jnp.float32), n_group)
+        choice = jnp.where(
+            (gmask > 0)[:, :, None], grouped, 0.0).reshape(T, E)
+    _, ids = jax.lax.top_k(choice, top_k)
+    ids = ids.astype(jnp.int32)
+    if topk_method == "noaux_tc":
+        # weights come from the *unbiased* scores at the chosen experts
+        w = jnp.take_along_axis(scores, ids, axis=-1)
+    else:
+        w = jnp.take_along_axis(choice, ids, axis=-1)
+    if norm_topk_prob:
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+    return w * routed_scaling_factor, ids
+
+
+def moe_dense(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
+              top_k: int, renormalize: bool) -> jnp.ndarray:
+    """Dense-dispatch MoE: [T, H] -> [T, H]."""
+    E = we_gate.shape[0]
+    router_logits = h @ w_router                     # [T, E]
+    w, ids = route_topk(router_logits, top_k, renormalize)
+    combine = combine_weights(ids, w, E)             # [T, E]
+    return dense_expert_mix(h, combine, we_gate, we_up, we_down)
 
 
 def moe_gmm(h: jnp.ndarray, w_router, we_gate, we_up, we_down,

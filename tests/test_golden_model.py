@@ -169,3 +169,103 @@ def test_gemma_prefill_logits_match_hf():
     ours = driver.prefill_logits(PROMPT)
     ref = hf_forward_logits(hf_model, PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+TINY_DSV2 = dict(
+    architectures=["DeepseekV2ForCausalLM"],
+    model_type="deepseek_v2",
+    num_hidden_layers=3,
+    hidden_size=64,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    intermediate_size=96,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=False,
+    q_lora_rank=None,
+    kv_lora_rank=16,
+    qk_nope_head_dim=16,
+    qk_rope_head_dim=8,
+    v_head_dim=16,
+    n_routed_experts=4,
+    n_shared_experts=1,
+    num_experts_per_tok=2,
+    moe_intermediate_size=32,
+    first_k_dense_replace=1,
+    routed_scaling_factor=1.0,
+    topk_method="greedy",
+    n_group=1,
+    topk_group=1,
+    norm_topk_prob=False,
+    aux_loss_alpha=0.0,
+    seq_aux=False,
+)
+
+TINY_DSV3 = dict(
+    architectures=["DeepseekV3ForCausalLM"],
+    model_type="deepseek_v3",
+    num_hidden_layers=3,
+    hidden_size=64,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    intermediate_size=96,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=False,
+    q_lora_rank=24,
+    kv_lora_rank=16,
+    qk_nope_head_dim=16,
+    qk_rope_head_dim=8,
+    v_head_dim=16,
+    n_routed_experts=8,
+    n_shared_experts=1,
+    num_experts_per_tok=2,
+    moe_intermediate_size=32,
+    first_k_dense_replace=1,
+    routed_scaling_factor=2.5,
+    n_group=2,
+    topk_group=1,
+    norm_topk_prob=True,
+)
+
+
+def _hf_deepseek_model(hf_dict):
+    import torch
+    import transformers
+
+    cls = {"deepseek_v2": transformers.DeepseekV2Config,
+           "deepseek_v3": transformers.DeepseekV3Config}[hf_dict["model_type"]]
+    config = cls(**{k: v for k, v in hf_dict.items() if k != "architectures"})
+    config._attn_implementation = "eager"
+    torch.manual_seed(0)
+    from transformers import AutoModelForCausalLM
+
+    return AutoModelForCausalLM.from_config(config).eval()
+
+
+@pytest.mark.parametrize("hf_dict", [TINY_DSV2, TINY_DSV3],
+                         ids=["deepseek_v2", "deepseek_v3"])
+def test_mla_prefill_logits_match_hf(hf_dict):
+    hf_model = _hf_deepseek_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("hf_dict", [TINY_DSV2, TINY_DSV3],
+                         ids=["deepseek_v2", "deepseek_v3"])
+def test_mla_greedy_decode_matches_hf(hf_dict):
+    hf_model = _hf_deepseek_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.generate_greedy(PROMPT, 12)
+    ref = hf_greedy_generate(hf_model, PROMPT, 12)
+    assert ours == ref
