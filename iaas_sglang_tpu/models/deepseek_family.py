@@ -48,6 +48,10 @@ class DeepseekFamilyForCausalLM:
         )
         self.qk_head_dim = c.qk_nope_head_dim + c.qk_rope_head_dim
         self.sm_scale = self.qk_head_dim ** -0.5
+        # KV entry is zero-padded to a lane multiple: Mosaic DMAs a page
+        # [ps, Dk] only when Dk % 128 == 0 (DeepSeek V3's 512+64=576 is not).
+        # Zero channels are dot-product-neutral, so q is padded identically.
+        self.kv_entry_dim = -(-(c.kv_lora_rank + self.rope_dim) // 128) * 128
         self.moe_impl = "dense"
         # layer split: [0, fk) dense MLP, [fk, L) MoE
         self.fk = c.first_k_dense_replace if c.is_moe else c.num_layers
@@ -57,7 +61,7 @@ class DeepseekFamilyForCausalLM:
 
     def kv_entry_shape(self) -> tuple[int, int]:
         """(entries per token, entry dim) of the paged KV pool."""
-        return (1, self.config.kv_lora_rank + self.rope_dim)
+        return (1, self.kv_entry_dim)
 
     def kv_shard_dims(self) -> tuple:
         # the latent entry is shared by all heads — replicate over tp
@@ -216,9 +220,13 @@ class DeepseekFamilyForCausalLM:
             q_abs = jnp.einsum("tnd,lnd->tnl",
                                q_nope.astype(jnp.float32),
                                w_kc.astype(jnp.float32)).astype(h.dtype)
-            q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, Nq, lora+dr]
+            pad = self.kv_entry_dim - (lora_rank + dr)
+            q_full = jnp.concatenate([q_abs, q_pe] + (
+                [jnp.zeros((T, Nq, pad), q_abs.dtype)] if pad else []),
+                axis=-1)                                # [T, Nq, entry_dim]
 
-            entry = jnp.concatenate([c_kv[:, None, :], k_pe], axis=-1)
+            entry = jnp.concatenate([c_kv[:, None, :], k_pe] + (
+                [jnp.zeros((T, 1, pad), c_kv.dtype)] if pad else []), axis=-1)
             slot_off = layer_idx * pages_per_layer * ps
             page_off = layer_idx * pages_per_layer
             kv = write_kv_entries(kv, fb.out_slots + slot_off, entry)

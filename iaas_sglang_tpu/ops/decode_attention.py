@@ -148,6 +148,156 @@ def _decode_kernel(
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
 
+def _mla_decode_kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[B]            (SMEM)
+    page_indices_ref,  # i32[B, MP]        (SMEM)
+    # inputs
+    q_ref,             # [1, Nq, Dk]       (VMEM block)
+    kv_hbm_ref,        # [NP, ps, Dk]      (ANY/HBM; entry axis squeezed —
+                       #  Mosaic cannot tile a size-1 middle dim)
+    # outputs
+    o_ref,             # [1, Nq, v_dim]    (VMEM block)
+    # scratch
+    kv_buf,            # [2, CP, ps, Dk] VMEM
+    sems,
+    *,
+    chunk_pages: int,
+    page_size: int,
+    max_pages: int,
+    sm_scale: float,
+    v_dim: int,
+):
+    """MLA decode: MQA over one shared latent KV entry per token
+    (absorbed-query formulation; V = entry[:, :v_dim]). All heads hit the
+    same K chunk, so each chunk is ONE [Nq, CT] matmul + ONE [Nq, v_dim]
+    matmul — the MXU shape the 128-head DeepSeek geometry wants."""
+    s = pl.program_id(0)
+    CP = chunk_pages
+    CT = CP * page_size
+
+    kv_len = kv_lens_ref[s]
+    n_chunks = pl.cdiv(kv_len, CT)
+
+    @pl.when(n_chunks > 0)
+    def _run():
+        def start_chunk(ci, slot):
+            for j in range(CP):
+                pidx = jnp.minimum(ci * CP + j, max_pages - 1)
+                page = page_indices_ref[s, pidx]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
+
+        def wait_chunk(slot):
+            for j in range(CP):
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
+
+        start_chunk(0, 0)
+        q = q_ref[0]                              # [Nq, Dk]
+        Nq, Dk = q.shape
+
+        def body(ci, carry):
+            m, l, acc = carry                     # [Nq,1], [Nq,1], [Nq,v_dim]
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+
+            wait_chunk(slot)
+            kv = kv_buf[slot].reshape(CT, Dk)     # [CT, Dk]
+
+            pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
+            valid = pos < kv_len
+
+            scores = jax.lax.dot_general(
+                q, kv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                          # f32 [Nq, CT]
+            scores = jnp.where(valid, scores, -jnp.inf)
+
+            m_c = jnp.max(scores, axis=-1, keepdims=True)
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)
+            p = jnp.exp(scores - m_n)
+            l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            v = kv[:, :v_dim]                     # lane-aligned slice
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                     # f32 [Nq, v_dim]
+            return m_n, l_n, alpha * acc + pv
+
+        Nq = q.shape[0]
+        m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((Nq, 1), jnp.float32)
+        acc0 = jnp.zeros((Nq, v_dim), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(n_chunks == 0)
+    def _pad():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "v_dim", "chunk_pages", "interpret"),
+)
+def mla_paged_decode_attention(
+    q: jnp.ndarray,             # [B, Nq, Dk]
+    kv_pages: jnp.ndarray,      # [NP, ps, 1, Dk]
+    kv_lens: jnp.ndarray,       # i32[B]
+    page_indices: jnp.ndarray,  # i32[B, MP]
+    *,
+    sm_scale: float,
+    v_dim: int,
+    chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Nq, Dk = q.shape
+    NP, ps, _, _ = kv_pages.shape
+    kv_flat = kv_pages.reshape(NP, ps, Dk)
+    MP = page_indices.shape[1]
+    CP = min(chunk_pages, MP)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Nq, Dk), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Nq, v_dim), lambda s, *_: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CP, ps, Dk), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, CP)),
+        ],
+    )
+    kernel = functools.partial(
+        _mla_decode_kernel,
+        chunk_pages=CP,
+        page_size=ps,
+        max_pages=MP,
+        sm_scale=sm_scale,
+        v_dim=v_dim,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nq, v_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens, page_indices, q, kv_flat)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "sliding_window", "chunk_pages"),

@@ -83,3 +83,31 @@ def test_extend_kernel_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_mla_decode_kernel_interpret(shapes):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import mla_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import mla_paged_decode_attention
+
+    rng, Nq, _, _, ps, MP, NPg, _ = shapes
+    Dk, v_dim = 192, 128          # latent 128 + rope 64
+    kv = jnp.asarray(
+        rng.standard_normal((NPg, ps, 1, Dk), dtype=np.float32),
+        dtype=jnp.bfloat16) * 0.3
+    B = 4
+    kv_lens_l = [7, 40, 96, 17]
+    q = jnp.asarray(rng.standard_normal((B, Nq, Dk), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = mla_paged_decode_attention(
+            q, kv, kv_lens, page_indices, sm_scale=Dk ** -0.5, v_dim=v_dim)
+    ref = mla_paged_attention(q, kv, kv_lens, page_indices, cu, jnp.int32(B),
+                              sm_scale=Dk ** -0.5, v_dim=v_dim)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
