@@ -88,6 +88,14 @@ class ModelRunner:
 
         model_cls = resolve_model_cls(model_config)
         self.model = model_cls(model_config)
+        if server_args.quantization and str(server_args.quantization).startswith("int4"):
+            from iaas_sglang_tpu.quantization.qlinear import set_int4_impl
+
+            on_tpu = jax.devices()[0].platform != "cpu"
+            n_dev = self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
+            # fused Pallas dequant-GEMM on a single shard; XLA unpack path
+            # under GSPMD (pallas_call is opaque to the partitioner)
+            set_int4_impl("pallas" if (on_tpu and n_dev == 1) else "xla")
         if getattr(model_config, "num_experts", 0):
             import jax as _jax
 

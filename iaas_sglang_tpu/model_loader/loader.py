@@ -105,9 +105,8 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
             q_np, s_np, target_dtype = _quantize_host(host[name], spec, quantization)
             # int4 note: this jax version cannot pass native jnp.int4 arrays
             # into jit (infinite reshard recursion, CPU and TPU alike), so
-            # int4 keeps 4-bit *accuracy* in an int8 container; the 4-bit
-            # HBM-bandwidth win lands with the nibble-packed Pallas
-            # dequant-matmul kernel.
+            # int4 ships nibble-PACKED in an int8 container ([in/2, out]) —
+            # HBM reads are true 4-bit; ops/quant_matmul.py dequantizes.
             q_dev = jax.device_put(q_np, sharding)
             # scale shards like the weight, except size-1 dims stay unsharded
             # (fp8 per-channel scale is [1, out])
@@ -116,7 +115,9 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
                 for i, d in enumerate(dims)
             )
             s_dev = jax.device_put(s_np, mesh_ctx.sharding(*s_dims))
-            _set_nested(tree, name, QuantizedWeight(q=q_dev, scale=s_dev))
+            packed = quantization.startswith("int4")
+            _set_nested(tree, name,
+                        QuantizedWeight(q=q_dev, scale=s_dev, packed=packed))
         else:
             arr = jax.device_put(host[name], sharding)
             _set_nested(tree, name, arr)

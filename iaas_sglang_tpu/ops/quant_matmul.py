@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused INT4 group-dequant matmul (weight-only W4A16).
+
+The TPU answer to the reference's AWQ/GPTQ dequant GEMMs
+(sgl-kernel csrc/gemm/awq_kernel.cu, vllm gptq/marlin paths): decode is
+weight-bandwidth-bound, so the win is reading NIBBLES from HBM and
+dequantizing on the way into the MXU.
+
+Packing (`pack_int4`, row-pair layout): adjacent contraction-dim rows
+share a byte — packed[k', n] = (q[2k'+1] << 4) | (q[2k'] & 0xF). Inside
+the kernel `pltpu.bitcast(packed, int4)` re-expands sublanes in exactly
+this order, so dequant is ONE native int4->bf16 convert (measured: the
+int32 shift/mask unpack was 13x slower than the DMA; this path is not).
+
+Scaling: weights are fed to the MXU UNSCALED; each group's [T, NB]
+partial sum is scaled after the dot — O(T*N*K/G) multiplies instead of
+O(K*N). Asymmetric zeros (AWQ) are handled in the signed domain with the
+row-sum identity dot(x, w - z) = dot(x, w) - rowsum(x) ⊗ z, using a
+pre-multiplied (zero - 8) * scale table built at ingestion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """Host-side nibble packing, row-pair layout. q: int8 [K, N], values in
+    [-8, 7] -> int8 [K/2, N]; low nibble = even row (matches the in-kernel
+    int4 bitcast sublane order)."""
+    K, N = q.shape
+    assert K % 2 == 0
+    lo = q[0::2].astype(np.uint8) & 0xF
+    hi = q[1::2].astype(np.uint8) & 0xF
+    return ((hi << 4) | lo).astype(np.int8)
+
+
+def unpack_int4_ref(packed: jnp.ndarray, *, group: int = GROUP) -> jnp.ndarray:
+    """jnp reference unpack (CPU tests / XLA fallback): int8 [K/2, N] ->
+    signed int32 [K, N] in original row order."""
+    Kh, N = packed.shape
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = p >> 4  # arithmetic: already signed
+    return jnp.stack([lo, hi], axis=1).reshape(2 * Kh, N)
+
+
+def _int4_matmul_kernel(
+    x_ref,        # [T, KB]        bf16/f32 VMEM
+    w_ref,        # [KB/2, NB]     int8 VMEM (packed nibbles)
+    s_ref,        # [K/G, NB]      f32 VMEM (per-group scales; full K axis —
+                  #  a (BK/G, NB) block would break Mosaic's sublane-8 rule)
+    zs_ref,       # [K/G, NB]      f32 VMEM ((zero-8)*scale) | None
+    o_ref,        # [T, NB]        out VMEM
+    acc_ref,      # [T, NB]        f32 scratch
+    *,
+    n_k: int,
+    group: int,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                            # [T, KB]
+    w = pltpu.bitcast(w_ref[...], jnp.int4).astype(x.dtype)  # [KB, NB]
+    KB = w.shape[0]
+    nG = KB // group
+    g0 = pl.program_id(1) * nG
+    s = s_ref[pl.ds(g0, nG)]                  # f32 [nG, NB]
+    zs = zs_ref[pl.ds(g0, nG)] if zs_ref is not None else None
+
+    acc = acc_ref[...]
+    for gi in range(nG):
+        x_g = x[:, gi * group : (gi + 1) * group]
+        w_g = w[gi * group : (gi + 1) * group]
+        part = jax.lax.dot_general(
+            x_g, w_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                     # f32 [T, NB]
+        acc = acc + part * s[gi][None, :]
+        if zs is not None:
+            rowsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc - rowsum * zs[gi][None, :]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "block_n", "block_k", "interpret"),
+)
+def int4_matmul(
+    x: jnp.ndarray,          # [T, K] bf16/f32
+    packed: jnp.ndarray,     # [K/2, N] int8 (row-pair nibbles, signed)
+    scale: jnp.ndarray,      # [K/G, N] f32
+    zero_scale: Optional[jnp.ndarray] = None,  # [K/G, N] f32 (zero-8)*scale
+    *,
+    group: int = GROUP,
+    block_n: int = 512,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, K = x.shape
+    Kh, N = packed.shape
+    assert Kh * 2 == K, (x.shape, packed.shape)
+    g = group if K % group == 0 else K
+    BN = min(block_n, N)
+    # K-block must hold a multiple of 8 scale groups: the in-kernel dynamic
+    # sublane slice of the scale array needs a provably 8-aligned offset
+    # (Mosaic sublane tiling). Otherwise fall back to one full-K block.
+    BK = max(g * 8, min(block_k, K) // (g * 8) * (g * 8))
+    if K % BK != 0:
+        BK = K
+    assert N % BN == 0, (N, BN)
+    n_k = K // BK
+
+    in_specs = [
+        pl.BlockSpec((T, BK), lambda j, k: (0, k)),
+        pl.BlockSpec((BK // 2, BN), lambda j, k: (k, j)),
+        pl.BlockSpec((K // g, BN), lambda j, k: (0, j)),
+    ]
+    args = [x, packed, scale]
+    if zero_scale is not None:
+        in_specs.append(pl.BlockSpec((K // g, BN), lambda j, k: (0, j)))
+        args.append(zero_scale)
+    kernel = functools.partial(
+        _int4_matmul_kernel if zero_scale is not None else
+        functools.partial(_wrap_nozero, _int4_matmul_kernel),
+        n_k=n_k, group=g,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(N // BN, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, BN), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((T, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _wrap_nozero(kernel, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
+    return kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref, **kw)

@@ -28,12 +28,31 @@ GROUP = 128
 
 @struct.dataclass
 class QuantizedWeight:
-    q: jnp.ndarray        # [in, out] int4 | int8 | float8_e4m3fn
+    q: jnp.ndarray        # [in, out] int8/fp8 | [in/2, out] packed nibbles
     scale: jnp.ndarray    # [in/G, out] f32   (fp8: [1, out])
+    # packed weights live in the SIGNED nibble domain; asymmetric (AWQ)
+    # zeros are pre-multiplied into a (zero-8)*scale f32 table so
+    # dequant(q_unsigned) = (q_u - z)*s == q_signed*s - zero_scale
+    zero_scale: Optional[jnp.ndarray] = None  # [in/G, out] f32 | None
+    packed: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
+        if self.packed:
+            return (self.q.shape[:-2] + (self.q.shape[-2] * 2,)
+                    + self.q.shape[-1:])
         return self.q.shape
+
+
+# INT4 matmul implementation: "xla" (unpack fused by XLA; runs anywhere,
+# GSPMD-shardable) or "pallas" (fused dequant-GEMM kernel, single-shard TPU).
+_INT4_IMPL = "xla"
+
+
+def set_int4_impl(impl: str) -> None:
+    global _INT4_IMPL
+    assert impl in ("xla", "pallas")
+    _INT4_IMPL = impl
 
 
 def _np_group_quantize(w: np.ndarray, bits: int):
@@ -52,8 +71,10 @@ def _np_group_quantize(w: np.ndarray, bits: int):
 def quantize_weight(w: np.ndarray, method: str):
     """Host-side quantization -> (q_np, scale_np, target_dtype)."""
     if method in ("int4", "int4_awq"):
+        from iaas_sglang_tpu.ops.quant_matmul import pack_int4
+
         q, s = _np_group_quantize(w, 4)
-        return q.astype(np.int8), s.astype(np.float32), jnp.int4
+        return pack_int4(q.astype(np.int8)), s.astype(np.float32), jnp.int8
     if method in ("int8", "w8a16"):
         q, s = _np_group_quantize(w, 8)
         return q.astype(np.int8), s.astype(np.float32), jnp.int8
@@ -74,6 +95,18 @@ def quantize_weight(w: np.ndarray, method: str):
 
 
 def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if qw.packed:
+        from iaas_sglang_tpu.ops.quant_matmul import unpack_int4_ref
+
+        inn = qw.q.shape[0] * 2
+        out = qw.q.shape[1]
+        g = qw.scale.shape[0]
+        wi = unpack_int4_ref(qw.q)
+        wf = wi.astype(jnp.float32).reshape(g, inn // g, out)
+        wf = wf * qw.scale[:, None, :]
+        if qw.zero_scale is not None:
+            wf = wf - qw.zero_scale[:, None, :]
+        return wf.reshape(inn, out).astype(dtype)
     inn, out = qw.q.shape
     g = qw.scale.shape[0]
     wf = qw.q.astype(jnp.float32).reshape(g, inn // g, out)
@@ -88,6 +121,8 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     if not isinstance(w, QuantizedWeight):
         return x @ w
     out_dtype = out_dtype or x.dtype
+    if w.packed:
+        return _qmatmul_packed(x, w, out_dtype)
     inn, out = w.q.shape
     g = w.scale.shape[0]
     if g == 1 or w.q.dtype == jnp.float8_e4m3fn:
@@ -108,3 +143,32 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     )
     y = jnp.sum(partial * w.scale[..., :], axis=-2)
     return y.astype(out_dtype)
+
+
+def _qmatmul_packed(x: jnp.ndarray, w: QuantizedWeight, out_dtype):
+    """Nibble-packed INT4 matmul: Pallas fused dequant-GEMM on TPU, or the
+    XLA grouped-einsum fallback (CPU tests / multi-shard GSPMD)."""
+    inn = w.q.shape[0] * 2
+    out = w.q.shape[1]
+    g = w.scale.shape[0]
+    group = inn // g
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, inn)
+    if _INT4_IMPL == "pallas":
+        from iaas_sglang_tpu.ops.quant_matmul import int4_matmul
+
+        y = int4_matmul(x2, w.q, w.scale, w.zero_scale, group=group)
+        return y.reshape(*lead, out).astype(out_dtype)
+    from iaas_sglang_tpu.ops.quant_matmul import unpack_int4_ref
+
+    wi = unpack_int4_ref(w.q)                 # [in, out] i32, signed
+    xg = x2.reshape(-1, g, group)
+    wg = wi.reshape(g, group, out).astype(x.dtype)
+    partial = jnp.einsum("tgi,gio->tgo", xg, wg,
+                         preferred_element_type=jnp.float32)
+    y = jnp.sum(partial * w.scale[None, :, :], axis=-2)
+    if w.zero_scale is not None:
+        # dot(x, w_u - z) == dot(x, w_s) - rowsum(x) ⊗ (z-8)*s
+        y = y - jnp.einsum("tg,go->to", xg.sum(-1).astype(jnp.float32),
+                           w.zero_scale)
+    return y.reshape(*lead, out).astype(out_dtype)

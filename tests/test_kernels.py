@@ -111,3 +111,41 @@ def test_mla_decode_kernel_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("zeros", [False, True], ids=["sym", "awq_zeros"])
+def test_int4_matmul_kernel_interpret(zeros):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        int4_matmul, pack_int4, unpack_int4_ref)
+
+    rng = np.random.default_rng(1)
+    T, K, N, G = 16, 2048, 256, 128
+    s = (rng.random((K // G, N)).astype(np.float32) + 0.5) * 0.02
+    if zeros:
+        # AWQ asymmetric: unsigned nibbles + per-group zeros, mapped to the
+        # signed domain at ingestion: q_s = q_u - 8, zero_scale = (z-8)*s
+        q_u = rng.integers(0, 16, size=(K, N)).astype(np.int8)
+        z = rng.integers(0, 16, size=(K // G, N)).astype(np.int8)
+        q = q_u - 8
+        zs = (z.astype(np.float32) - 8.0) * s
+        wd = (q_u.astype(np.float32) - np.repeat(z, G, axis=0)) \
+            * np.repeat(s, G, axis=0)
+    else:
+        q = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+        zs = None
+        wd = q.astype(np.float32) * np.repeat(s, G, axis=0)
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+
+    packed = jnp.asarray(pack_int4(q))
+    assert (np.asarray(unpack_int4_ref(packed)) == q).all()
+    ref = np.asarray(x) @ wd
+
+    with pltpu.force_tpu_interpret_mode():
+        out = int4_matmul(
+            x, packed, jnp.asarray(s),
+            jnp.asarray(zs) if zeros else None,
+            group=G, block_n=128, block_k=1024)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)

@@ -50,10 +50,10 @@ def test_qmatmul_matches_dequant(method):
     # multi-device CPU backend (the loader always uses explicit shardings)
     mesh_ctx = make_mesh(1, 1)
     q_np, s_np, dt = quantize_weight(w, method)
-    # int4 stays in an int8 container on the CPU backend (see loader note)
+    # int4 is nibble-packed into an int8 container [in/2, out]
     qw = QuantizedWeight(
         q=jax.device_put(q_np, mesh_ctx.replicated),
-        scale=jnp.asarray(s_np))
+        scale=jnp.asarray(s_np), packed=(method == "int4"))
     ref = x @ dequantize(qw, jnp.float32)
     out = qmatmul(x, qw, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
