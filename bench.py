@@ -7,10 +7,12 @@ Prints ONE JSON line:
 vs_baseline is the fraction of the HBM-bandwidth decode roofline achieved
 (BASELINE.json north-star: >= 0.90 of roofline tokens/s/chip).
 
-Model: Llama-3-8B architecture trimmed to 12 layers so BF16 + double-
-buffered KV fits the chip (full depth needs INT4/FP8 weight quant —
-later round; KV donation does not alias through the remote-execution
-relay, so the pool is budgeted twice).
+Model: FULL-depth Llama-3-8B architecture with INT4 weight-only
+quantization (the BASELINE.json north-star config: "Llama-3-8B INT4 AWQ
+weight-only decode, single host, paged KV-cache"). The nibble-packed
+Pallas dequant-GEMM (ops/quant_matmul.py) reads true 4-bit weight bytes;
+lm_head stays bf16 (AWQ convention). KV donation does not alias through
+the remote-execution relay, so the pool is budgeted twice.
 Weights are dummy-random (model_loader.loader DummyModelLoader analog),
 which exercises the identical compute path.
 """
@@ -33,7 +35,7 @@ def main():
     from iaas_sglang_tpu.entrypoints.engine import Engine
     from iaas_sglang_tpu.server_args import ServerArgs
 
-    NUM_LAYERS = 12
+    NUM_LAYERS = 32
     HIDDEN = 4096
     N_HEADS = 32
     N_KV = 8
@@ -55,11 +57,11 @@ def main():
     OUT_LEN = 128
 
     sa = ServerArgs(
-        model_path="bench://llama3-8b-arch-12L", load_format="dummy",
-        dtype="bfloat16", page_size=16,
+        model_path="bench://llama3-8b-int4", load_format="dummy",
+        dtype="bfloat16", page_size=16, quantization="int4",
         # the run needs B*(IN+OUT) + warmup tokens of KV; keep the pool
-        # small to leave activation headroom next to ~9 GB of weights
-        max_total_tokens=2 * B * (IN_LEN + OUT_LEN),
+        # small to leave activation headroom next to ~4.8 GB of weights
+        max_total_tokens=int(1.5 * B * (IN_LEN + OUT_LEN)),
         mem_fraction_static=0.85,
         max_running_requests=B,
         max_prefill_tokens=B * IN_LEN,
@@ -92,15 +94,19 @@ def main():
 
     # HBM-bandwidth decode roofline for this config on one v5e chip:
     # each decode step reads all weights once + the batch's KV once.
+    # INT4: quantized projections read nibbles + f32 group scales (G=128);
+    # lm_head reads bf16; embedding is a row gather (negligible).
     BW = 819e9  # v5e HBM GB/s
-    param_bytes = 2 * (
-        2 * VOCAB * HIDDEN
-        + NUM_LAYERS * (
-            HIDDEN * N_HEADS * HEAD_DIM * 2          # wq, wo
-            + HIDDEN * N_KV * HEAD_DIM * 2           # wk, wv
-            + 3 * HIDDEN * INTER                     # gate/up/down
-            + 2 * HIDDEN                             # norms
-        )
+    quant_params = NUM_LAYERS * (
+        HIDDEN * N_HEADS * HEAD_DIM * 2              # wq, wo
+        + HIDDEN * N_KV * HEAD_DIM * 2               # wk, wv
+        + 3 * HIDDEN * INTER                         # gate/up/down
+    )
+    param_bytes = (
+        quant_params // 2                            # packed nibbles
+        + quant_params // 128 * 4                    # group scales
+        + VOCAB * HIDDEN * 2                         # lm_head bf16
+        + NUM_LAYERS * 2 * HIDDEN * 2                # norms bf16
     )
     avg_ctx = IN_LEN + OUT_LEN / 2
     kv_bytes_per_step = B * avg_ctx * NUM_LAYERS * 2 * N_KV * HEAD_DIM * 2
@@ -108,7 +114,7 @@ def main():
     roofline_toks = B / step_time_roofline
 
     print(json.dumps({
-        "metric": "decode_throughput_llama3_8b_arch_12L_bf16_bs32",
+        "metric": "decode_throughput_llama3_8b_32L_int4_bs32",
         "value": round(toks_per_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline_toks, 4),

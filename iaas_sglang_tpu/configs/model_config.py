@@ -61,6 +61,9 @@ class ModelConfig:
     scoring_func: str = "softmax"      # softmax | sigmoid
     n_group: int = 0
     topk_group: int = 0
+    # pre-quantized checkpoint (hf quantization_config): "awq" | None
+    ckpt_quant_method: Optional[str] = None
+    ckpt_quant_group: int = 128
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -138,6 +141,12 @@ class ModelConfig:
                 mc.scoring_func = "softmax"
                 # HF 4.57 deepseek_v2 gate never renormalizes topk weights
                 mc.norm_topk_prob = False
+        qc = get("quantization_config") or {}
+        if qc.get("quant_method") == "awq":
+            if qc.get("bits", 4) != 4:
+                raise ValueError("only 4-bit AWQ checkpoints are supported")
+            mc.ckpt_quant_method = "awq"
+            mc.ckpt_quant_group = qc.get("group_size", 128)
         mc.context_len = context_length or _probe_context_len(hf)
         if dtype != "auto":
             mc.dtype = dtype

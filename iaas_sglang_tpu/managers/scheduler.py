@@ -136,6 +136,13 @@ class Scheduler:
         self.spec_k = server_args.speculative_num_draft_tokens
         self.spec_steps = 0
         self.spec_emitted = 0
+        self.eagle = None
+        if self.spec_algorithm == "eagle":
+            from iaas_sglang_tpu.speculative.eagle_worker import EagleWorker
+
+            self.eagle = EagleWorker(
+                server_args, model_config, self.model_runner.mesh_ctx,
+                self.model_runner)
         self.eos_token_ids: set[int] = set()
         if tokenizer is not None and tokenizer.eos_token_id is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
@@ -428,7 +435,7 @@ class Scheduler:
 
     def _spec_eligible(self, batch: ScheduleBatch) -> bool:
         return (
-            self.spec_algorithm == "ngram"
+            self.spec_algorithm in ("ngram", "eagle")
             and batch.mode.is_decode()
             and all(
                 r.sampling_params.is_greedy
@@ -442,16 +449,26 @@ class Scheduler:
         )
 
     def run_spec_batch(self, batch: ScheduleBatch):
-        """Speculative decode step: ngram draft -> TARGET_VERIFY forward
-        (eagle_worker.py:298 forward_batch_speculative_generation analog)."""
-        from iaas_sglang_tpu.speculative.ngram_worker import draft_ngram
+        """Speculative decode step: draft (ngram lookup OR EAGLE chain) ->
+        TARGET_VERIFY forward (eagle_worker.py:298
+        forward_batch_speculative_generation analog)."""
+        if self.eagle is not None:
+            drafts = [self.eagle.state(r.rid).drafts for r in batch.reqs]
+        else:
+            from iaas_sglang_tpu.speculative.ngram_worker import draft_ngram
 
-        drafts = [
-            draft_ngram(r.fill_ids(), self.spec_k) for r in batch.reqs
-        ]
+            drafts = [
+                draft_ngram(r.fill_ids(), self.spec_k) for r in batch.reqs
+            ]
         hb = batch.prepare_for_spec_verify(drafts, self.spec_k)
         if hb is None:
+            if self.eagle is not None:
+                # page exhaustion fallback to plain decode desyncs the draft
+                # sequence; reset — the verify loop self-heals from empty
+                for r in batch.reqs:
+                    self.eagle.reset(r.rid)
             return None, None  # fall back to plain decode path
+        hb.return_verify_hidden = self.eagle is not None
         tokens = self.model_runner.forward(hb)  # [B, K+1] argmax
         batch.last_hb = hb
         return tokens, hb
@@ -463,6 +480,8 @@ class Scheduler:
         )
 
         finished: List[Req] = []
+        hb = getattr(batch, "last_hb", None)
+        eagle_items = []
         for i, req in enumerate(batch.reqs):
             if req.is_finished():
                 continue
@@ -484,6 +503,16 @@ class Scheduler:
                 self.tree_cache.cache_finished_req(req)
                 req.cleaned = True
                 finished.append(req)
+                if self.eagle is not None:
+                    self.eagle.evict(req.rid)
+            elif (self.eagle is not None and hb is not None
+                  and hb.verify_hidden is not None and emitted):
+                # emitted[j] was produced by the feature at verify slot j:
+                # these are exactly the draft's next (token, feature) pairs
+                m = len(emitted)
+                eagle_items.append((req, emitted, hb.verify_hidden[i, :m]))
+        if eagle_items:
+            self.eagle.feed_pairs(eagle_items)
         self.spec_steps += 1
         if finished:
             fin_ids = {id(r) for r in finished}
@@ -496,6 +525,8 @@ class Scheduler:
     def run_batch(self, batch: ScheduleBatch, fetch: bool = True):
         if batch.mode.is_extend():
             hb = batch.prepare_for_extend()
+            if self.eagle is not None:
+                hb.return_all_hidden = True
         else:
             hb = batch.prepare_for_decode()
             while hb is None:
@@ -504,6 +535,9 @@ class Scheduler:
                 if retracted:
                     logger.warning("retracted %d reqs under memory pressure",
                                    len(retracted))
+                    if self.eagle is not None:
+                        for r in retracted:
+                            self.eagle.evict(r.rid)
                     self.waiting_queue.extend(retracted)
                 elif not batch.reqs:
                     return None, None
@@ -599,6 +633,8 @@ class Scheduler:
             # (cache_unfinished_req moves the lock to the deeper node)
             if self.chunked_req is not None:
                 self.tree_cache.cache_unfinished_req(self.chunked_req)
+            if self.eagle is not None:
+                self._eagle_after_extend(batch, hb)
         if finished:
             fin_ids = {id(r) for r in finished}
             self.running_batch.reqs = [
@@ -610,6 +646,46 @@ class Scheduler:
                         if r.stream and not r.is_finished()]
         )
         self._maybe_log_decode()
+
+    def _eagle_after_extend(self, batch: ScheduleBatch, hb) -> None:
+        """Prime/advance the EAGLE draft after a target extend: pair each
+        just-filled position's feature h_p with token t_{p+1} (the draft
+        input convention). A chunk's last feature waits in `carry_feat`
+        for the next chunk's first token (eagle_worker.py:forward_draft_
+        extend analog in the reference)."""
+        if hb is None or hb.all_hidden is None:
+            return
+        cu = np.concatenate(
+            [[0], np.cumsum(hb.q_lens)]).astype(np.int64)
+        items = []
+        for i, req in enumerate(batch.reqs):
+            if req.is_embedding or req.is_finished():
+                if req.is_finished():
+                    self.eagle.evict(req.rid)
+                continue
+            rows = hb.all_hidden[cu[i] : cu[i + 1]]
+            if not len(rows):
+                continue
+            f1 = req.fill_len  # already advanced by extend_len
+            f0 = f1 - req.extend_len
+            fids = req.fill_ids()
+            avail = len(fids)
+            st = self.eagle.state(req.rid)
+            toks, feats = [], []
+            if st.carry_feat is not None and f0 < avail:
+                toks.append(fids[f0])
+                feats.append(st.carry_feat)
+                st.carry_feat = None
+            for p in range(f0, f1):
+                if p + 1 < avail:
+                    toks.append(fids[p + 1])
+                    feats.append(rows[p - f0])
+                else:
+                    st.carry_feat = rows[p - f0]
+            if toks:
+                items.append((req, toks, np.stack(feats)))
+        if items:
+            self.eagle.feed_pairs(items)
 
     def _disagg_handoff(self, req: Req) -> None:
         """Prefill side of PD disaggregation: ship token state + KV pages

@@ -65,6 +65,11 @@ class HostBatch:
     # speculative verify: K drafts per seq -> greedy argmax at K+1 positions
     verify_k: int = 0
     verify_idx: Any = None          # np i32[B, K+1] token indices
+    # EAGLE feature taps: verify-position hiddens / all-position hiddens
+    return_verify_hidden: bool = False
+    verify_hidden: Any = None       # np [B, K+1, H] (model dtype)
+    return_all_hidden: bool = False
+    all_hidden: Any = None          # np [T, H]
     # multi-LoRA: per-token adapter slot ids (None = no LoRA in batch)
     lora_ids: Any = None            # np i32[T] | None
     # set by the runner for the scheduler
@@ -213,7 +218,7 @@ class ModelRunner:
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
                  pen, grammar_mask, lora, attn_mode: str, logprob_top_k: int,
                  return_hidden: bool = False, verify_k: int = 0,
-                 sampling_mode: str = "full"):
+                 sampling_mode: str = "full", hidden_tap: str = "none"):
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
@@ -226,8 +231,11 @@ class ModelRunner:
                 vh = hidden[fb.verify_idx.reshape(-1)]
                 vlogits = model.compute_logits(params, vh)
                 vtokens = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
+                # EAGLE taps the pre-lm_head features at the verify positions
+                vhid = vh.reshape(Bmax, Kp1, -1) if hidden_tap == "verify" \
+                    else None
                 return (vtokens.reshape(Bmax, Kp1), None, None, None, None,
-                        None, kv_pages)
+                        vhid, kv_pages)
             last_h = hidden[fb.last_token_idx]          # [Bmax, H]
             logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
             if pen is not None:
@@ -245,7 +253,12 @@ class ModelRunner:
                 lp, topv, topi = compute_logprobs(logits, tokens, logprob_top_k)
             else:
                 lp = topv = topi = None
-            hid = last_h.astype(jnp.float32) if return_hidden else None
+            if hidden_tap == "all":
+                hid = hidden          # [T, H] — EAGLE prefill feature prime
+            elif return_hidden:
+                hid = last_h.astype(jnp.float32)
+            else:
+                hid = None
             return tokens, logits, lp, topv, topi, hid, kv_pages
 
         self._all_logits_fn = jax.jit(
@@ -255,7 +268,8 @@ class ModelRunner:
                             attn_backend=attn_backend, attn_mode="extend",
                             scan_layers=scan_layers))
         )
-        return jax.jit(step, donate_argnums=(1,), static_argnums=(7, 8, 9, 10, 11))
+        return jax.jit(step, donate_argnums=(1,),
+                       static_argnums=(7, 8, 9, 10, 11, 12))
 
     # ------------------------------------------------------------- forward
 
@@ -277,11 +291,13 @@ class ModelRunner:
             lora = self.lora_manager.device_params()
         sampling_mode = (
             "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
+        hidden_tap = ("verify" if (hb.verify_k > 0 and hb.return_verify_hidden)
+                      else "all" if hb.return_all_hidden else "none")
         with self.mesh_ctx.mesh:
             exe = self._get_compiled(
                 fb, meta, pen, gmask, lora,
                 attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k,
-                sampling_mode)
+                sampling_mode, hidden_tap)
             tokens, logits, lp, topv, topi, hid, self.kv_pages = exe(
                 self.params, self.kv_pages, fb, meta, pen, gmask, lora,
             )
@@ -289,7 +305,12 @@ class ModelRunner:
         hb.device_logits = logits
         hb.device_logprobs = (lp, topv, topi)
         if hid is not None:
-            hb.hidden_states = np.asarray(hid)[:B]
+            if hidden_tap == "verify":
+                hb.verify_hidden = np.asarray(hid)[:B]
+            elif hidden_tap == "all":
+                hb.all_hidden = np.asarray(hid)[: len(hb.positions)]
+            else:
+                hb.hidden_states = np.asarray(hid)[:B]
         if not fetch:
             return None
         return self.fetch_tokens(hb)
@@ -307,9 +328,10 @@ class ModelRunner:
 
     def _get_compiled(self, fb, meta, pen, gmask, lora, attn_mode,
                       logprob_top_k, return_hidden, verify_k,
-                      sampling_mode):
+                      sampling_mode, hidden_tap="none"):
         key = (
             attn_mode, logprob_top_k, return_hidden, verify_k, sampling_mode,
+            hidden_tap,
             str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
                              (fb, meta, pen, gmask, lora))),
         )
@@ -334,7 +356,7 @@ class ModelRunner:
             exe = self._step_fn.lower(
                 *abs_args,
                 attn_mode, logprob_top_k, return_hidden, verify_k,
-                sampling_mode,
+                sampling_mode, hidden_tap,
             ).compile()
             self._compiled[key] = exe
             logger.info(

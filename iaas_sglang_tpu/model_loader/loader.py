@@ -39,6 +39,17 @@ def _torch_to_numpy(t) -> np.ndarray:
     return t.numpy()
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class HostQuant:
+    """A pre-quantized (AWQ-style) host weight: packed nibbles + tables."""
+    packed: np.ndarray       # int8 [(L,) K/2, N]
+    scale: np.ndarray        # f32  [(L,) K/G, N]
+    zero_scale: np.ndarray   # f32  [(L,) K/G, N]
+
+
 def _set_nested(tree: Dict[str, Any], path: str, value) -> None:
     parts = path.split(".")
     node = tree
@@ -101,6 +112,15 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
         if spec.stacked:
             dims = (None,) + tuple(dims)
         sharding = mesh_ctx.sharding(*dims)
+        if isinstance(host.get(name), HostQuant):
+            # pre-quantized checkpoint (AWQ): already packed + tabled
+            hq = host[name]
+            _set_nested(tree, name, QuantizedWeight(
+                q=jax.device_put(hq.packed, sharding),
+                scale=jax.device_put(hq.scale, sharding),
+                zero_scale=jax.device_put(hq.zero_scale, sharding),
+                packed=True))
+            continue
         if quantization and spec.quantizable:
             q_np, s_np, target_dtype = _quantize_host(host[name], spec, quantization)
             # int4 note: this jax version cannot pass native jnp.int4 arrays
@@ -183,12 +203,41 @@ def _load_host_params_safetensors(
         del handles
 
 
+def _assemble_awq_one(getter, prefix: str, K: int, N: int):
+    from iaas_sglang_tpu.quantization.awq import ingest_awq
+
+    qw = getter(prefix + ".qweight")
+    qz = getter(prefix + ".qzeros")
+    sc = getter(prefix + ".scales")
+    if qw.shape != (K, N // 8):
+        raise ValueError(
+            f"{prefix}.qweight: got {qw.shape}, want {(K, N // 8)}")
+    return ingest_awq(qw, qz, sc.astype(np.float32))
+
+
 def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
               getter) -> Dict[str, np.ndarray]:
     dt = _np_dtype(config.dtype)
     out: Dict[str, np.ndarray] = {}
     for name, spec in specs.items():
         if spec.hf_key is None:
+            continue
+        if (config.ckpt_quant_method == "awq" and spec.quantizable
+                and spec.hf_key.endswith(".weight")):
+            prefix_t = spec.hf_key[: -len(".weight")]
+            K, N = spec.shape
+            if spec.stacked:
+                n_stack = spec.num_stack or config.num_layers
+                ps, ss, zs = [], [], []
+                for l in range(n_stack):
+                    p_, s_, z_ = _assemble_awq_one(
+                        getter, prefix_t.format(l=l + spec.layer_offset), K, N)
+                    ps.append(p_)
+                    ss.append(s_)
+                    zs.append(z_)
+                out[name] = HostQuant(np.stack(ps), np.stack(ss), np.stack(zs))
+            else:
+                out[name] = HostQuant(*_assemble_awq_one(getter, prefix_t, K, N))
             continue
         if spec.stacked:
             n_stack = spec.num_stack or config.num_layers

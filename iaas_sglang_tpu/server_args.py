@@ -85,9 +85,11 @@ class ServerArgs:
     disaggregation_transfer_backend: str = "zmq"  # zmq | fake
     disaggregation_bootstrap_port: int = 0        # decode-side KV ingest port
 
-    # Speculative decoding: None | "ngram"  (EAGLE lands on this interface)
+    # Speculative decoding: None | "ngram" | "eagle"
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
+    # EAGLE draft checkpoint dir (None = dummy-weight draft, for testing)
+    speculative_draft_model_path: Optional[str] = None
 
     # Attention backend: pallas (ours) | jax_rpa (jax builtin) | jnp (reference)
     attention_backend: str = "auto"

@@ -75,3 +75,36 @@ def test_spec_with_stop_tokens():
         "stop_token_ids": [stop_tok]})
     assert out["output_ids"][-1] == stop_tok
     assert len(out["output_ids"]) == 3
+
+
+def test_eagle_matches_plain_greedy():
+    """EAGLE (dummy-weight draft) must emit exactly the plain greedy
+    continuation — verification is exact regardless of draft quality."""
+    eng_eagle = make_engine(speculative_algorithm="eagle",
+                            speculative_num_draft_tokens=3)
+    eng_plain = make_engine()
+    prompts = [
+        [7, 8, 9, 10, 7, 8, 9, 10, 7, 8],
+        list(range(30, 45)),
+        list(range(100, 170)),   # > chunked_prefill_size: exercises carry
+    ]
+    sp = {"max_new_tokens": 14, "temperature": 0.0}
+    outs_e = eng_eagle.generate(input_ids=prompts, sampling_params=sp)
+    outs_p = eng_plain.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_e, outs_p):
+        assert a["output_ids"] == b["output_ids"]
+    st = eng_eagle.get_internal_state()
+    assert st["spec_accept_length"] >= 1.0
+    eng_eagle.scheduler.check_memory_leak()
+
+
+def test_eagle_prefix_cache_reuse_parity():
+    """Second pass over the same prompts hits the radix cache (draft primes
+    only from the uncached suffix) — tokens must still match."""
+    eng = make_engine(speculative_algorithm="eagle",
+                      speculative_num_draft_tokens=3)
+    prompts = [list(range(20, 40))]
+    sp = {"max_new_tokens": 10, "temperature": 0.0}
+    first = eng.generate(input_ids=prompts, sampling_params=sp)
+    second = eng.generate(input_ids=prompts, sampling_params=sp)
+    assert first[0]["output_ids"] == second[0]["output_ids"]
