@@ -43,6 +43,11 @@ class ModelConfig:
     # Gemma-family quirks
     rms_weight_offset: float = 0.0   # rmsnorm uses (offset + w)
     embed_multiplier: float = 1.0    # hidden *= multiplier after embedding
+    sandwich_norms: bool = False     # gemma2/3 post-attn + post-ffw norms
+    query_pre_attn_scalar: Optional[float] = None  # sm_scale = qpas**-0.5
+    attn_logit_softcap: Optional[float] = None     # gemma2 tanh capping
+    final_logit_softcap: Optional[float] = None
+    rope_local_base_freq: Optional[float] = None   # gemma3 local-layer rope
     # Sliding-window attention: None => full attention on all layers.
     sliding_window: Optional[int] = None
     sliding_window_pattern: Optional[list[bool]] = None  # per-layer "is SWA layer"
@@ -119,6 +124,29 @@ class ModelConfig:
         if mc.model_type in ("gemma", "gemma2", "gemma3_text"):
             mc.rms_weight_offset = 1.0
             mc.embed_multiplier = float(mc.hidden_size) ** 0.5
+        if mc.model_type in ("gemma2", "gemma3_text"):
+            mc.sandwich_norms = True
+            mc.query_pre_attn_scalar = get("query_pre_attn_scalar")
+            mc.attn_logit_softcap = get("attn_logit_softcapping")
+            mc.final_logit_softcap = get("final_logit_softcapping")
+            mc.sliding_window = get("sliding_window")
+            if mc.model_type == "gemma3_text":
+                mc.qk_norm = True
+                mc.rope_local_base_freq = get("rope_local_base_freq", 10000.0)
+            # per-layer full/sliding pattern (hf layer_types, or the
+            # defaults: gemma2 alternates starting sliding; gemma3 is
+            # 5 sliding : 1 full)
+            lt = get("layer_types")
+            if lt:
+                mc.sliding_window_pattern = [
+                    t == "sliding_attention" for t in lt]
+            elif mc.model_type == "gemma2":
+                mc.sliding_window_pattern = [
+                    i % 2 == 0 for i in range(mc.num_layers)]
+            else:
+                pat = get("sliding_window_pattern", 6) or 6
+                mc.sliding_window_pattern = [
+                    (i + 1) % pat != 0 for i in range(mc.num_layers)]
         if mc.model_type in ("deepseek_v2", "deepseek_v3"):
             mc.q_lora_rank = get("q_lora_rank")
             mc.kv_lora_rank = get("kv_lora_rank", 512) or 0

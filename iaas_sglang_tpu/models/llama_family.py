@@ -67,9 +67,25 @@ class LlamaFamilyForCausalLM:
         self.inv_freq = jnp.asarray(
             compute_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
         )
-        self.sm_scale = c.head_dim ** -0.5
+        self.sm_scale = (c.query_pre_attn_scalar or c.head_dim) ** -0.5
         # set by the runner: "dense" (GSPMD-shardable) or "gmm" (megablox)
         self.moe_impl = "dense"
+        # hybrid sliding-window layers (gemma2/3): per-layer window (-1 =
+        # full attention) gathered by the traced layer index inside the
+        # scan; uniform-SWA models (mistral) keep a static python window.
+        self.layer_windows = None
+        self.inv_freq_local = None
+        self.layer_is_local = None
+        if c.sliding_window and c.sliding_window_pattern:
+            self.layer_windows = jnp.asarray(
+                [c.sliding_window if s else -1
+                 for s in c.sliding_window_pattern], jnp.int32)
+            self.layer_is_local = jnp.asarray(
+                c.sliding_window_pattern, jnp.bool_)
+            if c.rope_local_base_freq:
+                # gemma3: local layers rope at base freq without scaling
+                self.inv_freq_local = jnp.asarray(compute_inv_freq(
+                    c.head_dim, c.rope_local_base_freq, None))
 
     def kv_entry_shape(self) -> tuple[int, int]:
         """(entries per token, entry dim) of the paged KV pool — K/V pairs
@@ -90,8 +106,13 @@ class LlamaFamilyForCausalLM:
             "final_norm": WeightSpec((H,), (None,), "model.norm.weight"),
             "layers.input_norm": WeightSpec(
                 (H,), (None,), "model.layers.{l}.input_layernorm.weight", stacked=True),
+            # non-sandwich: the norm before the MLP is post_attention_layernorm;
+            # gemma2/3 sandwich: it is pre_feedforward_layernorm (see forward)
             "layers.post_norm": WeightSpec(
-                (H,), (None,), "model.layers.{l}.post_attention_layernorm.weight",
+                (H,), (None,),
+                "model.layers.{l}.pre_feedforward_layernorm.weight"
+                if c.sandwich_norms else
+                "model.layers.{l}.post_attention_layernorm.weight",
                 stacked=True),
             "layers.wq": WeightSpec(
                 (H, Nq * D), (None, "tp"), "model.layers.{l}.self_attn.q_proj.weight",
@@ -140,6 +161,15 @@ class LlamaFamilyForCausalLM:
                 stacked=True)
             s["layers.bv"] = WeightSpec(
                 (Nk * D,), ("tp",), "model.layers.{l}.self_attn.v_proj.bias",
+                stacked=True)
+        if c.sandwich_norms:
+            s["layers.post_attn_norm"] = WeightSpec(
+                (H,), (None,),
+                "model.layers.{l}.post_attention_layernorm.weight",
+                stacked=True)
+            s["layers.post_ffw_norm"] = WeightSpec(
+                (H,), (None,),
+                "model.layers.{l}.post_feedforward_layernorm.weight",
                 stacked=True)
         if c.qk_norm:
             s["layers.q_norm"] = WeightSpec(
@@ -212,10 +242,21 @@ class LlamaFamilyForCausalLM:
             k = k.reshape(T, c.num_kv_heads, c.head_dim)
             v = v.reshape(T, c.num_kv_heads, c.head_dim)
             if c.qk_norm:
-                q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
-                k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
-            q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+                q = rms_norm(q, lp["q_norm"] + c.rms_weight_offset,
+                             c.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"] + c.rms_weight_offset,
+                             c.rms_norm_eps)
+            inv_freq = self.inv_freq
+            if self.inv_freq_local is not None:
+                inv_freq = jnp.where(
+                    self.layer_is_local[layer_idx],
+                    self.inv_freq_local, self.inv_freq)
+            q, k = apply_rope(q, k, fb.positions, inv_freq)
 
+            if self.layer_windows is not None:
+                window = self.layer_windows[layer_idx]  # traced, -1 = full
+            else:
+                window = c.sliding_window
             slot_off = layer_idx * pages_per_layer * ps
             page_off = layer_idx * pages_per_layer
             kv = write_kv_pages(kv, fb.out_slots + slot_off, k, v)
@@ -223,7 +264,8 @@ class LlamaFamilyForCausalLM:
                 q, kv, fb.kv_lens, fb.page_indices + page_off,
                 fb.cu_q_lens, fb.num_seqs,
                 sm_scale=self.sm_scale,
-                sliding_window=c.sliding_window,
+                sliding_window=window,
+                logit_softcap=c.attn_logit_softcap,
                 backend=attn_backend,
                 mode=attn_mode,
             )
@@ -233,6 +275,10 @@ class LlamaFamilyForCausalLM:
                 attn_out = attn_out + lora_delta(
                     attn_flat, lp["lora_A_wo"], lp["lora_B_wo"]
                 ).astype(attn_out.dtype)
+            if c.sandwich_norms:
+                attn_out = rms_norm(
+                    attn_out, lp["post_attn_norm"] + c.rms_weight_offset,
+                    c.rms_norm_eps)
             hidden = hidden + attn_out
 
             h2 = rms_norm(hidden, lp["post_norm"] + c.rms_weight_offset,
@@ -267,6 +313,9 @@ class LlamaFamilyForCausalLM:
                     mlp = mlp + lora_delta(
                         inter, lp["lora_A_w_down"], lp["lora_B_w_down"]
                     ).astype(mlp.dtype)
+            if c.sandwich_norms:
+                mlp = rms_norm(mlp, lp["post_ffw_norm"] + c.rms_weight_offset,
+                               c.rms_norm_eps)
             hidden = hidden + mlp
             return (hidden, kv), None
 
@@ -298,4 +347,8 @@ class LlamaFamilyForCausalLM:
             w = params["embed"].T  # [H, V]
         else:
             w = params["lm_head"]
-        return (hidden @ w).astype(jnp.float32)
+        logits = (hidden @ w).astype(jnp.float32)
+        cap = self.config.final_logit_softcap
+        if cap:
+            logits = cap * jnp.tanh(logits / cap)
+        return logits

@@ -24,6 +24,8 @@ for _arch in (
     "MixtralForCausalLM",
     "Qwen3MoeForCausalLM",
     "GemmaForCausalLM",
+    "Gemma2ForCausalLM",
+    "Gemma3ForCausalLM",
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

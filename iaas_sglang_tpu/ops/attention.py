@@ -38,14 +38,20 @@ def paged_attention(
     num_seqs: jnp.ndarray,
     *,
     sm_scale: float,
-    sliding_window: Optional[int] = None,
+    sliding_window=None,     # None | int | traced i32 scalar (-1 = off)
+    logit_softcap: Optional[float] = None,   # gemma2 tanh soft-capping
     backend: str = "jnp",
     mode: str = "extend",   # static: "extend" (ragged q) | "decode" (q_len==1)
 ) -> jnp.ndarray:
+    # hybrid-SWA models (gemma2/3) scan one layer body over layers, so the
+    # per-layer window arrives as a TRACED scalar — only the jnp path and
+    # our own kernels support that; jax's builtin rpa needs a static int.
+    window_traced = isinstance(sliding_window, jnp.ndarray)
     if backend == "jnp":
         return _jnp_paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap,
         )
     if backend in ("pallas", "pallas_own"):
         if mode == "decode":
@@ -56,8 +62,9 @@ def paged_attention(
             return paged_decode_attention(
                 q, kv_pages, kv_lens, page_indices,
                 sm_scale=sm_scale, sliding_window=sliding_window,
+                logit_softcap=logit_softcap,
             )
-        if backend == "pallas_own":
+        if backend == "pallas_own" or window_traced or logit_softcap:
             from iaas_sglang_tpu.ops.extend_attention import (
                 ragged_extend_attention,
             )
@@ -65,6 +72,7 @@ def paged_attention(
             return ragged_extend_attention(
                 q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                 sm_scale=sm_scale, sliding_window=sliding_window,
+                logit_softcap=logit_softcap,
             )
         # default extend path: jax's built-in ragged paged attention
         # (ours above, selected via --attention-backend pallas_own, is the
@@ -92,7 +100,7 @@ def paged_attention(
 
 def _jnp_paged_attention(
     q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
-    *, sm_scale, sliding_window=None,
+    *, sm_scale, sliding_window=None, logit_softcap=None,
 ):
     T, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
@@ -127,13 +135,19 @@ def _jnp_paged_attention(
     kf = k_tok.astype(jnp.float32)
     vf = v_tok.astype(jnp.float32)
     scores = jnp.einsum("tkgd,tskd->tkgs", qf, kf) * sm_scale  # [T, Nk, g, S]
+    if logit_softcap:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
     key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
     valid = (key_pos <= q_pos[:, None]) & (key_pos < kv_lens[seg_ids][:, None])
     if sliding_window is not None:
-        valid &= key_pos > q_pos[:, None] - sliding_window
-    # padding tokens (seg beyond num_seqs) get a degenerate but finite row
-    valid = valid | (jnp.arange(S)[None, :] == 0)
+        win = jnp.asarray(sliding_window, jnp.int32)
+        valid &= (win < 0) | (key_pos > q_pos[:, None] - win)
+    # padding tokens (seg beyond num_seqs) get a degenerate but finite row;
+    # only all-invalid rows get the key-0 escape (a blanket key-0 pass
+    # would defeat the sliding-window mask for rows past the window)
+    any_valid = jnp.any(valid, axis=-1, keepdims=True)
+    valid = valid | (~any_valid & (jnp.arange(S)[None, :] == 0))
     scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("tkgs,tskd->tkgd", probs, vf)

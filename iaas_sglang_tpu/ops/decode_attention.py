@@ -35,6 +35,7 @@ def _decode_kernel(
     # scalar prefetch
     kv_lens_ref,       # i32[B]            (SMEM)
     page_indices_ref,  # i32[B, MP]        (SMEM)
+    window_ref,        # i32[1] sliding window, -1 = full attention (SMEM)
     # inputs
     q_ref,             # [1, Nq, D]        (VMEM block)
     kv_hbm_ref,        # [NP, ps, 2Nk, D]  (ANY/HBM)
@@ -49,7 +50,7 @@ def _decode_kernel(
     page_size: int,
     max_pages: int,
     sm_scale: float,
-    sliding_window: Optional[int],
+    logit_softcap: Optional[float],
 ):
     s = pl.program_id(0)
     CP = chunk_pages
@@ -104,8 +105,8 @@ def _decode_kernel(
 
             pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
             valid = pos < kv_len
-            if sliding_window is not None:
-                valid &= pos > kv_len - 1 - sliding_window
+            win = window_ref[0]
+            valid &= (win < 0) | (pos > kv_len - 1 - win)
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(Nk):
@@ -117,6 +118,8 @@ def _decode_kernel(
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * sm_scale                                # f32 [G, CT]
+                if logit_softcap:
+                    scores = logit_softcap * jnp.tanh(scores / logit_softcap)
                 scores = jnp.where(valid, scores, -jnp.inf)
 
                 m_c = jnp.max(scores, axis=-1, keepdims=True)
@@ -300,16 +303,17 @@ def mla_paged_decode_attention(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "sliding_window", "chunk_pages"),
+    static_argnames=("sm_scale", "logit_softcap", "chunk_pages"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, Nq, D]
     kv_pages: jnp.ndarray,      # [NP, ps, 2Nk, D]
     kv_lens: jnp.ndarray,       # i32[B]
     page_indices: jnp.ndarray,  # i32[B, MP]
+    sliding_window=None,        # None | int | traced i32 scalar (-1 = off)
     *,
     sm_scale: float,
-    sliding_window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
@@ -317,9 +321,11 @@ def paged_decode_attention(
     Nk = NK2 // 2
     MP = page_indices.shape[1]
     CP = min(chunk_pages, MP)
+    window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
+        else jnp.asarray(sliding_window, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
@@ -340,7 +346,7 @@ def paged_decode_attention(
         page_size=ps,
         max_pages=MP,
         sm_scale=sm_scale,
-        sliding_window=sliding_window,
+        logit_softcap=logit_softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -349,4 +355,4 @@ def paged_decode_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(kv_lens, page_indices, q, kv_pages)
+    )(kv_lens, page_indices, window, q, kv_pages)

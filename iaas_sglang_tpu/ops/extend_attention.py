@@ -38,6 +38,7 @@ def _extend_kernel(
     kv_lens_ref,       # i32[B]
     page_indices_ref,  # i32[B, MP]
     cu_q_lens_ref,     # i32[B+1]
+    window_ref,        # i32[1] sliding window, -1 = full attention
     # inputs (ANY: manual DMA)
     q_hbm,             # [Tpad, Nq, D]
     kv_hbm,            # [NP, ps, 2Nk, D]
@@ -55,7 +56,7 @@ def _extend_kernel(
     page_size: int,
     max_pages: int,
     sm_scale: float,
-    sliding_window: Optional[int],
+    logit_softcap: Optional[float],
 ):
     s = pl.program_id(0)
     qt = pl.program_id(1)
@@ -116,8 +117,8 @@ def _extend_kernel(
                 jnp.int32, (1, CT), 1)                       # [1, CT]
             # causal: key <= query position; bounded by kv_len
             valid = (key_pos <= row_pos) & (key_pos < kv_len)  # [BQ, CT]
-            if sliding_window is not None:
-                valid &= key_pos > row_pos - sliding_window
+            win = window_ref[0]
+            valid &= (win < 0) | (key_pos > row_pos - win)
             # GQA: broadcast the per-token mask over the G heads per kv head
             valid_g = jnp.repeat(valid, G, axis=0)           # [BQ*G, CT]
 
@@ -130,6 +131,8 @@ def _extend_kernel(
                     q_h, k_h, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * sm_scale                                     # [BQ*G, CT]
+                if logit_softcap:
+                    scores = logit_softcap * jnp.tanh(scores / logit_softcap)
                 scores = jnp.where(valid_g, scores, -jnp.inf)
                 m_c = jnp.max(scores, axis=-1, keepdims=True)
                 m_n = jnp.maximum(ms[h], m_c)
@@ -163,7 +166,7 @@ def _extend_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "sliding_window", "bq", "chunk_pages"),
+    static_argnames=("sm_scale", "logit_softcap", "bq", "chunk_pages"),
 )
 def ragged_extend_attention(
     q: jnp.ndarray,             # [T, Nq, D]
@@ -172,9 +175,10 @@ def ragged_extend_attention(
     page_indices: jnp.ndarray,  # i32[B, MP]
     cu_q_lens: jnp.ndarray,     # i32[B+1]
     num_seqs: jnp.ndarray,      # i32[] (unused; padding seqs have q_len 0)
+    sliding_window=None,        # None | int | traced i32 scalar (-1 = off)
     *,
     sm_scale: float,
-    sliding_window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     bq: int = DEFAULT_BQ,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
 ) -> jnp.ndarray:
@@ -184,12 +188,14 @@ def ragged_extend_attention(
     B, MP = page_indices.shape
     CP = min(chunk_pages, MP)
     BQ = min(bq, max(T, 16))
+    window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
+        else jnp.asarray(sliding_window, jnp.int32).reshape(1)
     # slack so a tile's full-BQ write never clips past the buffer
     q_pad = jnp.pad(q, ((0, BQ), (0, 0), (0, 0)))
     QT = cdiv(T, BQ)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, QT),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -208,7 +214,7 @@ def ragged_extend_attention(
     kernel = functools.partial(
         _extend_kernel,
         num_kv_heads=Nk, bq=BQ, chunk_pages=CP, page_size=ps,
-        max_pages=MP, sm_scale=sm_scale, sliding_window=sliding_window,
+        max_pages=MP, sm_scale=sm_scale, logit_softcap=logit_softcap,
     )
     out = pl.pallas_call(
         kernel,
@@ -217,5 +223,5 @@ def ragged_extend_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(kv_lens, page_indices, cu_q_lens, q_pad, kv_pages)
+    )(kv_lens, page_indices, cu_q_lens, window, q_pad, kv_pages)
     return out[:T]

@@ -269,3 +269,85 @@ def test_mla_greedy_decode_matches_hf(hf_dict):
     ours = driver.generate_greedy(PROMPT, 12)
     ref = hf_greedy_generate(hf_model, PROMPT, 12)
     assert ours == ref
+
+
+TINY_GEMMA2 = dict(
+    architectures=["Gemma2ForCausalLM"],
+    model_type="gemma2",
+    num_hidden_layers=4,
+    hidden_size=64,
+    head_dim=16,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    intermediate_size=128,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=True,
+    hidden_act="gelu_pytorch_tanh",
+    hidden_activation="gelu_pytorch_tanh",
+    query_pre_attn_scalar=16,
+    attn_logit_softcapping=50.0,
+    final_logit_softcapping=30.0,
+    sliding_window=8,   # < prompt length: hybrid masking is exercised
+)
+
+TINY_GEMMA3 = dict(
+    architectures=["Gemma3ForCausalLM"],
+    model_type="gemma3_text",
+    num_hidden_layers=6,
+    hidden_size=64,
+    head_dim=16,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    intermediate_size=128,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=1000000.0,
+    rope_local_base_freq=10000.0,
+    max_position_embeddings=512,
+    tie_word_embeddings=True,
+    hidden_act="gelu_pytorch_tanh",
+    hidden_activation="gelu_pytorch_tanh",
+    query_pre_attn_scalar=16,
+    sliding_window=8,
+)
+
+
+def _hf_gemma_model(hf_dict):
+    import torch
+    import transformers
+
+    cls = {"gemma2": transformers.Gemma2Config,
+           "gemma3_text": transformers.Gemma3TextConfig}[hf_dict["model_type"]]
+    config = cls(**{k: v for k, v in hf_dict.items() if k != "architectures"})
+    config._attn_implementation = "eager"
+    torch.manual_seed(0)
+    from transformers import AutoModelForCausalLM
+
+    return AutoModelForCausalLM.from_config(config).eval()
+
+
+@pytest.mark.parametrize("hf_dict", [TINY_GEMMA2, TINY_GEMMA3],
+                         ids=["gemma2", "gemma3"])
+def test_gemma23_prefill_logits_match_hf(hf_dict):
+    hf_model = _hf_gemma_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("hf_dict", [TINY_GEMMA2, TINY_GEMMA3],
+                         ids=["gemma2", "gemma3"])
+def test_gemma23_greedy_decode_matches_hf(hf_dict):
+    hf_model = _hf_gemma_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.generate_greedy(PROMPT, 12)
+    ref = hf_greedy_generate(hf_model, PROMPT, 12)
+    assert ours == ref
