@@ -44,13 +44,64 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
         return scaled.astype(np.float32)
     if rope_type == "linear":
         return (inv_freq / rope_scaling["factor"]).astype(np.float32)
+    if rope_type == "yarn":
+        # NTK-by-parts (YaRN, arXiv:2309.00071; HF _compute_yarn_parameters;
+        # reference srt/layers/rotary_embedding.py YaRNScalingRotaryEmbedding)
+        factor = rope_scaling["factor"]
+        orig = rope_scaling.get("original_max_position_embeddings") or \
+            rope_scaling.get("max_position_embeddings", 4096)
+        beta_fast = rope_scaling.get("beta_fast") or 32
+        beta_slow = rope_scaling.get("beta_slow") or 1
+        truncate = rope_scaling.get("truncate", True)
+        dim = head_dim
+
+        def corr_dim(rot):
+            return (dim * math.log(orig / (rot * 2 * math.pi))) \
+                / (2 * math.log(rope_theta))
+
+        low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+        if truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, dim - 1)
+        if low == high:
+            high += 0.001
+        ramp = np.clip(
+            (np.arange(dim // 2, dtype=np.float64) - low) / (high - low), 0, 1)
+        extrap_factor = 1 - ramp
+        return (
+            (inv_freq / factor) * (1 - extrap_factor)
+            + inv_freq * extrap_factor
+        ).astype(np.float32)
     if rope_type in ("default", "mrope", ""):
         return inv_freq.astype(np.float32)
     raise NotImplementedError(f"rope scaling {rope_type!r} not supported yet")
 
 
+def rope_attention_factor(rope_scaling: Optional[dict[str, Any]]) -> float:
+    """Post-scaling applied to cos/sin (YaRN mscale; HF attention_scaling)."""
+    if not rope_scaling:
+        return 1.0
+    rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+    if rope_type != "yarn":
+        return 1.0
+    af = rope_scaling.get("attention_factor")
+    if af is not None:
+        return float(af)
+    factor = rope_scaling["factor"]
+
+    def get_mscale(scale, m=1.0):
+        return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+    mscale = rope_scaling.get("mscale")
+    mscale_all = rope_scaling.get("mscale_all_dim")
+    if mscale and mscale_all:
+        return float(get_mscale(factor, mscale) / get_mscale(factor, mscale_all))
+    return float(get_mscale(factor))
+
+
 def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
-                           inv_freq: jnp.ndarray) -> jnp.ndarray:
+                           inv_freq: jnp.ndarray,
+                           attn_factor: float = 1.0) -> jnp.ndarray:
     """Interleaved (complex-pair) rotary embedding, the DeepSeek MLA rope
     convention: pairs (x[..., 2i], x[..., 2i+1]) are rotated by
     positions * inv_freq[i] (HF deepseek_v2 `apply_rotary_emb` complex
@@ -61,8 +112,8 @@ def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
     """
     dtype = x.dtype
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
-    cos = jnp.cos(freqs)[:, None, :]
-    sin = jnp.sin(freqs)[:, None, :]
+    cos = jnp.cos(freqs)[:, None, :] * attn_factor
+    sin = jnp.sin(freqs)[:, None, :] * attn_factor
     x32 = x.astype(jnp.float32)
     x1 = x32[..., 0::2]
     x2 = x32[..., 1::2]
@@ -72,15 +123,16 @@ def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
 
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
-               inv_freq: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+               inv_freq: jnp.ndarray,
+               attn_factor: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding.
 
     q: [T, Nq, D], k: [T, Nk, D], positions: i32[T], inv_freq: f32[D/2].
     Half-split convention: rotate pairs (x[i], x[i + D/2]).
     """
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
-    cos = jnp.cos(freqs)[:, None, :]  # [T, 1, D/2]
-    sin = jnp.sin(freqs)[:, None, :]
+    cos = jnp.cos(freqs)[:, None, :] * attn_factor  # [T, 1, D/2]
+    sin = jnp.sin(freqs)[:, None, :] * attn_factor
 
     def rot(x):
         dtype = x.dtype

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.layers.norms import rms_norm
-from iaas_sglang_tpu.layers.rotary import apply_rope_interleaved, compute_inv_freq
+from iaas_sglang_tpu.layers.rotary import (apply_rope_interleaved,
+                                            compute_inv_freq,
+                                            rope_attention_factor)
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
 from iaas_sglang_tpu.models.llama_family import WeightSpec
 from iaas_sglang_tpu.ops.attention import mla_paged_attention, write_kv_entries
@@ -48,6 +50,7 @@ class DeepseekFamilyForCausalLM:
         )
         self.qk_head_dim = c.qk_nope_head_dim + c.qk_rope_head_dim
         self.sm_scale = self.qk_head_dim ** -0.5
+        self.rope_attn_factor = rope_attention_factor(c.rope_scaling)
         # KV entry is zero-padded to a lane multiple: Mosaic DMAs a page
         # [ps, Dk] only when Dk % 128 == 0 (DeepSeek V3's 512+64=576 is not).
         # Zero channels are dot-product-neutral, so q is padded identically.
@@ -205,13 +208,15 @@ class DeepseekFamilyForCausalLM:
                 q = qmatmul(h, lp["wq"])
             q = q.reshape(T, Nq, dn + dr)
             q_nope, q_pe = q[..., :dn], q[..., dn:]
-            q_pe = apply_rope_interleaved(q_pe, fb.positions, self.inv_freq)
+            q_pe = apply_rope_interleaved(q_pe, fb.positions, self.inv_freq,
+                                          self.rope_attn_factor)
 
             kv_a = qmatmul(h, lp["wkv_a"])              # [T, lora+dr]
             c_kv = rms_norm(kv_a[:, :lora_rank], lp["kv_a_norm"],
                             c.rms_norm_eps)
             k_pe = kv_a[:, None, lora_rank:]            # [T, 1, dr]
-            k_pe = apply_rope_interleaved(k_pe, fb.positions, self.inv_freq)
+            k_pe = apply_rope_interleaved(k_pe, fb.positions, self.inv_freq,
+                                          self.rope_attn_factor)
 
             # absorb w_kc into the query: q_abs[t,n,:] = q_nope[t,n,:] @ w_kc[n]
             wkv_b = lp["wkv_b"].reshape(lora_rank, Nq, dn + dv)

@@ -23,7 +23,8 @@ import numpy as np
 
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.layers.norms import rms_norm
-from iaas_sglang_tpu.layers.rotary import apply_rope, compute_inv_freq
+from iaas_sglang_tpu.layers.rotary import (apply_rope, compute_inv_freq,
+                                            rope_attention_factor)
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
 from iaas_sglang_tpu.ops.attention import paged_attention, write_kv_pages
 from iaas_sglang_tpu.quantization.qlinear import qmatmul
@@ -68,6 +69,7 @@ class LlamaFamilyForCausalLM:
             compute_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
         )
         self.sm_scale = (c.query_pre_attn_scalar or c.head_dim) ** -0.5
+        self.rope_attn_factor = rope_attention_factor(c.rope_scaling)
         # set by the runner: "dense" (GSPMD-shardable) or "gmm" (megablox)
         self.moe_impl = "dense"
         # hybrid sliding-window layers (gemma2/3): per-layer window (-1 =
@@ -251,7 +253,8 @@ class LlamaFamilyForCausalLM:
                 inv_freq = jnp.where(
                     self.layer_is_local[layer_idx],
                     self.inv_freq_local, self.inv_freq)
-            q, k = apply_rope(q, k, fb.positions, inv_freq)
+            q, k = apply_rope(q, k, fb.positions, inv_freq,
+                              self.rope_attn_factor)
 
             if self.layer_windows is not None:
                 window = self.layer_windows[layer_idx]  # traced, -1 = full

@@ -351,3 +351,33 @@ def test_gemma23_greedy_decode_matches_hf(hf_dict):
     ours = driver.generate_greedy(PROMPT, 12)
     ref = hf_greedy_generate(hf_model, PROMPT, 12)
     assert ours == ref
+
+
+def test_yarn_rope_matches_hf():
+    """YaRN NTK-by-parts scaling + attention factor vs HF (llama)."""
+    hf_dict = dict(TINY_LLAMA)
+    hf_dict["rope_scaling"] = {
+        "rope_type": "yarn", "factor": 4.0,
+        "original_max_position_embeddings": 128}
+    hf_model = build_hf_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    ours = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_yarn_mscale_deepseek_matches_hf():
+    """DeepSeek yarn with mscale/mscale_all_dim (the real-V2/V3 rope)."""
+    hf_dict = dict(TINY_DSV2)
+    hf_dict["rope_scaling"] = {
+        "rope_type": "yarn", "factor": 8.0,
+        "original_max_position_embeddings": 64,
+        "mscale": 0.707, "mscale_all_dim": 0.707,
+        "beta_fast": 32, "beta_slow": 1}
+    hf_model = _hf_deepseek_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    ours = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
