@@ -68,6 +68,10 @@ def main():
         # T=512 extend: the remote compiler handles it in ~10 min, while a
         # T=2048 ragged-attention program runs past 85 min (empirical)
         chunked_prefill_size=512,
+        # 16 chained decode iterations per dispatch: the remote-execution
+        # relay costs ~24 ms per dispatch+fetch round-trip, which would cap
+        # B=32 single-step decode at ~1300 tok/s regardless of compute
+        decode_steps_per_dispatch=16,
         skip_tokenizer_init=True, random_seed=0,
     )
     eng = Engine(sa, hf_config_override=hf)

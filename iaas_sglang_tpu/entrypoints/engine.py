@@ -111,11 +111,12 @@ class Engine:
         top_logprobs_num: int = 0,
         session_id: Optional[str] = None,
         lora_path: Optional[str] = None,
+        rid=None,
     ) -> Union[dict, List[dict]]:
         gri = GenerateReqInput(
             text=prompt, input_ids=input_ids, sampling_params=sampling_params,
             return_logprob=return_logprob, top_logprobs_num=top_logprobs_num,
-            session_id=session_id, lora_path=lora_path,
+            session_id=session_id, lora_path=lora_path, rid=rid,
         )
         was_batch = gri.is_batch()
         singles = gri.normalize()

@@ -339,6 +339,51 @@ class ScheduleBatch:
             hb.device_tokens = chain_from.device_tokens
         return hb
 
+    def prepare_for_decode_multi(self, n_steps: int) -> Optional[HostBatch]:
+        """Decode HostBatch covering n_steps chained device iterations
+        (ModelRunner multi_step): pages are pre-allocated through
+        fill + n_steps; KV slots per step are computed in-program from the
+        page table. Returns None when page allocation fails (caller falls
+        back to single-step decode + retraction)."""
+        ps = self.page_size
+        B = len(self.reqs)
+        need = 0
+        for r in self.reqs:
+            need += max(cdiv(r.fill_len + n_steps, ps)
+                        - len(r.page_table_np()), 0)
+        if need > 0:
+            newp = self._alloc_pages(need)
+            if newp is None:
+                return None
+            i = 0
+            for r in self.reqs:
+                n = max(cdiv(r.fill_len + n_steps, ps)
+                        - len(r.page_table_np()), 0)
+                if n:
+                    r.owned_pages = (
+                        np.concatenate([r.owned_pages, newp[i : i + n]])
+                        if len(r.owned_pages) else newp[i : i + n].copy())
+                    i += n
+
+        ids = np.asarray([r.output_ids[-1] for r in self.reqs],
+                         dtype=np.int32)
+        positions = np.asarray([r.fill_len for r in self.reqs],
+                               dtype=np.int32)
+        slots = np.zeros(B, dtype=np.int32)  # recomputed per step in-program
+        page_tables, seq_lens = [], []
+        for r in self.reqs:
+            f = r.fill_len
+            table = r.page_table_np()
+            page_tables.append(table[: cdiv(f + n_steps, ps)])
+            seq_lens.append(f + 1)
+        hb = self._host_batch(
+            ForwardMode.DECODE, ids, positions, slots, page_tables,
+            np.asarray(seq_lens, dtype=np.int32),
+            np.ones(B, dtype=np.int32),
+        )
+        hb.multi_steps = n_steps
+        return hb
+
     def _build_penalty_arrays(self):
         """None when no request needs penalties/bias/min-token masking —
         the step function then compiles without the penalty branch."""

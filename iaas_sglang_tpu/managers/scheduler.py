@@ -134,6 +134,7 @@ class Scheduler:
 
         self.spec_algorithm = server_args.speculative_algorithm
         self.spec_k = server_args.speculative_num_draft_tokens
+        self.multi_steps = server_args.decode_steps_per_dispatch
         self.spec_steps = 0
         self.spec_emitted = 0
         self.eagle = None
@@ -447,6 +448,66 @@ class Scheduler:
                 for r in batch.reqs
             )
         )
+
+    def _multi_eligible(self, batch: ScheduleBatch) -> bool:
+        """Multi-step decode: N chained iterations per dispatch. Excluded:
+        grammar (per-token mask updates), penalties (host-side history),
+        logprobs (per-step fetch) — same restrictions as the reference's
+        multi-step/overlap fast paths."""
+        return (
+            self.multi_steps > 1
+            and batch.mode.is_decode()
+            and all(
+                r.grammar is None
+                and not r.return_logprob
+                and r.sampling_params.frequency_penalty == 0.0
+                and r.sampling_params.presence_penalty == 0.0
+                and r.sampling_params.repetition_penalty == 1.0
+                and not r.sampling_params.logit_bias
+                and len(r.output_ids) >= r.sampling_params.min_new_tokens
+                for r in batch.reqs
+            )
+        )
+
+    def run_multi_batch(self, batch: ScheduleBatch) -> bool:
+        hb = batch.prepare_for_decode_multi(self.multi_steps)
+        if hb is None:
+            return False  # page pressure: single-step path retracts
+        toks = self.model_runner.forward(hb)   # np [B, N]
+        self.process_multi_result(batch, toks)
+        return True
+
+    def process_multi_result(self, batch: ScheduleBatch,
+                             toks: np.ndarray) -> None:
+        finished: List[Req] = []
+        for i, req in enumerate(batch.reqs):
+            if req.is_finished():
+                continue
+            sp = req.sampling_params
+            room = sp.max_new_tokens - len(req.output_ids)
+            for j in range(min(toks.shape[1], room)):
+                req.output_ids.append(int(toks[i, j]))
+                req.fill_len += 1
+                self.num_generated_tokens += 1
+                req.check_finished(self.tokenizer)
+                if req.is_finished():
+                    break
+            if not req.is_finished() and len(req.output_ids) >= sp.max_new_tokens:
+                req.check_finished(self.tokenizer)
+            if req.is_finished():
+                self.tree_cache.cache_finished_req(req)
+                req.cleaned = True
+                finished.append(req)
+                if self.eagle is not None:
+                    self.eagle.evict(req.rid)
+        if finished:
+            fin_ids = {id(r) for r in finished}
+            self.running_batch.reqs = [
+                r for r in self.running_batch.reqs if id(r) not in fin_ids]
+        self._emit_output(
+            finished + [r for r in batch.reqs
+                        if r.stream and not r.is_finished()])
+        self._maybe_log_decode()
 
     def run_spec_batch(self, batch: ScheduleBatch):
         """Speculative decode step: draft (ngram lookup OR EAGLE chain) ->
@@ -871,6 +932,9 @@ class Scheduler:
                 self.process_spec_result(batch, tokens)
                 self._maybe_log_decode()
                 return True
+        if self._multi_eligible(batch) and self.run_multi_batch(batch):
+            self._watchdog_busy = False
+            return True
         tokens, hb = self.run_batch(batch, fetch=False)
         self._watchdog_busy = False
         if hb is None:

@@ -72,6 +72,10 @@ class HostBatch:
     all_hidden: Any = None          # np [T, H]
     # multi-LoRA: per-token adapter slot ids (None = no LoRA in batch)
     lora_ids: Any = None            # np i32[T] | None
+    # multi-step decode: run N chained decode iterations in ONE dispatch
+    # (amortizes host->device dispatch latency; the relay RTT is ~24 ms)
+    multi_steps: int = 1
+    multi_tokens: Any = None        # np i32[B, N] all sampled tokens
     # set by the runner for the scheduler
     num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
@@ -106,7 +110,15 @@ class ModelRunner:
 
             n_dev = self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
             on_tpu = _jax.devices()[0].platform != "cpu"
-            self.model.moe_impl = "gmm" if (on_tpu and n_dev == 1) else "dense"
+            if server_args.ep_size > 1:
+                assert server_args.ep_size == self.mesh_ctx.tp_size, \
+                    "ep_size must equal tp_size (EP rides the tp axis)"
+                assert model_config.num_experts % server_args.ep_size == 0
+                self.model.moe_impl = "ep"
+            else:
+                self.model.moe_impl = "gmm" if (on_tpu and n_dev == 1) \
+                    else "dense"
+            self.model.mesh = self.mesh_ctx.mesh
             logger.info("MoE impl: %s", self.model.moe_impl)
 
         logger.info("loading weights (%s) ...", server_args.load_format)
@@ -261,6 +273,46 @@ class ModelRunner:
                 hid = None
             return tokens, logits, lp, topv, topi, hid, kv_pages
 
+        ps = self.page_size
+
+        def multi_step(params, kv_pages, fb: ForwardBatch,
+                       meta: SamplingMetadata, n_steps: int,
+                       sampling_mode: str):
+            """N chained decode iterations in one program: the sampled token
+            of step i is step i+1's input ON DEVICE (lax.scan), and KV slots
+            are recomputed from the page table each step. One dispatch + one
+            token fetch per N tokens — the multi-step scheduling analog of
+            the reference's overlap loop, tuned for the ~24 ms relay RTT."""
+
+            def body(carry, i):
+                tok, kv = carry
+                pos = fb.positions + i
+                page = jnp.take_along_axis(
+                    fb.page_indices, (pos // ps)[:, None], axis=1)[:, 0]
+                fb_i = fb.replace(
+                    input_ids=tok, positions=pos,
+                    out_slots=page * ps + pos % ps,
+                    kv_lens=fb.kv_lens + i)
+                hidden, kv = model.forward(
+                    params, fb_i, kv, attn_backend=attn_backend,
+                    attn_mode="decode", scan_layers=scan_layers)
+                logits = model.compute_logits(
+                    params, hidden[fb.last_token_idx])
+                if sampling_mode == "greedy":
+                    tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    tok2 = sample_tokens(
+                        logits, meta.replace(steps=meta.steps + i))
+                return (tok2, kv), tok2
+
+            (last, kv_pages), toks = jax.lax.scan(
+                body, (fb.input_ids, kv_pages),
+                jnp.arange(n_steps, dtype=jnp.int32))
+            return toks.T, last, kv_pages     # [B, N], [B]
+
+        self._multi_fn = jax.jit(
+            multi_step, donate_argnums=(1,), static_argnums=(4, 5))
+
         self._all_logits_fn = jax.jit(
             lambda params, kv_pages, fb: (
                 lambda hk: (model.compute_logits(params, hk[0]), hk[1])
@@ -280,12 +332,23 @@ class ModelRunner:
         hb.device_tokens later — the overlap path
         (tp_worker_overlap_thread.py:53 analog, no thread needed: XLA's
         async dispatch is the background worker)."""
+        if hb.multi_steps > 1:
+            return self._forward_multi(hb)
         fb, meta, B = self._pad_to_device(hb)
         hb.num_valid = B
         pen = self._pad_penalties(hb, meta.temperatures.shape[0])
         attn_mode = "decode" if hb.mode.is_decode() else "extend"
         logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
         gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
+        if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
+            # batch metadata must be mesh-committed (replicated): the AOT
+            # lowering pins each argument's sharding, and an uncommitted
+            # host array would pin SingleDeviceSharding(device 0) against
+            # the mesh-sharded weights
+            rep = self.mesh_ctx.replicated
+            put = lambda x: (jax.device_put(x, rep)
+                             if isinstance(x, jax.Array) else x)
+            fb, meta, pen, gmask = jax.tree.map(put, (fb, meta, pen, gmask))
         lora = None
         if hb.lora_ids is not None and self.lora_manager is not None:
             lora = self.lora_manager.device_params()
@@ -314,6 +377,46 @@ class ModelRunner:
         if not fetch:
             return None
         return self.fetch_tokens(hb)
+
+    def _forward_multi(self, hb: HostBatch) -> np.ndarray:
+        fb, meta, B = self._pad_to_device(hb)
+        hb.num_valid = B
+        sampling_mode = (
+            "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
+        if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
+            rep = self.mesh_ctx.replicated
+            put = lambda x: (jax.device_put(x, rep)
+                             if isinstance(x, jax.Array) else x)
+            fb, meta = jax.tree.map(put, (fb, meta))
+        key = ("multi", hb.multi_steps, sampling_mode,
+               str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                                (fb, meta))))
+        exe = self._compiled.get(key)
+        with self.mesh_ctx.mesh:
+            if exe is None:
+                t0 = __import__("time").perf_counter()
+
+                def absify(x):
+                    if hasattr(x, "shape") and hasattr(x, "dtype"):
+                        sh = getattr(x, "sharding", None)
+                        return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                    sharding=sh)
+                    return x
+
+                abs_args = jax.tree.map(
+                    absify, (self.params, self.kv_pages, fb, meta))
+                exe = self._multi_fn.lower(
+                    *abs_args, hb.multi_steps, sampling_mode).compile()
+                self._compiled[key] = exe
+                logger.info(
+                    "compiled multi-step decode (B=%s N=%d) in %.1fs",
+                    meta.temperatures.shape[0], hb.multi_steps,
+                    __import__("time").perf_counter() - t0)
+            toks, last, self.kv_pages = exe(
+                self.params, self.kv_pages, fb, meta)
+        hb.device_tokens = last
+        hb.multi_tokens = np.asarray(toks)[:B]        # [B, N]
+        return hb.multi_tokens
 
     def fetch_tokens(self, hb: HostBatch) -> np.ndarray:
         """Materialize the launched step's results on the host."""

@@ -56,6 +56,7 @@ class DeepseekFamilyForCausalLM:
         # Zero channels are dot-product-neutral, so q is padded identically.
         self.kv_entry_dim = -(-(c.kv_lora_rank + self.rope_dim) // 128) * 128
         self.moe_impl = "dense"
+        self.mesh = None
         # layer split: [0, fk) dense MLP, [fk, L) MoE
         self.fk = c.first_k_dense_replace if c.is_moe else c.num_layers
         self.n_moe_layers = c.num_layers - self.fk
@@ -137,6 +138,9 @@ class DeepseekFamilyForCausalLM:
             E, Im = c.num_experts, c.moe_intermediate_size
             nm_stack = dict(stacked=True, num_stack=self.n_moe_layers,
                             layer_offset=self.fk)
+            ep = self.moe_impl == "ep"
+            pg = ("tp", None, None) if ep else (None, None, "tp")
+            pd = ("tp", None, None) if ep else (None, "tp", None)
             s["moe.w_router"] = WeightSpec(
                 (H, E), (None, None), "model.layers.{l}.mlp.gate.weight",
                 transpose=True, **nm_stack)
@@ -146,15 +150,15 @@ class DeepseekFamilyForCausalLM:
                     "model.layers.{l}.mlp.gate.e_score_correction_bias",
                     **nm_stack)
             s["moe.we_gate"] = WeightSpec(
-                (E, H, Im), (None, None, "tp"),
+                (E, H, Im), pg,
                 "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
                 transpose=True, num_experts=E, **nm_stack)
             s["moe.we_up"] = WeightSpec(
-                (E, H, Im), (None, None, "tp"),
+                (E, H, Im), pg,
                 "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
                 transpose=True, num_experts=E, **nm_stack)
             s["moe.we_down"] = WeightSpec(
-                (E, Im, H), (None, "tp", None),
+                (E, Im, H), pd,
                 "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
                 transpose=True, num_experts=E, **nm_stack)
             Is = Im * c.n_shared_experts
@@ -262,8 +266,15 @@ class DeepseekFamilyForCausalLM:
                 routed_scaling_factor=c.routed_scaling_factor,
             )
             combine = combine_weights(ids, w, c.num_experts)
-            routed = dense_expert_mix(
-                h2, combine, lp["we_gate"], lp["we_up"], lp["we_down"])
+            if self.moe_impl == "ep":
+                from iaas_sglang_tpu.ops.moe import moe_ep_mix
+
+                routed = moe_ep_mix(
+                    h2, combine, lp["we_gate"], lp["we_up"], lp["we_down"],
+                    mesh=self.mesh)
+            else:
+                routed = dense_expert_mix(
+                    h2, combine, lp["we_gate"], lp["we_up"], lp["we_down"])
             shared = jax.nn.silu(h2 @ lp["ws_gate"]) * (h2 @ lp["ws_up"])
             return routed + (shared @ lp["ws_down"]).astype(routed.dtype)
 

@@ -70,8 +70,10 @@ class LlamaFamilyForCausalLM:
         )
         self.sm_scale = (c.query_pre_attn_scalar or c.head_dim) ** -0.5
         self.rope_attn_factor = rope_attention_factor(c.rope_scaling)
-        # set by the runner: "dense" (GSPMD-shardable) or "gmm" (megablox)
+        # set by the runner: "dense" (GSPMD-shardable), "gmm" (megablox)
+        # or "ep" (shard_map expert parallel); mesh set alongside
         self.moe_impl = "dense"
+        self.mesh = None
         # hybrid sliding-window layers (gemma2/3): per-layer window (-1 =
         # full attention) gathered by the traced layer index inside the
         # scan; uniform-SWA models (mistral) keep a static python window.
@@ -132,17 +134,22 @@ class LlamaFamilyForCausalLM:
         if c.is_moe:
             E, Im = c.num_experts, c.moe_intermediate_size
             keys = self.MOE_KEYS[c.model_type]
+            # EP shards the expert dim; TP (dense dispatch) shards the
+            # expert intermediate dim
+            ep = self.moe_impl == "ep"
+            pg = ("tp", None, None) if ep else (None, None, "tp")
+            pd = ("tp", None, None) if ep else (None, "tp", None)
             s["layers.w_router"] = WeightSpec(
                 (H, E), (None, None), keys["router"],
                 transpose=True, stacked=True)
             s["layers.we_gate"] = WeightSpec(
-                (E, H, Im), (None, None, "tp"), keys["gate"],
+                (E, H, Im), pg, keys["gate"],
                 transpose=True, stacked=True, num_experts=E)
             s["layers.we_up"] = WeightSpec(
-                (E, H, Im), (None, None, "tp"), keys["up"],
+                (E, H, Im), pg, keys["up"],
                 transpose=True, stacked=True, num_experts=E)
             s["layers.we_down"] = WeightSpec(
-                (E, Im, H), (None, "tp", None), keys["down"],
+                (E, Im, H), pd, keys["down"],
                 transpose=True, stacked=True, num_experts=E)
         else:
             s["layers.w_gate"] = WeightSpec(
@@ -295,6 +302,7 @@ class LlamaFamilyForCausalLM:
                     top_k=c.num_experts_per_tok,
                     renormalize=c.norm_topk_prob,
                     impl=self.moe_impl,
+                    mesh=self.mesh,
                 )
             else:
                 act_fn = (

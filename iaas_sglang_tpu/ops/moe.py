@@ -101,6 +101,34 @@ def deepseek_route(
     return w * routed_scaling_factor, ids
 
 
+def moe_ep_mix(h: jnp.ndarray, combine: jnp.ndarray,
+               we_gate, we_up, we_down, *, mesh, axis: str = "tp"
+               ) -> jnp.ndarray:
+    """Expert-parallel dispatch: experts sharded over the mesh axis, the
+    (replicated) activations processed against each shard's LOCAL experts
+    only, partial outputs combined with one psum over ICI.
+
+    This is the TPU re-design of the reference's EPMoE grouped-GEMM +
+    all-to-all dispatcher (srt/layers/moe/ep_moe/layer.py:148,
+    token_dispatcher.py): with TP-replicated activations no token shuffle
+    is needed — the combine matrix is sharded on the expert dim and the
+    psum IS the combine-reduce. Compute per chip is E/ep experts.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(h_l, combine_l, wg_l, wu_l, wd_l):
+        out = dense_expert_mix(h_l, combine_l, wg_l, wu_l, wd_l)
+        return jax.lax.psum(out, axis)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )(h, combine, we_gate, we_up, we_down)
+
+
 def moe_dense(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
               top_k: int, renormalize: bool) -> jnp.ndarray:
     """Dense-dispatch MoE: [T, H] -> [T, H]."""
@@ -137,9 +165,14 @@ def moe_gmm(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
 
 
 def moe_block(h, w_router, we_gate, we_up, we_down, *, top_k: int,
-              renormalize: bool, impl: str) -> jnp.ndarray:
+              renormalize: bool, impl: str, mesh=None) -> jnp.ndarray:
     if impl == "gmm":
         return moe_gmm(h, w_router, we_gate, we_up, we_down,
                        top_k, renormalize)
+    if impl == "ep":
+        E = we_gate.shape[0]
+        w, ids = route_topk(h @ w_router, top_k, renormalize)
+        return moe_ep_mix(h, combine_weights(ids, w, E),
+                          we_gate, we_up, we_down, mesh=mesh)
     return moe_dense(h, w_router, we_gate, we_up, we_down,
                      top_k, renormalize)

@@ -60,10 +60,16 @@ class ServerArgs:
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20
+    # multi-step decode: run N chained decode iterations per device dispatch
+    # (amortizes dispatch latency; 1 = off). Batches with grammar/penalties/
+    # logprobs fall back to single-step automatically.
+    decode_steps_per_dispatch: int = 1
 
     # Parallelism (logical mesh over ICI/DCN)
     tp_size: int = 1
     dp_size: int = 1
+    # shard experts over the tp mesh axis when > 1 (shard_map EP; reference
+    # --ep-size, layers/moe/ep_moe). Must equal tp_size.
     ep_size: int = 1
     nnodes: int = 1
     node_rank: int = 0

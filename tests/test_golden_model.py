@@ -381,3 +381,27 @@ def test_yarn_mscale_deepseek_matches_hf():
     ours = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
     ref = hf_forward_logits(hf_model, PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_moe_ep_matches_hf():
+    """Expert-parallel MoE (shard_map over a 4-way tp axis) must match HF
+    exactly like the dense dispatch does."""
+    hf_model = _hf_moe_model(TINY_MIXTRAL)
+    runner, cfg, sa = make_runner(TINY_MIXTRAL, tp_size=4, ep_size=4)
+    assert runner.model.moe_impl == "ep"
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_deepseek_ep_matches_hf():
+    hf_model = _hf_deepseek_model(TINY_DSV3)
+    runner, cfg, sa = make_runner(TINY_DSV3, tp_size=4, ep_size=4)
+    assert runner.model.moe_impl == "ep"
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)

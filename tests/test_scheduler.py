@@ -285,3 +285,45 @@ def test_sessions_multiturn():
     assert o2["meta_info"]["cached_tokens"] > 0
     eng.close_session(sid)
     assert eng.scheduler.sessions.get(sid) is None
+
+
+def test_multi_step_decode_greedy_parity():
+    """Multi-step decode (N iterations per dispatch) must emit exactly the
+    single-step greedy continuation, including stop handling."""
+    eng_m = make_engine(decode_steps_per_dispatch=4)
+    eng_1 = make_engine()
+    prompts = [list(range(10)), list(range(40, 70)), [5, 6] * 8]
+    sp = {"max_new_tokens": 13, "temperature": 0.0}
+    outs_m = eng_m.generate(input_ids=prompts, sampling_params=sp)
+    outs_1 = eng_1.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_m, outs_1):
+        assert a["output_ids"] == b["output_ids"]
+    eng_m.scheduler.check_memory_leak()
+
+
+def test_multi_step_decode_sampling_parity():
+    """Seeded sampling streams are per-(request, step): the multi-step scan
+    must reproduce the single-step tokens exactly."""
+    eng_m = make_engine(decode_steps_per_dispatch=4)
+    eng_1 = make_engine()
+    sp = {"max_new_tokens": 12, "temperature": 0.8, "top_k": 20}
+    # identical rid => identical per-request seed stream in both engines
+    out_m = eng_m.generate(input_ids=list(range(12)), sampling_params=sp,
+                           rid="fixed-rid")
+    out_1 = eng_1.generate(input_ids=list(range(12)), sampling_params=sp,
+                           rid="fixed-rid")
+    assert out_m["output_ids"] == out_1["output_ids"]
+
+
+def test_multi_step_decode_stop_token():
+    eng = make_engine(decode_steps_per_dispatch=4)
+    ids = list(range(10))
+    free = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0})
+    stop_tok = free["output_ids"][5]
+    out = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0,
+        "stop_token_ids": [stop_tok]})
+    assert out["output_ids"][-1] == stop_tok
+    assert len(out["output_ids"]) == 6
+    eng.scheduler.check_memory_leak()
