@@ -97,6 +97,10 @@ class Engine:
             st["skip_special_tokens"] = out.skip_special_tokens[i]
             if out.output_token_logprobs and out.output_token_logprobs[i] is not None:
                 st["output_token_logprobs"] = out.output_token_logprobs[i]
+            if getattr(out, "output_token_ids_logprobs", None) \
+                    and out.output_token_ids_logprobs[i] is not None:
+                st["output_token_ids_logprobs"] = \
+                    out.output_token_ids_logprobs[i]
             if out.output_top_logprobs and out.output_top_logprobs[i] is not None:
                 st["output_top_logprobs"] = out.output_top_logprobs[i]
 
@@ -112,11 +116,13 @@ class Engine:
         session_id: Optional[str] = None,
         lora_path: Optional[str] = None,
         rid=None,
+        token_ids_logprob=None,
     ) -> Union[dict, List[dict]]:
         gri = GenerateReqInput(
             text=prompt, input_ids=input_ids, sampling_params=sampling_params,
             return_logprob=return_logprob, top_logprobs_num=top_logprobs_num,
             session_id=session_id, lora_path=lora_path, rid=rid,
+            token_ids_logprob=token_ids_logprob,
         )
         was_batch = gri.is_batch()
         singles = gri.normalize()
@@ -133,6 +139,7 @@ class Engine:
                 sampling_params=sp, stream=False,
                 return_logprob=g.return_logprob,
                 top_logprobs_num=g.top_logprobs_num,
+                token_ids_logprob=g.token_ids_logprob,
                 session_id=g.session_id,
                 lora_path=g.lora_path,
             ))
@@ -193,6 +200,45 @@ class Engine:
             })
         return outs if batch else outs[0]
 
+    def score(self, query=None, items=None, label_token_ids=None,
+              apply_softmax=False, item_first=False):
+        """Scoring API (analog of Engine.score, serving_score.py): P(label
+        token | query+item) at the first generated position, per item."""
+        import math
+
+        if label_token_ids is None:
+            raise ValueError("label_token_ids must be provided")
+        if isinstance(items, str):
+            items = [items]
+        elif isinstance(items, list) and items and isinstance(items[0], int):
+            items = [items]
+        if isinstance(query, str):
+            prompts = [f"{it}{query}" if item_first else f"{query}{it}"
+                       for it in items]
+            outs = self.generate(
+                prompt=prompts,
+                sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+                token_ids_logprob=list(label_token_ids))
+        else:
+            ids_list = [(it + query) if item_first else (query + it)
+                        for it in items]
+            outs = self.generate(
+                input_ids=ids_list,
+                sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+                token_ids_logprob=list(label_token_ids))
+        scores = []
+        for o in outs:
+            lps = o["meta_info"].get("output_token_ids_logprobs")
+            row = {int(t): float(v) for v, t in lps[0]} if lps else {}
+            vals = [row.get(int(t), float("-inf")) for t in label_token_ids]
+            if apply_softmax:
+                m = max(vals)
+                exps = [math.exp(v - m) for v in vals]
+                z = sum(exps) or 1.0
+                vals = [e / z for e in exps]
+            scores.append(vals)
+        return scores
+
     def _finalize(self, rid: str) -> dict:
         st = self._outputs.pop(rid)
         text = ""
@@ -214,7 +260,8 @@ class Engine:
             "completion_tokens": st["completion_tokens"],
             "cached_tokens": st["cached_tokens"],
         }
-        for k in ("output_token_logprobs", "output_top_logprobs"):
+        for k in ("output_token_logprobs", "output_top_logprobs",
+                  "output_token_ids_logprobs"):
             if k in st:
                 meta[k] = st[k]
         return {

@@ -482,7 +482,93 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_get("/v1/models", handle_v1_models)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)
     app.router.add_post("/v1/completions", handle_completions)
+    app.router.add_post("/v1/embeddings", handle_embeddings)
+    app.router.add_post("/v1/rerank", handle_rerank)
+    app.router.add_post("/rerank", handle_rerank)
+    app.router.add_post("/v1/score", handle_score)
     return app
+
+
+async def handle_embeddings(request: web.Request) -> web.Response:
+    """OpenAI /v1/embeddings (reference serving_embedding.py)."""
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    inp = body.get("input")
+    if inp is None:
+        return web.json_response({"error": "missing input"}, status=400)
+    if isinstance(inp, str):
+        texts, ids = [inp], None
+    elif inp and isinstance(inp[0], int):
+        texts, ids = None, [inp]
+    elif inp and isinstance(inp[0], str):
+        texts, ids = inp, None
+    else:
+        texts, ids = None, inp
+    outs = await state.tokenizer_manager.embed_request(
+        texts=texts, input_ids=ids)
+    data = [
+        {"object": "embedding", "index": i, "embedding": o["embedding"]}
+        for i, o in enumerate(outs)
+    ]
+    total = sum(o["meta_info"]["prompt_tokens"] for o in outs)
+    return web.json_response({
+        "object": "list", "data": data,
+        "model": body.get("model", state.server_args.served_model_name),
+        "usage": {"prompt_tokens": total, "total_tokens": total},
+    })
+
+
+async def handle_rerank(request: web.Request) -> web.Response:
+    """/v1/rerank (reference serving_rerank.py). Bi-encoder scoring: the
+    query and each document are embedded and ranked by cosine similarity
+    (cross-encoder score heads land with the classification-model zoo)."""
+    import math
+
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    query = body.get("query")
+    documents = body.get("documents")
+    if not query or not documents:
+        return web.json_response(
+            {"error": "query and documents are required"}, status=400)
+    outs = await state.tokenizer_manager.embed_request(
+        texts=[query] + list(documents))
+    qv = outs[0]["embedding"]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def cos(dv):
+        dn = math.sqrt(sum(x * x for x in dv)) or 1.0
+        return sum(a * b for a, b in zip(qv, dv)) / (qn * dn)
+
+    results = [
+        {"score": cos(outs[i + 1]["embedding"]), "document": doc,
+         "index": i, "meta_info": outs[i + 1]["meta_info"]}
+        for i, doc in enumerate(documents)
+    ]
+    results.sort(key=lambda r: r["score"], reverse=True)
+    return web.json_response(results)
+
+
+async def handle_score(request: web.Request) -> web.Response:
+    """/v1/score (reference serving_score.py ScoringRequest): label-token
+    probabilities at the first generated position of query+item."""
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    try:
+        scores = await state.tokenizer_manager.score_request(
+            query=body.get("query"),
+            items=body.get("items"),
+            label_token_ids=body.get("label_token_ids"),
+            apply_softmax=body.get("apply_softmax", False),
+            item_first=body.get("item_first", False),
+        )
+    except ValueError as e:
+        return web.json_response({"error": str(e)}, status=400)
+    return web.json_response({
+        "scores": scores,
+        "model": body.get("model", state.server_args.served_model_name),
+        "object": "scoring",
+    })
 
 
 def launch_server(server_args: ServerArgs) -> None:

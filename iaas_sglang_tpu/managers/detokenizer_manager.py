@@ -95,6 +95,7 @@ class Detokenizer:
             cached_tokens=batch.cached_tokens,
             output_ids=out_ids,
             output_token_logprobs=batch.output_token_logprobs,
+            output_token_ids_logprobs=batch.output_token_ids_logprobs,
             output_top_logprobs=batch.output_top_logprobs,
         )
 

@@ -26,6 +26,9 @@ class GenerateReqInput:
     return_logprob: bool = False
     logprob_start_len: int = -1
     top_logprobs_num: int = 0
+    # logprobs of these specific token ids at every output position
+    # (the scoring-API hook; reference io_struct token_ids_logprob)
+    token_ids_logprob: Optional[List[int]] = None
     disagg_decode_url: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
@@ -67,6 +70,7 @@ class GenerateReqInput:
                     return_logprob=self.return_logprob,
                     logprob_start_len=self.logprob_start_len,
                     top_logprobs_num=self.top_logprobs_num,
+                    token_ids_logprob=self.token_ids_logprob,
                     disagg_decode_url=self.disagg_decode_url,
                     session_id=self.session_id,
                     lora_path=self.lora_path,
@@ -87,6 +91,7 @@ class TokenizedGenerateReqInput:
     return_logprob: bool = False
     logprob_start_len: int = -1
     top_logprobs_num: int = 0
+    token_ids_logprob: Optional[List[int]] = None
     # PD disaggregation: when set, hand the request off to this decode
     # server's KV-ingest endpoint after prefill
     disagg_decode_url: Optional[str] = None
@@ -111,6 +116,7 @@ class BatchTokenIDOut:
     cached_tokens: List[int]
     output_token_logprobs: Optional[List[Optional[List[float]]]] = None
     output_top_logprobs: Optional[List[Optional[List[list]]]] = None
+    output_token_ids_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass
@@ -126,6 +132,7 @@ class BatchStrOut:
     output_ids: List[List[int]]
     output_token_logprobs: Optional[List[Optional[List[float]]]] = None
     output_top_logprobs: Optional[List[Optional[List[list]]]] = None
+    output_token_ids_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass

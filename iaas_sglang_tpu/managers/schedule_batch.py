@@ -78,6 +78,7 @@ class Req:
         stream: bool = False,
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
+        token_ids_logprob=None,
         eos_token_ids: Optional[set[int]] = None,
         seed: int = 0,
     ):
@@ -88,6 +89,8 @@ class Req:
         self.stream = stream
         self.return_logprob = return_logprob
         self.top_logprobs_num = top_logprobs_num
+        self.token_ids_logprob = token_ids_logprob
+        self.output_token_ids_logprobs = []
         self.eos_token_ids = eos_token_ids or set()
         self.seed = seed
 

@@ -210,6 +210,7 @@ class Scheduler:
             m.rid, m.input_text, input_ids, m.sampling_params,
             stream=m.stream, return_logprob=m.return_logprob,
             top_logprobs_num=m.top_logprobs_num,
+            token_ids_logprob=m.token_ids_logprob,
             eos_token_ids=self.eos_token_ids,
             seed=self.server_args.random_seed ^ hash(m.rid) & 0xFFFFFFFF,
         )
@@ -441,6 +442,7 @@ class Scheduler:
             and all(
                 r.sampling_params.is_greedy
                 and r.grammar is None
+                and not r.token_ids_logprob
                 and r.sampling_params.frequency_penalty == 0.0
                 and r.sampling_params.presence_penalty == 0.0
                 and r.sampling_params.repetition_penalty == 1.0
@@ -460,6 +462,7 @@ class Scheduler:
             and all(
                 r.grammar is None
                 and not r.return_logprob
+                and not r.token_ids_logprob
                 and r.sampling_params.frequency_penalty == 0.0
                 and r.sampling_params.presence_penalty == 0.0
                 and r.sampling_params.repetition_penalty == 1.0
@@ -618,7 +621,19 @@ class Scheduler:
         finished: List[Req] = []
         hb = getattr(batch, "last_hb", None)
 
+        def record_label_logprobs(req, i):
+            if not req.token_ids_logprob or hb is None \
+                    or hb.device_logits is None:
+                return
+            row = np.asarray(hb.device_logits[i], np.float32)
+            m_ = row.max()
+            lse = m_ + np.log(np.exp(row - m_).sum())
+            req.output_token_ids_logprobs.append(
+                [[float(row[t] - lse), int(t)]
+                 for t in req.token_ids_logprob])
+
         def record_logprob(req, i):
+            record_label_logprobs(req, i)
             if hb is None or hb.token_logprobs is None or not req.return_logprob:
                 return
             req.output_token_logprobs.append(float(hb.token_logprobs[i]))
@@ -848,6 +863,10 @@ class Scheduler:
                 list(r.output_top_logprobs)
                 if r.return_logprob and r.top_logprobs_num > 0 else None
                 for r in reqs
+            ],
+            output_token_ids_logprobs=[
+                list(r.output_token_ids_logprobs)
+                if r.token_ids_logprob else None for r in reqs
             ],
         )
         for r in reqs:

@@ -15,7 +15,9 @@ import zmq.asyncio
 
 from iaas_sglang_tpu.managers.io_struct import (
     AbortReq,
+    BatchEmbeddingOut,
     BatchStrOut,
+    TokenizedEmbeddingReqInput,
     FlushCacheReqInput,
     FlushCacheReqOutput,
     GenerateReqInput,
@@ -101,6 +103,7 @@ class TokenizerManager:
             sampling_params=sp, stream=gri.stream,
             return_logprob=gri.return_logprob,
             top_logprobs_num=gri.top_logprobs_num,
+            token_ids_logprob=gri.token_ids_logprob,
             disagg_decode_url=gri.disagg_decode_url,
             session_id=gri.session_id,
             lora_path=gri.lora_path,
@@ -114,6 +117,89 @@ class TokenizerManager:
                     break
         finally:
             self.states.pop(gri.rid, None)
+
+    async def embed_request(self, texts=None, input_ids=None) -> list:
+        """Embedding requests over the manager ring (analog of
+        EmbeddingReqInput handling, tokenizer_manager.py; serving_embedding).
+        Returns a list of {"embedding": [...], "meta_info": ...}."""
+        import uuid as _uuid
+
+        self.start()
+        if texts is not None and isinstance(texts, str):
+            texts = [texts]
+        if input_ids is not None and input_ids and not isinstance(
+                input_ids[0], list):
+            input_ids = [input_ids]
+        n = len(texts) if texts is not None else len(input_ids)
+        rids, queues = [], []
+        for i in range(n):
+            ids = (input_ids[i] if input_ids is not None
+                   else self.tokenizer.encode(texts[i]))
+            rid = _uuid.uuid4().hex
+            q = asyncio.Queue()
+            self.states[rid] = ReqState(queue=q)
+            await self.send_to_scheduler.send_pyobj(TokenizedEmbeddingReqInput(
+                rid=rid,
+                input_text=texts[i] if texts is not None else None,
+                input_ids=ids))
+            rids.append(rid)
+            queues.append(q)
+        outs = []
+        try:
+            for rid, q in zip(rids, queues):
+                outs.append(await asyncio.wait_for(
+                    q.get(), timeout=self.server_args.watchdog_timeout))
+        finally:
+            for rid in rids:
+                self.states.pop(rid, None)
+        return outs
+
+    async def score_request(self, query=None, items=None,
+                            label_token_ids=None, apply_softmax=False,
+                            item_first=False) -> list:
+        """The scoring API (analog of tokenizer_manager.py:1680
+        score_request / serving_score.py): for each item, run
+        query+item with max_new_tokens=1 and return the logprobs (or
+        softmax probs) of the given label tokens at the first generated
+        position."""
+        import math
+        import uuid as _uuid
+
+        if label_token_ids is None:
+            raise ValueError("label_token_ids must be provided")
+        if isinstance(items, str):
+            items = [items]
+        elif isinstance(items, list) and items and isinstance(items[0], int):
+            items = [items]  # a single pre-tokenized item
+        if isinstance(query, str):
+            prompts = [f"{item}{query}" if item_first else f"{query}{item}"
+                       for item in items]
+            gris = [GenerateReqInput(
+                rid=_uuid.uuid4().hex, text=p,
+                sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+                token_ids_logprob=list(label_token_ids)) for p in prompts]
+        else:
+            ids_list = [(item + query) if item_first else (query + item)
+                        for item in items]
+            gris = [GenerateReqInput(
+                rid=_uuid.uuid4().hex, input_ids=ids,
+                sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+                token_ids_logprob=list(label_token_ids)) for ids in ids_list]
+        scores = []
+        for gri in gris:
+            final = None
+            async for chunk in self.generate_request(gri):
+                final = chunk
+            lps = final["meta_info"].get("output_token_ids_logprobs")
+            row = {int(t): float(v) for v, t in lps[0]} if lps else {}
+            vals = [row.get(int(t), float("-inf")) for t in label_token_ids]
+            if apply_softmax:
+                m = max(vals)
+                exps = [math.exp(v - m) for v in vals]
+                z = sum(exps) or 1.0
+                vals = [e / z for e in exps]
+            scores.append(vals)
+        return scores
 
     async def abort_request(self, rid: str) -> None:
         await self.send_to_scheduler.send_pyobj(AbortReq(rid=rid))
@@ -171,6 +257,17 @@ class TokenizerManager:
             msg = await self.recv_from_detokenizer.recv_pyobj()
             if isinstance(msg, BatchStrOut):
                 self._handle_batch_str(msg)
+            elif isinstance(msg, BatchEmbeddingOut):
+                for i, rid in enumerate(msg.rids):
+                    state = self.states.get(rid)
+                    if state is not None:
+                        state.queue.put_nowait({
+                            "embedding": msg.embeddings[i],
+                            "meta_info": {
+                                "id": rid,
+                                "prompt_tokens": msg.prompt_tokens[i],
+                            },
+                        })
             else:
                 fut = self._rpc_futures.pop(type(msg), None)
                 if fut is not None and not fut.done():
@@ -214,6 +311,10 @@ class TokenizerManager:
             }
             if out.output_token_logprobs and out.output_token_logprobs[i] is not None:
                 meta["output_token_logprobs"] = out.output_token_logprobs[i]
+            if getattr(out, "output_token_ids_logprobs", None) \
+                    and out.output_token_ids_logprobs[i] is not None:
+                meta["output_token_ids_logprobs"] = \
+                    out.output_token_ids_logprobs[i]
             if out.output_top_logprobs and out.output_top_logprobs[i] is not None:
                 meta["output_top_logprobs"] = out.output_top_logprobs[i]
             state.queue.put_nowait({

@@ -219,3 +219,43 @@ def test_bench_serving_harness(server):
     assert m.total_output == 24
     assert m.mean_ttft_ms > 0
     assert m.output_throughput > 0
+
+
+def test_openai_embeddings(server):
+    r = requests.post(f"{server}/v1/embeddings", json={
+        "input": ["hello world", "goodbye"],
+        "model": "tiny",
+    }, timeout=300)
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["object"] == "list" and len(out["data"]) == 2
+    emb = out["data"][0]["embedding"]
+    assert isinstance(emb, list) and len(emb) > 0
+    assert out["usage"]["prompt_tokens"] > 0
+
+
+def test_rerank_endpoint(server):
+    r = requests.post(f"{server}/v1/rerank", json={
+        "query": "the quick brown fox",
+        "documents": ["a quick brown fox jumps", "completely unrelated",
+                      "the quick brown fox"],
+    }, timeout=300)
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert len(out) == 3
+    assert out[0]["score"] >= out[-1]["score"]  # sorted descending
+    assert {o["index"] for o in out} == {0, 1, 2}
+
+
+def test_score_endpoint(server):
+    r = requests.post(f"{server}/v1/score", json={
+        "query": "hello ",
+        "items": ["a", "b"],
+        "label_token_ids": [5, 6, 7],
+        "apply_softmax": True,
+    }, timeout=300)
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert len(out["scores"]) == 2
+    for row in out["scores"]:
+        assert abs(sum(row) - 1.0) < 1e-4

