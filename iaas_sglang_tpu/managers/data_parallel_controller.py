@@ -43,8 +43,13 @@ def run_data_parallel_controller_process(server_args: ServerArgs,
     ctx = mp.get_context("spawn")
     procs = []
     pipes = []
-    worker_args = dataclasses.replace(server_args, dp_size=1)
+    load_ipc = f"{port_args.scheduler_ipc}_dpload"
     for rank in range(dp):
+        worker_args = dataclasses.replace(
+            server_args, dp_size=1, dp_rank=rank,
+            dp_load_report_ipc=(
+                load_ipc if server_args.load_balance_method
+                == "shortest_queue" else None))
         wpa = _worker_port_args(port_args, rank)
         r, w = ctx.Pipe(duplex=False)
         p = ctx.Process(
@@ -66,18 +71,46 @@ def run_data_parallel_controller_process(server_args: ServerArgs,
     zctx = zmq.Context(2)
     recv = zctx.socket(zmq.PULL)
     recv.bind(port_args.scheduler_ipc)
+    load_recv = None
+    if server_args.load_balance_method == "shortest_queue":
+        load_recv = zctx.socket(zmq.PULL)
+        load_recv.bind(load_ipc)
     sends = []
     for rank in range(dp):
         s = zctx.socket(zmq.PUSH)
         s.connect(_worker_port_args(port_args, rank).scheduler_ipc)
         sends.append(s)
 
-    logger.info("dp controller: %d replicas", dp)
+    logger.info("dp controller: %d replicas (%s)", dp,
+                server_args.load_balance_method)
     rr = 0
+    # shortest-queue state: last reported load per replica + local
+    # outstanding estimate between reports
+    loads = [0] * dp
+    pending = [0] * dp
+
+    def drain_load_reports():
+        while True:
+            try:
+                rank, running, waiting = load_recv.recv_pyobj(zmq.NOBLOCK)
+            except zmq.Again:
+                return
+            loads[rank] = running + waiting
+            pending[rank] = 0
+
     while True:
         msg = recv.recv_pyobj()
         if isinstance(msg, (TokenizedGenerateReqInput,
                             TokenizedEmbeddingReqInput, AbortReq)):
+            if load_recv is not None and not isinstance(msg, AbortReq):
+                # shortest-queue dispatch (data_parallel_controller.py
+                # shortest-queue policy): scheduler-reported load + the
+                # requests sent since its last report
+                drain_load_reports()
+                rank = min(range(dp), key=lambda r: loads[r] + pending[r])
+                pending[rank] += 1
+                sends[rank].send_pyobj(msg)
+                continue
             # round-robin dispatch (data_parallel_controller.py:249)
             sends[rr % dp].send_pyobj(msg)
             rr += 1

@@ -1026,7 +1026,21 @@ class Scheduler:
         import zmq
 
         self.start_watchdog()
+        load_sock = None
+        last_report = 0.0
+        if self.server_args.dp_load_report_ipc:
+            _ctx = zmq.Context.instance()
+            load_sock = _ctx.socket(zmq.PUSH)
+            load_sock.connect(self.server_args.dp_load_report_ipc)
         while True:
+            if load_sock is not None:
+                now = _time.monotonic()
+                if now - last_report > 0.05:
+                    load_sock.send_pyobj((
+                        self.server_args.dp_rank,
+                        len(self.running_batch.reqs),
+                        len(self.waiting_queue)), zmq.NOBLOCK)
+                    last_report = now
             # decode servers must keep polling the KV ingest socket, so
             # never fully block on the request socket in that mode
             if self.kv_receiver is not None:

@@ -68,6 +68,12 @@ class ServerArgs:
     # Parallelism (logical mesh over ICI/DCN)
     tp_size: int = 1
     dp_size: int = 1
+    # DP dispatch policy: round_robin | shortest_queue (reference
+    # data_parallel_controller.py:249 / shortest-queue dispatch)
+    load_balance_method: str = "round_robin"
+    # internal: set per-replica by the DP controller
+    dp_rank: int = 0
+    dp_load_report_ipc: Optional[str] = None
     # shard experts over the tp mesh axis when > 1 (shard_map EP; reference
     # --ep-size, layers/moe/ep_moe). Must equal tp_size.
     ep_size: int = 1

@@ -259,3 +259,26 @@ def test_score_endpoint(server):
     assert len(out["scores"]) == 2
     for row in out["scores"]:
         assert abs(sum(row) - 1.0) < 1e-4
+
+
+def test_dp_shortest_queue_server(tmp_path_factory):
+    model_dir = make_tiny_model_dir(
+        str(tmp_path_factory.mktemp("model") / "tiny-llama-sq"))
+    port = get_open_port()
+    proc = popen_launch_server(
+        model_dir, port,
+        extra_args=["--dp-size", "2",
+                    "--load-balance-method", "shortest_queue"])
+    base = f"http://127.0.0.1:{port}"
+    try:
+        outs = []
+        for i in range(6):
+            r = requests.post(f"{base}/generate", json={
+                "input_ids": list(range(5 + i)),
+                "sampling_params": {"max_new_tokens": 4,
+                                    "temperature": 0.0}}, timeout=300)
+            assert r.status_code == 200, r.text
+            outs.append(r.json())
+        assert all(len(o["output_ids"]) == 4 for o in outs)
+    finally:
+        kill_server(proc)
