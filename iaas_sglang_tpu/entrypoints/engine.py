@@ -101,6 +101,9 @@ class Engine:
                     and out.output_token_ids_logprobs[i] is not None:
                 st["output_token_ids_logprobs"] = \
                     out.output_token_ids_logprobs[i]
+            if getattr(out, "input_token_logprobs", None) \
+                    and out.input_token_logprobs[i] is not None:
+                st["input_token_logprobs"] = out.input_token_logprobs[i]
             if out.output_top_logprobs and out.output_top_logprobs[i] is not None:
                 st["output_top_logprobs"] = out.output_top_logprobs[i]
 
@@ -112,6 +115,7 @@ class Engine:
         sampling_params: Optional[Union[Dict, List[Dict]]] = None,
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         return_logprob: bool = False,
+        logprob_start_len: int = -1,
         top_logprobs_num: int = 0,
         session_id: Optional[str] = None,
         lora_path: Optional[str] = None,
@@ -121,6 +125,7 @@ class Engine:
         gri = GenerateReqInput(
             text=prompt, input_ids=input_ids, sampling_params=sampling_params,
             return_logprob=return_logprob, top_logprobs_num=top_logprobs_num,
+            logprob_start_len=logprob_start_len,
             session_id=session_id, lora_path=lora_path, rid=rid,
             token_ids_logprob=token_ids_logprob,
         )
@@ -138,6 +143,7 @@ class Engine:
                 rid=g.rid, input_text=g.text, input_ids=ids,
                 sampling_params=sp, stream=False,
                 return_logprob=g.return_logprob,
+                logprob_start_len=g.logprob_start_len,
                 top_logprobs_num=g.top_logprobs_num,
                 token_ids_logprob=g.token_ids_logprob,
                 session_id=g.session_id,
@@ -261,7 +267,7 @@ class Engine:
             "cached_tokens": st["cached_tokens"],
         }
         for k in ("output_token_logprobs", "output_top_logprobs",
-                  "output_token_ids_logprobs"):
+                  "output_token_ids_logprobs", "input_token_logprobs"):
             if k in st:
                 meta[k] = st[k]
         return {

@@ -96,6 +96,7 @@ class Detokenizer:
             output_ids=out_ids,
             output_token_logprobs=batch.output_token_logprobs,
             output_token_ids_logprobs=batch.output_token_ids_logprobs,
+            input_token_logprobs=batch.input_token_logprobs,
             output_top_logprobs=batch.output_top_logprobs,
         )
 

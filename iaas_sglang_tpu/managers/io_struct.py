@@ -117,6 +117,8 @@ class BatchTokenIDOut:
     output_token_logprobs: Optional[List[Optional[List[float]]]] = None
     output_top_logprobs: Optional[List[Optional[List[list]]]] = None
     output_token_ids_logprobs: Optional[List[Optional[List[list]]]] = None
+    input_token_logprobs: Optional[List[Optional[List[list]]]] = None
+    input_token_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass

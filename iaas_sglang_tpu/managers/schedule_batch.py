@@ -104,6 +104,10 @@ class Req:
         self.embedding = None        # filled for embedding requests
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []
+        self.logprob_start_len = -1   # -1 = no input logprobs
+        # [[logprob, token_id], ...] for prompt tokens (pos-deduped)
+        self.input_token_logprobs: List[list] = []
+        self._input_lp_next_pos = 0
 
         # KV / page state
         self.prefix_pages = np.empty(0, dtype=np.int32)  # tree-owned
@@ -275,7 +279,7 @@ class ScheduleBatch:
             seq_lens.append(new_total)
             q_lens.append(ext)
 
-        return self._host_batch(
+        hb = self._host_batch(
             ForwardMode.EXTEND,
             np.asarray(ids, dtype=np.int32),
             np.asarray(positions, dtype=np.int32),
@@ -284,6 +288,22 @@ class ScheduleBatch:
             np.asarray(seq_lens, dtype=np.int32),
             np.asarray(q_lens, dtype=np.int32),
         )
+        # prompt logprobs: row p's target is prompt token p+1 (the
+        # logits_processor input-logprob analog); rows whose next token is
+        # generated (or requests not asking) target the pad id 0
+        if any(r.return_logprob and r.logprob_start_len >= 0
+               for r in self.reqs):
+            targets: List[int] = []
+            for req in self.reqs:
+                fids = req.fill_ids()
+                want = req.return_logprob and req.logprob_start_len >= 0
+                # fill_len has NOT been advanced yet: this chunk's rows are
+                # positions [fill_len, fill_len + extend_len)
+                for p in range(req.fill_len, req.fill_len + req.extend_len):
+                    t = fids[p + 1] if (want and p + 1 < req.prompt_len) else 0
+                    targets.append(t)
+            hb.lp_targets = np.asarray(targets, dtype=np.int32)
+        return hb
 
     # -------------------------------------------------------------- decode
 

@@ -226,6 +226,7 @@ class Scheduler:
         if (sp.json_schema or sp.regex) and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(
                 regex=sp.regex, json_schema=sp.json_schema)
+        req.logprob_start_len = m.logprob_start_len
         req.disagg_decode_url = m.disagg_decode_url
         req.session_id = m.session_id
         if m.lora_path and self.model_runner.lora_manager is not None:
@@ -651,7 +652,23 @@ class Scheduler:
                 # its token is discarded (overlap scheduling waste, by design)
                 continue
             if batch.mode.is_extend():
+                f0 = req.fill_len
                 req.fill_len += req.extend_len
+                if (hb is not None and hb.prompt_logprobs is not None
+                        and req.return_logprob
+                        and req.logprob_start_len >= 0):
+                    cu0 = int(np.sum(hb.q_lens[:i]))
+                    fids = req.fill_ids()
+                    for k in range(req.extend_len):
+                        p = f0 + k
+                        tgt = p + 1
+                        if (tgt < req.prompt_len
+                                and tgt >= max(req.logprob_start_len, 1)
+                                and tgt >= req._input_lp_next_pos):
+                            req.input_token_logprobs.append(
+                                [float(hb.prompt_logprobs[cu0 + k]),
+                                 int(fids[tgt])])
+                            req._input_lp_next_pos = tgt + 1
                 if not req.prefill_done():
                     continue  # chunked prefill continues next round
                 if req.is_embedding:
@@ -867,6 +884,11 @@ class Scheduler:
             output_token_ids_logprobs=[
                 list(r.output_token_ids_logprobs)
                 if r.token_ids_logprob else None for r in reqs
+            ],
+            input_token_logprobs=[
+                list(r.input_token_logprobs)
+                if r.return_logprob and r.logprob_start_len >= 0 else None
+                for r in reqs
             ],
         )
         for r in reqs:

@@ -102,6 +102,7 @@ class TokenizerManager:
             rid=gri.rid, input_text=gri.text, input_ids=ids,
             sampling_params=sp, stream=gri.stream,
             return_logprob=gri.return_logprob,
+            logprob_start_len=gri.logprob_start_len,
             top_logprobs_num=gri.top_logprobs_num,
             token_ids_logprob=gri.token_ids_logprob,
             disagg_decode_url=gri.disagg_decode_url,
@@ -315,6 +316,9 @@ class TokenizerManager:
                     and out.output_token_ids_logprobs[i] is not None:
                 meta["output_token_ids_logprobs"] = \
                     out.output_token_ids_logprobs[i]
+            if getattr(out, "input_token_logprobs", None) \
+                    and out.input_token_logprobs[i] is not None:
+                meta["input_token_logprobs"] = out.input_token_logprobs[i]
             if out.output_top_logprobs and out.output_top_logprobs[i] is not None:
                 meta["output_top_logprobs"] = out.output_top_logprobs[i]
             state.queue.put_nowait({

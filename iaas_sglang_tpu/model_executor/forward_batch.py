@@ -44,6 +44,8 @@ class ForwardBatch:
     verify_idx: jnp.ndarray = None  # i32[Bmax, K+1] | None
     # multi-LoRA: per-token adapter slot (0 = none) | None when LoRA unused
     lora_ids: jnp.ndarray = None    # i32[T] | None
+    # prompt logprobs: per-row target token (the NEXT prompt token) | None
+    lp_targets: jnp.ndarray = None  # i32[T] | None
 
 
 @struct.dataclass

@@ -65,6 +65,10 @@ class HostBatch:
     # speculative verify: K drafts per seq -> greedy argmax at K+1 positions
     verify_k: int = 0
     verify_idx: Any = None          # np i32[B, K+1] token indices
+    # prompt logprobs (reference logits_processor.py input-logprob path)
+    return_prompt_logprob: bool = False
+    lp_targets: Any = None          # np i32[T] next-prompt-token per row
+    prompt_logprobs: Any = None     # np f32[T]
     # EAGLE feature taps: verify-position hiddens / all-position hiddens
     return_verify_hidden: bool = False
     verify_hidden: Any = None       # np [B, K+1, H] (model dtype)
@@ -247,7 +251,16 @@ class ModelRunner:
                 vhid = vh.reshape(Bmax, Kp1, -1) if hidden_tap == "verify" \
                     else None
                 return (vtokens.reshape(Bmax, Kp1), None, None, None, None,
-                        vhid, kv_pages)
+                        vhid, None, kv_pages)
+            if fb.lp_targets is not None:
+                # prompt logprobs: log-softmax at EVERY position, gathered
+                # at the next-prompt-token targets (input-logprob path)
+                all_logits = model.compute_logits(params, hidden)  # [T, V]
+                all_lp = jax.nn.log_softmax(all_logits, axis=-1)
+                plp = jnp.take_along_axis(
+                    all_lp, fb.lp_targets[:, None], axis=-1)[:, 0]
+            else:
+                plp = None
             last_h = hidden[fb.last_token_idx]          # [Bmax, H]
             logits = model.compute_logits(params, last_h)  # f32[Bmax, V]
             if pen is not None:
@@ -271,7 +284,7 @@ class ModelRunner:
                 hid = last_h.astype(jnp.float32)
             else:
                 hid = None
-            return tokens, logits, lp, topv, topi, hid, kv_pages
+            return tokens, logits, lp, topv, topi, hid, plp, kv_pages
 
         ps = self.page_size
 
@@ -361,9 +374,11 @@ class ModelRunner:
                 fb, meta, pen, gmask, lora,
                 attn_mode, logprob_top_k, hb.return_hidden, hb.verify_k,
                 sampling_mode, hidden_tap)
-            tokens, logits, lp, topv, topi, hid, self.kv_pages = exe(
+            tokens, logits, lp, topv, topi, hid, plp, self.kv_pages = exe(
                 self.params, self.kv_pages, fb, meta, pen, gmask, lora,
             )
+        if plp is not None:
+            hb.prompt_logprobs = np.asarray(plp)[: len(hb.positions)]
         hb.device_tokens = tokens
         hb.device_logits = logits
         hb.device_logprobs = (lp, topv, topi)
@@ -571,6 +586,11 @@ class ModelRunner:
             la = np.zeros(T_pad, dtype=np.int32)
             la[: len(hb.lora_ids)] = hb.lora_ids
             lora_ids = jnp.asarray(la)
+        lp_targets = None
+        if hb.lp_targets is not None:
+            lt = np.zeros(T_pad, dtype=np.int32)
+            lt[: len(hb.lp_targets)] = hb.lp_targets
+            lp_targets = jnp.asarray(lt)
         verify_idx = None
         if hb.verify_k > 0:
             vi = np.zeros((B_pad, hb.verify_k + 1), dtype=np.int32)
@@ -579,6 +599,7 @@ class ModelRunner:
         fb = ForwardBatch(
             verify_idx=verify_idx,
             lora_ids=lora_ids,
+            lp_targets=lp_targets,
             input_ids=jnp.asarray(input_ids)
             if input_ids is not None else self._chain_tokens(hb, T_pad),
             positions=jnp.asarray(positions),

@@ -123,3 +123,50 @@ def test_score_api_label_token_logprobs():
     # ensure the scoring path produced a finite, reproducible value
     scores2 = eng.score(query=query, items=items, label_token_ids=labels)
     assert scores == scores2
+
+
+def test_input_token_logprobs_match_full_logits():
+    """Prompt (input) logprobs: logprob of prompt token t given its prefix,
+    cross-checked against the all-position logits debug path."""
+    import numpy as np
+    import jax
+
+    from tests.test_scheduler import make_engine
+    from tests.utils import TINY_LLAMA, RawDriver, make_runner
+
+    prompt = [3, 17, 94, 201, 5, 77, 150, 42, 9, 133, 61]
+    eng = make_engine()
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 2, "temperature": 0.0},
+        return_logprob=True, logprob_start_len=0)
+    got = out["meta_info"]["input_token_logprobs"]
+    assert len(got) == len(prompt) - 1       # token 0 has no prefix
+    assert [t for _, t in got] == prompt[1:]
+
+    # reference from raw logits (same dummy weights: same seed + config)
+    runner, cfg, sa = make_runner(TINY_LLAMA, dtype="float32")
+    runner.params = eng.scheduler.model_runner.params
+    logits = RawDriver(runner, sa.page_size).prefill_logits(prompt)
+    lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) \
+        + logits.max(-1, keepdims=True)[:, 0]
+    ref = [float(logits[t - 1, prompt[t]] - lse[t - 1])
+           for t in range(1, len(prompt))]
+    np.testing.assert_allclose([v for v, _ in got], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_input_token_logprobs_chunked_parity():
+    """Chunked prefill must produce the same input logprobs."""
+    from tests.test_scheduler import make_engine
+
+    prompt = list(range(40, 100))
+    eng_c = make_engine(chunked_prefill_size=16)
+    eng_f = make_engine(chunked_prefill_size=256)
+    kw = dict(sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+              return_logprob=True, logprob_start_len=0)
+    a = eng_c.generate(input_ids=prompt, **kw)["meta_info"]["input_token_logprobs"]
+    b = eng_f.generate(input_ids=prompt, **kw)["meta_info"]["input_token_logprobs"]
+    assert [t for _, t in a] == [t for _, t in b]
+    import numpy as np
+    np.testing.assert_allclose([v for v, _ in a], [v for v, _ in b],
+                               rtol=1e-4, atol=1e-4)
