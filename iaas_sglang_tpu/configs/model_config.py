@@ -170,10 +170,13 @@ class ModelConfig:
                 # HF 4.57 deepseek_v2 gate never renormalizes topk weights
                 mc.norm_topk_prob = False
         qc = get("quantization_config") or {}
-        if qc.get("quant_method") == "awq":
+        if qc.get("quant_method") in ("awq", "gptq"):
             if qc.get("bits", 4) != 4:
-                raise ValueError("only 4-bit AWQ checkpoints are supported")
-            mc.ckpt_quant_method = "awq"
+                raise ValueError(
+                    "only 4-bit AWQ/GPTQ checkpoints are supported")
+            if qc.get("quant_method") == "gptq" and qc.get("desc_act"):
+                raise ValueError("GPTQ desc_act checkpoints not supported")
+            mc.ckpt_quant_method = qc["quant_method"]
             mc.ckpt_quant_group = qc.get("group_size", 128)
         mc.context_len = context_length or _probe_context_len(hf)
         if dtype != "auto":

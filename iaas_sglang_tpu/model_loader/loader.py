@@ -203,16 +203,26 @@ def _load_host_params_safetensors(
         del handles
 
 
-def _assemble_awq_one(getter, prefix: str, K: int, N: int):
-    from iaas_sglang_tpu.quantization.awq import ingest_awq
+def _assemble_quant_one(getter, prefix: str, K: int, N: int, method: str):
+    from iaas_sglang_tpu.quantization.awq import ingest_awq, ingest_gptq
 
     qw = getter(prefix + ".qweight")
     qz = getter(prefix + ".qzeros")
     sc = getter(prefix + ".scales")
-    if qw.shape != (K, N // 8):
+    if method == "awq":
+        if qw.shape != (K, N // 8):
+            raise ValueError(
+                f"{prefix}.qweight: got {qw.shape}, want {(K, N // 8)}")
+        return ingest_awq(qw, qz, sc.astype(np.float32))
+    if qw.shape != (K // 8, N):
         raise ValueError(
-            f"{prefix}.qweight: got {qw.shape}, want {(K, N // 8)}")
-    return ingest_awq(qw, qz, sc.astype(np.float32))
+            f"{prefix}.qweight: got {qw.shape}, want {(K // 8, N)}")
+    g_idx = None
+    try:
+        g_idx = getter(prefix + ".g_idx")
+    except KeyError:
+        pass
+    return ingest_gptq(qw, qz, sc.astype(np.float32), g_idx)
 
 
 def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
@@ -222,7 +232,7 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
     for name, spec in specs.items():
         if spec.hf_key is None:
             continue
-        if (config.ckpt_quant_method == "awq" and spec.quantizable
+        if (config.ckpt_quant_method in ("awq", "gptq") and spec.quantizable
                 and spec.hf_key.endswith(".weight")):
             prefix_t = spec.hf_key[: -len(".weight")]
             K, N = spec.shape
@@ -230,14 +240,16 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
                 n_stack = spec.num_stack or config.num_layers
                 ps, ss, zs = [], [], []
                 for l in range(n_stack):
-                    p_, s_, z_ = _assemble_awq_one(
-                        getter, prefix_t.format(l=l + spec.layer_offset), K, N)
+                    p_, s_, z_ = _assemble_quant_one(
+                        getter, prefix_t.format(l=l + spec.layer_offset),
+                        K, N, config.ckpt_quant_method)
                     ps.append(p_)
                     ss.append(s_)
                     zs.append(z_)
                 out[name] = HostQuant(np.stack(ps), np.stack(ss), np.stack(zs))
             else:
-                out[name] = HostQuant(*_assemble_awq_one(getter, prefix_t, K, N))
+                out[name] = HostQuant(*_assemble_quant_one(
+                    getter, prefix_t, K, N, config.ckpt_quant_method))
             continue
         if spec.stacked:
             n_stack = spec.num_stack or config.num_layers

@@ -164,3 +164,87 @@ def test_awq_checkpoint_ingestion(tmp_path):
     load_hf_weights_into(runner2, hf_model)
     ref = RawDriver(runner2, sa2.page_size).prefill_logits(PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_gptq_checkpoint_ingestion(tmp_path):
+    """Synthesize an AutoGPTQ-format checkpoint (row-packed qweight,
+    column-packed qzeros with the zeros-minus-one convention), load through
+    the real loader, compare vs host-dequantized weights."""
+    import json
+
+    import torch
+    from safetensors.torch import save_file
+
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+    from iaas_sglang_tpu.model_executor.model_runner import ModelRunner
+    from iaas_sglang_tpu.server_args import ServerArgs
+    from tests.utils import RawDriver, load_hf_weights_into
+
+    hf_model = build_hf_model(QTINY)
+    sd = {k: v.detach().clone() for k, v in hf_model.state_dict().items()}
+    QUANT_SUFFIXES = ("q_proj", "k_proj", "v_proj", "o_proj",
+                      "gate_proj", "up_proj", "down_proj")
+
+    def pack_rows(q_u):  # uint8 [K, N] -> int32 [K/8, N]
+        K, N = q_u.shape
+        q3 = q_u.reshape(K // 8, 8, N).astype(np.uint32)
+        out = np.zeros((K // 8, N), np.uint32)
+        for i in range(8):
+            out |= q3[:, i] << (4 * i)
+        return out.astype(np.int32)
+
+    def pack_cols(z_u):  # uint8 [R, C] -> int32 [R, C/8]
+        R, C = z_u.shape
+        z3 = z_u.reshape(R, C // 8, 8).astype(np.uint32)
+        out = np.zeros((R, C // 8), np.uint32)
+        for i in range(8):
+            out |= z3[:, :, i] << (4 * i)
+        return out.astype(np.int32)
+
+    def gptq_quantize(w):  # w [in, out]
+        K, N = w.shape
+        G = min(128, K)
+        wg = w.reshape(K // G, G, N)
+        wmin, wmax = wg.min(axis=1), wg.max(axis=1)
+        scale = np.maximum((wmax - wmin) / 15.0, 1e-8)
+        zero = np.clip(np.rint(-wmin / scale), 1, 15)  # stored z-1 >= 0
+        q_u = np.clip(np.rint(wg / scale[:, None, :]) + zero[:, None, :],
+                      0, 15).astype(np.uint8).reshape(K, N)
+        wd = ((q_u.astype(np.float32).reshape(K // G, G, N)
+               - zero[:, None, :]) * scale[:, None, :]).reshape(K, N)
+        return (pack_rows(q_u), pack_cols((zero - 1).astype(np.uint8)),
+                scale.astype(np.float32), wd)
+
+    dequant_sd = {k: v.detach().clone() for k, v in sd.items()}
+    new_sd = {}
+    for key, t in sd.items():
+        if any(key.endswith(f"{sfx}.weight") for sfx in QUANT_SUFFIXES):
+            w = t.float().numpy().T.copy()
+            qw, qz, sc, wd = gptq_quantize(w)
+            prefix = key[: -len(".weight")]
+            new_sd[prefix + ".qweight"] = torch.from_numpy(qw)
+            new_sd[prefix + ".qzeros"] = torch.from_numpy(qz)
+            new_sd[prefix + ".scales"] = torch.from_numpy(sc).half()
+            dequant_sd[key] = torch.from_numpy(wd.T.copy())
+        else:
+            new_sd[key] = t
+    save_file(new_sd, str(tmp_path / "model.safetensors"))
+    cfg_json = dict(QTINY)
+    cfg_json["quantization_config"] = {
+        "quant_method": "gptq", "bits": 4, "group_size": 128,
+        "desc_act": False}
+    (tmp_path / "config.json").write_text(json.dumps(cfg_json))
+
+    cfg = ModelConfig.from_path(str(tmp_path), dtype="float32")
+    sa = ServerArgs(model_path=str(tmp_path), load_format="auto",
+                    dtype="float32", page_size=4, max_total_tokens=4096,
+                    device="cpu", max_running_requests=16,
+                    max_prefill_tokens=256, tp_size=1, random_seed=0)
+    runner = ModelRunner(sa, cfg)
+    ours = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+
+    hf_model.load_state_dict(dequant_sd)
+    runner2, cfg2, sa2 = make_runner(QTINY, dtype="float32")
+    load_hf_weights_into(runner2, hf_model)
+    ref = RawDriver(runner2, sa2.page_size).prefill_logits(PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
