@@ -90,13 +90,23 @@ class BaseGrammarBackend:
         self._lock = threading.Lock()
 
     def get_grammar(self, *, regex: Optional[str] = None,
-                    json_schema: Optional[str] = None) -> Optional[BaseGrammarObject]:
+                    json_schema: Optional[str] = None,
+                    ebnf: Optional[str] = None) -> Optional[BaseGrammarObject]:
         if json_schema is not None:
             key = ("json", json_schema)
             pattern = None
         elif regex is not None:
             key = ("regex", regex)
             pattern = regex
+        elif ebnf is not None:
+            from iaas_sglang_tpu.constrained.ebnf import ebnf_to_regex
+
+            key = ("ebnf", ebnf)
+            try:
+                pattern = ebnf_to_regex(ebnf)
+            except ValueError as e:
+                logger.warning("EBNF compile failed: %s", e)
+                return None
         else:
             return None
         with self._lock:

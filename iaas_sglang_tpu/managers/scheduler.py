@@ -223,9 +223,10 @@ class Scheduler:
         # clip generation to context
         sp = req.sampling_params
         sp.max_new_tokens = min(sp.max_new_tokens, ctx - req.prompt_len - 1)
-        if (sp.json_schema or sp.regex) and self.grammar_backend is not None:
+        if (sp.json_schema or sp.regex or sp.ebnf) \
+                and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(
-                regex=sp.regex, json_schema=sp.json_schema)
+                regex=sp.regex, json_schema=sp.json_schema, ebnf=sp.ebnf)
         req.logprob_start_len = m.logprob_start_len
         req.disagg_decode_url = m.disagg_decode_url
         req.session_id = m.session_id
@@ -688,6 +689,7 @@ class Scheduler:
                     record_logprob(req, i)
                     if req.grammar is not None:
                         req.grammar.accept_token(int(tokens[i]))
+                        self._jump_forward_tokens(req)
                     self.num_generated_tokens += 1
                 if req.disagg_decode_url is not None:
                     self._disagg_handoff(req)
@@ -698,6 +700,7 @@ class Scheduler:
                 record_logprob(req, i)
                 if req.grammar is not None:
                     req.grammar.accept_token(int(tokens[i]))
+                    self._jump_forward_tokens(req)
                 self.num_generated_tokens += 1
             req.check_finished(self.tokenizer)
             if req.is_finished():
@@ -734,11 +737,55 @@ class Scheduler:
                 r for r in self.running_batch.reqs if id(r) not in fin_ids
             ]
 
+        self._jump_requeue(batch)
         self._emit_output(
             finished + [r for r in batch.reqs
                         if r.stream and not r.is_finished()]
         )
         self._maybe_log_decode()
+
+    def _jump_forward_tokens(self, req: Req) -> None:
+        """Grammar jump-forward (token-level): while the automaton allows
+        exactly ONE next token, emit it without a model forward (reference
+        jump-forward decoding, outlines_jump_forward.py — done at token
+        granularity so no retokenization is needed). The skipped tokens'
+        KV is backfilled by an extend step (see _jump_requeue)."""
+        if self.server_args.disable_jump_forward or req.grammar is None:
+            return
+        while (not req.is_finished()
+               and len(req.output_ids) < req.sampling_params.max_new_tokens):
+            mask = req.grammar.allowed_tokens()
+            if mask is None:
+                break
+            nz = np.flatnonzero(mask)
+            if len(nz) != 1:
+                break
+            tok = int(nz[0])
+            req.output_ids.append(tok)
+            req.grammar.accept_token(tok)
+            self.num_generated_tokens += 1
+            req.check_finished(self.tokenizer)
+
+    def _jump_requeue(self, batch: ScheduleBatch) -> None:
+        """Requests that jumped ahead of their KV (fill_len lags seq-1)
+        go back through the prefill path to backfill — the radix cache
+        recovers the already-computed prefix."""
+        if self.server_args.disable_jump_forward:
+            return
+        moved = [
+            r for r in batch.reqs
+            if (r.grammar is not None and not r.is_finished()
+                and not getattr(r, "cleaned", False)
+                and r.fill_len < r.seq_len() - 1)
+        ]
+        if not moved:
+            return
+        ids = {id(r) for r in moved}
+        self.running_batch.reqs = [
+            r for r in self.running_batch.reqs if id(r) not in ids]
+        for r in moved:
+            r.release_pages(self.allocator, self.tree_cache)
+            self.waiting_queue.append(r)
 
     def _eagle_after_extend(self, batch: ScheduleBatch, hb) -> None:
         """Prime/advance the EAGLE draft after a target extend: pair each

@@ -58,6 +58,9 @@ class ServerArgs:
     kv_events_endpoint: Optional[str] = None  # ZMQ PUB addr for cache events
     hicache_ratio: float = 2.0      # host tier capacity / device pool size
     enable_mixed_chunk: bool = False
+    # grammar jump-forward: emit force-determined tokens without forwards
+    # (token-level variant of the reference's jump-forward decoding)
+    disable_jump_forward: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20
     # multi-step decode: run N chained decode iterations per device dispatch

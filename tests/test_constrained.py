@@ -135,3 +135,62 @@ def test_constrained_with_random_weights_always_valid(text_engine):
                              "regex": r"(yes|no|maybe)"},
         )
         assert out["text"] in ("yes", "no", "maybe"), out["text"]
+
+
+def test_ebnf_to_regex_and_generation():
+    from iaas_sglang_tpu.constrained.ebnf import ebnf_to_regex
+
+    g = '''
+root ::= "yes" | "no" | maybe
+maybe ::= "maybe " ("A" | "B")+
+'''
+    rx = ebnf_to_regex(g)
+    import re as _re
+    comp = _re.compile(rx)
+    assert comp.fullmatch("yes")
+    assert comp.fullmatch("maybe AB")
+    assert not comp.fullmatch("nope")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ebnf_to_regex("root ::= \"a\" root | \"b\"")  # recursive
+
+
+def _mk_text_engine(tmp_path_factory, **kw):
+    from transformers import AutoTokenizer
+
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+    from tests.server_utils import SERVER_TINY_LLAMA, make_tiny_model_dir
+
+    d = make_tiny_model_dir(str(tmp_path_factory.mktemp("m") / "tok"))
+    tok = AutoTokenizer.from_pretrained(d)
+    sa = ServerArgs(
+        model_path="test://tiny-tok", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=2048, device="cpu",
+        max_running_requests=8, max_prefill_tokens=128,
+        chunked_prefill_size=64, random_seed=0, skip_tokenizer_init=True,
+        **kw)
+    return Engine(sa, hf_config_override=SERVER_TINY_LLAMA, tokenizer=tok)
+
+
+def test_ebnf_constrained_generation(tmp_path_factory):
+    eng = _mk_text_engine(tmp_path_factory)
+    out = eng.generate(
+        prompt="hello",
+        sampling_params={"max_new_tokens": 16, "temperature": 1.0,
+                         "ebnf": 'root ::= "aba" | "bab"'})
+    assert out["text"] in ("aba", "bab"), out["text"]
+
+
+def test_jump_forward_greedy_parity(tmp_path_factory):
+    """Jump-forward must not change emitted tokens, only skip forwards."""
+    regex = r"(abba|baab)(x+|y+)"
+    eng_j = _mk_text_engine(tmp_path_factory)
+    eng_n = _mk_text_engine(tmp_path_factory, disable_jump_forward=True)
+    sp = {"max_new_tokens": 10, "temperature": 0.0, "regex": regex}
+    a = eng_j.generate(prompt="q", sampling_params=sp)
+    b = eng_n.generate(prompt="q", sampling_params=sp)
+    assert a["text"] == b["text"]
+    assert a["output_ids"] == b["output_ids"]
+    eng_j.scheduler.check_memory_leak()
