@@ -175,13 +175,22 @@ def mla_paged_attention(
     itself is MQA with one shared KV entry per token whose first `v_dim`
     channels double as V. Returns the latent context [T, Nq, v_dim].
     """
-    if backend == "pallas" and mode == "decode":
-        from iaas_sglang_tpu.ops.decode_attention import (
-            mla_paged_decode_attention,
+    if backend in ("pallas", "pallas_own"):
+        if mode == "decode":
+            from iaas_sglang_tpu.ops.decode_attention import (
+                mla_paged_decode_attention,
+            )
+
+            return mla_paged_decode_attention(
+                q, kv_pages, kv_lens, page_indices,
+                sm_scale=sm_scale, v_dim=v_dim,
+            )
+        from iaas_sglang_tpu.ops.extend_attention import (
+            mla_ragged_extend_attention,
         )
 
-        return mla_paged_decode_attention(
-            q, kv_pages, kv_lens, page_indices,
+        return mla_ragged_extend_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, v_dim=v_dim,
         )
     T, Nq, Dk = q.shape

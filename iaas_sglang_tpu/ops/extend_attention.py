@@ -164,6 +164,181 @@ def _extend_kernel(
         out_dma.wait()
 
 
+def _mla_extend_kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[B]
+    page_indices_ref,  # i32[B, MP]
+    cu_q_lens_ref,     # i32[B+1]
+    # inputs (ANY: manual DMA)
+    q_hbm,             # [Tpad, Nq, Dk]
+    kv_hbm,            # [NP, ps, Dk]  (entry axis squeezed)
+    # output (ANY: manual DMA)
+    o_hbm,             # [Tpad, Nq, v_dim]
+    # scratch
+    q_buf,             # VMEM [BQ, Nq, Dk]
+    kv_buf,            # VMEM [2, CP, ps, Dk]
+    o_buf,             # VMEM [BQ, Nq, v_dim]
+    q_sem, o_sem, kv_sems,
+    *,
+    bq: int,
+    chunk_pages: int,
+    page_size: int,
+    max_pages: int,
+    sm_scale: float,
+    v_dim: int,
+):
+    """Ragged MLA extend: all heads share ONE latent K/V entry per token,
+    so each chunk is a single [BQ*Nq, CT] matmul (MQA) with causal masking
+    broadcast over heads — the prefill companion of mla_paged_decode."""
+    s = pl.program_id(0)
+    qt = pl.program_id(1)
+    CP = chunk_pages
+    CT = CP * page_size
+
+    q_start = cu_q_lens_ref[s]
+    q_len = cu_q_lens_ref[s + 1] - q_start
+    kv_len = kv_lens_ref[s]
+
+    @pl.when((qt * bq < q_len) & (q_len > 0))
+    def _run():
+        row0 = q_start + qt * bq
+        pos0 = kv_len - q_len + qt * bq
+        pos_last = jnp.minimum(pos0 + bq - 1, kv_len - 1)
+        n_chunks = pl.cdiv(jnp.minimum(pos_last + 1, kv_len), CT)
+
+        in_q = pltpu.make_async_copy(
+            q_hbm.at[pl.ds(row0, bq)], q_buf, q_sem)
+        in_q.start()
+
+        def start_chunk(ci, slot):
+            for j in range(CP):
+                pidx = jnp.minimum(ci * CP + j, max_pages - 1)
+                page = page_indices_ref[s, pidx]
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, j], kv_sems.at[slot, j],
+                ).start()
+
+        def wait_chunk(slot):
+            for j in range(CP):
+                pltpu.make_async_copy(
+                    kv_hbm.at[0], kv_buf.at[slot, j], kv_sems.at[slot, j],
+                ).wait()
+
+        start_chunk(0, 0)
+        in_q.wait()
+        BQ, Nq, Dk = q_buf.shape
+        q = q_buf[:].reshape(BQ * Nq, Dk)     # heads flattened into rows
+
+        # per-ROW token position (repeat each token's position over heads)
+        row_pos = pos0 + jax.lax.broadcasted_iota(
+            jnp.int32, (BQ * Nq, 1), 0) // Nq
+
+        def body(ci, carry):
+            m, l, acc = carry                  # [BQ*Nq,1] x2, [BQ*Nq,v_dim]
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+
+            wait_chunk(slot)
+            kv = kv_buf[slot].reshape(CT, Dk)
+            key_pos = ci * CT + jax.lax.broadcasted_iota(
+                jnp.int32, (1, CT), 1)
+            valid = (key_pos <= row_pos) & (key_pos < kv_len)
+
+            scores = jax.lax.dot_general(
+                q, kv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                       # [BQ*Nq, CT]
+            scores = jnp.where(valid, scores, -jnp.inf)
+            m_c = jnp.max(scores, axis=-1, keepdims=True)
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)
+            p = jnp.exp(scores - m_n)
+            l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            v = kv[:, :v_dim]
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_n, l_n, alpha * acc + pv
+
+        m0 = jnp.full((BQ * Nq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((BQ * Nq, 1), jnp.float32)
+        a0 = jnp.zeros((BQ * Nq, v_dim), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+        o_buf[:] = (acc / jnp.maximum(l, 1e-30)).reshape(
+            BQ, Nq, v_dim).astype(o_buf.dtype)
+        out_dma = pltpu.make_async_copy(
+            o_buf, o_hbm.at[pl.ds(row0, bq)], o_sem)
+        out_dma.start()
+        out_dma.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "v_dim", "bq", "chunk_pages", "interpret"),
+)
+def mla_ragged_extend_attention(
+    q: jnp.ndarray,             # [T, Nq, Dk]
+    kv_pages: jnp.ndarray,      # [NP, ps, 1, Dk]
+    kv_lens: jnp.ndarray,       # i32[B]
+    page_indices: jnp.ndarray,  # i32[B, MP]
+    cu_q_lens: jnp.ndarray,     # i32[B+1]
+    num_seqs: jnp.ndarray,
+    *,
+    sm_scale: float,
+    v_dim: int,
+    bq: int = 0,
+    chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, Nq, Dk = q.shape
+    NP, ps, _, _ = kv_pages.shape
+    kv_flat = kv_pages.reshape(NP, ps, Dk)
+    B, MP = page_indices.shape
+    CP = min(chunk_pages, MP)
+    # tile size bounded so q/score/acc buffers fit VMEM at 128-head MLA
+    BQ = bq or max(8, min(128, 4096 // Nq))
+    BQ = min(BQ, max(T, 8))
+    q_pad = jnp.pad(q, ((0, BQ), (0, 0), (0, 0)))
+    QT = cdiv(T, BQ)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, QT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, Nq, Dk), q.dtype),
+            pltpu.VMEM((2, CP, ps, Dk), kv_pages.dtype),
+            pltpu.VMEM((BQ, Nq, v_dim), q.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, CP)),
+        ],
+    )
+    kernel = functools.partial(
+        _mla_extend_kernel,
+        bq=BQ, chunk_pages=CP, page_size=ps,
+        max_pages=MP, sm_scale=sm_scale, v_dim=v_dim,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T + BQ, Nq, v_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens, page_indices, cu_q_lens, q_pad, kv_flat)
+    return out[:T]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "bq", "chunk_pages"),

@@ -149,3 +149,35 @@ def test_int4_matmul_kernel_interpret(zeros):
             jnp.asarray(zs) if zeros else None,
             group=G, block_n=128, block_k=1024)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_mla_extend_kernel_interpret(shapes):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import mla_paged_attention
+    from iaas_sglang_tpu.ops.extend_attention import (
+        mla_ragged_extend_attention,
+    )
+
+    rng, Nq, _, _, ps, MP, NPg, _ = shapes
+    Dk, v_dim = 192, 128
+    kv = jnp.asarray(
+        rng.standard_normal((NPg, ps, 1, Dk), dtype=np.float32),
+        dtype=jnp.bfloat16) * 0.3
+    q_lens = [40, 17, 1, 0]
+    kv_lens_l = [40, 60, 25, 0]
+    B, T, Tpad = len(q_lens), sum(q_lens), 64
+    q = jnp.asarray(rng.standard_normal((Tpad, Nq, Dk), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = mla_ragged_extend_attention(
+            q, kv, kv_lens, page_indices, cu, jnp.int32(3),
+            sm_scale=Dk ** -0.5, v_dim=v_dim, bq=32)
+    ref = mla_paged_attention(q, kv, kv_lens, page_indices, cu, jnp.int32(3),
+                              sm_scale=Dk ** -0.5, v_dim=v_dim)
+    np.testing.assert_allclose(
+        np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
+        rtol=3e-2, atol=3e-2)
