@@ -2,6 +2,12 @@
 sgl.gen, sgl.select, sgl.fork, role tags — python/sglang/lang/ir.py +
 interpreter.py, re-designed as a compact synchronous interpreter)."""
 
+from iaas_sglang_tpu.lang.tracer import (
+    ProgramTrace,
+    TracerProgramState,
+    extract_prefix_by_tracing,
+    trace_program,
+)
 from iaas_sglang_tpu.lang.interpreter import (
     EngineBackend,
     ProgramState,
@@ -18,4 +24,6 @@ from iaas_sglang_tpu.lang.interpreter import (
 __all__ = [
     "function", "gen", "select", "system", "user", "assistant",
     "SglFunction", "ProgramState", "EngineBackend", "RuntimeEndpoint",
+    "trace_program", "extract_prefix_by_tracing", "ProgramTrace",
+    "TracerProgramState",
 ]

@@ -89,3 +89,26 @@ def test_run_batch(backend):
     assert len(states) == 3
     for st in states:
         assert st["y"]
+
+
+def test_trace_program_and_prefix():
+    from iaas_sglang_tpu import lang as sgl
+
+    @sgl.function
+    def qa(s, question):
+        s += sgl.system("You are terse.")
+        s += sgl.user(question)
+        s += "assistant: "
+        s += sgl.gen("answer", max_tokens=8)
+        s += "\nfollow-up: "
+        s += sgl.gen("more", max_tokens=4)
+
+    trace = sgl.trace_program(qa, "why?")
+    assert trace.gen_names() == ["answer", "more"]
+    kinds = [k for k, _ in trace.ops]
+    assert kinds == ["text", "gen", "text", "gen"]
+    prefix = sgl.extract_prefix_by_tracing(qa, "why?")
+    assert prefix.startswith("system: You are terse.")
+    assert prefix.endswith("assistant: ")
+    # the prefix is exactly the text before the first generation
+    assert trace.ops[0][1] == prefix
