@@ -159,6 +159,10 @@ async def handle_generate(request: web.Request) -> web.StreamResponse:
         sampling_params=body.get("sampling_params"),
         stream=stream,
         return_logprob=body.get("return_logprob", False),
+        logprob_start_len=body.get("logprob_start_len", -1),
+        top_logprobs_num=body.get("top_logprobs_num", 0),
+        token_ids_logprob=body.get("token_ids_logprob"),
+        session_id=body.get("session_id"),
         disagg_decode_url=body.get("disagg_decode_url"),
         lora_path=body.get("lora_path"),
     )

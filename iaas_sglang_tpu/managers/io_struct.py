@@ -118,7 +118,6 @@ class BatchTokenIDOut:
     output_top_logprobs: Optional[List[Optional[List[list]]]] = None
     output_token_ids_logprobs: Optional[List[Optional[List[list]]]] = None
     input_token_logprobs: Optional[List[Optional[List[list]]]] = None
-    input_token_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass
@@ -135,6 +134,7 @@ class BatchStrOut:
     output_token_logprobs: Optional[List[Optional[List[float]]]] = None
     output_top_logprobs: Optional[List[Optional[List[list]]]] = None
     output_token_ids_logprobs: Optional[List[Optional[List[list]]]] = None
+    input_token_logprobs: Optional[List[Optional[List[list]]]] = None
 
 
 @dataclass
