@@ -85,6 +85,9 @@ class Req:
         self.rid = rid
         self.input_text = input_text
         self.input_ids = list(input_ids)
+        # DP attention: the attention rank owning this request's KV pages
+        # (assigned at admission; 0 when DP attention is off)
+        self.dp_rank = 0
         self.sampling_params = sampling_params
         self.stream = stream
         self.return_logprob = return_logprob
@@ -216,12 +219,17 @@ class ScheduleBatch:
     """A set of requests running together in one forward mode."""
 
     def __init__(self, reqs: List[Req], mode: ForwardMode,
-                 allocator: PageAllocator, tree_cache: BasePrefixCache,
-                 page_size: int):
+                 allocator, tree_cache, page_size: int):
+        """allocator/tree_cache: one per attention rank (lists) when DP
+        attention is on; bare objects otherwise."""
         self.reqs = reqs
         self.mode = mode
-        self.allocator = allocator
-        self.tree_cache = tree_cache
+        self.allocators = (allocator if isinstance(allocator, list)
+                           else [allocator])
+        self.tree_caches = (tree_cache if isinstance(tree_cache, list)
+                            else [tree_cache])
+        self.allocator = self.allocators[0]
+        self.tree_cache = self.tree_caches[0]
         self.page_size = page_size
 
     def __len__(self):
@@ -232,15 +240,51 @@ class ScheduleBatch:
 
     # --------------------------------------------------------------- alloc
 
-    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
-        """Allocate, evicting from the radix tree when the free list runs dry
-        (mirrors scheduler.py token_to_kv_pool alloc + tree_cache.evict)."""
-        pages = self.allocator.alloc(n)
+    def _alloc_pages(self, n: int, rank: int = 0) -> Optional[np.ndarray]:
+        """Allocate from the rank's pool, evicting from its radix tree when
+        the free list runs dry (mirrors scheduler.py token_to_kv_pool alloc
+        + tree_cache.evict)."""
+        alloc = self.allocators[rank]
+        pages = alloc.alloc(n)
         if pages is None:
-            need = n - self.allocator.free_pages
-            self.tree_cache.evict(need)
-            pages = self.allocator.alloc(n)
+            need = n - alloc.free_pages
+            self.tree_caches[rank].evict(need)
+            pages = alloc.alloc(n)
         return pages
+
+    def _alloc_growth(self, need_of: dict) -> bool:
+        """Grow each request's page table by need_of[id(req)] pages,
+        all-or-nothing across the whole batch (per-rank pools, rollback on
+        any rank's exhaustion). Returns False without side effects on
+        failure — the caller retracts."""
+        by_rank: dict[int, int] = {}
+        for r in self.reqs:
+            n = need_of.get(id(r), 0)
+            if n:
+                by_rank[r.dp_rank] = by_rank.get(r.dp_rank, 0) + n
+        if not by_rank:
+            return True
+        got: dict[int, np.ndarray] = {}
+        for rank, n in by_rank.items():
+            pages = self._alloc_pages(n, rank)
+            if pages is None:
+                for rk, pg in got.items():
+                    self.allocators[rk].free(pg)
+                return False
+            got[rank] = pages
+        used = {rank: 0 for rank in got}
+        for r in self.reqs:
+            n = need_of.get(id(r), 0)
+            if not n:
+                continue
+            i = used[r.dp_rank]
+            used[r.dp_rank] += n
+            newp = got[r.dp_rank][i : i + n]
+            r.owned_pages = (
+                np.concatenate([r.owned_pages, newp])
+                if len(r.owned_pages) else newp.copy()
+            )
+        return True
 
     # -------------------------------------------------------------- extend
 
@@ -264,7 +308,7 @@ class ScheduleBatch:
             table = req.page_table_np()
             need = cdiv(new_total, ps) - len(table)
             if need > 0:
-                newp = self._alloc_pages(need)
+                newp = self._alloc_pages(need, req.dp_rank)
                 assert newp is not None, "PrefillAdder admitted beyond capacity"
                 req.owned_pages = (
                     np.concatenate([req.owned_pages, newp])
@@ -324,19 +368,11 @@ class ScheduleBatch:
             return r.fill_len + r.pending_steps
 
         # allocate boundary-crossing pages first, all-or-nothing per step
-        n_new = sum(1 for r in self.reqs if eff_fill(r) % ps == 0)
-        if n_new > 0:
-            newp = self._alloc_pages(n_new)
-            if newp is None:
-                return None
-            i = 0
-            for r in self.reqs:
-                if eff_fill(r) % ps == 0:
-                    r.owned_pages = (
-                        np.concatenate([r.owned_pages, newp[i : i + 1]])
-                        if len(r.owned_pages) else newp[i : i + 1].copy()
-                    )
-                    i += 1
+        # (per attention rank when DP attention is on, with rollback)
+        if not self._alloc_growth(
+                {id(r): (1 if eff_fill(r) % ps == 0 else 0)
+                 for r in self.reqs}):
+            return None
 
         if chain_from is None:
             assert all(r.pending_steps == 0 for r in self.reqs)
@@ -370,23 +406,12 @@ class ScheduleBatch:
         back to single-step decode + retraction)."""
         ps = self.page_size
         B = len(self.reqs)
-        need = 0
-        for r in self.reqs:
-            need += max(cdiv(r.fill_len + n_steps, ps)
-                        - len(r.page_table_np()), 0)
-        if need > 0:
-            newp = self._alloc_pages(need)
-            if newp is None:
-                return None
-            i = 0
-            for r in self.reqs:
-                n = max(cdiv(r.fill_len + n_steps, ps)
-                        - len(r.page_table_np()), 0)
-                if n:
-                    r.owned_pages = (
-                        np.concatenate([r.owned_pages, newp[i : i + n]])
-                        if len(r.owned_pages) else newp[i : i + n].copy())
-                    i += n
+        if not self._alloc_growth({
+            id(r): max(cdiv(r.fill_len + n_steps, ps)
+                       - len(r.page_table_np()), 0)
+            for r in self.reqs
+        }):
+            return None
 
         ids = np.asarray([r.output_ids[-1] for r in self.reqs],
                          dtype=np.int32)
@@ -492,23 +517,12 @@ class ScheduleBatch:
         ps = self.page_size
         B = len(self.reqs)
         # page needs for fill .. fill+K
-        need = 0
-        for r in self.reqs:
-            table_len = len(r.page_table_np())
-            need += max(cdiv(r.fill_len + 1 + K, ps) - table_len, 0)
-        if need > 0:
-            newp = self._alloc_pages(need)
-            if newp is None:
-                return None
-            i = 0
-            for r in self.reqs:
-                table_len = len(r.page_table_np())
-                n = max(cdiv(r.fill_len + 1 + K, ps) - table_len, 0)
-                if n:
-                    r.owned_pages = (
-                        np.concatenate([r.owned_pages, newp[i : i + n]])
-                        if len(r.owned_pages) else newp[i : i + n].copy())
-                    i += n
+        if not self._alloc_growth({
+            id(r): max(cdiv(r.fill_len + 1 + K, ps)
+                       - len(r.page_table_np()), 0)
+            for r in self.reqs
+        }):
+            return None
 
         ids, positions, slots_l = [], [], []
         page_tables, seq_lens, q_lens = [], [], []
@@ -554,6 +568,8 @@ class ScheduleBatch:
         return HostBatch(
             penalty_arrays=self._build_penalty_arrays(),
             grammar_masks=self._build_grammar_masks(),
+            dp_ranks=(np.asarray([r.dp_rank for r in reqs], np.int32)
+                      if len(self.allocators) > 1 else None),
             lora_ids=lora_ids,
             return_hidden=any(r.is_embedding for r in reqs),
             return_logprob=any(r.return_logprob for r in reqs),
@@ -601,6 +617,7 @@ class ScheduleBatch:
         retracted = self.reqs[n_keep:]
         self.reqs = self.reqs[:n_keep]
         for r in retracted:
-            r.release_pages(self.allocator, self.tree_cache)
+            r.release_pages(self.allocators[r.dp_rank],
+                            self.tree_caches[r.dp_rank])
             # generated tokens become part of the new "prompt" to refill
         return retracted

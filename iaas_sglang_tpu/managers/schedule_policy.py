@@ -29,9 +29,12 @@ class AddReqResult(Enum):
 
 
 class SchedulePolicy:
-    def __init__(self, policy: str, tree_cache: BasePrefixCache):
+    def __init__(self, policy: str, tree_cache):
         self.policy = policy
-        self.tree_cache = tree_cache
+        # one tree per attention rank under DP attention
+        self.tree_caches = (tree_cache if isinstance(tree_cache, list)
+                            else [tree_cache])
+        self.tree_cache = self.tree_caches[0]
 
     def calc_priority(self, waiting_queue: List[Req]) -> None:
         """Sort the waiting queue in-place; refresh radix matches for lpm."""
@@ -47,8 +50,17 @@ class SchedulePolicy:
             return
         if self.policy == "lpm":
             for r in waiting_queue:
-                res = self.tree_cache.match_prefix(r.fill_ids())
-                r._lpm_match_len = res.prefix_len
+                # DP attention: the request is served by (and matched
+                # against) ONE rank's tree; unassigned requests take the
+                # best match across ranks
+                if len(self.tree_caches) > 1 and r.fill_len == 0:
+                    r._lpm_match_len = max(
+                        t.match_prefix(r.fill_ids()).prefix_len
+                        for t in self.tree_caches)
+                else:
+                    res = self.tree_caches[r.dp_rank].match_prefix(
+                        r.fill_ids())
+                    r._lpm_match_len = res.prefix_len
             waiting_queue.sort(key=lambda r: -getattr(r, "_lpm_match_len", 0))
             return
         raise ValueError(f"unknown schedule policy {self.policy!r}")
@@ -60,7 +72,7 @@ class PrefillAdder:
 
     def __init__(
         self,
-        tree_cache: BasePrefixCache,
+        tree_cache,
         allocator,
         page_size: int,
         *,
@@ -69,8 +81,14 @@ class PrefillAdder:
         running_reqs: int,
         headroom_tokens: int = 0,
     ):
-        self.tree_cache = tree_cache
-        self.allocator = allocator
+        # lists = one per attention rank (DP attention); bare objects
+        # behave as a single rank
+        self.tree_caches = (tree_cache if isinstance(tree_cache, list)
+                            else [tree_cache])
+        self.allocators = (allocator if isinstance(allocator, list)
+                           else [allocator])
+        self.tree_cache = self.tree_caches[0]
+        self.allocator = self.allocators[0]
         self.page_size = page_size
         self.rem_chunk_tokens = chunk_budget
         self.rem_reqs = max_batch_reqs - running_reqs
@@ -78,11 +96,23 @@ class PrefillAdder:
         self.can_run: List[Req] = []
         self.chunked_req: Req | None = None
 
-    def _available_tokens(self) -> int:
+    def _available_tokens(self, rank: int = 0) -> int:
         return (
-            self.allocator.free_tokens()
-            + self.tree_cache.evictable_pages() * self.page_size
+            self.allocators[rank].free_tokens()
+            + self.tree_caches[rank].evictable_pages() * self.page_size
         )
+
+    def _assign_rank(self, req: Req) -> None:
+        """DP attention: pin a fresh request to the attention rank with the
+        best prefix hit, tie-broken by most free KV (the cache-aware rank
+        dispatch the reference delegates to its router/DP controller)."""
+        best = (-1, -1, 0)  # (match_len, free_tokens, rank)
+        for rank, tree in enumerate(self.tree_caches):
+            match = tree.match_prefix(req.fill_ids()).prefix_len
+            free = self._available_tokens(rank)
+            if (match, free) > best[:2]:
+                best = (match, free, rank)
+        req.dp_rank = best[2]
 
     def add_one_req(self, req: Req) -> AddReqResult:
         if self.rem_reqs <= 0 or self.rem_chunk_tokens <= 0:
@@ -94,7 +124,9 @@ class PrefillAdder:
         # computed without their adapter and must not be reused.
         need_lock = req.fill_len == 0 and not getattr(req, "lora_slot", 0)
         if need_lock:
-            res = self.tree_cache.match_prefix(req.fill_ids())
+            if len(self.tree_caches) > 1:
+                self._assign_rank(req)
+            res = self.tree_caches[req.dp_rank].match_prefix(req.fill_ids())
             req.cache_hit_tokens = res.prefix_len
             if res.prefix_len > 0:
                 req.prefix_pages = res.pages
@@ -114,11 +146,12 @@ class PrefillAdder:
         est_tokens = remaining + min(
             req.sampling_params.max_new_tokens, 256
         )
-        if est_tokens + self.headroom_tokens > self._available_tokens():
+        if est_tokens + self.headroom_tokens \
+                > self._available_tokens(req.dp_rank):
             return AddReqResult.NO_TOKEN
 
         if need_lock and req.last_node is not None:
-            self.tree_cache.inc_lock_ref(req.last_node)
+            self.tree_caches[req.dp_rank].inc_lock_ref(req.last_node)
         if remaining > self.rem_chunk_tokens:
             # chunked prefill: take the remaining budget slice now
             req.extend_len = self.rem_chunk_tokens

@@ -90,9 +90,15 @@ class Scheduler:
 
         self.model_runner = model_runner or ModelRunner(server_args, model_config)
         self.page_size = server_args.page_size
-        self.allocator = PageAllocator(
-            self.model_runner.num_usable_pages, self.page_size
-        )
+        # DP attention: one private page space + prefix tree per attention
+        # rank (the reference's per-DP-rank schedulers collapse into rank-
+        # indexed state under the single controller)
+        self.attn_dp = self.model_runner.attn_dp
+        self.allocators = [
+            PageAllocator(self.model_runner.num_usable_pages, self.page_size)
+            for _ in range(self.attn_dp)
+        ]
+        self.allocator = self.allocators[0]
         self.kv_event_publisher = None
         if server_args.kv_events_endpoint:
             from iaas_sglang_tpu.mem_cache.kv_events import KVEventPublisher
@@ -100,26 +106,32 @@ class Scheduler:
             self.kv_event_publisher = KVEventPublisher(
                 server_args.kv_events_endpoint)
         if server_args.disable_radix_cache:
-            self.tree_cache = ChunkCache(self.allocator, self.page_size)
+            self.tree_caches = [ChunkCache(a, self.page_size)
+                                for a in self.allocators]
         elif server_args.enable_hierarchical_cache:
             from iaas_sglang_tpu.mem_cache.hiradix_cache import HiRadixCache
 
-            self.tree_cache = HiRadixCache(
+            self.tree_caches = [HiRadixCache(
                 self.allocator, self.page_size, self.model_runner,
                 host_capacity_pages=int(
-                    server_args.hicache_ratio * self.allocator.num_pages))
+                    server_args.hicache_ratio * self.allocator.num_pages))]
         else:
-            self.tree_cache = RadixCache(
-                self.allocator, self.page_size,
-                event_publisher=self.kv_event_publisher)
-        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+            self.tree_caches = [
+                RadixCache(a, self.page_size,
+                           event_publisher=self.kv_event_publisher)
+                for a in self.allocators
+            ]
+        self.tree_cache = self.tree_caches[0]
+        self.policy = SchedulePolicy(
+            server_args.schedule_policy, self.tree_caches)
         from iaas_sglang_tpu.constrained import create_grammar_backend
 
         self.grammar_backend = create_grammar_backend(tokenizer)
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(
-            [], ForwardMode.DECODE, self.allocator, self.tree_cache, self.page_size
+            [], ForwardMode.DECODE, self.allocators, self.tree_caches,
+            self.page_size
         )
         self.chunked_req: Optional[Req] = None
         # overlap scheduling: the launched-but-unprocessed (batch, HostBatch)
@@ -195,6 +207,9 @@ class Scheduler:
         ])
         self._profiling = False
 
+    def _tree_of(self, req) -> object:
+        return self.tree_caches[req.dp_rank]
+
     # ------------------------------------------------------------ intake
 
     def process_input(self, msg) -> object:
@@ -267,18 +282,22 @@ class Scheduler:
         self.drain()
         if self.running_batch.reqs or self.waiting_queue:
             return FlushCacheReqOutput(success=False)
-        freed = self.tree_cache.evictable_pages()
-        self.tree_cache.evict(freed)
-        self.tree_cache.reset()
+        freed = 0
+        for tree in self.tree_caches:
+            n = tree.evictable_pages()
+            tree.evict(n)
+            tree.reset()
+            freed += n
         return FlushCacheReqOutput(success=True, num_pages_freed=freed)
 
     def handle_get_internal_state(self, m: GetInternalStateReq):
         return GetInternalStateReqOutput(state={
             "waiting": len(self.waiting_queue),
             "running": len(self.running_batch.reqs),
-            "free_pages": self.allocator.free_pages,
-            "total_pages": self.allocator.num_pages,
-            "evictable_pages": self.tree_cache.evictable_pages(),
+            "free_pages": sum(a.free_pages for a in self.allocators),
+            "total_pages": sum(a.num_pages for a in self.allocators),
+            "evictable_pages": sum(
+                t.evictable_pages() for t in self.tree_caches),
             "generated_tokens": self.num_generated_tokens,
             "retracted": self.num_retracted,
             "spec_accept_length": (
@@ -376,7 +395,7 @@ class Scheduler:
         if not self.waiting_queue and self.chunked_req is None:
             return None
         adder = PrefillAdder(
-            self.tree_cache, self.allocator, self.page_size,
+            self.tree_caches, self.allocators, self.page_size,
             chunk_budget=self.server_args.chunked_prefill_size,
             max_batch_reqs=self.server_args.max_running_requests,
             running_reqs=len(self.running_batch.reqs),
@@ -386,7 +405,7 @@ class Scheduler:
             req = self.chunked_req
             self.chunked_req = None
             if req.is_finished():  # aborted mid-chunk
-                self.tree_cache.cache_finished_req(req)
+                self._tree_of(req).cache_finished_req(req)
                 self._emit_output([req])
                 return self.get_new_batch_prefill()
             adder.add_one_req(req)
@@ -424,7 +443,7 @@ class Scheduler:
             reqs = reqs + list(self.running_batch.reqs)
         return ScheduleBatch(
             reqs, ForwardMode.EXTEND,
-            self.allocator, self.tree_cache, self.page_size,
+            self.allocators, self.tree_caches, self.page_size,
         )
 
     def get_next_batch_to_run(self) -> Optional[ScheduleBatch]:
@@ -440,6 +459,7 @@ class Scheduler:
     def _spec_eligible(self, batch: ScheduleBatch) -> bool:
         return (
             self.spec_algorithm in ("ngram", "eagle")
+            and self.attn_dp == 1
             and batch.mode.is_decode()
             and all(
                 r.sampling_params.is_greedy
@@ -460,6 +480,7 @@ class Scheduler:
         multi-step/overlap fast paths."""
         return (
             self.multi_steps > 1
+            and self.attn_dp == 1
             and batch.mode.is_decode()
             and all(
                 r.grammar is None
@@ -500,7 +521,7 @@ class Scheduler:
             if not req.is_finished() and len(req.output_ids) >= sp.max_new_tokens:
                 req.check_finished(self.tokenizer)
             if req.is_finished():
-                self.tree_cache.cache_finished_req(req)
+                self._tree_of(req).cache_finished_req(req)
                 req.cleaned = True
                 finished.append(req)
                 if self.eagle is not None:
@@ -566,7 +587,7 @@ class Scheduler:
             self.spec_emitted += len(emitted)
             req.check_finished(self.tokenizer)
             if req.is_finished():
-                self.tree_cache.cache_finished_req(req)
+                self._tree_of(req).cache_finished_req(req)
                 req.cleaned = True
                 finished.append(req)
                 if self.eagle is not None:
@@ -627,7 +648,8 @@ class Scheduler:
             if not req.token_ids_logprob or hb is None \
                     or hb.device_logits is None:
                 return
-            row = np.asarray(hb.device_logits[i], np.float32)
+            ri = int(hb.row_of_req[i]) if hb.row_of_req is not None else i
+            row = np.asarray(hb.device_logits[ri], np.float32)
             m_ = row.max()
             lse = m_ + np.log(np.exp(row - m_).sum())
             req.output_token_ids_logprobs.append(
@@ -676,7 +698,7 @@ class Scheduler:
                     if hb is not None and hb.hidden_states is not None:
                         req.embedding = hb.hidden_states[i].tolist()
                     req.finished_reason = FinishLength(0)
-                    self.tree_cache.cache_finished_req(req)
+                    self._tree_of(req).cache_finished_req(req)
                     req.cleaned = True
                     self._emit_embeddings([req])
                     continue
@@ -704,7 +726,7 @@ class Scheduler:
                 self.num_generated_tokens += 1
             req.check_finished(self.tokenizer)
             if req.is_finished():
-                self.tree_cache.cache_finished_req(req)
+                self._tree_of(req).cache_finished_req(req)
                 req.cleaned = True
                 finished.append(req)
                 self._recent_finished.append(
@@ -728,7 +750,7 @@ class Scheduler:
             # publish finished-chunk pages for cross-request sharing
             # (cache_unfinished_req moves the lock to the deeper node)
             if self.chunked_req is not None:
-                self.tree_cache.cache_unfinished_req(self.chunked_req)
+                self._tree_of(self.chunked_req).cache_unfinished_req(self.chunked_req)
             if self.eagle is not None:
                 self._eagle_after_extend(batch, hb)
         if finished:
@@ -784,7 +806,8 @@ class Scheduler:
         self.running_batch.reqs = [
             r for r in self.running_batch.reqs if id(r) not in ids]
         for r in moved:
-            r.release_pages(self.allocator, self.tree_cache)
+            r.release_pages(self.allocators[r.dp_rank],
+                            self.tree_caches[r.dp_rank])
             self.waiting_queue.append(r)
 
     def _eagle_after_extend(self, batch: ScheduleBatch, hb) -> None:
@@ -851,7 +874,7 @@ class Scheduler:
             req.finished_reason = DisaggHandoff()
         else:
             req.finished_reason = FinishAbort("kv transfer failed")
-        self.tree_cache.cache_finished_req(req)
+        self._tree_of(req).cache_finished_req(req)
         req.cleaned = True
         self._emit_output([req])
 
@@ -947,12 +970,14 @@ class Scheduler:
             self.kv_event_publisher.publish()
         self.step_count += 1
         if self.step_count % self.server_args.decode_log_interval == 0:
-            used = self.allocator.num_pages - self.allocator.free_pages
+            used = sum(a.num_pages - a.free_pages
+                       for a in self.allocators)
             logger.info(
                 "#running %d #waiting %d pages %d/%d cache-pages %d gen %d",
                 len(self.running_batch.reqs), len(self.waiting_queue),
-                used, self.allocator.num_pages,
-                self.tree_cache.evictable_pages(), self.num_generated_tokens,
+                used, sum(a.num_pages for a in self.allocators),
+                sum(t.evictable_pages() for t in self.tree_caches),
+                self.num_generated_tokens,
             )
 
     # --------------------------------------------------------------- loop
@@ -995,7 +1020,7 @@ class Scheduler:
             if self._can_chain(ib):
                 nb = ScheduleBatch(
                     list(ib.reqs), ForwardMode.DECODE,
-                    self.allocator, self.tree_cache, self.page_size,
+                    self.allocators, self.tree_caches, self.page_size,
                 )
                 hb = nb.prepare_for_decode(chain_from=ihb)
                 if hb is not None:
@@ -1135,13 +1160,16 @@ class Scheduler:
         every page is either free or owned by the radix cache."""
         self.drain()
         assert not self.has_work()
-        cached = self.tree_cache.total_cached_pages() \
-            if hasattr(self.tree_cache, "total_cached_pages") else 0
-        free = self.allocator.free_pages
-        total = self.allocator.num_pages
-        if free + cached != total:
-            raise AssertionError(
-                f"page leak: free={free} cached={cached} total={total}")
+        for rank, (alloc, tree) in enumerate(
+                zip(self.allocators, self.tree_caches)):
+            cached = tree.total_cached_pages() \
+                if hasattr(tree, "total_cached_pages") else 0
+            free = alloc.free_pages
+            total = alloc.num_pages
+            if free + cached != total:
+                raise AssertionError(
+                    f"page leak rank {rank}: free={free} "
+                    f"cached={cached} total={total}")
 
 
 def run_scheduler_process(server_args, port_args, pipe_writer=None):

@@ -80,6 +80,12 @@ class HostBatch:
     # (amortizes host->device dispatch latency; the relay RTT is ~24 ms)
     multi_steps: int = 1
     multi_tokens: Any = None        # np i32[B, N] all sampled tokens
+    # DP attention: per-seq attention-rank assignment (None = off)
+    dp_ranks: Any = None            # np i32[B] | None
+    # set by the runner in dp mode: padded placement maps (request order ->
+    # flat padded row / token positions)
+    row_of_req: Any = None          # np i64[B] | None
+    tok_of_req: Any = None          # np i64[sum q_lens] | None
     # set by the runner for the scheduler
     num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
@@ -98,9 +104,15 @@ class ModelRunner:
         self.mesh_ctx = mesh_ctx or make_mesh(server_args.tp_size, server_args.dp_size)
         self.page_size = server_args.page_size
         self.attn_backend = server_args.attention_backend
+        # DP attention: G = dp*tp attention ranks, each owning a private
+        # KV page space (reference --enable-dp-attention; SURVEY §2.3)
+        self.attn_dp = (
+            self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
+            if server_args.enable_dp_attention else 1)
 
         model_cls = resolve_model_cls(model_config)
         self.model = model_cls(model_config)
+        self.model.mesh = self.mesh_ctx.mesh
         if server_args.quantization and str(server_args.quantization).startswith("int4"):
             from iaas_sglang_tpu.quantization.qlinear import set_int4_impl
 
@@ -170,21 +182,30 @@ class ModelRunner:
                 total_tokens = 2 ** 16  # CPU/test default
             else:
                 total_tokens = int(avail // kv_bytes_per_token)
-        pages_per_layer = max(total_tokens // ps, 16)
+        G = self.attn_dp
+        pages_per_layer = max(total_tokens // G // ps, 16)
         # +1 garbage page per layer (write sink for padding lanes)
         self.pages_per_layer = pages_per_layer
-        self.num_usable_pages = pages_per_layer
-        shape = (c.num_layers * (pages_per_layer + 1), ps, ne, ed)
+        self.num_usable_pages = pages_per_layer  # per attention rank
         kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
-        sharding = self.mesh_ctx.sharding(*self.model.kv_shard_dims())
+        if G > 1:
+            # per-rank private page spaces, sharded over BOTH mesh axes:
+            # zero KV duplication (the DP-attention memory win for MLA)
+            shape = (G, c.num_layers * (pages_per_layer + 1), ps, ne, ed)
+            sharding = self.mesh_ctx.sharding(("dp", "tp"))
+        else:
+            shape = (c.num_layers * (pages_per_layer + 1), ps, ne, ed)
+            sharding = self.mesh_ctx.sharding(*self.model.kv_shard_dims())
         self.kv_pages = jax.device_put(
             jnp.zeros(shape, dtype=kv_dtype), sharding
         )
         self.max_pages_per_seq = cdiv(c.context_len, ps)
         gb = np.prod(shape) * 2 / 1e9
         logger.info(
-            "KV pool: %d pages/layer x %d tokens/page x %d layers = %d tokens (%.2f GB)",
-            pages_per_layer, ps, c.num_layers, pages_per_layer * ps, gb,
+            "KV pool: %d ranks x %d pages/layer x %d tokens/page x %d layers"
+            " = %d tokens (%.2f GB)",
+            G, pages_per_layer, ps, c.num_layers,
+            G * pages_per_layer * ps, gb,
         )
 
     def _profile_available_bytes(self) -> Optional[int]:
@@ -378,7 +399,10 @@ class ModelRunner:
                 self.params, self.kv_pages, fb, meta, pen, gmask, lora,
             )
         if plp is not None:
-            hb.prompt_logprobs = np.asarray(plp)[: len(hb.positions)]
+            plp_np = np.asarray(plp)
+            hb.prompt_logprobs = (plp_np[hb.tok_of_req]
+                                  if hb.tok_of_req is not None
+                                  else plp_np[: len(hb.positions)])
         hb.device_tokens = tokens
         hb.device_logits = logits
         hb.device_logprobs = (lp, topv, topi)
@@ -386,14 +410,22 @@ class ModelRunner:
             if hidden_tap == "verify":
                 hb.verify_hidden = np.asarray(hid)[:B]
             elif hidden_tap == "all":
-                hb.all_hidden = np.asarray(hid)[: len(hb.positions)]
+                hid_np = np.asarray(hid)
+                hb.all_hidden = (hid_np[hb.tok_of_req]
+                                 if hb.tok_of_req is not None
+                                 else hid_np[: len(hb.positions)])
             else:
-                hb.hidden_states = np.asarray(hid)[:B]
+                hid_np = np.asarray(hid)
+                hb.hidden_states = (hid_np[hb.row_of_req]
+                                    if hb.row_of_req is not None
+                                    else hid_np[:B])
         if not fetch:
             return None
         return self.fetch_tokens(hb)
 
     def _forward_multi(self, hb: HostBatch) -> np.ndarray:
+        assert self.attn_dp == 1, \
+            "multi-step decode is gated off under DP attention"
         fb, meta, B = self._pad_to_device(hb)
         hb.num_valid = B
         sampling_mode = (
@@ -436,13 +468,16 @@ class ModelRunner:
     def fetch_tokens(self, hb: HostBatch) -> np.ndarray:
         """Materialize the launched step's results on the host."""
         B = hb.num_valid
+        rows = hb.row_of_req  # DP attention: rank-major placement map
+        take = (lambda a: np.asarray(a)[rows]) if rows is not None \
+            else (lambda a: np.asarray(a)[:B])
         lp, topv, topi = hb.device_logprobs
         if lp is not None:
-            hb.token_logprobs = np.asarray(lp)[:B]
+            hb.token_logprobs = take(lp)
             if topv is not None:
-                hb.top_logprob_vals = np.asarray(topv)[:B]
-                hb.top_logprob_ids = np.asarray(topi)[:B]
-        return np.asarray(hb.device_tokens)[:B]
+                hb.top_logprob_vals = take(topv)
+                hb.top_logprob_ids = take(topi)
+        return take(hb.device_tokens)
 
     def _get_compiled(self, fb, meta, pen, gmask, lora, attn_mode,
                       logprob_top_k, return_hidden, verify_k,
@@ -493,8 +528,13 @@ class ModelRunner:
         # logits must stay DISALLOWED (0x00); row padding allows all (0xFF)
         nbytes_model = (self.model_config.vocab_size + 7) // 8
         out = np.zeros((B_pad, nbytes_model), dtype=np.uint8)
-        out[B:, :] = 0xFF
-        out[:B, :nbytes] = gm
+        if hb.row_of_req is not None:  # DP attention rank-major placement
+            out[:, :] = 0xFF
+            out[:, nbytes:] = 0
+            out[hb.row_of_req, :nbytes] = gm
+        else:
+            out[B:, :] = 0xFF
+            out[:B, :nbytes] = gm
         return jnp.asarray(out)
 
     def _pad_penalties(self, hb: HostBatch, B_pad: int):
@@ -506,14 +546,22 @@ class ModelRunner:
         K = pa["disallow_ids"].shape[1]
         Kb = pa["bias_ids"].shape[1]
 
+        rmap = hb.row_of_req  # DP attention: scatter rows to their rank slot
+
         def pad2(a, rows, cols, fill):
             out = np.full((rows, cols), fill, dtype=a.dtype)
-            out[: a.shape[0], : a.shape[1]] = a
+            if rmap is not None:
+                out[rmap, : a.shape[1]] = a
+            else:
+                out[: a.shape[0], : a.shape[1]] = a
             return out
 
         def pad1(a, rows, fill):
             out = np.full(rows, fill, dtype=a.dtype)
-            out[: len(a)] = a
+            if rmap is not None:
+                out[rmap] = a
+            else:
+                out[: len(a)] = a
             return out
 
         return PenaltyMetadata(
@@ -540,11 +588,120 @@ class ModelRunner:
             logits, self.kv_pages = self._all_logits_fn(
                 self.params, self.kv_pages, fb
             )
-        return np.asarray(logits)[:T]
+        logits_np = np.asarray(logits)
+        return (logits_np[hb.tok_of_req] if hb.tok_of_req is not None
+                else logits_np[:T])
 
     # ------------------------------------------------------------- padding
 
+    def _pad_to_device_dp(self, hb: HostBatch):
+        """DP-attention layout: rows/tokens grouped rank-major with EQUAL
+        per-rank padding (the padded rows are the reference's
+        ForwardMode.IDLE lockstep batches — one program covers all ranks).
+        page ids / KV slots are rank-LOCAL; placement maps (row_of_req /
+        tok_of_req) let result fetch restore request order."""
+        ps = self.page_size
+        G = self.attn_dp
+        B = len(hb.page_tables)
+        ranks = np.asarray(hb.dp_ranks, dtype=np.int64)
+        garbage_page = self.pages_per_layer  # per-rank-relative id
+        garbage_slot = garbage_page * ps
+        q_lens = hb.q_lens.astype(np.int64)
+        counts = np.bincount(ranks, minlength=G)
+        B_r = bucket_size(max(int(counts.max()), 1), self.decode_bs_buckets)
+        if hb.mode.is_decode():
+            T_r = B_r
+        else:
+            tok_counts = np.zeros(G, dtype=np.int64)
+            np.add.at(tok_counts, ranks, q_lens)
+            T_r = bucket_size(
+                max(int(tok_counts.max()), 1), self.prefill_token_buckets)
+        mp_needed = max((len(pt) for pt in hb.page_tables), default=1)
+        MP = bucket_size(mp_needed, self.mp_buckets)
+
+        input_ids = np.zeros(G * T_r, dtype=np.int32)
+        positions = np.zeros(G * T_r, dtype=np.int32)
+        out_slots = np.full(G * T_r, garbage_slot, dtype=np.int32)
+        page_indices = np.full((G, B_r, MP), garbage_page, dtype=np.int32)
+        kv_lens = np.zeros((G, B_r), dtype=np.int32)
+        cu = np.zeros((G, B_r + 1), dtype=np.int32)
+        last_token_idx = np.zeros(G * B_r, dtype=np.int32)
+        row_of_req = np.zeros(B, dtype=np.int64)
+        tok_of_req = np.zeros(int(q_lens.sum()), dtype=np.int64)
+        lp_targets_p = (np.zeros(G * T_r, dtype=np.int32)
+                        if hb.lp_targets is not None else None)
+
+        cu_req = np.zeros(B + 1, dtype=np.int64)
+        cu_req[1:] = np.cumsum(q_lens)
+        row_fill = np.zeros(G, dtype=np.int64)
+        tok_fill = np.zeros(G, dtype=np.int64)
+        for i in np.argsort(ranks, kind="stable"):
+            r = int(ranks[i])
+            j = int(row_fill[r]); row_fill[r] += 1
+            ql = int(q_lens[i])
+            t0 = int(tok_fill[r]); tok_fill[r] += ql
+            row_of_req[i] = r * B_r + j
+            src = slice(int(cu_req[i]), int(cu_req[i + 1]))
+            dst0 = r * T_r + t0
+            tok_of_req[src] = np.arange(dst0, dst0 + ql)
+            if hb.input_ids is not None:
+                input_ids[dst0 : dst0 + ql] = hb.input_ids[src]
+            positions[dst0 : dst0 + ql] = hb.positions[src]
+            out_slots[dst0 : dst0 + ql] = hb.out_slots[src]
+            if lp_targets_p is not None:
+                lp_targets_p[dst0 : dst0 + ql] = hb.lp_targets[src]
+            pt = hb.page_tables[i]
+            page_indices[r, j, : len(pt)] = pt
+            kv_lens[r, j] = hb.seq_lens[i]
+            cu[r, j + 1] = t0 + ql
+            last_token_idx[r * B_r + j] = dst0 + ql - 1
+        for r in range(G):
+            n = int(counts[r])
+            cu[r, n + 1 :] = cu[r, n]
+
+        hb.row_of_req = row_of_req
+        hb.tok_of_req = tok_of_req
+
+        def scatter1(vals, size, fill, dtype):
+            out = np.full(size, fill, dtype=dtype)
+            out[row_of_req] = vals
+            return out
+
+        Bp = G * B_r
+        fb = ForwardBatch(
+            lp_targets=jnp.asarray(lp_targets_p)
+            if lp_targets_p is not None else None,
+            input_ids=jnp.asarray(input_ids)
+            if hb.input_ids is not None else self._chain_tokens(hb, G * T_r),
+            positions=jnp.asarray(positions),
+            out_slots=jnp.asarray(out_slots),
+            page_indices=jnp.asarray(page_indices),
+            kv_lens=jnp.asarray(kv_lens),
+            cu_q_lens=jnp.asarray(cu),
+            num_seqs=jnp.asarray(counts.astype(np.int32)),
+            last_token_idx=jnp.asarray(last_token_idx),
+        )
+        meta = SamplingMetadata(
+            temperatures=jnp.asarray(scatter1(
+                hb.temperatures.astype(np.float32), Bp, 0.0, np.float32)),
+            top_ks=jnp.asarray(scatter1(
+                hb.top_ks.astype(np.int32), Bp, -1, np.int32)),
+            top_ps=jnp.asarray(scatter1(
+                hb.top_ps.astype(np.float32), Bp, 1.0, np.float32)),
+            min_ps=jnp.asarray(scatter1(
+                hb.min_ps.astype(np.float32), Bp, 0.0, np.float32)),
+            seeds=jnp.asarray(scatter1(
+                hb.seeds.astype(np.uint32), Bp, 0, np.uint32)),
+            steps=jnp.asarray(scatter1(
+                hb.steps.astype(np.int32), Bp, 0, np.int32)),
+        )
+        return fb, meta, B
+
     def _pad_to_device(self, hb: HostBatch):
+        if self.attn_dp > 1:
+            assert hb.verify_k == 0 and hb.lora_ids is None, \
+                "speculative verify / LoRA not supported with DP attention"
+            return self._pad_to_device_dp(hb)
         ps = self.page_size
         B = len(hb.page_tables)
         T = len(hb.positions)

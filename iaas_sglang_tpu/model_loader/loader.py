@@ -226,9 +226,21 @@ def _assemble_quant_one(getter, prefix: str, K: int, N: int, method: str):
 
 
 def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
-              getter) -> Dict[str, np.ndarray]:
+              raw_getter) -> Dict[str, np.ndarray]:
     dt = _np_dtype(config.dtype)
     out: Dict[str, np.ndarray] = {}
+
+    def getter(key: str) -> np.ndarray:
+        # '|'-separated alternates: transformers renamed VLM tower prefixes
+        # across versions (e.g. 'model.vision_tower.' vs 'vision_tower.')
+        cands = key.split("|")
+        for cand in cands:
+            try:
+                return raw_getter(cand)
+            except KeyError:
+                continue
+        raise KeyError(f"checkpoint missing tensor (tried {cands})")
+
     for name, spec in specs.items():
         if spec.hf_key is None:
             continue

@@ -33,7 +33,12 @@ from iaas_sglang_tpu.layers.rotary import (apply_rope_interleaved,
                                             rope_attention_factor)
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
 from iaas_sglang_tpu.models.llama_family import WeightSpec
-from iaas_sglang_tpu.ops.attention import mla_paged_attention, write_kv_entries
+from iaas_sglang_tpu.ops.attention import (
+    dp_mla_paged_attention,
+    dp_write_kv_entries,
+    mla_paged_attention,
+    write_kv_entries,
+)
 from iaas_sglang_tpu.ops.moe import combine_weights, deepseek_route, dense_expert_mix
 from iaas_sglang_tpu.quantization.qlinear import qmatmul
 
@@ -197,8 +202,12 @@ class DeepseekFamilyForCausalLM:
         Nq = c.num_heads
         dn, dr, dv = c.qk_nope_head_dim, c.qk_rope_head_dim, c.v_head_dim
         lora_rank = c.kv_lora_rank
-        pages_per_layer = kv_pages.shape[0] // L
-        ps = kv_pages.shape[1]
+        # DP attention (the natural multi-chip mode for MLA: the single
+        # latent head cannot shard over tp, so KV shards over attention
+        # ranks instead — pool [G, L*(P+1), ps, 1, Dk])
+        dp_attn = kv_pages.ndim == 5
+        pages_per_layer = kv_pages.shape[-4] // L
+        ps = kv_pages.shape[-3]
 
         hidden = params["embed"][fb.input_ids]  # [T, H]
         T = hidden.shape[0]
@@ -238,13 +247,23 @@ class DeepseekFamilyForCausalLM:
                 [jnp.zeros((T, 1, pad), c_kv.dtype)] if pad else []), axis=-1)
             slot_off = layer_idx * pages_per_layer * ps
             page_off = layer_idx * pages_per_layer
-            kv = write_kv_entries(kv, fb.out_slots + slot_off, entry)
-            ctx = mla_paged_attention(
-                q_full, kv, fb.kv_lens, fb.page_indices + page_off,
-                fb.cu_q_lens, fb.num_seqs,
-                sm_scale=self.sm_scale, v_dim=lora_rank,
-                backend=attn_backend, mode=attn_mode,
-            )                                           # [T, Nq, lora]
+            if dp_attn:
+                kv = dp_write_kv_entries(
+                    kv, fb.out_slots + slot_off, entry, mesh=self.mesh)
+                ctx = dp_mla_paged_attention(
+                    q_full, kv, fb.kv_lens, fb.page_indices + page_off,
+                    fb.cu_q_lens, fb.num_seqs, mesh=self.mesh,
+                    sm_scale=self.sm_scale, v_dim=lora_rank,
+                    backend=attn_backend, mode=attn_mode,
+                )
+            else:
+                kv = write_kv_entries(kv, fb.out_slots + slot_off, entry)
+                ctx = mla_paged_attention(
+                    q_full, kv, fb.kv_lens, fb.page_indices + page_off,
+                    fb.cu_q_lens, fb.num_seqs,
+                    sm_scale=self.sm_scale, v_dim=lora_rank,
+                    backend=attn_backend, mode=attn_mode,
+                )                                       # [T, Nq, lora]
             attn = jnp.einsum("tnl,lnd->tnd",
                               ctx.astype(jnp.float32),
                               w_vc.astype(jnp.float32)).astype(h.dtype)

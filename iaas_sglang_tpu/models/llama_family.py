@@ -26,7 +26,12 @@ from iaas_sglang_tpu.layers.norms import rms_norm
 from iaas_sglang_tpu.layers.rotary import (apply_rope, compute_inv_freq,
                                             rope_attention_factor)
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
-from iaas_sglang_tpu.ops.attention import paged_attention, write_kv_pages
+from iaas_sglang_tpu.ops.attention import (
+    dp_paged_attention,
+    dp_write_kv_pages,
+    paged_attention,
+    write_kv_pages,
+)
 from iaas_sglang_tpu.quantization.qlinear import qmatmul
 
 
@@ -207,8 +212,11 @@ class LlamaFamilyForCausalLM:
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
         L = c.num_layers
-        pages_per_layer = kv_pages.shape[0] // L
-        ps = kv_pages.shape[1]
+        # DP attention: the pool carries a leading attention-rank dim
+        # [G, L*(P+1), ps, 2Nk, D] and batch metadata is rank-stacked
+        dp_attn = kv_pages.ndim == 5
+        pages_per_layer = kv_pages.shape[-4] // L
+        ps = kv_pages.shape[-3]
 
         hidden = params["embed"][fb.input_ids]  # [T, H]
         lora_onehot = None
@@ -269,16 +277,29 @@ class LlamaFamilyForCausalLM:
                 window = c.sliding_window
             slot_off = layer_idx * pages_per_layer * ps
             page_off = layer_idx * pages_per_layer
-            kv = write_kv_pages(kv, fb.out_slots + slot_off, k, v)
-            attn = paged_attention(
-                q, kv, fb.kv_lens, fb.page_indices + page_off,
-                fb.cu_q_lens, fb.num_seqs,
-                sm_scale=self.sm_scale,
-                sliding_window=window,
-                logit_softcap=c.attn_logit_softcap,
-                backend=attn_backend,
-                mode=attn_mode,
-            )
+            if dp_attn:
+                kv = dp_write_kv_pages(
+                    kv, fb.out_slots + slot_off, k, v, mesh=self.mesh)
+                attn = dp_paged_attention(
+                    q, kv, fb.kv_lens, fb.page_indices + page_off,
+                    fb.cu_q_lens, fb.num_seqs, mesh=self.mesh,
+                    sm_scale=self.sm_scale,
+                    sliding_window=window,
+                    logit_softcap=c.attn_logit_softcap,
+                    backend=attn_backend,
+                    mode=attn_mode,
+                )
+            else:
+                kv = write_kv_pages(kv, fb.out_slots + slot_off, k, v)
+                attn = paged_attention(
+                    q, kv, fb.kv_lens, fb.page_indices + page_off,
+                    fb.cu_q_lens, fb.num_seqs,
+                    sm_scale=self.sm_scale,
+                    sliding_window=window,
+                    logit_softcap=c.attn_logit_softcap,
+                    backend=attn_backend,
+                    mode=attn_mode,
+                )
             attn_flat = attn.reshape(T, c.num_heads * c.head_dim)
             attn_out = qmatmul(attn_flat, lp["wo"])
             if lora_onehot is not None:

@@ -1,0 +1,159 @@
+"""Vision encoders for VLM serving (TPU re-design of the reference's
+ViT attention stack, srt/layers/attention/vision.py + the per-model vision
+towers in srt/models/llava.py / qwen2_vl.py).
+
+Design: the tower is a pure function over stacked per-layer weights
+(lax.scan, like the LMs) operating on a BATCH of images at once
+[N, P, D] — patch counts are static per (image-size) compile bucket, so
+XLA tiles the whole tower onto the MXU with zero dynamic shapes. Vision
+weights are small relative to the LM and are replicated across the mesh
+(no TP): encode cost is amortized by the multimodal embedding cache.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iaas_sglang_tpu.models.llama_family import WeightSpec
+
+
+def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+               eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * w + b).astype(x.dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return quick_gelu
+    if "gelu" in name:
+        return lambda x: jax.nn.gelu(x, approximate=("tanh" in name))
+    return jax.nn.silu
+
+
+# ------------------------------------------------------------------- CLIP
+
+
+class ClipVisionConfig:
+    def __init__(self, vc: dict[str, Any]):
+        self.hidden_size = vc.get("hidden_size", 1024)
+        self.intermediate_size = vc.get("intermediate_size", 4096)
+        self.num_layers = vc.get("num_hidden_layers", 24)
+        self.num_heads = vc.get("num_attention_heads", 16)
+        self.image_size = vc.get("image_size", 336)
+        self.patch_size = vc.get("patch_size", 14)
+        self.hidden_act = vc.get("hidden_act", "quick_gelu")
+        self.layer_norm_eps = vc.get("layer_norm_eps", 1e-5)
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+
+
+def clip_vision_specs(vc: ClipVisionConfig, key_prefix: str
+                      ) -> dict[str, WeightSpec]:
+    """WeightSpecs of a CLIP vision tower. `key_prefix` is the HF key prefix
+    up to (and incl.) 'vision_model.'; alternates separated by '|' are tried
+    in order by the loader (transformers >=4.52 nests towers under 'model.')."""
+    Hv, Iv, Nh = vc.hidden_size, vc.intermediate_size, vc.num_heads
+    L = vc.num_layers
+    P = vc.num_patches
+    p = vc.patch_size
+
+    def k(suffix: str) -> str:
+        return "|".join(pref + suffix for pref in key_prefix.split("|"))
+
+    lk = "encoder.layers.{l}."
+    s: dict[str, WeightSpec] = {
+        "vt.class_emb": WeightSpec((Hv,), (None,), k("embeddings.class_embedding")),
+        # conv [Hv, 3, p, p] -> matmul over flattened (c, i, j) patches
+        "vt.patch_w": WeightSpec(
+            (3 * p * p, Hv), (None, None), k("embeddings.patch_embedding.weight")),
+        "vt.pos_emb": WeightSpec(
+            (P + 1, Hv), (None, None), k("embeddings.position_embedding.weight")),
+        "vt.pre_ln_w": WeightSpec((Hv,), (None,), k("pre_layrnorm.weight")),
+        "vt.pre_ln_b": WeightSpec((Hv,), (None,), k("pre_layrnorm.bias")),
+    }
+    per_layer = {
+        "ln1_w": ("layer_norm1.weight", (Hv,), False),
+        "ln1_b": ("layer_norm1.bias", (Hv,), False),
+        "ln2_w": ("layer_norm2.weight", (Hv,), False),
+        "ln2_b": ("layer_norm2.bias", (Hv,), False),
+        "wq": ("self_attn.q_proj.weight", (Hv, Hv), True),
+        "bq": ("self_attn.q_proj.bias", (Hv,), False),
+        "wk": ("self_attn.k_proj.weight", (Hv, Hv), True),
+        "bk": ("self_attn.k_proj.bias", (Hv,), False),
+        "wv": ("self_attn.v_proj.weight", (Hv, Hv), True),
+        "bv": ("self_attn.v_proj.bias", (Hv,), False),
+        "wo": ("self_attn.out_proj.weight", (Hv, Hv), True),
+        "bo": ("self_attn.out_proj.bias", (Hv,), False),
+        "w1": ("mlp.fc1.weight", (Hv, Iv), True),
+        "b1": ("mlp.fc1.bias", (Iv,), False),
+        "w2": ("mlp.fc2.weight", (Iv, Hv), True),
+        "b2": ("mlp.fc2.bias", (Hv,), False),
+    }
+    for name, (suffix, shape, tr) in per_layer.items():
+        s[f"vt_layers.{name}"] = WeightSpec(
+            shape, tuple(None for _ in shape), k(lk + suffix),
+            transpose=tr, stacked=True, num_stack=L)
+    return s
+
+
+def clip_patchify(pixel_values: np.ndarray, patch: int) -> np.ndarray:
+    """[N, 3, S, S] -> [N, (S/p)^2, 3*p*p] flattened in conv (c, i, j) order."""
+    N, C, S, _ = pixel_values.shape
+    g = S // patch
+    x = pixel_values.reshape(N, C, g, patch, g, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)          # [N, gh, gw, C, p, p]
+    return x.reshape(N, g * g, C * patch * patch)
+
+
+def clip_encode(params: dict[str, Any], patches: jnp.ndarray,
+                vc: ClipVisionConfig, feature_layer: int) -> jnp.ndarray:
+    """patches [N, P, 3*p*p] -> features [N, P+1, Hv] taken after encoder
+    layer `feature_layer` (negative = from the end, llava's -2 skips the
+    last layer; CLS kept — the caller selects)."""
+    Hv, Nh = vc.hidden_size, vc.num_heads
+    Dh = Hv // Nh
+    N, P, _ = patches.shape
+
+    emb = patches @ params["vt.patch_w"]                     # [N, P, Hv]
+    cls = jnp.broadcast_to(params["vt.class_emb"], (N, 1, Hv)).astype(emb.dtype)
+    h = jnp.concatenate([cls, emb], axis=1) + params["vt.pos_emb"][None]
+    h = layer_norm(h, params["vt.pre_ln_w"], params["vt.pre_ln_b"],
+                   vc.layer_norm_eps)
+
+    n_run = feature_layer + vc.num_layers + 1 if feature_layer < 0 \
+        else feature_layer + 1
+    act = _act(vc.hidden_act)
+    scale = Dh ** -0.5
+
+    def body(carry, lp):
+        x = carry
+        r = layer_norm(x, lp["ln1_w"], lp["ln1_b"], vc.layer_norm_eps)
+        q = (r @ lp["wq"] + lp["bq"]).reshape(N, -1, Nh, Dh)
+        k_ = (r @ lp["wk"] + lp["bk"]).reshape(N, -1, Nh, Dh)
+        v = (r @ lp["wv"] + lp["bv"]).reshape(N, -1, Nh, Dh)
+        s = jnp.einsum("bqnd,bknd->bnqk", q.astype(jnp.float32),
+                       k_.astype(jnp.float32)) * scale
+        a = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", a, v.astype(jnp.float32))
+        ctx = ctx.reshape(N, -1, Hv).astype(x.dtype)
+        x = x + (ctx @ lp["wo"] + lp["bo"])
+        r2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], vc.layer_norm_eps)
+        x = x + (act(r2 @ lp["w1"] + lp["b1"]) @ lp["w2"] + lp["b2"])
+        return x, None
+
+    lp_all = jax.tree.map(lambda a: a[:n_run], params["vt_layers"])
+    h, _ = jax.lax.scan(body, h, lp_all)
+    return h

@@ -220,6 +220,122 @@ def mla_paged_attention(
     return out.astype(q.dtype)
 
 
+# --------------------------------------------------------- DP attention
+#
+# TPU re-design of the reference's DP attention (layers/dp_attention.py:61,
+# scheduler.py:1821 prepare_mlp_sync_batch): attention runs batch-parallel
+# with UNSPLIT heads across all G = dp*tp mesh devices; each device owns a
+# private KV page space (leading rank dim on the pool, sharded over both
+# axes) and only its own rows. shard_map over ('dp','tp') makes every
+# gather/scatter/kernel purely shard-local — the dp_gather before the
+# TP FFN is the all-gather GSPMD inserts right after (the hidden states
+# leave the shard_map dp-sharded on tokens and meet tp-sharded weights).
+# The reference's IDLE lockstep batches are per-rank padding rows here.
+
+_DP_AXES = ("dp", "tp")
+
+
+def _dp_shard_map(fn, mesh, n_in: int):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(_DP_AXES)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(spec for _ in range(n_in)),
+        out_specs=spec,
+    )
+
+
+def dp_paged_attention(
+    q: jnp.ndarray,            # [T, Nq, D], T = G * T_r rank-major
+    kv_pages: jnp.ndarray,     # [G, NP, ps, 2*Nk, D] rank-private page spaces
+    kv_lens: jnp.ndarray,      # i32[G, B_r]
+    page_indices: jnp.ndarray, # i32[G, B_r, MP] rank-LOCAL page ids
+    cu_q_lens: jnp.ndarray,    # i32[G, B_r+1] rank-local prefix sums
+    num_seqs: jnp.ndarray,     # i32[G]
+    *,
+    mesh,
+    **kwargs,
+) -> jnp.ndarray:
+    G = page_indices.shape[0]
+    T, Nq, D = q.shape
+
+    def local(qs, kvs, kls, pis, cqs, nss):
+        out = paged_attention(
+            qs[0], kvs[0], kls[0], pis[0], cqs[0], nss[0], **kwargs)
+        return out[None]
+
+    out = _dp_shard_map(local, mesh, 6)(
+        q.reshape(G, T // G, Nq, D), kv_pages, kv_lens, page_indices,
+        cu_q_lens, num_seqs)
+    return out.reshape(T, Nq, D)
+
+
+def dp_mla_paged_attention(
+    q: jnp.ndarray,            # [T, Nq, Dk]
+    kv_pages: jnp.ndarray,     # [G, NP, ps, 1, Dk]
+    kv_lens: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    cu_q_lens: jnp.ndarray,
+    num_seqs: jnp.ndarray,
+    *,
+    mesh,
+    v_dim: int,
+    **kwargs,
+) -> jnp.ndarray:
+    G = page_indices.shape[0]
+    T, Nq, Dk = q.shape
+
+    def local(qs, kvs, kls, pis, cqs, nss):
+        out = mla_paged_attention(
+            qs[0], kvs[0], kls[0], pis[0], cqs[0], nss[0],
+            v_dim=v_dim, **kwargs)
+        return out[None]
+
+    out = _dp_shard_map(local, mesh, 6)(
+        q.reshape(G, T // G, Nq, Dk), kv_pages, kv_lens, page_indices,
+        cu_q_lens, num_seqs)
+    return out.reshape(T, Nq, v_dim)
+
+
+def dp_write_kv_entries(
+    kv_pages: jnp.ndarray,   # [G, NP, ps, NE, D]
+    out_slots: jnp.ndarray,  # i32[T] rank-LOCAL slots, T = G * T_r
+    entries: jnp.ndarray,    # [T, NE, D]
+    *,
+    mesh,
+) -> jnp.ndarray:
+    G = kv_pages.shape[0]
+    T, NE, D = entries.shape
+
+    def local(kvs, slots, ents):
+        return write_kv_entries(kvs[0], slots[0], ents[0])[None]
+
+    return _dp_shard_map(local, mesh, 3)(
+        kv_pages, out_slots.reshape(G, T // G),
+        entries.reshape(G, T // G, NE, D))
+
+
+def dp_write_kv_pages(
+    kv_pages: jnp.ndarray,   # [G, NP, ps, 2*Nk, D]
+    out_slots: jnp.ndarray,  # i32[T] rank-LOCAL slots
+    k: jnp.ndarray,          # [T, Nk, D]
+    v: jnp.ndarray,          # [T, Nk, D]
+    *,
+    mesh,
+) -> jnp.ndarray:
+    G = kv_pages.shape[0]
+    T, Nk, D = k.shape
+
+    def local(kvs, slots, ks, vs):
+        return write_kv_pages(kvs[0], slots[0], ks[0], vs[0])[None]
+
+    return _dp_shard_map(local, mesh, 4)(
+        kv_pages, out_slots.reshape(G, T // G),
+        k.reshape(G, T // G, Nk, D), v.reshape(G, T // G, Nk, D))
+
+
 def write_kv_entries(
     kv_pages: jnp.ndarray,   # [NP, ps, NE, D] flat page space
     out_slots: jnp.ndarray,  # i32[T] flat slot = page*ps + offset

@@ -80,6 +80,15 @@ class ServerArgs:
     # shard experts over the tp mesh axis when > 1 (shard_map EP; reference
     # --ep-size, layers/moe/ep_moe). Must equal tp_size.
     ep_size: int = 1
+    # DP attention (reference --enable-dp-attention, layers/dp_attention.py):
+    # attention runs batch-parallel with UNSPLIT heads over every mesh device
+    # (attn_dp = tp_size * dp_size ranks) while FFN/MoE stays TP/EP over the
+    # full mesh. KV pages shard over the attention ranks — zero KV
+    # duplication, the point of DP attention for MLA models whose single
+    # latent head cannot shard over tp. Padded per-rank rows replace the
+    # reference's ForwardMode.IDLE lockstep batches (single controller: one
+    # program covers all ranks, idle ranks are just padding).
+    enable_dp_attention: bool = False
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None
@@ -139,6 +148,18 @@ class ServerArgs:
             self.attention_backend = "pallas" if self.device == "tpu" else "jnp"
         if self.page_size < 1:
             raise ValueError("page_size must be >= 1")
+        if self.enable_dp_attention:
+            if self.enable_hierarchical_cache:
+                raise ValueError(
+                    "enable_dp_attention is incompatible with "
+                    "enable_hierarchical_cache (per-rank page spaces)")
+            if self.disaggregation_mode != "none":
+                raise ValueError(
+                    "enable_dp_attention is incompatible with "
+                    "PD disaggregation in this round")
+            if self.enable_lora:
+                raise ValueError(
+                    "enable_dp_attention is incompatible with LoRA batching")
 
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:

@@ -1,0 +1,150 @@
+"""DP attention (reference --enable-dp-attention, layers/dp_attention.py:61):
+attention runs batch-parallel with UNSPLIT heads over all dp*tp attention
+ranks, each owning a private KV page space; FFN/MoE stays TP/EP over the
+full mesh. Every feature ships with a greedy-parity test (CLAUDE.md
+convention): dp-attention ON must match OFF token-for-token.
+
+Runs on the 8-virtual-device CPU mesh (run_tests.sh)."""
+
+import numpy as np
+import pytest
+
+from iaas_sglang_tpu.entrypoints.engine import Engine
+from iaas_sglang_tpu.server_args import ServerArgs
+
+TINY_QWEN = dict(
+    architectures=["Qwen2ForCausalLM"], model_type="qwen2",
+    num_hidden_layers=2, hidden_size=64, num_attention_heads=8,
+    num_key_value_heads=4, intermediate_size=128, vocab_size=512,
+    rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=1024,
+    tie_word_embeddings=True,
+)
+
+TINY_DSV3 = dict(
+    architectures=["DeepseekV3ForCausalLM"], model_type="deepseek_v3",
+    num_hidden_layers=3, hidden_size=64, num_attention_heads=4,
+    num_key_value_heads=4, intermediate_size=96, vocab_size=256,
+    rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=512,
+    tie_word_embeddings=False, q_lora_rank=24, kv_lora_rank=16,
+    qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+    n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+    moe_intermediate_size=32, first_k_dense_replace=1,
+    routed_scaling_factor=2.5, n_group=2, topk_group=1, norm_topk_prob=True,
+)
+
+PROMPTS = [[1, 2, 3] * 7, [5, 6] * 9, [1, 2, 3] * 7 + [9, 8], [7] * 5,
+           [11, 12, 13, 14] * 4]
+
+
+def _args(**kw):
+    base = dict(model_path="dummy://t", load_format="dummy", page_size=4,
+                max_total_tokens=8192, skip_tokenizer_init=True,
+                chunked_prefill_size=16, random_seed=0)
+    base.update(kw)
+    return ServerArgs(**base)
+
+
+def _gen(eng, prompts, sp, **kw):
+    # fixed rids: the per-request RNG seed derives from hash(rid), so
+    # cross-engine sampling parity needs identical request ids
+    rids = [f"parity-{i}" for i in range(len(prompts))]
+    return [o["output_ids"]
+            for o in eng.generate(input_ids=prompts, sampling_params=sp,
+                                  rid=rids, **kw)]
+
+
+@pytest.fixture(scope="module")
+def baseline_qwen():
+    eng = Engine(_args(), hf_config_override=TINY_QWEN)
+    yield eng
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def dp_qwen():
+    eng = Engine(_args(tp_size=2, dp_size=2, enable_dp_attention=True),
+                 hf_config_override=TINY_QWEN)
+    yield eng
+    eng.shutdown()
+
+
+def test_greedy_parity_dense(baseline_qwen, dp_qwen):
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    assert _gen(dp_qwen, PROMPTS, sp) == _gen(baseline_qwen, PROMPTS, sp)
+
+
+def test_sampling_rank_placement_independence(dp_qwen):
+    """Seeded top-k/top-p sampling must not depend on which attention rank
+    or padded row a request lands on: per-request RNG streams are keyed by
+    (seed, step). Submitting the batch in reverse order shuffles rank
+    assignment and row placement; per-rid outputs must be identical.
+    (Cross-sharding token equality vs the tp=1 baseline is NOT asserted:
+    a different GSPMD partitioning changes f32 reduction order, which can
+    legitimately flip a categorical sample on near-uniform dummy logits.)"""
+    sp = {"max_new_tokens": 8, "temperature": 0.8, "top_k": 20, "top_p": 0.9}
+    rids = [f"s-{i}" for i in range(len(PROMPTS))]
+    a = dp_qwen.generate(input_ids=PROMPTS, sampling_params=sp, rid=rids)
+    b = dp_qwen.generate(input_ids=PROMPTS[::-1], sampling_params=sp,
+                         rid=rids[::-1])
+    assert [o["output_ids"] for o in a] == [o["output_ids"]
+                                            for o in b[::-1]]
+
+
+def test_penalties_and_logprobs_parity(baseline_qwen, dp_qwen):
+    """Penalty rows and logprob fetch must respect the rank-major row map."""
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "frequency_penalty": 0.5}
+    kw = dict(sampling_params=sp, return_logprob=True, top_logprobs_num=2,
+              rid=[f"lp-{i}" for i in range(3)])
+    a = baseline_qwen.generate(input_ids=PROMPTS[:3], **kw)
+    b = dp_qwen.generate(input_ids=PROMPTS[:3], **kw)
+    for x, y in zip(a, b):
+        assert x["output_ids"] == y["output_ids"]
+        # logprob values drift ~1e-3 between layouts (tp-sharded matmuls
+        # change f32 reduction order); token choice must be identical
+        np.testing.assert_allclose(
+            x["meta_info"]["output_token_logprobs"],
+            y["meta_info"]["output_token_logprobs"], atol=2e-2)
+
+
+def test_greedy_parity_mla_ep():
+    """The headline DP-attention case: MLA (DeepSeek) whose single latent
+    head cannot shard over tp — KV shards over all 8 attention ranks,
+    MoE runs EP over tp."""
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    eng0 = Engine(_args(), hf_config_override=TINY_DSV3)
+    base = _gen(eng0, PROMPTS, sp)
+    eng0.shutdown()
+    eng1 = Engine(_args(tp_size=4, dp_size=2, ep_size=4,
+                        enable_dp_attention=True),
+                  hf_config_override=TINY_DSV3)
+    assert _gen(eng1, PROMPTS, sp) == base
+    # per-rank radix reuse: repeat must hit the cache and stay identical
+    outs = eng1.generate(input_ids=PROMPTS,
+                         sampling_params=sp)
+    assert [o["output_ids"] for o in outs] == base
+    assert any(o["meta_info"]["cached_tokens"] > 0 for o in outs)
+    st = eng1.get_internal_state()
+    assert st["free_pages"] + st["evictable_pages"] == st["total_pages"]
+    eng1.shutdown()
+
+
+def test_retraction_under_pressure():
+    """Tiny per-rank pools force retraction; every request still finishes
+    and pages balance across all rank allocators afterwards."""
+    sp = {"max_new_tokens": 24, "temperature": 0.0, "ignore_eos": True}
+    eng = Engine(_args(tp_size=2, dp_size=2, enable_dp_attention=True,
+                       max_total_tokens=512, max_running_requests=16),
+                 hf_config_override=TINY_QWEN)
+    prompts = [[i + 1] * 48 for i in range(12)]
+    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    assert all(len(o["output_ids"]) == 24 for o in outs)
+    st = eng.get_internal_state()
+    assert st["free_pages"] + st["evictable_pages"] == st["total_pages"]
+    eng.shutdown()
+
+
+def test_incompatible_flags_rejected():
+    with pytest.raises(ValueError):
+        _args(enable_dp_attention=True, enable_hierarchical_cache=True)
+    with pytest.raises(ValueError):
+        _args(enable_dp_attention=True, disaggregation_mode="prefill")
