@@ -69,6 +69,15 @@ class ModelConfig:
     # pre-quantized checkpoint (hf quantization_config): "awq" | None
     ckpt_quant_method: Optional[str] = None
     ckpt_quant_group: int = 128
+    # Multimodal (VLM) fields — vision_config not None marks a VLM
+    # (analog of srt/configs/model_config.py is_multimodal detection)
+    vision_config: Optional[dict[str, Any]] = None
+    image_token_id: Optional[int] = None
+    vision_feature_layer: int = -2
+    vision_feature_select_strategy: str = "default"
+    mm_projector_act: str = "gelu"
+    # Qwen2-VL MRope: rope section sizes for (temporal, h, w)
+    mrope_section: Optional[list[int]] = None
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -84,6 +93,24 @@ class ModelConfig:
                 context_length: Optional[int] = None,
                 dtype: str = "auto") -> "ModelConfig":
         get = hf.get
+        if get("model_type") in ("llava",):
+            # VLM wrapper config: LM geometry lives in text_config; the
+            # outer config carries the vision tower + token plumbing
+            inner = dict(hf.get("text_config") or {})
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "LlavaForConditionalGeneration"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_index",
+                                    get("image_token_id", 32000))
+            mc.vision_feature_layer = get("vision_feature_layer", -2)
+            mc.vision_feature_select_strategy = get(
+                "vision_feature_select_strategy", "default")
+            mc.mm_projector_act = get("projector_hidden_act", "gelu")
+            return mc
         num_heads = get("num_attention_heads", 0)
         hidden = get("hidden_size", 0)
         head_dim = get("head_dim") or (hidden // num_heads if num_heads else 0)
@@ -190,6 +217,10 @@ class ModelConfig:
     @property
     def is_mla(self) -> bool:
         return self.kv_lora_rank > 0
+
+    @property
+    def is_multimodal(self) -> bool:
+        return self.vision_config is not None
 
 
 def _probe_context_len(hf: dict[str, Any]) -> int:

@@ -165,6 +165,7 @@ async def handle_generate(request: web.Request) -> web.StreamResponse:
         session_id=body.get("session_id"),
         disagg_decode_url=body.get("disagg_decode_url"),
         lora_path=body.get("lora_path"),
+        image_data=body.get("image_data"),
     )
     tm = state.tokenizer_manager
 
@@ -323,6 +324,22 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
          if k in ("role", "content")}
         for m in req.messages
     ]
+    # multimodal content parts: extract image_url payloads, flatten the
+    # message content to its text parts (the MultimodalProcessor inserts
+    # the image spans; reference: serving_chat image handling)
+    image_data = []
+    for m in msgs:
+        c = m.get("content")
+        if isinstance(c, list):
+            texts = []
+            for part in c:
+                if part.get("type") == "image_url":
+                    url = part.get("image_url")
+                    image_data.append(
+                        url.get("url") if isinstance(url, dict) else url)
+                elif part.get("type") == "text":
+                    texts.append(part.get("text", ""))
+            m["content"] = "\n".join(texts)
     template_kwargs = {}
     if req.tools:
         template_kwargs["tools"] = [t.model_dump() for t in req.tools]
@@ -341,6 +358,7 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         input_ids=list(prompt_ids),
         sampling_params=req.to_sampling_params(),
         stream=req.stream,
+        image_data=image_data or None,
     )
     model = req.model or state.server_args.served_model_name
 

@@ -32,6 +32,9 @@ class GenerateReqInput:
     disagg_decode_url: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
+    # multimodal: one image (or list per placeholder) per request; batched
+    # requests pass a list of per-request payloads
+    image_data: Optional[Any] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -60,6 +63,8 @@ class GenerateReqInput:
             else:
                 text, ids, sp = self.text, self.input_ids, self.sampling_params
                 rid = self.rid if isinstance(self.rid, str) else None
+            img = (self.image_data[i] if (self.is_batch()
+                   and isinstance(self.image_data, list)) else self.image_data)
             out.append(
                 GenerateReqInput(
                     rid=rid or uuid.uuid4().hex,
@@ -74,6 +79,7 @@ class GenerateReqInput:
                     disagg_decode_url=self.disagg_decode_url,
                     session_id=self.session_id,
                     lora_path=self.lora_path,
+                    image_data=img,
                 )
             )
         return out
@@ -97,6 +103,9 @@ class TokenizedGenerateReqInput:
     disagg_decode_url: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
+    # multimodal items (hash + preprocessed pixels + token span); the
+    # input_ids already carry hash-derived pseudo ids over the image spans
+    mm_items: Optional[list] = None
 
 
 @dataclass

@@ -104,6 +104,7 @@ class Req:
         self.is_embedding = False    # prefill-only pooled-hidden request
         self.disagg_decode_url = None  # PD: hand off after prefill
         self.lora_slot = 0           # multi-LoRA adapter slot (0 = none)
+        self.mm_items = []           # multimodal items (hash, offset, pixels)
         self.embedding = None        # filled for embedding requests
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[list] = []

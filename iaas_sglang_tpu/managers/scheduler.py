@@ -243,6 +243,7 @@ class Scheduler:
             req.grammar = self.grammar_backend.get_grammar(
                 regex=sp.regex, json_schema=sp.json_schema, ebnf=sp.ebnf)
         req.logprob_start_len = m.logprob_start_len
+        req.mm_items = m.mm_items or []
         req.disagg_decode_url = m.disagg_decode_url
         req.session_id = m.session_id
         if m.lora_path and self.model_runner.lora_manager is not None:
@@ -609,9 +610,52 @@ class Scheduler:
             finished + [r for r in batch.reqs
                         if r.stream and not r.is_finished()])
 
+    def _attach_mm(self, batch: ScheduleBatch, hb) -> None:
+        """Attach this chunk's vision-embedding rows (analog of the
+        reference's mm embedding merge in prepare_for_extend): for every
+        image span overlapping [fill, fill+extend), look up / encode the
+        projected embedding and record chunk-relative token positions."""
+        if not any(r.mm_items for r in batch.reqs):
+            return
+        if not hasattr(self, "mm_cache"):
+            from iaas_sglang_tpu.mem_cache.multimodal_cache import (
+                MultiModalCache,
+            )
+
+            self.mm_cache = MultiModalCache()
+        # batch-encode all cache misses in one vision-tower call
+        misses = []
+        for r in batch.reqs:
+            for it in r.mm_items:
+                if self.mm_cache.get(it.hash) is None:
+                    misses.append(it)
+        if misses:
+            uniq = {it.hash: it for it in misses}
+            items = list(uniq.values())
+            embs = self.model_runner.encode_images(
+                np.stack([it.pixel for it in items]))
+            for it, e in zip(items, embs):
+                self.mm_cache.put(it.hash, e)
+        pos_l, emb_l = [], []
+        cu = 0
+        for r in batch.reqs:
+            f0, f1 = r.fill_len, r.fill_len + r.extend_len
+            for it in r.mm_items:
+                s, e = max(it.offset, f0), min(it.offset + it.num_tokens, f1)
+                if s < e:
+                    emb = self.mm_cache.get(it.hash)
+                    emb_l.append(emb[s - it.offset : e - it.offset])
+                    pos_l.append(np.arange(cu + s - f0, cu + e - f0,
+                                           dtype=np.int32))
+            cu += r.extend_len
+        if pos_l:
+            hb.mm_positions = np.concatenate(pos_l)
+            hb.mm_embeds = np.concatenate(emb_l)
+
     def run_batch(self, batch: ScheduleBatch, fetch: bool = True):
         if batch.mode.is_extend():
             hb = batch.prepare_for_extend()
+            self._attach_mm(batch, hb)
             if self.eagle is not None:
                 hb.return_all_hidden = True
         else:

@@ -79,6 +79,17 @@ class TokenizerManager:
             self._handle_task = asyncio.get_running_loop().create_task(
                 self.handle_loop())
 
+    def _get_mm_processor(self):
+        if not hasattr(self, "_mm_processor"):
+            from iaas_sglang_tpu.configs.model_config import ModelConfig
+            from iaas_sglang_tpu.multimodal import MultimodalProcessor
+
+            cfg = ModelConfig.from_path(self.server_args.model_path)
+            if not cfg.is_multimodal:
+                raise ValueError("model is not multimodal")
+            self._mm_processor = MultimodalProcessor(cfg)
+        return self._mm_processor
+
     # ------------------------------------------------------------- requests
 
     async def generate_request(
@@ -91,6 +102,10 @@ class TokenizerManager:
         if ids is None:
             assert self.tokenizer is not None, "text input needs a tokenizer"
             ids = self.tokenizer.encode(gri.text)
+        mm_items = None
+        if gri.image_data is not None:
+            ids, mm_items = self._get_mm_processor().process(
+                ids, gri.image_data)
         sp = SamplingParams.from_dict(
             gri.sampling_params if isinstance(gri.sampling_params, dict)
             else None)
@@ -108,6 +123,7 @@ class TokenizerManager:
             disagg_decode_url=gri.disagg_decode_url,
             session_id=gri.session_id,
             lora_path=gri.lora_path,
+            mm_items=mm_items,
         ))
         try:
             while True:

@@ -46,6 +46,10 @@ class ForwardBatch:
     lora_ids: jnp.ndarray = None    # i32[T] | None
     # prompt logprobs: per-row target token (the NEXT prompt token) | None
     lp_targets: jnp.ndarray = None  # i32[T] | None
+    # multimodal: projected image-embedding rows scattered over the
+    # image-placeholder token positions (pad position = T -> dropped)
+    mm_embeds: jnp.ndarray = None    # [Tm, H] | None
+    mm_positions: jnp.ndarray = None  # i32[Tm] | None
 
 
 @struct.dataclass

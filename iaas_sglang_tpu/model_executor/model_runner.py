@@ -82,6 +82,9 @@ class HostBatch:
     multi_tokens: Any = None        # np i32[B, N] all sampled tokens
     # DP attention: per-seq attention-rank assignment (None = off)
     dp_ranks: Any = None            # np i32[B] | None
+    # multimodal rows for THIS chunk (scheduler attaches; runner pads)
+    mm_embeds: Any = None           # np [Tm, H] | None
+    mm_positions: Any = None        # np i32[Tm] | None
     # set by the runner in dp mode: padded placement maps (request order ->
     # flat padded row / token positions)
     row_of_req: Any = None          # np i64[B] | None
@@ -519,6 +522,23 @@ class ModelRunner:
             )
         return exe
 
+    def _pad_mm(self, hb: HostBatch, T_drop: int, tok_map):
+        """Pad multimodal rows to a pow2 bucket; padding positions point at
+        T_drop (one past the token axis) so the scatter drops them. tok_map
+        remaps request-order token indices to the DP rank-major layout."""
+        if hb.mm_embeds is None:
+            return None, None
+        Tm, H = hb.mm_embeds.shape
+        Tm_pad = max(16, int(2 ** np.ceil(np.log2(max(Tm, 1)))))
+        emb = np.zeros((Tm_pad, H), dtype=hb.mm_embeds.dtype)
+        emb[:Tm] = hb.mm_embeds
+        pos = np.full(Tm_pad, T_drop, dtype=np.int32)
+        src = hb.mm_positions
+        if tok_map is not None:
+            src = tok_map[src]
+        pos[:Tm] = src
+        return jnp.asarray(emb), jnp.asarray(pos)
+
     def _pad_grammar(self, hb: HostBatch, B_pad: int):
         gm = hb.grammar_masks
         if gm is None:
@@ -668,7 +688,10 @@ class ModelRunner:
             return out
 
         Bp = G * B_r
+        mm_embeds, mm_positions = self._pad_mm(hb, G * T_r, tok_of_req)
         fb = ForwardBatch(
+            mm_embeds=mm_embeds,
+            mm_positions=mm_positions,
             lp_targets=jnp.asarray(lp_targets_p)
             if lp_targets_p is not None else None,
             input_ids=jnp.asarray(input_ids)
@@ -753,7 +776,10 @@ class ModelRunner:
             vi = np.zeros((B_pad, hb.verify_k + 1), dtype=np.int32)
             vi[: hb.verify_idx.shape[0]] = hb.verify_idx
             verify_idx = jnp.asarray(vi)
+        mm_embeds, mm_positions = self._pad_mm(hb, T_pad, None)
         fb = ForwardBatch(
+            mm_embeds=mm_embeds,
+            mm_positions=mm_positions,
             verify_idx=verify_idx,
             lora_ids=lora_ids,
             lp_targets=lp_targets,
@@ -789,6 +815,28 @@ class ModelRunner:
         if toks.shape[0] > T_pad:
             return toks[:T_pad]
         return jnp.pad(toks, (0, T_pad - toks.shape[0]))
+
+    # --------------------------------------------------------- multimodal
+
+    def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
+        """[N, 3, S, S] preprocessed pixels -> projected LM-space embedding
+        rows np [N, num_image_tokens, H]. N is padded to a pow2 bucket
+        (each bucket compiles once). The scheduler caches results by image
+        hash (MultiModalCache), so this runs only on cache misses."""
+        patches = self.model.patchify(np.asarray(pixel_values))
+        N = patches.shape[0]
+        N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
+        if N_pad != N:
+            patches = np.concatenate(
+                [patches, np.zeros((N_pad - N,) + patches.shape[1:],
+                                   patches.dtype)])
+        if not hasattr(self, "_encode_fn"):
+            self._encode_fn = jax.jit(self.model.encode_images)
+        dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
+            else jnp.float32
+        with self.mesh_ctx.mesh:
+            out = self._encode_fn(self.params, jnp.asarray(patches, dt))
+        return np.asarray(out)[:N]
 
     # ------------------------------------------------- weight lifecycle ops
 

@@ -230,6 +230,15 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
     dt = _np_dtype(config.dtype)
     out: Dict[str, np.ndarray] = {}
 
+    def _maybe_t(t: np.ndarray, spec) -> np.ndarray:
+        if not spec.transpose:
+            return t
+        if t.ndim > 2:
+            # conv kernels ([O, C, kh, kw] etc.): flatten trailing dims in
+            # torch row-major order (matches host-side patch flattening)
+            t = t.reshape(t.shape[0], -1)
+        return t.T
+
     def getter(key: str) -> np.ndarray:
         # '|'-separated alternates: transformers renamed VLM tower prefixes
         # across versions (e.g. 'model.vision_tower.' vs 'vision_tower.')
@@ -270,23 +279,17 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
                 hf_l = l + spec.layer_offset
                 if spec.num_experts:
                     for e in range(spec.num_experts):
-                        t = getter(spec.hf_key.format(l=hf_l, e=e))
-                        if spec.transpose:
-                            t = t.T
+                        t = _maybe_t(getter(spec.hf_key.format(l=hf_l, e=e)), spec)
                         stacked[l, e] = t.astype(dt, copy=False)
                     continue
-                t = getter(spec.hf_key.format(l=hf_l))
-                if spec.transpose:
-                    t = t.T
+                t = _maybe_t(getter(spec.hf_key.format(l=hf_l)), spec)
                 if tuple(t.shape) != tuple(spec.shape):
                     raise ValueError(
                         f"{name} layer {l}: got {t.shape}, want {spec.shape}")
                 stacked[l] = t.astype(dt, copy=False)
             out[name] = stacked
         else:
-            t = getter(spec.hf_key)
-            if spec.transpose:
-                t = t.T
+            t = _maybe_t(getter(spec.hf_key), spec)
             if tuple(t.shape) != tuple(spec.shape):
                 raise ValueError(f"{name}: got {t.shape}, want {spec.shape}")
             out[name] = np.ascontiguousarray(t).astype(dt, copy=False)

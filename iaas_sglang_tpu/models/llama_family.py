@@ -219,6 +219,12 @@ class LlamaFamilyForCausalLM:
         ps = kv_pages.shape[-3]
 
         hidden = params["embed"][fb.input_ids]  # [T, H]
+        if fb.mm_embeds is not None:
+            # VLM: overwrite image-placeholder rows with projected vision
+            # embeddings (the reference's input-embedding merge; padding
+            # positions point past T and are dropped)
+            hidden = hidden.at[fb.mm_positions].set(
+                fb.mm_embeds.astype(hidden.dtype), mode="drop")
         lora_onehot = None
         if lora is not None and fb.lora_ids is not None:
             S1 = lora["scaling"].shape[0]

@@ -33,6 +33,15 @@ for _arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM"):
     register(_arch, DeepseekFamilyForCausalLM)
 
 
+def _llava(config):
+    from iaas_sglang_tpu.models.llava import LlavaForConditionalGeneration
+
+    return LlavaForConditionalGeneration(config)
+
+
+register("LlavaForConditionalGeneration", _llava)
+
+
 def resolve_model_cls(config: ModelConfig):
     for arch in config.architectures:
         if arch in _REGISTRY:

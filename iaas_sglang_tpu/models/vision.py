@@ -78,7 +78,8 @@ def clip_vision_specs(vc: ClipVisionConfig, key_prefix: str
         "vt.class_emb": WeightSpec((Hv,), (None,), k("embeddings.class_embedding")),
         # conv [Hv, 3, p, p] -> matmul over flattened (c, i, j) patches
         "vt.patch_w": WeightSpec(
-            (3 * p * p, Hv), (None, None), k("embeddings.patch_embedding.weight")),
+            (3 * p * p, Hv), (None, None),
+            k("embeddings.patch_embedding.weight"), transpose=True),
         "vt.pos_emb": WeightSpec(
             (P + 1, Hv), (None, None), k("embeddings.position_embedding.weight")),
         "vt.pre_ln_w": WeightSpec((Hv,), (None,), k("pre_layrnorm.weight")),
@@ -127,10 +128,11 @@ def clip_encode(params: dict[str, Any], patches: jnp.ndarray,
     Dh = Hv // Nh
     N, P, _ = patches.shape
 
-    emb = patches @ params["vt.patch_w"]                     # [N, P, Hv]
-    cls = jnp.broadcast_to(params["vt.class_emb"], (N, 1, Hv)).astype(emb.dtype)
-    h = jnp.concatenate([cls, emb], axis=1) + params["vt.pos_emb"][None]
-    h = layer_norm(h, params["vt.pre_ln_w"], params["vt.pre_ln_b"],
+    vt = params["vt"]
+    emb = patches @ vt["patch_w"]                     # [N, P, Hv]
+    cls = jnp.broadcast_to(vt["class_emb"], (N, 1, Hv)).astype(emb.dtype)
+    h = jnp.concatenate([cls, emb], axis=1) + vt["pos_emb"][None]
+    h = layer_norm(h, vt["pre_ln_w"], vt["pre_ln_b"],
                    vc.layer_norm_eps)
 
     n_run = feature_layer + vc.num_layers + 1 if feature_layer < 0 \

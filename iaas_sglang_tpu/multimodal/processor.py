@@ -1,0 +1,145 @@
+"""Host-side multimodal input processing (analog of the reference's
+srt/multimodal/processors/base_processor.py:84 per-model processors).
+
+Responsibilities:
+  * decode image payloads (base64 / data URI / local path / nested lists)
+  * CLIP-style preprocessing to fixed [3, S, S] pixel tensors (static
+    shapes — the vision tower compiles once per image-size bucket)
+  * expand each image-placeholder token into `num_image_tokens` pseudo ids
+    DERIVED FROM THE IMAGE HASH (reference pad_input_ids): the radix cache
+    then keys on image content, and the pseudo rows' embeddings are
+    overwritten by the projected vision features on device.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import hashlib
+import io
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+# CLIP / OpenAI normalization constants (used by llava's image processor)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+@dataclasses.dataclass
+class MMItem:
+    """One image attached to a request."""
+
+    hash: str                 # sha1 of the pixel bytes (cache key)
+    offset: int               # token offset of the image span in input_ids
+    num_tokens: int           # span length (num_image_tokens)
+    pixel: np.ndarray         # f32 [3, S, S] preprocessed pixels
+
+
+def load_image(data: Any):
+    """Accepts: local file path, raw/base64 string, data URI, bytes,
+    np.ndarray [H, W, 3], PIL image. Network URLs are rejected (the serving
+    host runs with zero egress — fetch upstream of the API)."""
+    from PIL import Image
+
+    if isinstance(data, Image.Image):
+        return data.convert("RGB")
+    if isinstance(data, np.ndarray):
+        return Image.fromarray(data.astype(np.uint8)).convert("RGB")
+    if isinstance(data, bytes):
+        return Image.open(io.BytesIO(data)).convert("RGB")
+    if isinstance(data, dict):
+        data = data.get("url") or data.get("image_url") or ""
+    if not isinstance(data, str):
+        raise ValueError(f"unsupported image payload type {type(data)}")
+    if data.startswith("data:"):
+        b64 = data.split(",", 1)[1]
+        return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    if data.startswith(("http://", "https://")):
+        raise ValueError(
+            "network image URLs are not fetched by the server (zero-egress "
+            "deployment); send base64 or a local path")
+    if data.startswith("file://"):
+        data = data[len("file://"):]
+    import os
+
+    if os.path.exists(data):
+        return Image.open(data).convert("RGB")
+    # assume raw base64
+    return Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+
+
+def clip_preprocess(img, image_size: int) -> np.ndarray:
+    """Resize shortest side -> center crop -> normalize. Mirrors
+    CLIPImageProcessor defaults (bicubic shortest-edge resize)."""
+    from PIL import Image
+
+    w, h = img.size
+    scale = image_size / min(w, h)
+    nw, nh = max(round(w * scale), image_size), max(round(h * scale), image_size)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - image_size) // 2, (nh - image_size) // 2
+    img = img.crop((left, top, left + image_size, top + image_size))
+    arr = np.asarray(img, dtype=np.float32) / 255.0     # [S, S, 3]
+    arr = (arr - CLIP_MEAN) / CLIP_STD
+    return arr.transpose(2, 0, 1)                        # [3, S, S]
+
+
+class MultimodalProcessor:
+    """Built from ModelConfig; stateless per request."""
+
+    def __init__(self, model_config):
+        self.config = model_config
+        vc = model_config.vision_config or {}
+        self.image_size = vc.get("image_size", 336)
+        patch = vc.get("patch_size", 14)
+        n = (self.image_size // patch) ** 2
+        if model_config.vision_feature_select_strategy == "full":
+            n += 1
+        self.num_image_tokens = n
+        self.image_token_id = model_config.image_token_id
+        self.vocab_size = model_config.vocab_size
+
+    def process(self, input_ids: List[int], image_data: Any
+                ) -> Tuple[List[int], List[MMItem]]:
+        """Expand image placeholders and build MMItems. `image_data` is one
+        image or a list (one per placeholder, in order)."""
+        if image_data is None:
+            return list(input_ids), []
+        images = image_data if isinstance(image_data, (list, tuple)) \
+            else [image_data]
+        pixels = [clip_preprocess(load_image(d), self.image_size)
+                  for d in images]
+
+        out_ids: List[int] = []
+        items: List[MMItem] = []
+        img_i = 0
+        n = self.num_image_tokens
+        for tok in input_ids:
+            if tok == self.image_token_id and img_i < len(pixels):
+                px = pixels[img_i]
+                img_i += 1
+                h = hashlib.sha1(px.tobytes()).hexdigest()
+                base = int(h[:8], 16)
+                items.append(MMItem(hash=h, offset=len(out_ids),
+                                    num_tokens=n, pixel=px))
+                out_ids.extend((base + j) % self.vocab_size for j in range(n))
+            else:
+                out_ids.append(tok)
+        if img_i < len(pixels):
+            # no placeholder in the prompt: prepend image spans (the common
+            # "image first" chat convention)
+            prefix_ids: List[int] = []
+            prefix_items: List[MMItem] = []
+            for px in pixels[img_i:]:
+                h = hashlib.sha1(px.tobytes()).hexdigest()
+                base = int(h[:8], 16)
+                prefix_items.append(MMItem(
+                    hash=h, offset=len(prefix_ids), num_tokens=n, pixel=px))
+                prefix_ids.extend(
+                    (base + j) % self.vocab_size for j in range(n))
+            for it in items:
+                it.offset += len(prefix_ids)
+            out_ids = prefix_ids + out_ids
+            items = prefix_items + items
+        return out_ids, items
