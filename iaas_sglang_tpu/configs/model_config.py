@@ -111,6 +111,25 @@ class ModelConfig:
                 "vision_feature_select_strategy", "default")
             mc.mm_projector_act = get("projector_hidden_act", "gelu")
             return mc
+        if get("model_type") == "qwen2_vl":
+            # flat legacy configs AND new nested text_config both occur;
+            # prefer the nested LM fields when present
+            inner = dict(hf.get("text_config") or hf)
+            inner.pop("model_type", None)
+            inner["model_type"] = "qwen2"   # inherit qwen2 LM quirks (bias)
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "Qwen2VLForConditionalGeneration"]
+            mc.model_type = "qwen2_vl"
+            mc.attention_bias = True
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_id", 151655)
+            rs = inner.get("rope_scaling") or get("rope_scaling") or {}
+            mc.mrope_section = rs.get("mrope_section")
+            return mc
         num_heads = get("num_attention_heads", 0)
         hidden = get("hidden_size", 0)
         head_dim = get("head_dim") or (hidden // num_heads if num_heads else 0)

@@ -124,13 +124,27 @@ def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
                inv_freq: jnp.ndarray,
-               attn_factor: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+               attn_factor: float = 1.0,
+               mrope_section=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding.
 
     q: [T, Nq, D], k: [T, Nk, D], positions: i32[T], inv_freq: f32[D/2].
     Half-split convention: rotate pairs (x[i], x[i + D/2]).
+
+    MRope (Qwen2-VL, reference rotary_embedding.py:427 MRotaryEmbedding):
+    positions is i32[3, T] (temporal, height, width) and `mrope_section`
+    splits the D/2 frequency channels between the three position streams.
     """
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
+    if positions.ndim == 2:
+        assert mrope_section is not None and len(mrope_section) == 3
+        f3 = positions.astype(jnp.float32)[:, :, None] \
+            * inv_freq[None, None, :]                       # [3, T, D/2]
+        s0, s1, _ = mrope_section
+        freqs = jnp.concatenate(
+            [f3[0, :, :s0], f3[1, :, s0 : s0 + s1], f3[2, :, s0 + s1 :]],
+            axis=-1)                                        # [T, D/2]
+    else:
+        freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
     cos = jnp.cos(freqs)[:, None, :] * attn_factor  # [T, 1, D/2]
     sin = jnp.sin(freqs)[:, None, :] * attn_factor
 

@@ -461,6 +461,7 @@ class Scheduler:
         return (
             self.spec_algorithm in ("ngram", "eagle")
             and self.attn_dp == 1
+            and self.model_config.mrope_section is None
             and batch.mode.is_decode()
             and all(
                 r.sampling_params.is_greedy
@@ -482,6 +483,7 @@ class Scheduler:
         return (
             self.multi_steps > 1
             and self.attn_dp == 1
+            and self.model_config.mrope_section is None
             and batch.mode.is_decode()
             and all(
                 r.grammar is None
@@ -631,11 +633,9 @@ class Scheduler:
                     misses.append(it)
         if misses:
             uniq = {it.hash: it for it in misses}
-            items = list(uniq.values())
-            embs = self.model_runner.encode_images(
-                np.stack([it.pixel for it in items]))
-            for it, e in zip(items, embs):
-                self.mm_cache.put(it.hash, e)
+            for h, e in self.model_runner.encode_mm_items(
+                    list(uniq.values())).items():
+                self.mm_cache.put(h, e)
         pos_l, emb_l = [], []
         cu = 0
         for r in batch.reqs:
@@ -652,10 +652,54 @@ class Scheduler:
             hb.mm_positions = np.concatenate(pos_l)
             hb.mm_embeds = np.concatenate(emb_l)
 
+    def _mrope_rows(self, req: Req, f0: int, f1: int) -> "np.ndarray":
+        """3D rope positions for seq positions [f0, f1) of one request.
+        Prompt rows come from the cached table; generated rows (and text-
+        only requests) are seq_pos + delta on all three streams."""
+        from iaas_sglang_tpu.models.qwen2_vl import compute_mrope_positions
+
+        if not getattr(req, "mm_items", None):
+            return np.tile(np.arange(f0, f1, dtype=np.int32), (3, 1))
+        if not hasattr(req, "_mrope_table"):
+            m = self.model_config.vision_config.get("spatial_merge_size", 2)
+            spans = [(it.offset, it.num_tokens,
+                      (it.grid[0], it.grid[1] // m, it.grid[2] // m))
+                     for it in req.mm_items]
+            req._mrope_table, req._mrope_delta = compute_mrope_positions(
+                req.prompt_len, spans)
+        ps = np.arange(f0, f1, dtype=np.int32)
+        gen = (ps + req._mrope_delta)[None].repeat(3, 0)
+        if f1 <= req.prompt_len:
+            return req._mrope_table[:, f0:f1]
+        if f0 >= req.prompt_len:
+            return gen
+        return np.concatenate(
+            [req._mrope_table[:, f0:], gen[:, req.prompt_len - f0 :]], axis=1)
+
+    def _attach_mrope(self, batch: ScheduleBatch, hb) -> None:
+        """Qwen2-VL MRope: every batch on an mrope model carries [3, T]
+        positions (text-only rows are seq_pos on all streams, keeping one
+        compile signature for mixed image/text batches)."""
+        if self.model_config.mrope_section is None or hb is None:
+            return
+        rows = []
+        if hb.mode.is_decode():
+            # called right after prepare_for_decode (pending_steps not yet
+            # incremented): this step's position is fill_len + pending_steps
+            for r in batch.reqs:
+                f = r.fill_len + r.pending_steps
+                rows.append(self._mrope_rows(r, f, f + 1))
+        else:
+            for r in batch.reqs:
+                rows.append(self._mrope_rows(
+                    r, r.fill_len, r.fill_len + r.extend_len))
+        hb.mrope_positions = np.concatenate(rows, axis=1)
+
     def run_batch(self, batch: ScheduleBatch, fetch: bool = True):
         if batch.mode.is_extend():
             hb = batch.prepare_for_extend()
             self._attach_mm(batch, hb)
+            self._attach_mrope(batch, hb)
             if self.eagle is not None:
                 hb.return_all_hidden = True
         else:
@@ -678,6 +722,8 @@ class Scheduler:
                         f"(free_pages={self.allocator.free_pages})"
                     )
                 hb = batch.prepare_for_decode()
+        if not batch.mode.is_extend():
+            self._attach_mrope(batch, hb)
         tokens = self.model_runner.forward(hb, fetch=fetch)
         for r in batch.reqs:
             r.pending_steps += 1
@@ -1068,6 +1114,7 @@ class Scheduler:
                 )
                 hb = nb.prepare_for_decode(chain_from=ihb)
                 if hb is not None:
+                    self._attach_mrope(nb, hb)
                     self.model_runner.forward(hb, fetch=False)
                     for r in nb.reqs:
                         r.pending_steps += 1

@@ -50,6 +50,8 @@ class ForwardBatch:
     # image-placeholder token positions (pad position = T -> dropped)
     mm_embeds: jnp.ndarray = None    # [Tm, H] | None
     mm_positions: jnp.ndarray = None  # i32[Tm] | None
+    # MRope (Qwen2-VL): 3D (t, h, w) rope positions; None = standard rope
+    mrope_positions: jnp.ndarray = None  # i32[3, T] | None
 
 
 @struct.dataclass

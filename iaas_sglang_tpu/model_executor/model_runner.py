@@ -85,6 +85,8 @@ class HostBatch:
     # multimodal rows for THIS chunk (scheduler attaches; runner pads)
     mm_embeds: Any = None           # np [Tm, H] | None
     mm_positions: Any = None        # np i32[Tm] | None
+    # MRope (Qwen2-VL): 3D rope positions aligned with `positions`
+    mrope_positions: Any = None     # np i32[3, T] | None
     # set by the runner in dp mode: padded placement maps (request order ->
     # flat padded row / token positions)
     row_of_req: Any = None          # np i64[B] | None
@@ -722,8 +724,10 @@ class ModelRunner:
 
     def _pad_to_device(self, hb: HostBatch):
         if self.attn_dp > 1:
-            assert hb.verify_k == 0 and hb.lora_ids is None, \
-                "speculative verify / LoRA not supported with DP attention"
+            assert hb.verify_k == 0 and hb.lora_ids is None \
+                and hb.mrope_positions is None, \
+                "speculative verify / LoRA / MRope not supported with " \
+                "DP attention"
             return self._pad_to_device_dp(hb)
         ps = self.page_size
         B = len(hb.page_tables)
@@ -777,7 +781,13 @@ class ModelRunner:
             vi[: hb.verify_idx.shape[0]] = hb.verify_idx
             verify_idx = jnp.asarray(vi)
         mm_embeds, mm_positions = self._pad_mm(hb, T_pad, None)
+        mrope = None
+        if hb.mrope_positions is not None:
+            mr = np.zeros((3, T_pad), dtype=np.int32)
+            mr[:, : hb.mrope_positions.shape[1]] = hb.mrope_positions
+            mrope = jnp.asarray(mr)
         fb = ForwardBatch(
+            mrope_positions=mrope,
             mm_embeds=mm_embeds,
             mm_positions=mm_positions,
             verify_idx=verify_idx,
@@ -819,10 +829,9 @@ class ModelRunner:
     # --------------------------------------------------------- multimodal
 
     def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
-        """[N, 3, S, S] preprocessed pixels -> projected LM-space embedding
-        rows np [N, num_image_tokens, H]. N is padded to a pow2 bucket
-        (each bucket compiles once). The scheduler caches results by image
-        hash (MultiModalCache), so this runs only on cache misses."""
+        """LLaVA path: [N, 3, S, S] preprocessed pixels -> projected
+        LM-space embedding rows np [N, num_image_tokens, H]. N is padded to
+        a pow2 bucket (each bucket compiles once)."""
         patches = self.model.patchify(np.asarray(pixel_values))
         N = patches.shape[0]
         N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
@@ -837,6 +846,44 @@ class ModelRunner:
         with self.mesh_ctx.mesh:
             out = self._encode_fn(self.params, jnp.asarray(patches, dt))
         return np.asarray(out)[:N]
+
+    def encode_mm_items(self, items: list) -> dict:
+        """Encode a batch of MMItems (cache misses only) -> {hash: rows}.
+        Items are grouped by pixel shape/grid; each group is one jitted
+        vision-tower call. The scheduler caches results by image hash
+        (MultiModalCache)."""
+        dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
+            else jnp.float32
+        out: dict = {}
+        if self.model_config.model_type == "qwen2_vl":
+            from iaas_sglang_tpu.models.qwen2_vl import vision_rope_cos_sin
+
+            if not hasattr(self, "_encode_fn"):
+                self._encode_fn = jax.jit(self.model.encode_images)
+            groups: dict = {}
+            for it in items:
+                groups.setdefault(tuple(it.grid), []).append(it)
+            for grid, grp in groups.items():
+                cos, sin = vision_rope_cos_sin(grid, self.model.vc)
+                batch = np.stack([it.pixel for it in grp])
+                N = batch.shape[0]
+                N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
+                if N_pad != N:
+                    batch = np.concatenate([batch, np.zeros(
+                        (N_pad - N,) + batch.shape[1:], batch.dtype)])
+                with self.mesh_ctx.mesh:
+                    rows = self._encode_fn(
+                        self.params, jnp.asarray(batch, dt),
+                        jnp.asarray(cos), jnp.asarray(sin))
+                rows = np.asarray(rows)
+                for it, r in zip(grp, rows[:N]):
+                    out[it.hash] = r
+            return out
+        # llava family: fixed-size [3, S, S] pixels
+        embs = self.encode_images(np.stack([it.pixel for it in items]))
+        for it, e in zip(items, embs):
+            out[it.hash] = e
+        return out
 
     # ------------------------------------------------- weight lifecycle ops
 

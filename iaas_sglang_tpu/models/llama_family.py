@@ -274,8 +274,13 @@ class LlamaFamilyForCausalLM:
                 inv_freq = jnp.where(
                     self.layer_is_local[layer_idx],
                     self.inv_freq_local, self.inv_freq)
-            q, k = apply_rope(q, k, fb.positions, inv_freq,
-                              self.rope_attn_factor)
+            if c.mrope_section and fb.mrope_positions is not None:
+                q, k = apply_rope(q, k, fb.mrope_positions, inv_freq,
+                                  self.rope_attn_factor,
+                                  mrope_section=c.mrope_section)
+            else:
+                q, k = apply_rope(q, k, fb.positions, inv_freq,
+                                  self.rope_attn_factor)
 
             if self.layer_windows is not None:
                 window = self.layer_windows[layer_idx]  # traced, -1 = full

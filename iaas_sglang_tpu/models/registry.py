@@ -42,6 +42,17 @@ def _llava(config):
 register("LlavaForConditionalGeneration", _llava)
 
 
+def _qwen2_vl(config):
+    from iaas_sglang_tpu.models.qwen2_vl import (
+        Qwen2VLForConditionalGeneration,
+    )
+
+    return Qwen2VLForConditionalGeneration(config)
+
+
+register("Qwen2VLForConditionalGeneration", _qwen2_vl)
+
+
 def resolve_model_cls(config: ModelConfig):
     for arch in config.architectures:
         if arch in _REGISTRY:

@@ -33,7 +33,9 @@ class MMItem:
     hash: str                 # sha1 of the pixel bytes (cache key)
     offset: int               # token offset of the image span in input_ids
     num_tokens: int           # span length (num_image_tokens)
-    pixel: np.ndarray         # f32 [3, S, S] preprocessed pixels
+    pixel: np.ndarray         # model-ready pixels: llava f32 [3, S, S];
+    #                           qwen2-vl flattened patches f32 [S, patch_dim]
+    grid: Any = None          # qwen2-vl (t, gh, gw) patch grid | None
 
 
 def load_image(data: Any):
@@ -85,20 +87,61 @@ def clip_preprocess(img, image_size: int) -> np.ndarray:
     return arr.transpose(2, 0, 1)                        # [3, S, S]
 
 
+def qwen2vl_preprocess(img, image_size: int, patch: int = 14,
+                       temporal: int = 2, merge: int = 2
+                       ) -> Tuple[np.ndarray, tuple]:
+    """Qwen2-VL flattened-patch preprocessing (mirrors HF
+    Qwen2VLImageProcessor._preprocess), resized to a FIXED square so the
+    vision tower compiles once per bucket (static shapes over the
+    reference's dynamic resolution). Returns (patches [S, C*tp*p*p],
+    grid (1, gh, gw)); patch rows are in 2x2 merge-block order."""
+    from PIL import Image
+
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = ((arr - CLIP_MEAN) / CLIP_STD).transpose(2, 0, 1)  # [3, S, S]
+    C = arr.shape[0]
+    frames = np.repeat(arr[None], temporal, axis=0)          # [tp, 3, S, S]
+    gh = gw = image_size // patch
+    x = frames.reshape(1, temporal, C, gh // merge, merge, patch,
+                       gw // merge, merge, patch)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return (x.reshape(gh * gw, C * temporal * patch * patch),
+            (1, gh, gw))
+
+
 class MultimodalProcessor:
     """Built from ModelConfig; stateless per request."""
 
     def __init__(self, model_config):
         self.config = model_config
         vc = model_config.vision_config or {}
-        self.image_size = vc.get("image_size", 336)
-        patch = vc.get("patch_size", 14)
-        n = (self.image_size // patch) ** 2
-        if model_config.vision_feature_select_strategy == "full":
-            n += 1
-        self.num_image_tokens = n
+        self.model_type = model_config.model_type
         self.image_token_id = model_config.image_token_id
         self.vocab_size = model_config.vocab_size
+        if self.model_type == "qwen2_vl":
+            self.patch = vc.get("patch_size", 14)
+            self.merge = vc.get("spatial_merge_size", 2)
+            self.temporal = vc.get("temporal_patch_size", 2)
+            # fixed serving resolution (static compile bucket); override
+            # via vision_config["serving_image_size"]
+            self.image_size = vc.get("serving_image_size", 448)
+            self.num_image_tokens = (self.image_size // self.patch) ** 2 \
+                // self.merge ** 2
+        else:
+            self.image_size = vc.get("image_size", 336)
+            patch = vc.get("patch_size", 14)
+            n = (self.image_size // patch) ** 2
+            if model_config.vision_feature_select_strategy == "full":
+                n += 1
+            self.num_image_tokens = n
+
+    def _prep(self, data) -> Tuple[np.ndarray, Any]:
+        img = load_image(data)
+        if self.model_type == "qwen2_vl":
+            return qwen2vl_preprocess(
+                img, self.image_size, self.patch, self.temporal, self.merge)
+        return clip_preprocess(img, self.image_size), None
 
     def process(self, input_ids: List[int], image_data: Any
                 ) -> Tuple[List[int], List[MMItem]]:
@@ -108,36 +151,37 @@ class MultimodalProcessor:
             return list(input_ids), []
         images = image_data if isinstance(image_data, (list, tuple)) \
             else [image_data]
-        pixels = [clip_preprocess(load_image(d), self.image_size)
-                  for d in images]
+        prepped = [self._prep(d) for d in images]
 
+        def make_item(offset: int) -> Tuple[MMItem, List[int]]:
+            px, grid = prepped[make_item.i]
+            make_item.i += 1
+            h = hashlib.sha1(px.tobytes()).hexdigest()
+            base = int(h[:8], 16)
+            n = self.num_image_tokens
+            item = MMItem(hash=h, offset=offset, num_tokens=n,
+                          pixel=px, grid=grid)
+            return item, [(base + j) % self.vocab_size for j in range(n)]
+
+        make_item.i = 0
         out_ids: List[int] = []
         items: List[MMItem] = []
-        img_i = 0
-        n = self.num_image_tokens
         for tok in input_ids:
-            if tok == self.image_token_id and img_i < len(pixels):
-                px = pixels[img_i]
-                img_i += 1
-                h = hashlib.sha1(px.tobytes()).hexdigest()
-                base = int(h[:8], 16)
-                items.append(MMItem(hash=h, offset=len(out_ids),
-                                    num_tokens=n, pixel=px))
-                out_ids.extend((base + j) % self.vocab_size for j in range(n))
+            if tok == self.image_token_id and make_item.i < len(prepped):
+                item, ids = make_item(len(out_ids))
+                items.append(item)
+                out_ids.extend(ids)
             else:
                 out_ids.append(tok)
-        if img_i < len(pixels):
+        if make_item.i < len(prepped):
             # no placeholder in the prompt: prepend image spans (the common
             # "image first" chat convention)
             prefix_ids: List[int] = []
             prefix_items: List[MMItem] = []
-            for px in pixels[img_i:]:
-                h = hashlib.sha1(px.tobytes()).hexdigest()
-                base = int(h[:8], 16)
-                prefix_items.append(MMItem(
-                    hash=h, offset=len(prefix_ids), num_tokens=n, pixel=px))
-                prefix_ids.extend(
-                    (base + j) % self.vocab_size for j in range(n))
+            while make_item.i < len(prepped):
+                item, ids = make_item(len(prefix_ids))
+                prefix_items.append(item)
+                prefix_ids.extend(ids)
             for it in items:
                 it.offset += len(prefix_ids)
             out_ids = prefix_ids + out_ids
