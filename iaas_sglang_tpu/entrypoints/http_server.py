@@ -262,6 +262,20 @@ async def handle_stop_profile(request: web.Request) -> web.Response:
     return web.json_response({"success": out.success, "message": out.message})
 
 
+async def handle_expert_distribution(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers.io_struct import (
+        ExpertDistributionReq,
+        ExpertDistributionReqOutput,
+    )
+
+    action = request.match_info["action"].split("_")[0]  # start|stop|dump
+    out = await state.tokenizer_manager._rpc(
+        ExpertDistributionReq(action), ExpertDistributionReqOutput)
+    counts = out.counts.tolist() if out.counts is not None else None
+    return web.json_response({"success": out.success, "counts": counts})
+
+
 async def handle_disagg_wait(request: web.Request) -> web.Response:
     """PD decode side: block until a handed-off request finishes here."""
     state: ServerState = request.app["state"]
@@ -498,6 +512,9 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/load_lora_adapter", handle_load_lora)
     app.router.add_post("/unload_lora_adapter", handle_unload_lora)
     app.router.add_post("/start_profile", handle_start_profile)
+    app.router.add_post(
+        "/{action:(start|stop|dump)_expert_distribution}_record",
+        handle_expert_distribution)
     app.router.add_post("/stop_profile", handle_stop_profile)
     app.router.add_get("/disagg_wait/{rid}", handle_disagg_wait)
     app.router.add_get("/metrics", handle_metrics)

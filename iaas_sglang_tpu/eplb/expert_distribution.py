@@ -41,6 +41,14 @@ class ExpertDistributionRecorder:
         with self._lock:
             self._counts[layer_idx] += binc
 
+    def add_counts(self, counts: np.ndarray) -> None:
+        """Accumulate a device-captured per-layer histogram i32[L, E]
+        (the device-side tap: ModelRunner.run_expert_capture)."""
+        if not self.recording:
+            return
+        with self._lock:
+            self._counts += counts.astype(np.int64)
+
     def snapshot(self) -> np.ndarray:
         with self._lock:
             return self._counts.copy()

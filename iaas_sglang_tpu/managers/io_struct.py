@@ -253,6 +253,18 @@ class UnloadLoRAAdapterReqInput:
 
 
 @dataclass
+class ExpertDistributionReq:
+    action: str = "start"   # start | stop | dump
+
+
+@dataclass
+class ExpertDistributionReqOutput:
+    success: bool = True
+    # per-layer routed-token counts (None for start)
+    counts: Any = None
+
+
+@dataclass
 class ProfileReq:
     action: str = "start"   # start | stop
     output_dir: str = "/tmp/iaas_sglang_tpu_trace"

@@ -41,6 +41,8 @@ from iaas_sglang_tpu.managers.io_struct import (
     TokenizedGenerateReqInput,
     UpdateWeightFromDiskReqInput,
     UpdateWeightFromDiskReqOutput,
+    ExpertDistributionReq,
+    ExpertDistributionReqOutput,
 )
 from iaas_sglang_tpu.managers.schedule_batch import (
     FinishAbort,
@@ -186,6 +188,8 @@ class Scheduler:
         )
 
         self.sessions = SessionController()
+        self.expert_recorder = None
+        self.expert_capture_interval = 8
         self._dispatcher = TypeBasedDispatcher([
             (OpenSessionReqInput,
              lambda m: OpenSessionReqOutput(
@@ -202,6 +206,7 @@ class Scheduler:
             (ResumeMemoryOccupationReqInput, self.handle_resume_memory),
             (GetWeightsByNameReqInput, self.handle_get_weights_by_name),
             (ProfileReq, self.handle_profile),
+            (ExpertDistributionReq, self.handle_expert_distribution),
             (LoadLoRAAdapterReqInput, self.handle_load_lora),
             (UnloadLoRAAdapterReqInput, self.handle_unload_lora),
         ])
@@ -340,6 +345,32 @@ class Scheduler:
         if mgr is not None:
             mgr.unload_adapter(m.lora_name)
         return LoadLoRAAdapterReqOutput(True, "unloaded")
+
+    def handle_expert_distribution(self, m: ExpertDistributionReq):
+        """start/stop/dump expert-distribution recording (reference
+        /start_expert_distribution_record endpoints; scheduler samples a
+        device-side capture every few MoE batches while recording)."""
+        if not self.model_config.is_moe:
+            return ExpertDistributionReqOutput(
+                success=False, counts=None)
+        if m.action == "start":
+            if self.expert_recorder is None:
+                from iaas_sglang_tpu.eplb.expert_distribution import (
+                    ExpertDistributionRecorder,
+                )
+
+                self.expert_recorder = ExpertDistributionRecorder(
+                    self.model_config.num_layers,
+                    self.model_config.num_experts)
+            self.expert_recorder.start_record()
+            return ExpertDistributionReqOutput(success=True)
+        if self.expert_recorder is None:
+            return ExpertDistributionReqOutput(success=False)
+        if m.action == "stop":
+            return ExpertDistributionReqOutput(
+                success=True, counts=self.expert_recorder.stop_record())
+        return ExpertDistributionReqOutput(
+            success=True, counts=self.expert_recorder.snapshot())
 
     def handle_profile(self, m):
         """Start/stop a jax.profiler trace (analog of scheduler.py:2390
@@ -725,6 +756,11 @@ class Scheduler:
         if not batch.mode.is_extend():
             self._attach_mrope(batch, hb)
         tokens = self.model_runner.forward(hb, fetch=fetch)
+        if (self.expert_recorder is not None and self.expert_recorder.recording
+                and hb.input_ids is not None
+                and self.step_count % self.expert_capture_interval == 0):
+            self.expert_recorder.add_counts(
+                self.model_runner.run_expert_capture(hb))
         for r in batch.reqs:
             r.pending_steps += 1
         batch.last_hb = hb

@@ -885,6 +885,35 @@ class ModelRunner:
             out[it.hash] = e
         return out
 
+    # ----------------------------------------------------- EPLB capture
+
+    def run_expert_capture(self, hb: HostBatch) -> np.ndarray:
+        """Re-run the given batch with the expert-distribution tap enabled;
+        returns per-layer routed-token counts i32[L, E]. Non-donating (the
+        KV rewrite is idempotent: same slots, same values) — used on
+        SAMPLED steps while recording, so the hot step program never pays
+        for the tap (reference expert_distribution.py per-pass gatherer)."""
+        assert self.model_config.is_moe, "expert capture needs a MoE model"
+        fb, _meta, _B = self._pad_to_device(hb)
+        if not hasattr(self, "_capture_fn"):
+            model = self.model
+            attn_backend = self.attn_backend
+            scan_layers = self.server_args.scan_layers
+
+            def cap(params, kv_pages, fb, attn_mode: str):
+                _h, _kv, counts = model.forward(
+                    params, fb, kv_pages, attn_backend=attn_backend,
+                    attn_mode=attn_mode, scan_layers=scan_layers,
+                    capture_experts=True)
+                return counts
+
+            self._capture_fn = jax.jit(cap, static_argnums=(3,))
+        attn_mode = "decode" if hb.mode.is_decode() else "extend"
+        with self.mesh_ctx.mesh:
+            counts = self._capture_fn(self.params, self.kv_pages, fb,
+                                      attn_mode)
+        return np.asarray(counts)
+
     # ------------------------------------------------- weight lifecycle ops
 
     def update_weights_from_disk(self, model_path: str,

@@ -196,6 +196,7 @@ class DeepseekFamilyForCausalLM:
         attn_mode: str = "extend",
         scan_layers: bool = True,
         lora=None,
+        capture_experts: bool = False,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
         L = c.num_layers
@@ -274,7 +275,7 @@ class DeepseekFamilyForCausalLM:
             inter = jax.nn.silu(qmatmul(h2, lp["w_gate"])) * qmatmul(h2, lp["w_up"])
             return qmatmul(inter, lp["w_down"])
 
-        def mlp_moe(h2, lp):
+        def mlp_moe(h2, lp, _capture=capture_experts):
             w, ids = deepseek_route(
                 h2, lp["w_router"], lp.get("e_bias"),
                 top_k=c.num_experts_per_tok,
@@ -295,9 +296,16 @@ class DeepseekFamilyForCausalLM:
                 routed = dense_expert_mix(
                     h2, combine, lp["we_gate"], lp["we_up"], lp["we_down"])
             shared = jax.nn.silu(h2 @ lp["ws_gate"]) * (h2 @ lp["ws_up"])
-            return routed + (shared @ lp["ws_down"]).astype(routed.dtype)
+            out = routed + (shared @ lp["ws_down"]).astype(routed.dtype)
+            if _capture:
+                valid = (jnp.arange(combine.shape[0])
+                         < fb.cu_q_lens[-1])[:, None]
+                counts = jnp.sum(
+                    (combine > 0) & valid, axis=0).astype(jnp.int32)
+                return out, counts
+            return out
 
-        def make_body(mlp_fn):
+        def make_body(mlp_fn, is_moe_group=False):
             def body(carry, xs):
                 hidden, kv = carry
                 lp, layer_idx = xs
@@ -305,33 +313,49 @@ class DeepseekFamilyForCausalLM:
                 attn_out, kv = attention(h, lp, layer_idx, kv)
                 hidden = hidden + attn_out
                 h2 = rms_norm(hidden, lp["post_norm"], c.rms_norm_eps)
-                hidden = hidden + mlp_fn(h2, lp)
-                return (hidden, kv), None
+                counts = None
+                mlp = mlp_fn(h2, lp)
+                if capture_experts and is_moe_group:
+                    mlp, counts = mlp
+                hidden = hidden + mlp
+                return (hidden, kv), counts
             return body
 
         attn_p = params["layers"]
         fk = self.fk
 
-        def run_group(carry, mlp_fn, group_params, lo, hi):
+        def run_group(carry, mlp_fn, group_params, lo, hi,
+                      is_moe_group=False):
             if hi <= lo:
-                return carry
+                return carry, None
             lp = {**jax.tree.map(lambda x: x[lo:hi], attn_p), **group_params}
             ids = jnp.arange(lo, hi, dtype=jnp.int32)
-            body = make_body(mlp_fn)
+            body = make_body(mlp_fn, is_moe_group)
             if scan_layers:
-                carry, _ = jax.lax.scan(body, carry, (lp, ids))
-                return carry
+                carry, ys = jax.lax.scan(body, carry, (lp, ids))
+                return carry, ys
+            ys_l = []
             for i in range(hi - lo):
-                carry, _ = body(
+                carry, y = body(
                     carry, (jax.tree.map(lambda x: x[i], lp), ids[i]))
-            return carry
+                ys_l.append(y)
+            ys = (jnp.stack(ys_l)
+                  if capture_experts and is_moe_group else None)
+            return carry, ys
 
         carry = (hidden, kv_pages)
-        carry = run_group(carry, mlp_dense, params.get("dense", {}), 0, fk)
-        carry = run_group(carry, mlp_moe, params.get("moe", {}), fk, L)
+        carry, _ = run_group(carry, mlp_dense, params.get("dense", {}), 0, fk)
+        carry, moe_counts = run_group(
+            carry, mlp_moe, params.get("moe", {}), fk, L, is_moe_group=True)
         hidden, kv_pages = carry
 
         hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
+        if capture_experts:
+            E = c.num_experts
+            zeros = jnp.zeros((fk, E), jnp.int32)
+            counts = (jnp.concatenate([zeros, moe_counts])
+                      if moe_counts is not None else zeros)
+            return hidden, kv_pages, counts   # i32[L, E]
         return hidden, kv_pages
 
     def compute_logits(self, params: dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:

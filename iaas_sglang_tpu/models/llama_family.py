@@ -209,6 +209,7 @@ class LlamaFamilyForCausalLM:
         attn_mode: str = "extend",
         scan_layers: bool = True,
         lora=None,
+        capture_experts: bool = False,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
         L = c.num_layers
@@ -325,6 +326,7 @@ class LlamaFamilyForCausalLM:
 
             h2 = rms_norm(hidden, lp["post_norm"] + c.rms_weight_offset,
                          c.rms_norm_eps)
+            counts = None
             if c.is_moe:
                 from iaas_sglang_tpu.ops.moe import moe_block
 
@@ -335,7 +337,16 @@ class LlamaFamilyForCausalLM:
                     renormalize=c.norm_topk_prob,
                     impl=self.moe_impl,
                     mesh=self.mesh,
+                    return_combine=capture_experts,
                 )
+                if capture_experts:
+                    mlp, combine = mlp
+                    # EPLB distribution tap: tokens routed per expert
+                    # (padding rows masked out via cu_q_lens)
+                    valid = (jnp.arange(combine.shape[0])
+                             < fb.cu_q_lens[-1])[:, None]
+                    counts = jnp.sum(
+                        (combine > 0) & valid, axis=0).astype(jnp.int32)
             else:
                 act_fn = (
                     (lambda x: jax.nn.gelu(x, approximate=True))
@@ -360,7 +371,7 @@ class LlamaFamilyForCausalLM:
                 mlp = rms_norm(mlp, lp["post_ffw_norm"] + c.rms_weight_offset,
                                c.rms_norm_eps)
             hidden = hidden + mlp
-            return (hidden, kv), None
+            return (hidden, kv), counts
 
         layer_params = dict(params["layers"])
         if lora_onehot is not None:
@@ -369,18 +380,23 @@ class LlamaFamilyForCausalLM:
                 layer_params[f"lora_B_{t}"] = lora["B"][t]
         layer_ids = jnp.arange(L, dtype=jnp.int32)
         if scan_layers:
-            (hidden, kv_pages), _ = jax.lax.scan(
+            (hidden, kv_pages), ys = jax.lax.scan(
                 layer_body, (hidden, kv_pages), (layer_params, layer_ids)
             )
         else:
+            ys_l = []
             for l in range(L):
                 lp = jax.tree.map(lambda x: x[l], layer_params)
-                (hidden, kv_pages), _ = layer_body(
+                (hidden, kv_pages), y = layer_body(
                     (hidden, kv_pages), (lp, jnp.int32(l))
                 )
+                ys_l.append(y)
+            ys = jnp.stack(ys_l) if capture_experts else None
 
         hidden = rms_norm(hidden, params["final_norm"] + c.rms_weight_offset,
                           c.rms_norm_eps)
+        if capture_experts:
+            return hidden, kv_pages, ys   # ys: i32[L, E] expert counts
         return hidden, kv_pages
 
     def compute_logits(self, params: dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:

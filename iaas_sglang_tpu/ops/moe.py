@@ -165,14 +165,18 @@ def moe_gmm(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
 
 
 def moe_block(h, w_router, we_gate, we_up, we_down, *, top_k: int,
-              renormalize: bool, impl: str, mesh=None) -> jnp.ndarray:
-    if impl == "gmm":
+              renormalize: bool, impl: str, mesh=None,
+              return_combine: bool = False):
+    """When return_combine: also returns the dense combine matrix [T, E]
+    (nonzero = expert selected) — the EPLB expert-distribution tap."""
+    E = we_gate.shape[0]
+    if impl == "gmm" and not return_combine:
         return moe_gmm(h, w_router, we_gate, we_up, we_down,
                        top_k, renormalize)
+    w, ids = route_topk(h @ w_router, top_k, renormalize)
+    combine = combine_weights(ids, w, E)
     if impl == "ep":
-        E = we_gate.shape[0]
-        w, ids = route_topk(h @ w_router, top_k, renormalize)
-        return moe_ep_mix(h, combine_weights(ids, w, E),
-                          we_gate, we_up, we_down, mesh=mesh)
-    return moe_dense(h, w_router, we_gate, we_up, we_down,
-                     top_k, renormalize)
+        out = moe_ep_mix(h, combine, we_gate, we_up, we_down, mesh=mesh)
+    else:
+        out = dense_expert_mix(h, combine, we_gate, we_up, we_down)
+    return (out, combine) if return_combine else out

@@ -53,3 +53,42 @@ def test_rebalance_beats_naive():
                               for e in range(16)] for l in range(4)],
         num_ranks=8)
     assert balancedness(load, meta) > balancedness(load, naive_meta)
+
+
+def test_device_side_capture_via_engine():
+    """Device-side distribution tap: recording through the scheduler RPC
+    accumulates real per-layer expert counts from serving batches."""
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.managers.io_struct import ExpertDistributionReq
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    hf = dict(architectures=["MixtralForCausalLM"], model_type="mixtral",
+              num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+              rms_norm_eps=1e-6, rope_theta=10000.0,
+              max_position_embeddings=512, tie_word_embeddings=False,
+              num_local_experts=4, num_experts_per_tok=2)
+    eng = Engine(ServerArgs(
+        model_path="dummy://moe", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=4096, skip_tokenizer_init=True,
+        chunked_prefill_size=32, random_seed=0), hf_config_override=hf)
+    eng.scheduler.expert_capture_interval = 1
+    out = eng.scheduler.process_input(ExpertDistributionReq("start"))
+    assert out.success
+    eng.generate(input_ids=[[1, 2, 3] * 5, [7, 8] * 6],
+                 sampling_params={"max_new_tokens": 8, "temperature": 0.0})
+    snap = eng.scheduler.process_input(ExpertDistributionReq("dump"))
+    counts = snap.counts
+    assert counts.shape == (2, 4)
+    assert counts.sum() > 0
+    # top-2 routing: each captured token contributes 2 expert selections
+    assert counts.sum() % 2 == 0
+    stop = eng.scheduler.process_input(ExpertDistributionReq("stop"))
+    assert stop.success and stop.counts.sum() == counts.sum()
+    # feeds the rebalancer end-to-end
+    from iaas_sglang_tpu.eplb.eplb_algorithms import rebalance_experts
+
+    meta = rebalance_experts(np.maximum(stop.counts, 1).astype(np.float64),
+                             num_physical=8, num_ranks=2)
+    assert meta.physical_to_logical.shape == (2, 8)
+    eng.shutdown()
