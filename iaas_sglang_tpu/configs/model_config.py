@@ -78,6 +78,14 @@ class ModelConfig:
     mm_projector_act: str = "gelu"
     # Qwen2-VL MRope: rope section sizes for (temporal, h, w)
     mrope_section: Optional[list[int]] = None
+    # sequence classification / reward head (LlamaForSequenceClassification)
+    num_labels: int = 0
+    # encoder-only embedding model (BERT family): bidirectional attention,
+    # prefill-only serving; pooling: cls | mean | last
+    is_encoder_only: bool = False
+    pooling_type: str = "cls"
+    type_vocab_size: int = 0
+    layer_norm_eps: float = 1e-12
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -215,6 +223,16 @@ class ModelConfig:
                 mc.scoring_func = "softmax"
                 # HF 4.57 deepseek_v2 gate never renormalizes topk weights
                 mc.norm_topk_prob = False
+        if any(a.endswith("ForSequenceClassification")
+               for a in mc.architectures):
+            mc.num_labels = get("num_labels", 2) or 2
+        if mc.model_type in ("bert", "roberta", "xlm-roberta"):
+            mc.is_encoder_only = True
+            mc.layer_norm_eps = get("layer_norm_eps", 1e-12)
+            mc.type_vocab_size = get("type_vocab_size", 2)
+            mc.hidden_act = get("hidden_act", "gelu")
+            mc.pooling_type = get("pooling_type", "cls")
+            mc.rms_norm_eps = get("layer_norm_eps", 1e-12)
         qc = get("quantization_config") or {}
         if qc.get("quant_method") in ("awq", "gptq"):
             if qc.get("bits", 4) != 4:

@@ -121,8 +121,12 @@ class PrefillAdder:
         # fresh (or retracted) requests get a prefix match + tree lock;
         # a resuming chunked request already holds its lock and pages.
         # LoRA requests bypass the shared cache entirely: cached KV was
-        # computed without their adapter and must not be reused.
-        need_lock = req.fill_len == 0 and not getattr(req, "lora_slot", 0)
+        # computed without their adapter and must not be reused. Encoder-
+        # only (no_chunk) requests bypass it too: bidirectional attention
+        # has no KV to reuse — a "cached prefix" would skip real compute.
+        need_lock = (req.fill_len == 0
+                     and not getattr(req, "lora_slot", 0)
+                     and not getattr(req, "no_chunk", 0))
         if need_lock:
             if len(self.tree_caches) > 1:
                 self._assign_rank(req)
@@ -152,6 +156,16 @@ class PrefillAdder:
 
         if need_lock and req.last_node is not None:
             self.tree_caches[req.dp_rank].inc_lock_ref(req.last_node)
+        if remaining > self.rem_chunk_tokens and getattr(req, "no_chunk", 0):
+            # encoder-only (bidirectional) requests must run whole: admit
+            # solo when the batch is empty, else wait for the next round
+            if self.can_run:
+                return AddReqResult.OTHER
+            req.extend_len = remaining
+            self.rem_chunk_tokens = 0
+            self.rem_reqs -= 1
+            self.can_run.append(req)
+            return AddReqResult.OTHER
         if remaining > self.rem_chunk_tokens:
             # chunked prefill: take the remaining budget slice now
             req.extend_len = self.rem_chunk_tokens

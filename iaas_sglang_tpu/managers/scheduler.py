@@ -264,6 +264,7 @@ class Scheduler:
             eos_token_ids=self.eos_token_ids,
         )
         req.is_embedding = True
+        req.no_chunk = self.model_config.is_encoder_only
         if req.prompt_len >= self.model_config.context_len:
             req.finished_reason = FinishAbort("prompt exceeds context")
             self._emit_output([req])

@@ -307,7 +307,9 @@ class ModelRunner:
             if hidden_tap == "all":
                 hid = hidden          # [T, H] — EAGLE prefill feature prime
             elif return_hidden:
-                hid = last_h.astype(jnp.float32)
+                pool_fn = getattr(model, "pooled_output", None)
+                hid = (pool_fn(params, last_h) if pool_fn is not None
+                       else last_h.astype(jnp.float32))
             else:
                 hid = None
             return tokens, logits, lp, topv, topi, hid, plp, kv_pages

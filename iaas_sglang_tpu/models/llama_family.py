@@ -192,10 +192,27 @@ class LlamaFamilyForCausalLM:
             s["layers.k_norm"] = WeightSpec(
                 (D,), (None,), "model.layers.{l}.self_attn.k_norm.weight",
                 stacked=True)
+        if c.num_labels:
+            # sequence classification / reward head (reference
+            # models/llama_classification.py / llama_reward.py): scores
+            # replace the LM head for pooled requests
+            s["score"] = WeightSpec(
+                (H, c.num_labels), (None, None), "score.weight",
+                transpose=True)
         if not c.tie_word_embeddings:
             s["lm_head"] = WeightSpec(
                 (H, V), (None, "tp"), "lm_head.weight", transpose=True)
         return s
+
+    def pooled_output(self, params: dict[str, Any],
+                      last_h: jnp.ndarray) -> jnp.ndarray:
+        """Embedding-request output per sequence: classification/reward
+        scores when the model has a score head, else the raw hidden state
+        (reference layers/pooler.py last-token pooling)."""
+        if self.config.num_labels:
+            return (last_h.astype(jnp.float32)
+                    @ params["score"].astype(jnp.float32))
+        return last_h.astype(jnp.float32)
 
     # ------------------------------------------------------------- forward
 

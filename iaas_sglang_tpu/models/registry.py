@@ -52,6 +52,26 @@ def _qwen2_vl(config):
 
 register("Qwen2VLForConditionalGeneration", _qwen2_vl)
 
+# sequence classification / reward heads share the causal LM body
+for _arch in (
+    "LlamaForSequenceClassification",
+    "Qwen2ForSequenceClassification",
+    "Qwen3ForSequenceClassification",
+    "MistralForSequenceClassification",
+):
+    register(_arch, LlamaFamilyForCausalLM)
+
+
+def _bert(config):
+    from iaas_sglang_tpu.models.bert import BertEmbeddingModel
+
+    return BertEmbeddingModel(config)
+
+
+for _arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
+              "XLMRobertaModel"):
+    register(_arch, _bert)
+
 
 def resolve_model_cls(config: ModelConfig):
     for arch in config.architectures:

@@ -1,0 +1,126 @@
+"""Embedding-model zoo: BERT bidirectional encoder + classification/reward
+heads, golden vs HF and end-to-end through Engine.encode
+(reference: test_generation_models.py-style golden + embedding serving)."""
+
+import numpy as np
+import pytest
+
+from tests.utils import load_hf_weights_into, make_runner
+
+TINY_BERT = dict(
+    architectures=["BertModel"], model_type="bert",
+    hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=128, vocab_size=256, max_position_embeddings=128,
+    type_vocab_size=2, layer_norm_eps=1e-12, hidden_act="gelu",
+    pad_token_id=0,
+)
+
+TINY_CLS = dict(
+    architectures=["LlamaForSequenceClassification"], model_type="llama",
+    num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+    num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+    rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=512,
+    tie_word_embeddings=True, num_labels=3,
+)
+
+
+def _hf_bert():
+    import torch
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(0)
+    cfg = BertConfig(**{k: v for k, v in TINY_BERT.items()
+                        if k != "architectures"})
+    return BertModel(cfg).eval()
+
+
+def test_bert_pooled_matches_hf():
+    import torch
+
+    hf = _hf_bert()
+    runner, cfg, sa = make_runner(TINY_BERT)
+    load_hf_weights_into(runner, hf)
+
+    from iaas_sglang_tpu.mem_cache.allocator import (PageAllocator,
+                                                      slots_for_tokens)
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5, 77, 9]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]          # pooled (cls, L2-normed)
+
+    with torch.no_grad():
+        out = hf(torch.tensor([ids]))
+    ref = out.last_hidden_state[0, 0].float().numpy()   # CLS token
+    ref = ref / np.linalg.norm(ref)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_bert_engine_encode():
+    """End-to-end: Engine.encode on an encoder-only model; similar inputs
+    embed closer than dissimilar ones, batch mixes lengths."""
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    eng = Engine(ServerArgs(
+        model_path="dummy://bert", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=4096, skip_tokenizer_init=True,
+        chunked_prefill_size=8,  # < prompt length: exercises no_chunk
+        random_seed=0), hf_config_override=TINY_BERT)
+    outs = eng.encode(input_ids=[[5, 6, 7] * 4, [5, 6, 7] * 4, [9] * 5])
+    e = [np.asarray(o["embedding"]) for o in outs]
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-3 for v in e)
+    assert np.allclose(e[0], e[1], atol=1e-5)      # identical inputs
+    # different inputs differ (dummy weights embed similarly but not equal)
+    assert not np.allclose(e[0], e[2], atol=1e-5)
+    eng.shutdown()
+
+
+def test_classification_head_matches_hf():
+    import torch
+    from transformers import LlamaConfig, LlamaForSequenceClassification
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(**{k: v for k, v in TINY_CLS.items()
+                         if k not in ("architectures", "num_labels")},
+                      num_labels=3)
+    hf = LlamaForSequenceClassification(cfg).eval()
+
+    runner, mc, sa = make_runner(TINY_CLS)
+    sd = hf.state_dict()
+    # HF stores the body under model.*, the head as score.weight
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, runner.model_config, runner.mesh_ctx, sd)
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]          # [num_labels]
+
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
