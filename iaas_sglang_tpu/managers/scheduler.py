@@ -90,7 +90,16 @@ class Scheduler:
         self.tokenizer = tokenizer
         self.out_callback = out_callback or (lambda msg: None)
 
-        self.model_runner = model_runner or ModelRunner(server_args, model_config)
+        if model_runner is None:
+            if server_args.pp_size > 1:
+                from iaas_sglang_tpu.model_executor.pp_runner import (
+                    PPModelRunner,
+                )
+
+                model_runner = PPModelRunner(server_args, model_config)
+            else:
+                model_runner = ModelRunner(server_args, model_config)
+        self.model_runner = model_runner
         self.page_size = server_args.page_size
         # DP attention: one private page space + prefix tree per attention
         # rank (the reference's per-DP-rank schedulers collapse into rank-
@@ -351,7 +360,7 @@ class Scheduler:
         """start/stop/dump expert-distribution recording (reference
         /start_expert_distribution_record endpoints; scheduler samples a
         device-side capture every few MoE batches while recording)."""
-        if not self.model_config.is_moe:
+        if not self.model_config.is_moe or self.server_args.pp_size > 1:
             return ExpertDistributionReqOutput(
                 success=False, counts=None)
         if m.action == "start":

@@ -1,0 +1,290 @@
+"""Pipeline-parallel ModelRunner: layer-partitioned stages on separate
+devices (analog of the reference's pp event loop — scheduler.py:825
+event_loop_pp + PPProxyTensors p2p sends; here each stage is its own
+AOT-compiled program pinned to its device, and activations hop stages as
+async device-to-device transfers over ICI).
+
+Stage s owns layers [s*Ls, (s+1)*Ls): its slice of the stacked layer
+weights AND its own KV page-pool slice — the memory-scaling point of PP.
+Stage 0 additionally embeds; the last stage holds final-norm + lm_head and
+runs the sampling tail. One batch flows stage to stage within a forward
+(M=1 microbatch); the scheduler's chained-decode overlap keeps a second
+batch in flight, partially filling the pipeline bubble.
+
+v1 scope: pure pipeline (tp=dp=1), llama-family models, no quantization/
+LoRA/speculative/DP-attention (ServerArgs validates)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iaas_sglang_tpu.configs.model_config import ModelConfig
+from iaas_sglang_tpu.model_executor.forward_batch import (ForwardBatch,
+                                                           SamplingMetadata)
+from iaas_sglang_tpu.model_executor.model_runner import HostBatch, ModelRunner
+from iaas_sglang_tpu.model_loader import loader as model_loader
+from iaas_sglang_tpu.models.registry import resolve_model_cls
+from iaas_sglang_tpu.parallel.mesh import make_mesh
+from iaas_sglang_tpu.sampling.sampler import (apply_grammar_mask,
+                                               apply_penalties,
+                                               compute_logprobs,
+                                               sample_tokens)
+from iaas_sglang_tpu.server_args import ServerArgs
+from iaas_sglang_tpu.utils import cdiv, logger
+
+
+class PPModelRunner(ModelRunner):
+    def __init__(self, server_args: ServerArgs, model_config: ModelConfig,
+                 mesh_ctx=None):
+        self.server_args = server_args
+        self.model_config = model_config
+        self.mesh_ctx = mesh_ctx or make_mesh(1, 1)
+        self.page_size = server_args.page_size
+        self.attn_backend = server_args.attention_backend
+        self.attn_dp = 1
+        self.lora_manager = None
+
+        S = server_args.pp_size
+        devices = jax.devices()
+        assert len(devices) >= S, f"pp_size {S} needs {S} devices"
+        self.pp_size = S
+        self.stage_devices = devices[:S]
+        c = model_config
+        assert c.num_layers % S == 0, \
+            f"num_layers {c.num_layers} must divide pp_size {S}"
+        assert not c.is_mla and not c.is_encoder_only, \
+            "PP v1 covers the llama family"
+        assert not server_args.quantization, "PP v1: no quantization yet"
+        self.layers_per_stage = c.num_layers // S
+
+        model_cls = resolve_model_cls(model_config)
+        self.model = model_cls(model_config)
+        self.model.mesh = self.mesh_ctx.mesh
+
+        logger.info("loading weights (%s) for %d pipeline stages ...",
+                    server_args.load_format, S)
+        self._load_stage_params()
+        self._init_kv_pool()
+        self._init_buckets()
+        self._build_stage_fns()
+        self._compiled: dict = {}
+
+    # ------------------------------------------------------------- weights
+
+    def _load_stage_params(self) -> None:
+        sa, c = self.server_args, self.model_config
+        specs = self.model.weight_specs()
+        if sa.load_format == "dummy":
+            host = model_loader._dummy_host_params(
+                specs, c, sa.random_seed or 0)
+        else:
+            host = model_loader._load_host_params_safetensors(specs, c)
+        S, Ls = self.pp_size, self.layers_per_stage
+        # non-stacked weights: embed -> stage 0; final_norm/lm_head -> last
+        # (tied embeddings: the last stage needs the embedding table too)
+        stage_params = [dict() for _ in range(S)]
+        for name, spec in specs.items():
+            arr = host[name]
+            if spec.stacked and name.startswith("layers."):
+                sub = name.split(".", 1)[1]
+                for s in range(S):
+                    stage_params[s].setdefault("layers", {})[sub] = \
+                        jax.device_put(arr[s * Ls:(s + 1) * Ls],
+                                       self.stage_devices[s])
+            elif name == "embed":
+                stage_params[0][name] = jax.device_put(
+                    arr, self.stage_devices[0])
+                if c.tie_word_embeddings:
+                    stage_params[-1][name] = jax.device_put(
+                        arr, self.stage_devices[-1])
+            else:  # final_norm, lm_head, score
+                stage_params[-1][name] = jax.device_put(
+                    arr, self.stage_devices[-1])
+        self.stage_params = stage_params
+        self.params = stage_params[0]   # compat (embed for EAGLE etc. n/a)
+        jax.block_until_ready(jax.tree.leaves(stage_params[-1])[0])
+
+    # ------------------------------------------------------------- kv pool
+
+    def _init_kv_pool(self) -> None:
+        c, sa, ps = self.model_config, self.server_args, self.page_size
+        ne, ed = self.model.kv_entry_shape()
+        total_tokens = sa.max_total_tokens or 2 ** 16
+        pages_per_layer = max(total_tokens // ps, 16)
+        self.pages_per_layer = pages_per_layer
+        self.num_usable_pages = pages_per_layer
+        Ls = self.layers_per_stage
+        kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        shape = (Ls * (pages_per_layer + 1), ps, ne, ed)
+        self.stage_kv = [
+            jax.device_put(jnp.zeros(shape, dtype=kv_dtype), dev)
+            for dev in self.stage_devices
+        ]
+        self.kv_pages = self.stage_kv[0]  # compat
+        self.max_pages_per_seq = cdiv(c.context_len, ps)
+        logger.info(
+            "PP KV pools: %d stages x %d layers x %d pages/layer "
+            "x %d tokens/page", self.pp_size, Ls, pages_per_layer, ps)
+
+    # ------------------------------------------------------------ step fns
+
+    def _build_stage_fns(self) -> None:
+        model = self.model
+        attn_backend = self.attn_backend
+        scan_layers = self.server_args.scan_layers
+        Ls = self.layers_per_stage
+        S = self.pp_size
+
+        def stage(params, kv, fb: ForwardBatch, h_in,
+                  attn_mode: str, offset: int, is_first: bool):
+            h, kv = model.forward(
+                params, fb, kv,
+                attn_backend=attn_backend, attn_mode=attn_mode,
+                scan_layers=scan_layers,
+                hidden_in=None if is_first else h_in,
+                layer_offset=offset, apply_final_norm=False)
+            return h, kv
+
+        def last(params, kv, fb: ForwardBatch, h_in, meta: SamplingMetadata,
+                 pen, gmask, attn_mode: str, offset: int,
+                 logprob_top_k: int, sampling_mode: str):
+            # final stage: layers + final norm + sampling tail (the PP
+            # split of ModelRunner._build_step_fn's `step`)
+            hidden, kv = model.forward(
+                params, fb, kv,
+                attn_backend=attn_backend, attn_mode=attn_mode,
+                scan_layers=scan_layers, hidden_in=h_in,
+                layer_offset=offset, apply_final_norm=True)
+            last_h = hidden[fb.last_token_idx]
+            logits = model.compute_logits(params, last_h)
+            if pen is not None:
+                logits = apply_penalties(logits, pen)
+            if gmask is not None:
+                logits = apply_grammar_mask(logits, gmask)
+            if sampling_mode == "greedy":
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                tokens = sample_tokens(logits, meta)
+            if logprob_top_k >= 0:
+                lp, topv, topi = compute_logprobs(logits, tokens,
+                                                  logprob_top_k)
+            else:
+                lp = topv = topi = None
+            return tokens, logits, lp, topv, topi, kv
+
+        self._stage_fn = jax.jit(stage, donate_argnums=(1,),
+                                 static_argnums=(4, 5, 6))
+        self._last_fn = jax.jit(last, donate_argnums=(1,),
+                                static_argnums=(7, 8, 9, 10))
+
+    def _compile(self, key, fn, args, statics):
+        exe = self._compiled.get(key)
+        if exe is None:
+            import time as _t
+
+            t0 = _t.perf_counter()
+
+            def absify(x):
+                if hasattr(x, "shape") and hasattr(x, "dtype"):
+                    return jax.ShapeDtypeStruct(
+                        x.shape, x.dtype,
+                        sharding=getattr(x, "sharding", None))
+                return x
+
+            exe = fn.lower(*jax.tree.map(absify, args), *statics).compile()
+            self._compiled[key] = exe
+            logger.info("compiled pp %s in %.1fs", key[0],
+                        _t.perf_counter() - t0)
+        return exe
+
+    # ------------------------------------------------------------- forward
+
+    def forward(self, hb: HostBatch, fetch: bool = True) -> Optional[np.ndarray]:
+        assert hb.multi_steps == 1 and hb.verify_k == 0 \
+            and hb.lora_ids is None and not hb.return_hidden \
+            and hb.lp_targets is None, "unsupported feature under PP v1"
+        fb, meta, B = self._pad_to_device(hb)
+        hb.num_valid = B
+        pen = self._pad_penalties(hb, meta.temperatures.shape[0])
+        gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
+        attn_mode = "decode" if hb.mode.is_decode() else "extend"
+        logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
+        sampling_mode = (
+            "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
+        Ls = self.layers_per_stage
+        S = self.pp_size
+
+        shape_key = str(jax.tree.map(
+            lambda x: (x.shape, str(x.dtype)), (fb, meta, pen, gmask)))
+        h = jnp.zeros((fb.positions.shape[0], self.model_config.hidden_size),
+                      jnp.bfloat16 if self.model_config.dtype == "bfloat16"
+                      else jnp.float32)  # dummy h_in for stage 0
+        for s in range(S - 1):
+            dev = self.stage_devices[s]
+            fb_s = jax.device_put(fb, dev)
+            h = jax.device_put(h, dev)
+            statics = (attn_mode, s * Ls, s == 0)
+            exe = self._compile(
+                (f"stage{s}", attn_mode, shape_key), self._stage_fn,
+                (self.stage_params[s], self.stage_kv[s], fb_s, h), statics)
+            h, self.stage_kv[s] = exe(
+                self.stage_params[s], self.stage_kv[s], fb_s, h)
+        dev = self.stage_devices[-1]
+        fb_l = jax.device_put(fb, dev)
+        meta_l = jax.device_put(meta, dev)
+        pen_l = jax.device_put(pen, dev) if pen is not None else None
+        gmask_l = jax.device_put(gmask, dev) if gmask is not None else None
+        h = jax.device_put(h, dev)
+        statics = (attn_mode, (S - 1) * Ls, logprob_top_k, sampling_mode)
+        exe = self._compile(
+            ("last", attn_mode, logprob_top_k, sampling_mode, shape_key),
+            self._last_fn,
+            (self.stage_params[-1], self.stage_kv[-1], fb_l, h, meta_l,
+             pen_l, gmask_l), statics)
+        tokens, logits, lp, topv, topi, self.stage_kv[-1] = exe(
+            self.stage_params[-1], self.stage_kv[-1], fb_l, h, meta_l,
+            pen_l, gmask_l)
+        hb.device_tokens = tokens
+        hb.device_logits = logits
+        hb.device_logprobs = (lp, topv, topi)
+        if not fetch:
+            return None
+        return self.fetch_tokens(hb)
+
+    # ------------------------------------------------------- compat stubs
+
+    def flush_kv(self) -> None:
+        self.stage_kv = [jnp.zeros_like(kv) for kv in self.stage_kv]
+
+    def gather_kv_pages(self, pages):
+        raise NotImplementedError("PD disaggregation is gated off under PP")
+
+    def scatter_kv_pages(self, pages, data):
+        raise NotImplementedError("PD disaggregation is gated off under PP")
+
+    def release_memory_occupation(self) -> None:
+        self.stage_params = None
+        self.stage_kv = None
+        self.params = None
+
+    def resume_memory_occupation(self) -> None:
+        self._load_stage_params()
+        self._init_kv_pool()
+
+    def update_weights_from_disk(self, model_path, load_format="auto"):
+        try:
+            old = self.model_config.model_path
+            self.model_config.model_path = model_path
+            self.server_args.load_format = load_format
+            self._load_stage_params()
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001
+            self.model_config.model_path = old
+            return False, repr(e)
+
+    def forward_all_logits(self, hb: HostBatch) -> np.ndarray:
+        raise NotImplementedError("golden all-logits path runs without PP")

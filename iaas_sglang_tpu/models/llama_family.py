@@ -227,22 +227,30 @@ class LlamaFamilyForCausalLM:
         scan_layers: bool = True,
         lora=None,
         capture_experts: bool = False,
+        layer_offset: int = 0,
+        hidden_in: Optional[jnp.ndarray] = None,
+        apply_final_norm: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
-        L = c.num_layers
+        # number of layers present IN THESE PARAMS: a pipeline stage passes
+        # a slice of the stacked layer weights + its own kv pool slice
+        L = jax.tree.leaves(params["layers"])[0].shape[0]
         # DP attention: the pool carries a leading attention-rank dim
         # [G, L*(P+1), ps, 2Nk, D] and batch metadata is rank-stacked
         dp_attn = kv_pages.ndim == 5
         pages_per_layer = kv_pages.shape[-4] // L
         ps = kv_pages.shape[-3]
 
-        hidden = params["embed"][fb.input_ids]  # [T, H]
-        if fb.mm_embeds is not None:
-            # VLM: overwrite image-placeholder rows with projected vision
-            # embeddings (the reference's input-embedding merge; padding
-            # positions point past T and are dropped)
-            hidden = hidden.at[fb.mm_positions].set(
-                fb.mm_embeds.astype(hidden.dtype), mode="drop")
+        if hidden_in is not None:
+            hidden = hidden_in          # pipeline stage > 0
+        else:
+            hidden = params["embed"][fb.input_ids]  # [T, H]
+            if fb.mm_embeds is not None:
+                # VLM: overwrite image-placeholder rows with projected
+                # vision embeddings (the reference's input-embedding merge;
+                # padding positions point past T and are dropped)
+                hidden = hidden.at[fb.mm_positions].set(
+                    fb.mm_embeds.astype(hidden.dtype), mode="drop")
         lora_onehot = None
         if lora is not None and fb.lora_ids is not None:
             S1 = lora["scaling"].shape[0]
@@ -257,13 +265,13 @@ class LlamaFamilyForCausalLM:
                 "th,shr->tsr", x.astype(jnp.float32), A_l)
             xa = xa * lora_onehot[:, :, None]
             return jnp.einsum("tsr,sro->to", xa, B_l)
-        if c.embed_multiplier != 1.0:
+        if c.embed_multiplier != 1.0 and hidden_in is None:
             # Gemma scales embeddings by sqrt(hidden) in the input dtype
             hidden = hidden * jnp.asarray(c.embed_multiplier, hidden.dtype)
 
         def layer_body(carry, xs):
             hidden, kv = carry
-            lp, layer_idx = xs
+            lp, layer_idx, global_idx = xs
             h = rms_norm(hidden, lp["input_norm"] + c.rms_weight_offset,
                          c.rms_norm_eps)
             q = qmatmul(h, lp["wq"])
@@ -290,7 +298,7 @@ class LlamaFamilyForCausalLM:
             inv_freq = self.inv_freq
             if self.inv_freq_local is not None:
                 inv_freq = jnp.where(
-                    self.layer_is_local[layer_idx],
+                    self.layer_is_local[global_idx],
                     self.inv_freq_local, self.inv_freq)
             if c.mrope_section and fb.mrope_positions is not None:
                 q, k = apply_rope(q, k, fb.mrope_positions, inv_freq,
@@ -301,7 +309,7 @@ class LlamaFamilyForCausalLM:
                                   self.rope_attn_factor)
 
             if self.layer_windows is not None:
-                window = self.layer_windows[layer_idx]  # traced, -1 = full
+                window = self.layer_windows[global_idx]  # traced, -1 = full
             else:
                 window = c.sliding_window
             slot_off = layer_idx * pages_per_layer * ps
@@ -396,22 +404,27 @@ class LlamaFamilyForCausalLM:
                 layer_params[f"lora_A_{t}"] = A
                 layer_params[f"lora_B_{t}"] = lora["B"][t]
         layer_ids = jnp.arange(L, dtype=jnp.int32)
+        global_ids = layer_ids + layer_offset
         if scan_layers:
             (hidden, kv_pages), ys = jax.lax.scan(
-                layer_body, (hidden, kv_pages), (layer_params, layer_ids)
+                layer_body, (hidden, kv_pages),
+                (layer_params, layer_ids, global_ids)
             )
         else:
             ys_l = []
             for l in range(L):
                 lp = jax.tree.map(lambda x: x[l], layer_params)
                 (hidden, kv_pages), y = layer_body(
-                    (hidden, kv_pages), (lp, jnp.int32(l))
+                    (hidden, kv_pages),
+                    (lp, jnp.int32(l), jnp.int32(l + layer_offset))
                 )
                 ys_l.append(y)
             ys = jnp.stack(ys_l) if capture_experts else None
 
-        hidden = rms_norm(hidden, params["final_norm"] + c.rms_weight_offset,
-                          c.rms_norm_eps)
+        if apply_final_norm:
+            hidden = rms_norm(
+                hidden, params["final_norm"] + c.rms_weight_offset,
+                c.rms_norm_eps)
         if capture_experts:
             return hidden, kv_pages, ys   # ys: i32[L, E] expert counts
         return hidden, kv_pages

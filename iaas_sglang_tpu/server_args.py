@@ -71,6 +71,10 @@ class ServerArgs:
     # Parallelism (logical mesh over ICI/DCN)
     tp_size: int = 1
     dp_size: int = 1
+    # pipeline parallelism: layer-partitioned stages on separate devices
+    # (reference event_loop_pp / PPProxyTensors; here per-stage jitted
+    # programs with activations handed over ICI by async dispatch)
+    pp_size: int = 1
     # DP dispatch policy: round_robin | shortest_queue (reference
     # data_parallel_controller.py:249 / shortest-queue dispatch)
     load_balance_method: str = "round_robin"
@@ -148,6 +152,19 @@ class ServerArgs:
             self.attention_backend = "pallas" if self.device == "tpu" else "jnp"
         if self.page_size < 1:
             raise ValueError("page_size must be >= 1")
+        if self.pp_size > 1:
+            if self.tp_size > 1 or self.dp_size > 1 or self.ep_size > 1:
+                raise ValueError(
+                    "pp_size > 1 composes with tp/dp/ep in a later round; "
+                    "use pure pipeline stages for now")
+            if (self.enable_dp_attention or self.enable_lora
+                    or self.speculative_algorithm
+                    or self.enable_hierarchical_cache
+                    or self.disaggregation_mode != "none"):
+                raise ValueError(
+                    "pp_size > 1 is incompatible with dp-attention / LoRA / "
+                    "speculative / hicache / disaggregation")
+            self.decode_steps_per_dispatch = 1
         if self.enable_dp_attention:
             if self.enable_hierarchical_cache:
                 raise ValueError(
