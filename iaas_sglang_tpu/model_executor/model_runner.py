@@ -204,6 +204,8 @@ class ModelRunner:
         self.kv_pages = jax.device_put(
             jnp.zeros(shape, dtype=kv_dtype), sharding
         )
+        if sa.enable_double_sparsity:
+            self._init_double_sparsity(shape, kv_dtype)
         self.max_pages_per_seq = cdiv(c.context_len, ps)
         gb = np.prod(shape) * 2 / 1e9
         logger.info(
@@ -212,6 +214,37 @@ class ModelRunner:
             G, pages_per_layer, ps, c.num_layers,
             G * pages_per_layer * ps, gb,
         )
+
+    def _init_double_sparsity(self, kv_shape, kv_dtype) -> None:
+        """Heavy-channel label pool + per-layer channel table (reference
+        double_sparsity_backend.py; channels from a calibration json or,
+        absent one, |W_k| column magnitudes per head)."""
+        sa, c = self.server_args, self.model_config
+        assert not c.is_mla and not c.sliding_window, \
+            "double sparsity covers plain MHA/GQA models"
+        r = sa.ds_heavy_channel_num
+        L, Nk, D = c.num_layers, c.num_kv_heads, c.head_dim
+        if sa.ds_channel_config_path:
+            import json as _json
+
+            with open(sa.ds_channel_config_path) as f:
+                ch = np.asarray(_json.load(f), dtype=np.int32)
+            assert ch.shape == (L, Nk, r), \
+                f"channel config shape {ch.shape} != {(L, Nk, r)}"
+            channels = jnp.asarray(ch)
+        else:
+            wk = self.params["layers"]["wk"]          # [L, H, Nk*D]
+            mag = jnp.sum(jnp.abs(wk.astype(jnp.float32)), axis=1)
+            _, channels = jax.lax.top_k(mag.reshape(L, Nk, D), r)
+            channels = channels.astype(jnp.int32)
+        self.model.ds_channels = channels
+        self.model.ds_heavy_tokens = sa.ds_heavy_token_num
+        label_shape = kv_shape[:-2] + (Nk, r)
+        labels = jax.device_put(
+            jnp.zeros(label_shape, dtype=kv_dtype), self.mesh_ctx.replicated)
+        self.kv_pages = (self.kv_pages, labels)
+        logger.info("double sparsity: r=%d channels, top-%d tokens",
+                    r, sa.ds_heavy_token_num)
 
     def _profile_available_bytes(self) -> Optional[int]:
         try:
@@ -1005,4 +1038,4 @@ class ModelRunner:
     # --------------------------------------------------------------- misc
 
     def flush_kv(self) -> None:
-        self.kv_pages = jnp.zeros_like(self.kv_pages)
+        self.kv_pages = jax.tree.map(jnp.zeros_like, self.kv_pages)

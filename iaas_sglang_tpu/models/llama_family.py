@@ -29,8 +29,10 @@ from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
 from iaas_sglang_tpu.ops.attention import (
     dp_paged_attention,
     dp_write_kv_pages,
+    ds_paged_decode_attention,
     paged_attention,
     write_kv_pages,
+    write_label_pages,
 )
 from iaas_sglang_tpu.quantization.qlinear import qmatmul
 
@@ -83,6 +85,11 @@ class LlamaFamilyForCausalLM:
         # full attention) gathered by the traced layer index inside the
         # scan; uniform-SWA models (mistral) keep a static python window.
         self.layer_windows = None
+        # double sparsity: [L, Nk, r] heavy-channel table (set by the
+        # runner when --enable-double-sparsity; kv carry becomes a
+        # (kv, labels) tuple)
+        self.ds_channels = None
+        self.ds_heavy_tokens = 0
         self.inv_freq_local = None
         self.layer_is_local = None
         if c.sliding_window and c.sliding_window_pattern:
@@ -235,11 +242,14 @@ class LlamaFamilyForCausalLM:
         # number of layers present IN THESE PARAMS: a pipeline stage passes
         # a slice of the stacked layer weights + its own kv pool slice
         L = jax.tree.leaves(params["layers"])[0].shape[0]
+        # double sparsity: kv carry is (kv, heavy-channel labels)
+        ds = isinstance(kv_pages, tuple)
+        kv_main0 = kv_pages[0] if ds else kv_pages
         # DP attention: the pool carries a leading attention-rank dim
         # [G, L*(P+1), ps, 2Nk, D] and batch metadata is rank-stacked
-        dp_attn = kv_pages.ndim == 5
-        pages_per_layer = kv_pages.shape[-4] // L
-        ps = kv_pages.shape[-3]
+        dp_attn = (not ds) and kv_pages.ndim == 5
+        pages_per_layer = kv_main0.shape[-4] // L
+        ps = kv_main0.shape[-3]
 
         if hidden_in is not None:
             hidden = hidden_in          # pipeline stage > 0
@@ -314,7 +324,39 @@ class LlamaFamilyForCausalLM:
                 window = c.sliding_window
             slot_off = layer_idx * pages_per_layer * ps
             page_off = layer_idx * pages_per_layer
-            if dp_attn:
+            if ds:
+                kv_main, kv_lab = kv
+                ch = self.ds_channels[global_idx]          # [Nk, r]
+                labels = jnp.take_along_axis(
+                    k, ch[None, :, :], axis=2)             # post-rope K
+                kv_main = write_kv_pages(
+                    kv_main, fb.out_slots + slot_off, k, v)
+                kv_lab = write_label_pages(
+                    kv_lab, fb.out_slots + slot_off, labels)
+                kv = (kv_main, kv_lab)
+                if attn_mode == "decode":
+                    g = c.num_heads // c.num_kv_heads
+                    qg = q.reshape(T, c.num_kv_heads, g, c.head_dim)
+                    q_heavy = jnp.take_along_axis(
+                        qg, ch[None, :, None, :], axis=3).sum(axis=2)
+                    attn = ds_paged_decode_attention(
+                        q, kv_main, kv_lab, q_heavy * self.sm_scale,
+                        fb.kv_lens, fb.page_indices + page_off,
+                        sm_scale=self.sm_scale,
+                        heavy_tokens=self.ds_heavy_tokens,
+                        logit_softcap=c.attn_logit_softcap,
+                    )
+                else:
+                    attn = paged_attention(
+                        q, kv_main, fb.kv_lens, fb.page_indices + page_off,
+                        fb.cu_q_lens, fb.num_seqs,
+                        sm_scale=self.sm_scale,
+                        sliding_window=window,
+                        logit_softcap=c.attn_logit_softcap,
+                        backend=attn_backend,
+                        mode=attn_mode,
+                    )
+            elif dp_attn:
                 kv = dp_write_kv_pages(
                     kv, fb.out_slots + slot_off, k, v, mesh=self.mesh)
                 attn = dp_paged_attention(

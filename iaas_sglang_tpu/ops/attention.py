@@ -220,6 +220,86 @@ def mla_paged_attention(
     return out.astype(q.dtype)
 
 
+# ------------------------------------------------------ double sparsity
+
+
+def ds_paged_decode_attention(
+    q: jnp.ndarray,              # [B, Nq, D] (one new token per seq)
+    kv_pages: jnp.ndarray,       # [NP, ps, 2*Nk, D]
+    label_pages: jnp.ndarray,    # [NP, ps, Nk, r] heavy-channel K labels
+    q_heavy: jnp.ndarray,        # [B, Nk, r] group-summed heavy-channel q
+    kv_lens: jnp.ndarray,        # i32[B]
+    page_indices: jnp.ndarray,   # i32[B, MP]
+    *,
+    sm_scale: float,
+    heavy_tokens: int,           # top-k tokens attended per kv head
+    logit_softcap=None,
+) -> jnp.ndarray:
+    """Double-sparsity decode (reference double_sparsity_backend.py +
+    sgl-kernel vertical_slash/heavy-token kernels): the tiny label cache
+    (r channels per token, r << D) scores EVERY cached token, and full
+    attention runs over only the top `heavy_tokens` positions per kv head
+    — HBM traffic drops from S*D to S*r + k*D per head."""
+    B, Nq, D = q.shape
+    NP, ps, NK2, _ = kv_pages.shape
+    Nk = NK2 // 2
+    group = Nq // Nk
+    MP = page_indices.shape[1]
+    S = MP * ps
+    k_sel = min(heavy_tokens, S)
+
+    labels = label_pages[page_indices].reshape(B, S, Nk, -1)   # [B,S,Nk,r]
+    approx = jnp.einsum("bnr,bsnr->bns",
+                        q_heavy.astype(jnp.float32),
+                        labels.astype(jnp.float32))            # [B,Nk,S]
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = key_pos < kv_lens[:, None]                         # [B, S]
+    approx = jnp.where(valid[:, None, :], approx, -jnp.inf)
+    # newest token always attends itself: force-select the last position
+    last = (kv_lens - 1)[:, None]
+    approx = jnp.where(key_pos[None] == last[:, None], jnp.inf, approx)
+    _, idx = jax.lax.top_k(approx, k_sel)                      # [B,Nk,k]
+
+    kv_seq = kv_pages[page_indices].reshape(B, S, 2 * Nk, D)
+    k_seq = kv_seq[:, :, 0::2, :]                              # [B,S,Nk,D]
+    v_seq = kv_seq[:, :, 1::2, :]
+    bidx = jnp.arange(B)[:, None, None]
+    nidx = jnp.arange(Nk)[None, :, None]
+    k_sel_rows = k_seq[bidx, idx, nidx]                        # [B,Nk,k,D]
+    v_sel_rows = v_seq[bidx, idx, nidx]
+    sel_valid = jnp.take_along_axis(valid[:, None, :].repeat(Nk, 1),
+                                    idx, axis=2)               # [B,Nk,k]
+
+    # padded rows (kv_lens == 0) select nothing: give them one escape key
+    # so softmax stays finite (their output is discarded; a NaN here would
+    # poison the shared garbage page on the next KV write)
+    any_valid = jnp.any(sel_valid, axis=-1, keepdims=True)
+    sel_valid = sel_valid | (
+        ~any_valid & (jnp.arange(k_sel)[None, None, :] == 0))
+
+    qf = q.astype(jnp.float32).reshape(B, Nk, group, D)
+    scores = jnp.einsum("bngd,bnkd->bngk", qf,
+                        k_sel_rows.astype(jnp.float32)) * sm_scale
+    if logit_softcap:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
+    scores = jnp.where(sel_valid[:, :, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bngk,bnkd->bngd", probs,
+                     v_sel_rows.astype(jnp.float32))
+    return out.reshape(B, Nq, D).astype(q.dtype)
+
+
+def write_label_pages(
+    label_pages: jnp.ndarray,   # [NP, ps, Nk, r]
+    out_slots: jnp.ndarray,     # i32[T]
+    labels: jnp.ndarray,        # [T, Nk, r]
+) -> jnp.ndarray:
+    NP, ps, Nk, r = label_pages.shape
+    flat = label_pages.reshape(NP * ps, Nk, r)
+    flat = flat.at[out_slots].set(labels.astype(label_pages.dtype))
+    return flat.reshape(NP, ps, Nk, r)
+
+
 # --------------------------------------------------------- DP attention
 #
 # TPU re-design of the reference's DP attention (layers/dp_attention.py:61,

@@ -119,6 +119,16 @@ class ServerArgs:
     # EAGLE draft checkpoint dir (None = dummy-weight draft, for testing)
     speculative_draft_model_path: Optional[str] = None
 
+    # Double sparsity (reference double_sparsity_backend.py): decode-time
+    # sparse attention — a small per-token "label" cache of r heavy K
+    # channels scores ALL tokens cheaply, full attention then runs over
+    # only the top ds_heavy_token_num tokens per kv head. Heavy channels
+    # derive from |W_k| column magnitudes at load (or a calibration json).
+    enable_double_sparsity: bool = False
+    ds_heavy_channel_num: int = 16
+    ds_heavy_token_num: int = 256
+    ds_channel_config_path: Optional[str] = None
+
     # Attention backend: pallas (ours) | jax_rpa (jax builtin) | jnp (reference)
     attention_backend: str = "auto"
 
@@ -165,6 +175,15 @@ class ServerArgs:
                     "pp_size > 1 is incompatible with dp-attention / LoRA / "
                     "speculative / hicache / disaggregation")
             self.decode_steps_per_dispatch = 1
+        if self.enable_double_sparsity:
+            if (self.enable_dp_attention or self.quantization
+                    or self.speculative_algorithm
+                    or self.enable_hierarchical_cache
+                    or self.disaggregation_mode != "none"
+                    or self.pp_size > 1):
+                raise ValueError(
+                    "enable_double_sparsity composes only with the plain "
+                    "decode path in this round")
         if self.enable_dp_attention:
             if self.enable_hierarchical_cache:
                 raise ValueError(
