@@ -86,6 +86,8 @@ class ModelConfig:
     pooling_type: str = "cls"
     type_vocab_size: int = 0
     layer_norm_eps: float = 1e-12
+    # Roberta-family: position ids start at padding_idx+1 (HF convention)
+    position_offset: int = 0
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -228,6 +230,8 @@ class ModelConfig:
             mc.num_labels = get("num_labels", 2) or 2
         if mc.model_type in ("bert", "roberta", "xlm-roberta"):
             mc.is_encoder_only = True
+            if mc.model_type in ("roberta", "xlm-roberta"):
+                mc.position_offset = (get("pad_token_id", 1) or 1) + 1
             mc.layer_norm_eps = get("layer_norm_eps", 1e-12)
             mc.type_vocab_size = get("type_vocab_size", 2)
             mc.hidden_act = get("hidden_act", "gelu")

@@ -209,10 +209,13 @@ class Engine:
         outs = []
         for rid in rids:
             st = self._outputs.pop(rid)
+            meta = {"id": rid, "prompt_tokens": st.get("prompt_tokens", 0)}
+            if st.get("finished"):
+                # aborted (e.g. encoder prompt beyond the prefill budget)
+                meta["finish_reason"] = st["finished"]
             outs.append({
-                "embedding": st["embedding"],
-                "meta_info": {"id": rid,
-                              "prompt_tokens": st["prompt_tokens"]},
+                "embedding": st.get("embedding"),
+                "meta_info": meta,
             })
         return outs if batch else outs[0]
 

@@ -95,6 +95,10 @@ class PrefillAdder:
         self.headroom_tokens = headroom_tokens
         self.can_run: List[Req] = []
         self.chunked_req: Req | None = None
+        # tokens tentatively committed per rank THIS round (allocation
+        # happens later, so free_tokens alone would pile a cold-start wave
+        # of cache-miss requests onto one rank)
+        self._rank_pending = {}
 
     def _available_tokens(self, rank: int = 0) -> int:
         return (
@@ -106,13 +110,17 @@ class PrefillAdder:
         """DP attention: pin a fresh request to the attention rank with the
         best prefix hit, tie-broken by most free KV (the cache-aware rank
         dispatch the reference delegates to its router/DP controller)."""
-        best = (-1, -1, 0)  # (match_len, free_tokens, rank)
+        best = (-1, -float("inf"), 0)  # (match_len, eff_free, rank)
         for rank, tree in enumerate(self.tree_caches):
             match = tree.match_prefix(req.fill_ids()).prefix_len
-            free = self._available_tokens(rank)
+            free = (self._available_tokens(rank)
+                    - self._rank_pending.get(rank, 0))
             if (match, free) > best[:2]:
                 best = (match, free, rank)
         req.dp_rank = best[2]
+        self._rank_pending[best[2]] = (
+            self._rank_pending.get(best[2], 0)
+            + req.extend_target() + min(req.sampling_params.max_new_tokens, 256))
 
     def add_one_req(self, req: Req) -> AddReqResult:
         if self.rem_reqs <= 0 or self.rem_chunk_tokens <= 0:

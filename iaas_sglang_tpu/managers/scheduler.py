@@ -274,6 +274,13 @@ class Scheduler:
         )
         req.is_embedding = True
         req.no_chunk = self.model_config.is_encoder_only
+        if req.no_chunk and req.prompt_len > self.server_args.max_prefill_tokens:
+            req.finished_reason = FinishAbort(
+                f"encoder prompt {req.prompt_len} exceeds max_prefill_tokens "
+                f"{self.server_args.max_prefill_tokens} (bidirectional "
+                "requests cannot be chunked)")
+            self._emit_output([req])
+            return
         if req.prompt_len >= self.model_config.context_len:
             req.finished_reason = FinishAbort("prompt exceeds context")
             self._emit_output([req])
@@ -360,7 +367,10 @@ class Scheduler:
         """start/stop/dump expert-distribution recording (reference
         /start_expert_distribution_record endpoints; scheduler samples a
         device-side capture every few MoE batches while recording)."""
-        if not self.model_config.is_moe or self.server_args.pp_size > 1:
+        if (not self.model_config.is_moe or self.server_args.pp_size > 1
+                or self.attn_dp > 1):
+            # DP attention stacks cu_q_lens per rank — the capture tap
+            # indexes it flat; gate until the tap is rank-aware
             return ExpertDistributionReqOutput(
                 success=False, counts=None)
         if m.action == "start":
@@ -685,6 +695,9 @@ class Scheduler:
                 s, e = max(it.offset, f0), min(it.offset + it.num_tokens, f1)
                 if s < e:
                     emb = self.mm_cache.get(it.hash)
+                    if emb is None:  # evicted by this batch's own puts
+                        emb = self.model_runner.encode_mm_items([it])[it.hash]
+                        self.mm_cache.put(it.hash, emb)
                     emb_l.append(emb[s - it.offset : e - it.offset])
                     pos_l.append(np.arange(cu + s - f0, cu + e - f0,
                                            dtype=np.int32))
@@ -767,7 +780,7 @@ class Scheduler:
             self._attach_mrope(batch, hb)
         tokens = self.model_runner.forward(hb, fetch=fetch)
         if (self.expert_recorder is not None and self.expert_recorder.recording
-                and hb.input_ids is not None
+                and hb.input_ids is not None and hb.multi_steps == 1
                 and self.step_count % self.expert_capture_interval == 0):
             self.expert_recorder.add_counts(
                 self.model_runner.run_expert_capture(hb))

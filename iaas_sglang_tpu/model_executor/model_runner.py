@@ -861,6 +861,27 @@ class ModelRunner:
             return toks[:T_pad]
         return jnp.pad(toks, (0, T_pad - toks.shape[0]))
 
+    def _aot_call(self, key, jit_fn, args, statics=()):
+        """AOT lower().compile() with an executable cache — runtime jit
+        dispatch through the remote-compile relay misbehaves for big
+        programs (CLAUDE.md); every auxiliary program goes through here
+        like the main step functions do."""
+        exe = self._compiled.get(key)
+        if exe is None:
+            def absify(x):
+                if hasattr(x, "shape") and hasattr(x, "dtype"):
+                    return jax.ShapeDtypeStruct(
+                        x.shape, x.dtype,
+                        sharding=getattr(x, "sharding", None))
+                return x
+
+            with self.mesh_ctx.mesh:
+                exe = jit_fn.lower(
+                    *jax.tree.map(absify, args), *statics).compile()
+            self._compiled[key] = exe
+        with self.mesh_ctx.mesh:
+            return exe(*args)
+
     # --------------------------------------------------------- multimodal
 
     def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
@@ -878,8 +899,10 @@ class ModelRunner:
             self._encode_fn = jax.jit(self.model.encode_images)
         dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
             else jnp.float32
-        with self.mesh_ctx.mesh:
-            out = self._encode_fn(self.params, jnp.asarray(patches, dt))
+        patches_j = jnp.asarray(patches, dt)
+        out = self._aot_call(
+            ("encode_images", patches_j.shape), self._encode_fn,
+            (self.params, patches_j))
         return np.asarray(out)[:N]
 
     def encode_mm_items(self, items: list) -> dict:
@@ -906,10 +929,12 @@ class ModelRunner:
                 if N_pad != N:
                     batch = np.concatenate([batch, np.zeros(
                         (N_pad - N,) + batch.shape[1:], batch.dtype)])
-                with self.mesh_ctx.mesh:
-                    rows = self._encode_fn(
-                        self.params, jnp.asarray(batch, dt),
-                        jnp.asarray(cos), jnp.asarray(sin))
+                batch_j = jnp.asarray(batch, dt)
+                rows = self._aot_call(
+                    ("encode_images", batch_j.shape, grid),
+                    self._encode_fn,
+                    (self.params, batch_j, jnp.asarray(cos),
+                     jnp.asarray(sin)))
                 rows = np.asarray(rows)
                 for it, r in zip(grp, rows[:N]):
                     out[it.hash] = r
@@ -944,9 +969,11 @@ class ModelRunner:
 
             self._capture_fn = jax.jit(cap, static_argnums=(3,))
         attn_mode = "decode" if hb.mode.is_decode() else "extend"
-        with self.mesh_ctx.mesh:
-            counts = self._capture_fn(self.params, self.kv_pages, fb,
-                                      attn_mode)
+        shape_key = str(jax.tree.map(
+            lambda x: x.shape if hasattr(x, "shape") else x, fb))
+        counts = self._aot_call(
+            ("expert_capture", attn_mode, shape_key), self._capture_fn,
+            (self.params, self.kv_pages, fb), (attn_mode,))
         return np.asarray(counts)
 
     # ------------------------------------------------- weight lifecycle ops

@@ -56,8 +56,9 @@ class PPModelRunner(ModelRunner):
         c = model_config
         assert c.num_layers % S == 0, \
             f"num_layers {c.num_layers} must divide pp_size {S}"
-        assert not c.is_mla and not c.is_encoder_only, \
-            "PP v1 covers the llama family"
+        assert not c.is_mla and not c.is_encoder_only \
+            and not c.is_multimodal and not c.num_labels, \
+            "PP v1 covers llama-family causal LMs"
         assert not server_args.quantization, "PP v1: no quantization yet"
         self.layers_per_stage = c.num_layers // S
 

@@ -100,7 +100,7 @@ class BertEmbeddingModel:
         same = (seg[:, None] == seg[None, :]) & valid[None, :]  # [T, T]
 
         h = (params["embed"][fb.input_ids]
-             + params["pos_embed"][fb.positions]
+             + params["pos_embed"][fb.positions + c.position_offset]
              + params["type_embed"][0][None, :])
         h = layer_norm(h, params["emb_ln_w"], params["emb_ln_b"], eps)
         act = _act(c.hidden_act)

@@ -206,7 +206,8 @@ class LlamaFamilyForCausalLM:
             s["score"] = WeightSpec(
                 (H, c.num_labels), (None, None), "score.weight",
                 transpose=True)
-        if not c.tie_word_embeddings:
+        if not c.tie_word_embeddings and not c.num_labels:
+            # *ForSequenceClassification checkpoints ship no lm_head
             s["lm_head"] = WeightSpec(
                 (H, V), (None, "tp"), "lm_head.weight", transpose=True)
         return s
@@ -474,8 +475,8 @@ class LlamaFamilyForCausalLM:
     def compute_logits(self, params: dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
         """hidden [B, H] -> logits f32[B, V] (last-token gather happens in the
         runner; analog of layers/logits_processor.py:196)."""
-        if self.config.tie_word_embeddings:
-            w = params["embed"].T  # [H, V]
+        if self.config.tie_word_embeddings or "lm_head" not in params:
+            w = params["embed"].T  # [H, V] (tied, or head-less classifier)
         else:
             w = params["lm_head"]
         logits = (hidden @ w).astype(jnp.float32)
