@@ -558,9 +558,10 @@ async def handle_embeddings(request: web.Request) -> web.Response:
 
 
 async def handle_rerank(request: web.Request) -> web.Response:
-    """/v1/rerank (reference serving_rerank.py). Bi-encoder scoring: the
-    query and each document are embedded and ranked by cosine similarity
-    (cross-encoder score heads land with the classification-model zoo)."""
+    """/v1/rerank (reference serving_rerank.py). With a classification-head
+    model (cross-encoder, e.g. bge-reranker): score each (query, document)
+    pair directly. Otherwise bi-encoder: embed query + documents and rank
+    by cosine similarity."""
     import math
 
     state: ServerState = request.app["state"]
@@ -570,6 +571,30 @@ async def handle_rerank(request: web.Request) -> web.Response:
     if not query or not documents:
         return web.json_response(
             {"error": "query and documents are required"}, status=400)
+
+    if not hasattr(state, "_model_cfg"):
+        from iaas_sglang_tpu.configs.model_config import ModelConfig
+
+        try:
+            state._model_cfg = ModelConfig.from_path(
+                state.server_args.model_path)
+        except Exception:
+            state._model_cfg = None
+    cfg = state._model_cfg
+    if cfg is not None and cfg.num_labels:
+        # cross-encoder: tokenize the pair, pooled score head = relevance
+        tok = state.tokenizer_manager.tokenizer
+        pair_ids = [tok(query, doc)["input_ids"] for doc in documents]
+        outs = await state.tokenizer_manager.embed_request(
+            input_ids=pair_ids)
+        results = [
+            {"score": float(outs[i]["embedding"][0]), "document": doc,
+             "index": i, "meta_info": outs[i]["meta_info"]}
+            for i, doc in enumerate(documents)
+        ]
+        results.sort(key=lambda r: r["score"], reverse=True)
+        return web.json_response(results)
+
     outs = await state.tokenizer_manager.embed_request(
         texts=[query] + list(documents))
     qv = outs[0]["embedding"]

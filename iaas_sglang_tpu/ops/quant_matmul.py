@@ -77,19 +77,18 @@ def _int4_matmul_kernel(
     s = s_ref[pl.ds(g0, nG)]                  # f32 [nG, NB]
     zs = zs_ref[pl.ds(g0, nG)] if zs_ref is not None else None
 
-    acc = acc_ref[...]
-    for gi in range(nG):
-        x_g = x[:, gi * group : (gi + 1) * group]
-        w_g = w[gi * group : (gi + 1) * group]
-        part = jax.lax.dot_general(
-            x_g, w_g, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                     # f32 [T, NB]
-        acc = acc + part * s[gi][None, :]
-        if zs is not None:
-            rowsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - rowsum * zs[gi][None, :]
-    acc_ref[...] = acc
+    # dequantize + scale in VMEM, then ONE MXU dot per block: a python
+    # loop of [T, G] x [G, NB] group-dots left the MXU latency-bound at
+    # decode T (measured ~0.6 ms per call vs DMA time in the microseconds)
+    NB = w.shape[1]
+    w3 = w.astype(jnp.float32).reshape(nG, group, NB) * s[:, None, :]
+    if zs is not None:
+        w3 = w3 - zs[:, None, :]
+    wf = w3.reshape(KB, NB).astype(x.dtype)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        x, wf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(pl.program_id(1) == n_k - 1)
     def _done():

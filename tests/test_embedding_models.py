@@ -124,3 +124,39 @@ def test_classification_head_matches_hf():
     with torch.no_grad():
         ref = hf(torch.tensor([ids])).logits[0].float().numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_http_cross_encoder_rerank(tmp_path):
+    """/v1/rerank with a classification-head model scores (query, doc)
+    pairs through the cross-encoder path."""
+    import json
+
+    import requests
+
+    from iaas_sglang_tpu.utils import get_open_port
+    from tests.server_utils import kill_server, make_tiny_model_dir, \
+        popen_launch_server
+
+    model_dir = make_tiny_model_dir(str(tmp_path / "tiny-rerank"))
+    cfg = dict(TINY_CLS)
+    cfg["vocab_size"] = 512
+    cfg["num_labels"] = 1
+    with open(f"{model_dir}/config.json", "w") as f:
+        json.dump(cfg, f)
+    port = get_open_port()
+    proc = popen_launch_server(model_dir, port)
+    try:
+        r = requests.post(
+            f"http://127.0.0.1:{port}/v1/rerank",
+            json={"query": "what is jax",
+                  "documents": ["jax is a library", "bananas are yellow"]},
+            timeout=300)
+        assert r.status_code == 200, r.text
+        out = r.json()
+        assert len(out) == 2
+        assert {o["index"] for o in out} == {0, 1}
+        assert all(isinstance(o["score"], float) for o in out)
+        # sorted descending
+        assert out[0]["score"] >= out[1]["score"]
+    finally:
+        kill_server(proc)
