@@ -88,6 +88,24 @@ class ModelConfig:
     layer_norm_eps: float = 1e-12
     # Roberta-family: position ids start at padding_idx+1 (HF convention)
     position_offset: int = 0
+    # --- structural variants beyond the Llama template -------------------
+    norm_type: str = "rmsnorm"        # "rmsnorm" | "layernorm" (mean-centering)
+    norm_bias: bool = False           # layernorm bias weights present
+    mlp_gated: bool = True            # False => fc1 -> act -> fc2 (GPT-2/Phi)
+    mlp_bias: bool = False            # biases on the MLP linears
+    o_bias: bool = False              # bias on the attention out-projection
+    lm_head_bias: bool = False        # bias on the LM head (Phi)
+    parallel_residual: bool = False   # h += attn(ln(h)) + mlp(ln(h)) (Phi/Cohere)
+    partial_rotary_factor: float = 1.0  # rope over the first D*f dims only
+    use_rope: bool = True             # False => learned absolute positions
+    learned_pos_embed: bool = False   # wpe table added to the embedding
+    input_norms: bool = True          # pre-sublayer norms present (OLMo2: False)
+    qk_norm_full: bool = False        # q/k RMSNorm over full width (OLMo2/OLMoE)
+    rope_interleaved: bool = False    # adjacent-pair rotation (Cohere/GLM)
+    residual_multiplier: float = 1.0  # Granite residual scaling
+    logits_scale: float = 1.0         # final-logit multiplier (Cohere/Granite)
+    attention_multiplier: Optional[float] = None  # direct sm_scale override
+    clip_qkv: Optional[float] = None  # clamp q/k/v activations (DBRX/OLMo)
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -225,6 +243,107 @@ class ModelConfig:
                 mc.scoring_func = "softmax"
                 # HF 4.57 deepseek_v2 gate never renormalizes topk weights
                 mc.norm_topk_prob = False
+        if mc.model_type == "gpt2":
+            # GPT-2/DistilGPT2 (reference models/gpt2.py): Conv1D fused
+            # c_attn, LayerNorm+bias, learned wpe positions, gelu_new MLP.
+            mc.num_layers = get("n_layer", mc.num_layers)
+            mc.hidden_size = get("n_embd", mc.hidden_size)
+            mc.num_heads = get("n_head", mc.num_heads)
+            mc.num_kv_heads = mc.num_heads
+            mc.head_dim = mc.hidden_size // mc.num_heads
+            mc.intermediate_size = get("n_inner") or 4 * mc.hidden_size
+            mc.max_position_embeddings = get("n_positions", 1024)
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.rms_norm_eps = get("layer_norm_epsilon", 1e-5)
+            mc.mlp_gated = False
+            mc.mlp_bias = True
+            mc.attention_bias = True
+            mc.o_bias = True
+            mc.use_rope = False
+            mc.learned_pos_embed = True
+            mc.tie_word_embeddings = True
+            mc.hidden_act = get("activation_function", "gelu_new")
+        if mc.model_type == "starcoder2":
+            bias = get("use_bias", True)
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.rms_norm_eps = get("norm_epsilon", 1e-5)
+            mc.mlp_gated = False
+            mc.mlp_bias = bias
+            mc.attention_bias = bias
+            mc.o_bias = bias
+            mc.tie_word_embeddings = get("tie_word_embeddings", True)
+        if mc.model_type == "phi":
+            # Phi-1/1.5/2: parallel attn+MLP residual over a shared
+            # LayerNorm, partial rotary, biased linears + LM-head bias.
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.rms_norm_eps = get("layer_norm_eps", 1e-5)
+            mc.mlp_gated = False
+            mc.mlp_bias = True
+            mc.attention_bias = True
+            mc.o_bias = True
+            mc.lm_head_bias = True
+            mc.parallel_residual = True
+            mc.partial_rotary_factor = get("partial_rotary_factor", 0.5)
+            if get("qk_layernorm"):
+                raise NotImplementedError("phi qk_layernorm not supported")
+        if mc.model_type == "phi3":
+            # Phi-3/3.5/4: fused qkv_proj/gate_up_proj, LongRope scaling.
+            if mc.rope_scaling and mc.rope_scaling.get(
+                    "rope_type", mc.rope_scaling.get("type")) == "longrope":
+                mc.rope_scaling = dict(mc.rope_scaling)
+                mc.rope_scaling.setdefault(
+                    "original_max_position_embeddings",
+                    get("original_max_position_embeddings", 4096))
+                mc.rope_scaling.setdefault(
+                    "max_position_embeddings", mc.max_position_embeddings)
+        if mc.model_type == "stablelm":
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.rms_norm_eps = get("layer_norm_eps", 1e-5)
+            mc.attention_bias = get("use_qkv_bias", False)
+            mc.partial_rotary_factor = get("partial_rotary_factor", 0.25)
+            if get("qk_layernorm"):
+                raise NotImplementedError("stablelm qk_layernorm unsupported")
+        if mc.model_type == "olmo2":
+            # OLMo2: post-norms only (norm on sublayer OUTPUT, no input
+            # norms) + full-width q/k RMSNorm before rope.
+            mc.input_norms = False
+            mc.sandwich_norms = True
+            mc.qk_norm_full = True
+        if mc.model_type == "olmo":
+            mc.norm_type = "layernorm"   # non-parametric LN (weights absent)
+            mc.rms_norm_eps = 1e-5
+            mc.clip_qkv = get("clip_qkv")
+            mc.tie_word_embeddings = get("tie_word_embeddings", False)
+        if mc.model_type == "olmoe":
+            mc.qk_norm_full = True
+            mc.norm_topk_prob = get("norm_topk_prob", False)
+        if mc.model_type in ("cohere", "commandr"):
+            mc.norm_type = "layernorm"   # no-bias mean-centering LayerNorm
+            mc.norm_bias = False
+            mc.rms_norm_eps = get("layer_norm_eps", 1e-5)
+            mc.parallel_residual = True
+            mc.rope_interleaved = True
+            mc.logits_scale = get("logit_scale", 1.0)
+            mc.tie_word_embeddings = get("tie_word_embeddings", True)
+            if get("use_qk_norm"):
+                raise NotImplementedError("cohere use_qk_norm not supported")
+        if mc.model_type == "granite":
+            mc.embed_multiplier = get("embedding_multiplier", 1.0)
+            mc.residual_multiplier = get("residual_multiplier", 1.0)
+            mc.attention_multiplier = get("attention_multiplier")
+            mc.logits_scale = 1.0 / get("logits_scaling", 1.0)
+        if mc.model_type in ("glm", "glm4"):
+            # GLM-4 family: fused gate_up, interleaved partial rotary; glm4
+            # adds post_self_attn/post_mlp sandwich norms.
+            mc.partial_rotary_factor = get("partial_rotary_factor", 0.5)
+            mc.rope_interleaved = True
+            mc.attention_bias = get("attention_bias", True)
+            if mc.model_type == "glm4":
+                mc.sandwich_norms = True
         if any(a.endswith("ForSequenceClassification")
                for a in mc.architectures):
             mc.num_labels = get("num_labels", 2) or 2

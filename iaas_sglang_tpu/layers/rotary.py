@@ -72,6 +72,18 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
             (inv_freq / factor) * (1 - extrap_factor)
             + inv_freq * extrap_factor
         ).astype(np.float32)
+    if rope_type == "longrope":
+        # Phi-3 LongRope (HF _compute_longrope_parameters; reference
+        # srt/layers/rotary_embedding.py Phi3LongRoPEScaledRotaryEmbedding):
+        # per-dimension rescale factors, long set used once the serving
+        # context exceeds the original training window. ModelConfig injects
+        # `max_position_embeddings`/`original_max_position_embeddings`.
+        orig = rope_scaling.get("original_max_position_embeddings") or 4096
+        maxp = rope_scaling.get("max_position_embeddings") or orig
+        ext = rope_scaling["long_factor"] if maxp > orig \
+            else rope_scaling["short_factor"]
+        ext = np.asarray(ext, dtype=np.float64)
+        return (inv_freq / ext).astype(np.float32)
     if rope_type in ("default", "mrope", ""):
         return inv_freq.astype(np.float32)
     raise NotImplementedError(f"rope scaling {rope_type!r} not supported yet")
@@ -82,6 +94,16 @@ def rope_attention_factor(rope_scaling: Optional[dict[str, Any]]) -> float:
     if not rope_scaling:
         return 1.0
     rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+    if rope_type == "longrope":
+        af = rope_scaling.get("attention_factor")
+        if af is not None:
+            return float(af)
+        orig = rope_scaling.get("original_max_position_embeddings") or 4096
+        maxp = rope_scaling.get("max_position_embeddings") or orig
+        factor = maxp / orig
+        if factor <= 1.0:
+            return 1.0
+        return float(math.sqrt(1 + math.log(factor) / math.log(orig)))
     if rope_type != "yarn":
         return 1.0
     af = rope_scaling.get("attention_factor")
@@ -125,11 +147,14 @@ def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
                inv_freq: jnp.ndarray,
                attn_factor: float = 1.0,
-               mrope_section=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+               mrope_section=None,
+               interleaved: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding.
 
     q: [T, Nq, D], k: [T, Nk, D], positions: i32[T], inv_freq: f32[D/2].
     Half-split convention: rotate pairs (x[i], x[i + D/2]).
+    `interleaved=True` rotates adjacent pairs (x[2i], x[2i+1]) instead —
+    the Cohere/GLM convention (HF redefines rotate_half for these models).
 
     MRope (Qwen2-VL, reference rotary_embedding.py:427 MRotaryEmbedding):
     positions is i32[3, T] (temporal, height, width) and `mrope_section`
@@ -151,6 +176,11 @@ def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
     def rot(x):
         dtype = x.dtype
         x32 = x.astype(jnp.float32)
+        if interleaved:
+            x1, x2 = x32[..., 0::2], x32[..., 1::2]
+            return jnp.stack(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+            ).reshape(x.shape).astype(dtype)
         half = x.shape[-1] // 2
         x1, x2 = x32[..., :half], x32[..., half:]
         return jnp.concatenate(

@@ -231,6 +231,11 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
     out: Dict[str, np.ndarray] = {}
 
     def _maybe_t(t: np.ndarray, spec) -> np.ndarray:
+        if spec.hf_pre is not None:
+            # fused-source weights (phi3 qkv_proj, gpt2 c_attn, glm
+            # gate_up_proj): slice this spec's piece out of the fetched
+            # tensor before the layout transpose
+            t = spec.hf_pre(t)
         if not spec.transpose:
             return t
         if t.ndim > 2:
@@ -238,6 +243,13 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
             # torch row-major order (matches host-side patch flattening)
             t = t.reshape(t.shape[0], -1)
         return t.T
+
+    def _default_init(spec, name: str) -> np.ndarray:
+        # optional weights absent from the checkpoint (OLMo's
+        # non-parametric LayerNorm): identity for norms, zero otherwise
+        if "norm" in name:
+            return np.ones(spec.shape, dtype=dt)
+        return np.zeros(spec.shape, dtype=dt)
 
     def getter(key: str) -> np.ndarray:
         # '|'-separated alternates: transformers renamed VLM tower prefixes
@@ -253,6 +265,11 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
     for name, spec in specs.items():
         if spec.hf_key is None:
             continue
+        if (config.ckpt_quant_method in ("awq", "gptq") and spec.quantizable
+                and spec.hf_pre is not None):
+            raise NotImplementedError(
+                "AWQ/GPTQ checkpoints with fused-source projections "
+                "(phi3/glm/gpt2) are not supported yet")
         if (config.ckpt_quant_method in ("awq", "gptq") and spec.quantizable
                 and spec.hf_key.endswith(".weight")):
             prefix_t = spec.hf_key[: -len(".weight")]
@@ -282,14 +299,24 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
                         t = _maybe_t(getter(spec.hf_key.format(l=hf_l, e=e)), spec)
                         stacked[l, e] = t.astype(dt, copy=False)
                     continue
-                t = _maybe_t(getter(spec.hf_key.format(l=hf_l)), spec)
+                try:
+                    t = _maybe_t(getter(spec.hf_key.format(l=hf_l)), spec)
+                except KeyError:
+                    if not spec.optional:
+                        raise
+                    t = _default_init(spec, name)
                 if tuple(t.shape) != tuple(spec.shape):
                     raise ValueError(
                         f"{name} layer {l}: got {t.shape}, want {spec.shape}")
                 stacked[l] = t.astype(dt, copy=False)
             out[name] = stacked
         else:
-            t = _maybe_t(getter(spec.hf_key), spec)
+            try:
+                t = _maybe_t(getter(spec.hf_key), spec)
+            except KeyError:
+                if not spec.optional:
+                    raise
+                t = _default_init(spec, name)
             if tuple(t.shape) != tuple(spec.shape):
                 raise ValueError(f"{name}: got {t.shape}, want {spec.shape}")
             out[name] = np.ascontiguousarray(t).astype(dt, copy=False)

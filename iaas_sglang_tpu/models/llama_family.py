@@ -48,6 +48,18 @@ class WeightSpec:
     num_experts: int = 0              # >0: hf_key contains {e}, leading E dim
     num_stack: int = 0                # stacked size; 0 => config.num_layers
     layer_offset: int = 0             # hf layer index = stack index + offset
+    hf_pre: Optional[Callable] = None  # slice/reshape the fetched tensor
+    #   (fused-source weights: phi3 qkv_proj, gpt2 c_attn, glm gate_up)
+    optional: bool = False            # absent in ckpt => default-init (OLMo
+    #   non-parametric LayerNorm ships no weights)
+
+
+def _rows(a: int, b: int):
+    return lambda t: t[a:b]
+
+
+def _cols(a: int, b: int):
+    return lambda t: t[:, a:b]
 
 
 class LlamaFamilyForCausalLM:
@@ -67,15 +79,28 @@ class LlamaFamilyForCausalLM:
             "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
             "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
         },
+        "olmoe": {
+            "router": "model.layers.{l}.mlp.gate.weight",
+            "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+            "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+            "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+        },
     }
 
     def __init__(self, config: ModelConfig):
         self.config = config
         c = config
+        # partial rotary (Phi/StableLM/GLM): rope over the first
+        # rotary_dim channels only; inv_freq is computed at that width
+        # (HF partial_rotary_factor convention).
+        self.rotary_dim = (int(c.head_dim * c.partial_rotary_factor) // 2) * 2
         self.inv_freq = jnp.asarray(
-            compute_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
+            compute_inv_freq(self.rotary_dim, c.rope_theta, c.rope_scaling)
         )
-        self.sm_scale = (c.query_pre_attn_scalar or c.head_dim) ** -0.5
+        if c.attention_multiplier is not None:
+            self.sm_scale = c.attention_multiplier   # Granite: direct scale
+        else:
+            self.sm_scale = (c.query_pre_attn_scalar or c.head_dim) ** -0.5
         self.rope_attn_factor = rope_attention_factor(c.rope_scaling)
         # set by the runner: "dense" (GSPMD-shardable), "gmm" (megablox)
         # or "ep" (shard_map expert parallel); mesh set alongside
@@ -117,32 +142,78 @@ class LlamaFamilyForCausalLM:
         c = self.config
         H, D = c.hidden_size, c.head_dim
         Nq, Nk, I, V = c.num_heads, c.num_kv_heads, c.intermediate_size, c.vocab_size
+        mt = c.model_type
+        gpt2 = mt == "gpt2"
+        lpre = "transformer.h.{l}." if gpt2 else "model.layers.{l}."
+        opt_norm = mt == "olmo"   # OLMo v1: non-parametric LayerNorm
         s: dict[str, WeightSpec] = {
-            "embed": WeightSpec((V, H), (None, "tp"), "model.embed_tokens.weight"),
-            "final_norm": WeightSpec((H,), (None,), "model.norm.weight"),
-            "layers.input_norm": WeightSpec(
-                (H,), (None,), "model.layers.{l}.input_layernorm.weight", stacked=True),
-            # non-sandwich: the norm before the MLP is post_attention_layernorm;
-            # gemma2/3 sandwich: it is pre_feedforward_layernorm (see forward)
-            "layers.post_norm": WeightSpec(
-                (H,), (None,),
-                "model.layers.{l}.pre_feedforward_layernorm.weight"
-                if c.sandwich_norms else
-                "model.layers.{l}.post_attention_layernorm.weight",
-                stacked=True),
-            "layers.wq": WeightSpec(
-                (H, Nq * D), (None, "tp"), "model.layers.{l}.self_attn.q_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
-            "layers.wk": WeightSpec(
-                (H, Nk * D), (None, "tp"), "model.layers.{l}.self_attn.k_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
-            "layers.wv": WeightSpec(
-                (H, Nk * D), (None, "tp"), "model.layers.{l}.self_attn.v_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
-            "layers.wo": WeightSpec(
-                (Nq * D, H), ("tp", None), "model.layers.{l}.self_attn.o_proj.weight",
-                transpose=True, stacked=True, quantizable=True),
+            "embed": WeightSpec(
+                (V, H), (None, "tp"),
+                "transformer.wte.weight" if gpt2 else "model.embed_tokens.weight"),
         }
+        if c.learned_pos_embed:
+            s["pos_embed"] = WeightSpec(
+                (c.max_position_embeddings, H), (None, None),
+                "transformer.wpe.weight")
+
+        def norm(name: str, key: str, stacked: bool = True) -> None:
+            s[name] = WeightSpec(
+                (H,), (None,), key + ".weight", stacked=stacked,
+                optional=opt_norm)
+            if c.norm_bias:
+                s[name + "_bias"] = WeightSpec(
+                    (H,), (None,), key + ".bias", stacked=stacked,
+                    optional=opt_norm)
+
+        final_key = ("transformer.ln_f" if gpt2
+                     else "model.final_layernorm" if mt == "phi"
+                     else "model.norm")
+        norm("final_norm", final_key, stacked=False)
+        if c.input_norms:
+            norm("layers.input_norm",
+                 lpre + ("ln_1" if gpt2 else "input_layernorm"))
+            if not c.parallel_residual:
+                # norm before the MLP: post_attention_layernorm, except
+                # gemma2/3 sandwich where it is pre_feedforward_layernorm
+                # (glm4's sandwich keeps the post_attention name)
+                if gpt2:
+                    pn = "ln_2"
+                elif c.sandwich_norms and mt.startswith("gemma"):
+                    pn = "pre_feedforward_layernorm"
+                else:
+                    pn = "post_attention_layernorm"
+                norm("layers.post_norm", lpre + pn)
+
+        # ---- attention projections (optionally from a fused source) ----
+        qkv_fused = None   # (key, transpose, slicer)
+        if mt == "phi3":
+            qkv_fused = (lpre + "self_attn.qkv_proj", True, _rows)
+        elif gpt2:
+            qkv_fused = (lpre + "attn.c_attn", False, _cols)
+        if qkv_fused is not None:
+            fkey, ftr, fsl = qkv_fused
+            offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
+            for i, (nm, n_out) in enumerate(
+                    [("wq", Nq * D), ("wk", Nk * D), ("wv", Nk * D)]):
+                s[f"layers.{nm}"] = WeightSpec(
+                    (H, n_out), (None, "tp"), fkey + ".weight",
+                    transpose=ftr, stacked=True, quantizable=True,
+                    hf_pre=fsl(offs[i], offs[i + 1]))
+        else:
+            for nm, n_out in [("wq", Nq * D), ("wk", Nk * D), ("wv", Nk * D)]:
+                proj = f"self_attn.{nm[1]}_proj"
+                s[f"layers.{nm}"] = WeightSpec(
+                    (H, n_out), (None, "tp"), lpre + proj + ".weight",
+                    transpose=True, stacked=True, quantizable=True)
+        o_key = (lpre + "attn.c_proj" if gpt2
+                 else lpre + "self_attn.dense" if mt == "phi"
+                 else lpre + "self_attn.o_proj")
+        s["layers.wo"] = WeightSpec(
+            (Nq * D, H), ("tp", None), o_key + ".weight",
+            transpose=not gpt2, stacked=True, quantizable=True)
+        if c.o_bias:
+            s["layers.bo"] = WeightSpec(
+                (H,), (None,), o_key + ".bias", stacked=True)
         if c.is_moe:
             E, Im = c.num_experts, c.moe_intermediate_size
             keys = self.MOE_KEYS[c.model_type]
@@ -163,41 +234,83 @@ class LlamaFamilyForCausalLM:
             s["layers.we_down"] = WeightSpec(
                 (E, Im, H), pd, keys["down"],
                 transpose=True, stacked=True, num_experts=E)
+        elif not c.mlp_gated:
+            # two-linear MLP (GPT-2 c_fc/c_proj, Phi fc1/fc2, Starcoder2)
+            if gpt2:
+                k1, k2, tr = lpre + "mlp.c_fc", lpre + "mlp.c_proj", False
+            elif mt == "phi":
+                k1, k2, tr = lpre + "mlp.fc1", lpre + "mlp.fc2", True
+            else:
+                k1, k2, tr = lpre + "mlp.c_fc", lpre + "mlp.c_proj", True
+            s["layers.w_fc1"] = WeightSpec(
+                (H, I), (None, "tp"), k1 + ".weight",
+                transpose=tr, stacked=True, quantizable=True)
+            s["layers.w_fc2"] = WeightSpec(
+                (I, H), ("tp", None), k2 + ".weight",
+                transpose=tr, stacked=True, quantizable=True)
+            if c.mlp_bias:
+                s["layers.b_fc1"] = WeightSpec(
+                    (I,), ("tp",), k1 + ".bias", stacked=True)
+                s["layers.b_fc2"] = WeightSpec(
+                    (H,), (None,), k2 + ".bias", stacked=True)
+        elif mt in ("phi3", "glm", "glm4"):
+            # fused gate_up_proj [2I, H]
+            guk = lpre + "mlp.gate_up_proj.weight"
+            s["layers.w_gate"] = WeightSpec(
+                (H, I), (None, "tp"), guk, transpose=True, stacked=True,
+                quantizable=True, hf_pre=_rows(0, I))
+            s["layers.w_up"] = WeightSpec(
+                (H, I), (None, "tp"), guk, transpose=True, stacked=True,
+                quantizable=True, hf_pre=_rows(I, 2 * I))
+            s["layers.w_down"] = WeightSpec(
+                (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
+                transpose=True, stacked=True, quantizable=True)
         else:
             s["layers.w_gate"] = WeightSpec(
-                (H, I), (None, "tp"), "model.layers.{l}.mlp.gate_proj.weight",
+                (H, I), (None, "tp"), lpre + "mlp.gate_proj.weight",
                 transpose=True, stacked=True, quantizable=True)
             s["layers.w_up"] = WeightSpec(
-                (H, I), (None, "tp"), "model.layers.{l}.mlp.up_proj.weight",
+                (H, I), (None, "tp"), lpre + "mlp.up_proj.weight",
                 transpose=True, stacked=True, quantizable=True)
             s["layers.w_down"] = WeightSpec(
-                (I, H), ("tp", None), "model.layers.{l}.mlp.down_proj.weight",
+                (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
                 transpose=True, stacked=True, quantizable=True)
         if c.attention_bias:
-            s["layers.bq"] = WeightSpec(
-                (Nq * D,), ("tp",), "model.layers.{l}.self_attn.q_proj.bias",
-                stacked=True)
-            s["layers.bk"] = WeightSpec(
-                (Nk * D,), ("tp",), "model.layers.{l}.self_attn.k_proj.bias",
-                stacked=True)
-            s["layers.bv"] = WeightSpec(
-                (Nk * D,), ("tp",), "model.layers.{l}.self_attn.v_proj.bias",
-                stacked=True)
+            if qkv_fused is not None and gpt2:
+                bkey = lpre + "attn.c_attn.bias"
+                offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
+                for i, (nm, n_out) in enumerate(
+                        [("bq", Nq * D), ("bk", Nk * D), ("bv", Nk * D)]):
+                    s[f"layers.{nm}"] = WeightSpec(
+                        (n_out,), ("tp",), bkey, stacked=True,
+                        hf_pre=_rows(offs[i], offs[i + 1]))
+            else:
+                for nm, n_out, p in [("bq", Nq * D, "q"), ("bk", Nk * D, "k"),
+                                     ("bv", Nk * D, "v")]:
+                    s[f"layers.{nm}"] = WeightSpec(
+                        (n_out,), ("tp",),
+                        lpre + f"self_attn.{p}_proj.bias", stacked=True)
         if c.sandwich_norms:
-            s["layers.post_attn_norm"] = WeightSpec(
-                (H,), (None,),
-                "model.layers.{l}.post_attention_layernorm.weight",
-                stacked=True)
-            s["layers.post_ffw_norm"] = WeightSpec(
-                (H,), (None,),
-                "model.layers.{l}.post_feedforward_layernorm.weight",
-                stacked=True)
+            pa, pf = (("post_self_attn_layernorm", "post_mlp_layernorm")
+                      if mt == "glm4" else
+                      ("post_attention_layernorm", "post_feedforward_layernorm"))
+            norm("layers.post_attn_norm", lpre + pa)
+            norm("layers.post_ffw_norm", lpre + pf)
         if c.qk_norm:
             s["layers.q_norm"] = WeightSpec(
-                (D,), (None,), "model.layers.{l}.self_attn.q_norm.weight",
+                (D,), (None,), lpre + "self_attn.q_norm.weight",
                 stacked=True)
             s["layers.k_norm"] = WeightSpec(
-                (D,), (None,), "model.layers.{l}.self_attn.k_norm.weight",
+                (D,), (None,), lpre + "self_attn.k_norm.weight",
+                stacked=True)
+        if c.qk_norm_full:
+            # OLMo2/OLMoE: RMSNorm over the FULL q/k projection width,
+            # applied before the head reshape (HF Olmo2Attention order)
+            s["layers.q_norm"] = WeightSpec(
+                (Nq * D,), ("tp",), lpre + "self_attn.q_norm.weight",
+                stacked=True)
+            s["layers.k_norm"] = WeightSpec(
+                (Nk * D,), ("tp",), lpre + "self_attn.k_norm.weight",
                 stacked=True)
         if c.num_labels:
             # sequence classification / reward head (reference
@@ -210,6 +323,9 @@ class LlamaFamilyForCausalLM:
             # *ForSequenceClassification checkpoints ship no lm_head
             s["lm_head"] = WeightSpec(
                 (H, V), (None, "tp"), "lm_head.weight", transpose=True)
+            if c.lm_head_bias:
+                s["lm_head_bias"] = WeightSpec(
+                    (V,), ("tp",), "lm_head.bias")
         return s
 
     def pooled_output(self, params: dict[str, Any],
@@ -252,6 +368,15 @@ class LlamaFamilyForCausalLM:
         pages_per_layer = kv_main0.shape[-4] // L
         ps = kv_main0.shape[-3]
 
+        from iaas_sglang_tpu.layers.norms import layer_norm
+
+        def norm_fn(x, src, base):
+            w = src[base]
+            if c.norm_type == "layernorm":
+                return layer_norm(x, w, src.get(base + "_bias"),
+                                  c.rms_norm_eps)
+            return rms_norm(x, w + c.rms_weight_offset, c.rms_norm_eps)
+
         if hidden_in is not None:
             hidden = hidden_in          # pipeline stage > 0
         else:
@@ -262,6 +387,9 @@ class LlamaFamilyForCausalLM:
                 # padding positions point past T and are dropped)
                 hidden = hidden.at[fb.mm_positions].set(
                     fb.mm_embeds.astype(hidden.dtype), mode="drop")
+            if c.learned_pos_embed:
+                hidden = hidden + params["pos_embed"][fb.positions].astype(
+                    hidden.dtype)
         lora_onehot = None
         if lora is not None and fb.lora_ids is not None:
             S1 = lora["scaling"].shape[0]
@@ -283,8 +411,10 @@ class LlamaFamilyForCausalLM:
         def layer_body(carry, xs):
             hidden, kv = carry
             lp, layer_idx, global_idx = xs
-            h = rms_norm(hidden, lp["input_norm"] + c.rms_weight_offset,
-                         c.rms_norm_eps)
+            if c.input_norms:
+                h = norm_fn(hidden, lp, "input_norm")
+            else:
+                h = hidden   # OLMo2: attention runs on the raw residual
             q = qmatmul(h, lp["wq"])
             k = qmatmul(h, lp["wk"])
             v = qmatmul(h, lp["wv"])
@@ -297,6 +427,14 @@ class LlamaFamilyForCausalLM:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
                 v = v + lp["bv"]
+            if c.clip_qkv:
+                q = jnp.clip(q, -c.clip_qkv, c.clip_qkv)
+                k = jnp.clip(k, -c.clip_qkv, c.clip_qkv)
+                v = jnp.clip(v, -c.clip_qkv, c.clip_qkv)
+            if c.qk_norm_full:
+                # OLMo2/OLMoE: full-width RMSNorm before the head reshape
+                q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
             T = q.shape[0]
             q = q.reshape(T, c.num_heads, c.head_dim)
             k = k.reshape(T, c.num_kv_heads, c.head_dim)
@@ -311,13 +449,23 @@ class LlamaFamilyForCausalLM:
                 inv_freq = jnp.where(
                     self.layer_is_local[global_idx],
                     self.inv_freq_local, self.inv_freq)
-            if c.mrope_section and fb.mrope_positions is not None:
+            if not c.use_rope:
+                pass   # learned absolute positions added at the embedding
+            elif c.mrope_section and fb.mrope_positions is not None:
                 q, k = apply_rope(q, k, fb.mrope_positions, inv_freq,
                                   self.rope_attn_factor,
                                   mrope_section=c.mrope_section)
+            elif self.rotary_dim < c.head_dim:
+                rd = self.rotary_dim
+                qr, kr = apply_rope(q[..., :rd], k[..., :rd], fb.positions,
+                                    inv_freq, self.rope_attn_factor,
+                                    interleaved=c.rope_interleaved)
+                q = jnp.concatenate([qr, q[..., rd:]], axis=-1)
+                k = jnp.concatenate([kr, k[..., rd:]], axis=-1)
             else:
                 q, k = apply_rope(q, k, fb.positions, inv_freq,
-                                  self.rope_attn_factor)
+                                  self.rope_attn_factor,
+                                  interleaved=c.rope_interleaved)
 
             if self.layer_windows is not None:
                 window = self.layer_windows[global_idx]  # traced, -1 = full
@@ -386,14 +534,21 @@ class LlamaFamilyForCausalLM:
                 attn_out = attn_out + lora_delta(
                     attn_flat, lp["lora_A_wo"], lp["lora_B_wo"]
                 ).astype(attn_out.dtype)
+            if c.o_bias:
+                attn_out = attn_out + lp["bo"]
             if c.sandwich_norms:
-                attn_out = rms_norm(
-                    attn_out, lp["post_attn_norm"] + c.rms_weight_offset,
-                    c.rms_norm_eps)
-            hidden = hidden + attn_out
-
-            h2 = rms_norm(hidden, lp["post_norm"] + c.rms_weight_offset,
-                         c.rms_norm_eps)
+                attn_out = norm_fn(attn_out, lp, "post_attn_norm")
+            rm = c.residual_multiplier
+            if c.parallel_residual:
+                # Phi/Cohere: attn and MLP share the input norm; both
+                # residuals are added together at the end of the layer
+                h2 = h
+            else:
+                hidden = hidden + (attn_out * rm if rm != 1.0 else attn_out)
+                if c.input_norms:
+                    h2 = norm_fn(hidden, lp, "post_norm")
+                else:
+                    h2 = hidden   # OLMo2: MLP on the raw residual
             counts = None
             if c.is_moe:
                 from iaas_sglang_tpu.ops.moe import moe_block
@@ -420,25 +575,36 @@ class LlamaFamilyForCausalLM:
                     (lambda x: jax.nn.gelu(x, approximate=True))
                     if "gelu" in c.hidden_act else jax.nn.silu
                 )
-                gate = qmatmul(h2, lp["w_gate"])
-                up = qmatmul(h2, lp["w_up"])
-                if lora_onehot is not None:
-                    gate = gate + lora_delta(
-                        h2, lp["lora_A_w_gate"], lp["lora_B_w_gate"]
-                    ).astype(gate.dtype)
-                    up = up + lora_delta(
-                        h2, lp["lora_A_w_up"], lp["lora_B_w_up"]
-                    ).astype(up.dtype)
-                inter = act_fn(gate) * up
-                mlp = qmatmul(inter, lp["w_down"])
-                if lora_onehot is not None:
-                    mlp = mlp + lora_delta(
-                        inter, lp["lora_A_w_down"], lp["lora_B_w_down"]
-                    ).astype(mlp.dtype)
+                if not c.mlp_gated:
+                    inter = qmatmul(h2, lp["w_fc1"])
+                    if c.mlp_bias:
+                        inter = inter + lp["b_fc1"]
+                    inter = act_fn(inter)
+                    mlp = qmatmul(inter, lp["w_fc2"])
+                    if c.mlp_bias:
+                        mlp = mlp + lp["b_fc2"]
+                else:
+                    gate = qmatmul(h2, lp["w_gate"])
+                    up = qmatmul(h2, lp["w_up"])
+                    if lora_onehot is not None:
+                        gate = gate + lora_delta(
+                            h2, lp["lora_A_w_gate"], lp["lora_B_w_gate"]
+                        ).astype(gate.dtype)
+                        up = up + lora_delta(
+                            h2, lp["lora_A_w_up"], lp["lora_B_w_up"]
+                        ).astype(up.dtype)
+                    inter = act_fn(gate) * up
+                    mlp = qmatmul(inter, lp["w_down"])
+                    if lora_onehot is not None:
+                        mlp = mlp + lora_delta(
+                            inter, lp["lora_A_w_down"], lp["lora_B_w_down"]
+                        ).astype(mlp.dtype)
             if c.sandwich_norms:
-                mlp = rms_norm(mlp, lp["post_ffw_norm"] + c.rms_weight_offset,
-                               c.rms_norm_eps)
-            hidden = hidden + mlp
+                mlp = norm_fn(mlp, lp, "post_ffw_norm")
+            if c.parallel_residual:
+                hidden = hidden + attn_out + mlp
+            else:
+                hidden = hidden + (mlp * rm if rm != 1.0 else mlp)
             return (hidden, kv), counts
 
         layer_params = dict(params["layers"])
@@ -465,9 +631,7 @@ class LlamaFamilyForCausalLM:
             ys = jnp.stack(ys_l) if capture_experts else None
 
         if apply_final_norm:
-            hidden = rms_norm(
-                hidden, params["final_norm"] + c.rms_weight_offset,
-                c.rms_norm_eps)
+            hidden = norm_fn(hidden, params, "final_norm")
         if capture_experts:
             return hidden, kv_pages, ys   # ys: i32[L, E] expert counts
         return hidden, kv_pages
@@ -480,6 +644,10 @@ class LlamaFamilyForCausalLM:
         else:
             w = params["lm_head"]
         logits = (hidden @ w).astype(jnp.float32)
+        if "lm_head_bias" in params:
+            logits = logits + params["lm_head_bias"].astype(jnp.float32)
+        if self.config.logits_scale != 1.0:
+            logits = logits * self.config.logits_scale
         cap = self.config.final_logit_softcap
         if cap:
             logits = cap * jnp.tanh(logits / cap)

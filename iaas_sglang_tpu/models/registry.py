@@ -26,6 +26,21 @@ for _arch in (
     "GemmaForCausalLM",
     "Gemma2ForCausalLM",
     "Gemma3ForCausalLM",
+    # structural variants handled by the same functional decoder
+    # (reference keeps one torch module per file, srt/models/*.py; here
+    # the differences are ModelConfig flags + weight-key templates)
+    "GPT2LMHeadModel",            # models/gpt2.py
+    "Starcoder2ForCausalLM",      # models/starcoder2.py
+    "PhiForCausalLM",             # models/phi.py
+    "Phi3ForCausalLM",            # models/phi3.py (phi-3/3.5/4)
+    "StableLmForCausalLM",        # models/stablelm.py
+    "OlmoForCausalLM",            # models/olmo.py
+    "Olmo2ForCausalLM",           # models/olmo2.py
+    "OlmoeForCausalLM",           # models/olmoe.py
+    "CohereForCausalLM",          # models/commandr.py
+    "GraniteForCausalLM",         # models/granite.py
+    "GlmForCausalLM",             # models/glm4.py family
+    "Glm4ForCausalLM",
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

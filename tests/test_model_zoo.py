@@ -1,0 +1,225 @@
+"""Golden parity for the structural-variant model families (GPT-2, Phi,
+Starcoder2, StableLM, OLMo2, OLMoE, Cohere, Granite, GLM4, ...) — same
+HF-random-weights logit comparison as test_golden_model.py (the analog of
+sglang test/srt/models/test_generation_models.py across its model zoo)."""
+
+import numpy as np
+import pytest
+
+from tests.utils import (
+    RawDriver,
+    hf_forward_logits,
+    hf_greedy_generate,
+    load_hf_weights_into,
+    make_runner,
+)
+
+PROMPT = [3, 17, 94, 201, 5, 77, 150, 42, 9, 133, 61]
+
+COMMON = dict(
+    num_hidden_layers=2,
+    hidden_size=64,
+    num_attention_heads=4,
+    intermediate_size=128,
+    vocab_size=256,
+    max_position_embeddings=512,
+)
+
+ZOO = {
+    "gpt2": dict(
+        architectures=["GPT2LMHeadModel"],
+        model_type="gpt2",
+        n_layer=2, n_embd=64, n_head=4, n_positions=512, n_inner=None,
+        vocab_size=256, layer_norm_epsilon=1e-5,
+        activation_function="gelu_new",
+    ),
+    "starcoder2": dict(
+        COMMON,
+        architectures=["Starcoder2ForCausalLM"],
+        model_type="starcoder2",
+        num_key_value_heads=2,
+        norm_epsilon=1e-5, use_bias=True, hidden_act="gelu_pytorch_tanh",
+        rope_theta=10000.0, tie_word_embeddings=True,
+        sliding_window=None,
+    ),
+    "phi": dict(
+        COMMON,
+        architectures=["PhiForCausalLM"],
+        model_type="phi",
+        num_key_value_heads=4,
+        layer_norm_eps=1e-5, partial_rotary_factor=0.5,
+        hidden_act="gelu_new", rope_theta=10000.0,
+        tie_word_embeddings=False, qk_layernorm=False,
+    ),
+    "phi3": dict(
+        COMMON,
+        architectures=["Phi3ForCausalLM"],
+        model_type="phi3",
+        num_key_value_heads=2,
+        pad_token_id=0,
+        rms_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        tie_word_embeddings=False, sliding_window=None,
+    ),
+    "stablelm": dict(
+        COMMON,
+        architectures=["StableLmForCausalLM"],
+        model_type="stablelm",
+        num_key_value_heads=2,
+        layer_norm_eps=1e-5, partial_rotary_factor=0.25,
+        hidden_act="silu", rope_theta=10000.0,
+        use_qkv_bias=False, qk_layernorm=False,
+        tie_word_embeddings=False,
+    ),
+    "olmo2": dict(
+        COMMON,
+        architectures=["Olmo2ForCausalLM"],
+        model_type="olmo2",
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        tie_word_embeddings=False,
+    ),
+    "olmo": dict(
+        COMMON,
+        architectures=["OlmoForCausalLM"],
+        model_type="olmo",
+        num_key_value_heads=4,
+        hidden_act="silu", rope_theta=10000.0, clip_qkv=8.0,
+        tie_word_embeddings=False,
+    ),
+    "cohere": dict(
+        COMMON,
+        architectures=["CohereForCausalLM"],
+        model_type="cohere",
+        num_key_value_heads=2,
+        layer_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        logit_scale=0.25, tie_word_embeddings=True, use_qk_norm=False,
+    ),
+    "granite": dict(
+        COMMON,
+        architectures=["GraniteForCausalLM"],
+        model_type="granite",
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.2, logits_scaling=4.0,
+        tie_word_embeddings=False,
+    ),
+    "glm4": dict(
+        COMMON,
+        architectures=["Glm4ForCausalLM"],
+        model_type="glm4",
+        num_key_value_heads=2,
+        pad_token_id=0, eos_token_id=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        partial_rotary_factor=0.5, attention_bias=True,
+        head_dim=16, tie_word_embeddings=False,
+    ),
+    "glm": dict(
+        COMMON,
+        architectures=["GlmForCausalLM"],
+        model_type="glm",
+        num_key_value_heads=2,
+        pad_token_id=0, eos_token_id=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        partial_rotary_factor=0.5, attention_bias=True,
+        head_dim=16, tie_word_embeddings=False,
+    ),
+}
+
+CFG_CLS = {
+    "gpt2": "GPT2Config",
+    "starcoder2": "Starcoder2Config",
+    "phi": "PhiConfig",
+    "phi3": "Phi3Config",
+    "stablelm": "StableLmConfig",
+    "olmo2": "Olmo2Config",
+    "olmo": "OlmoConfig",
+    "cohere": "CohereConfig",
+    "granite": "GraniteConfig",
+    "glm4": "Glm4Config",
+    "glm": "GlmConfig",
+}
+
+
+def _hf_model(hf_dict, seed=0):
+    import torch
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg_cls = getattr(transformers, CFG_CLS[hf_dict["model_type"]])
+    config = cfg_cls(**{k: v for k, v in hf_dict.items()
+                        if k != "architectures"})
+    config._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return AutoModelForCausalLM.from_config(config).eval()
+
+
+@pytest.mark.parametrize("name", sorted(ZOO), ids=sorted(ZOO))
+def test_zoo_prefill_logits_match_hf(name):
+    hf_dict = ZOO[name]
+    hf_model = _hf_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("name", ["gpt2", "phi", "olmo2", "cohere", "glm4"],
+                         ids=["gpt2", "phi", "olmo2", "cohere", "glm4"])
+def test_zoo_greedy_decode_matches_hf(name):
+    hf_dict = ZOO[name]
+    hf_model = _hf_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.generate_greedy(PROMPT, 12)
+    ref = hf_greedy_generate(hf_model, PROMPT, 12)
+    assert ours == ref
+
+
+TINY_OLMOE = dict(
+    COMMON,
+    architectures=["OlmoeForCausalLM"],
+    model_type="olmoe",
+    num_key_value_heads=2,
+    rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+    num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+    intermediate_size=48, tie_word_embeddings=False,
+)
+
+
+def test_olmoe_prefill_logits_match_hf():
+    import torch
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    config = transformers.OlmoeConfig(**{
+        k: v for k, v in TINY_OLMOE.items() if k != "architectures"})
+    config._attn_implementation = "eager"
+    torch.manual_seed(0)
+    hf_model = AutoModelForCausalLM.from_config(config).eval()
+    runner, cfg, sa = make_runner(TINY_OLMOE)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_phi3_longrope_matches_hf():
+    """Phi-3 LongRope scaling (short-factor path; per-dim rescale)."""
+    hf_dict = dict(ZOO["phi3"])
+    hf_dict["rope_scaling"] = {
+        "type": "longrope",
+        "short_factor": [1.0 + 0.05 * i for i in range(8)],
+        "long_factor": [2.0] * 8,
+    }
+    hf_dict["original_max_position_embeddings"] = 512
+    hf_model = _hf_model(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    ours = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
