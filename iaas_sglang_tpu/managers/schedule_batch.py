@@ -511,10 +511,15 @@ class ScheduleBatch:
                 out[i] = np.packbits(mask, bitorder="little")
         return out
 
-    def prepare_for_spec_verify(self, drafts, K: int) -> Optional[HostBatch]:
+    def prepare_for_spec_verify(self, drafts, K: int,
+                                kv_moves=None) -> Optional[HostBatch]:
         """Verify step: each request runs q_len = 1+K new tokens
-        (its pending output token + K draft tokens). Returns None on page
-        exhaustion (caller falls back to plain decode/retract)."""
+        (its pending output token + K draft tokens — a chain list or a
+        TreeDraft). Returns None on page exhaustion (caller falls back to
+        plain decode/retract). `kv_moves` (src, dst slot arrays) from the
+        previous tree acceptance are folded into this program's prologue."""
+        from iaas_sglang_tpu.speculative.ngram_worker import TreeDraft
+
         ps = self.page_size
         B = len(self.reqs)
         # page needs for fill .. fill+K
@@ -528,15 +533,31 @@ class ScheduleBatch:
         ids, positions, slots_l = [], [], []
         page_tables, seq_lens, q_lens = [], [], []
         verify_idx = np.zeros((B, K + 1), dtype=np.int32)
+        tree = any(isinstance(drafts[bi], TreeDraft)
+                   for bi in range(B))
+        tree_bits = np.zeros((B, 32), dtype=np.int32) if tree else None
         t = 0
         for bi, r in enumerate(self.reqs):
             d = drafts[bi] if drafts[bi] is not None else []
-            d = (list(d) + [0] * K)[:K]
-            toks = [r.output_ids[-1]] + d
             f = r.fill_len
             table = r.page_table_np()
+            if isinstance(d, TreeDraft):
+                toks = [r.output_ids[-1]] + (d.tokens + [0] * K)[:K]
+                depths = [0] + (d.depths + [K] * K)[:K]
+                positions.extend(f + dep for dep in depths)
+                tree_bits[bi] = d.bits
+            else:
+                d = (list(d) + [0] * K)[:K]
+                toks = [r.output_ids[-1]] + d
+                positions.extend(range(f, f + K + 1))
+                if tree:
+                    # chain drafts in a mixed batch: lower-triangular bits
+                    tree_bits[bi] = [(1 << (j + 1)) - 1
+                                     for j in range(K + 1)] + [0] * (31 - K)
             ids.extend(toks)
-            positions.extend(range(f, f + K + 1))
+            # KV of tree rows lands at consecutive SLOTS fill..fill+K (slot
+            # order, not depth order); accepted rows move to canonical
+            # slots in the next program (kv_move prologue)
             slots_l.extend(slots_for_tokens(table, f, K + 1, ps))
             page_tables.append(table[: cdiv(f + K + 1, ps)])
             seq_lens.append(f + K + 1)
@@ -555,6 +576,9 @@ class ScheduleBatch:
         )
         hb.verify_k = K
         hb.verify_idx = verify_idx
+        hb.tree_bits = tree_bits
+        if kv_moves is not None and len(kv_moves[0]):
+            hb.move_src, hb.move_dst = kv_moves
         return hb
 
     def _host_batch(self, mode, ids, positions, slots, page_tables,

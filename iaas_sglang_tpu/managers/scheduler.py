@@ -161,9 +161,17 @@ class Scheduler:
         self.spec_steps = 0
         self.spec_emitted = 0
         self.eagle = None
+        # tree-verify KV canonicalization moves awaiting the next program
+        self._pending_kv_moves: tuple[list, list] = ([], [])
         if self.spec_algorithm == "eagle":
             from iaas_sglang_tpu.speculative.eagle_worker import EagleWorker
 
+            if (server_args.speculative_eagle_topk or 1) > 1:
+                assert not model_config.is_mla \
+                    and not server_args.enable_double_sparsity \
+                    and not model_config.sliding_window, \
+                    "tree speculative decoding (eagle topk>1) requires a " \
+                    "standard full-attention MHA/GQA model"
             self.eagle = EagleWorker(
                 server_args, model_config, self.model_runner.mesh_ctx,
                 self.model_runner)
@@ -288,6 +296,9 @@ class Scheduler:
         self.waiting_queue.append(req)
 
     def handle_abort(self, m: AbortReq) -> None:
+        # an aborted request's pages return to the allocator; pending
+        # tree-KV moves into them must not fire later against reused pages
+        self._flush_kv_moves()
         for r in self.waiting_queue:
             if r.rid == m.rid:
                 r.finished_reason = FinishAbort()
@@ -589,9 +600,19 @@ class Scheduler:
                         if r.stream and not r.is_finished()])
         self._maybe_log_decode()
 
+    def _flush_kv_moves(self) -> None:
+        """Apply pending tree-verify KV canonicalizations as a standalone
+        dispatch — required before any program/path that reads or frees
+        the affected pages outside a spec-verify step."""
+        src, dst = self._pending_kv_moves
+        if src:
+            self.model_runner.apply_kv_moves(
+                np.concatenate(src), np.concatenate(dst))
+        self._pending_kv_moves = ([], [])
+
     def run_spec_batch(self, batch: ScheduleBatch):
-        """Speculative decode step: draft (ngram lookup OR EAGLE chain) ->
-        TARGET_VERIFY forward (eagle_worker.py:298
+        """Speculative decode step: draft (ngram lookup OR EAGLE chain/tree)
+        -> TARGET_VERIFY forward (eagle_worker.py:298
         forward_batch_speculative_generation analog)."""
         if self.eagle is not None:
             drafts = [self.eagle.state(r.rid).drafts for r in batch.reqs]
@@ -601,7 +622,13 @@ class Scheduler:
             drafts = [
                 draft_ngram(r.fill_ids(), self.spec_k) for r in batch.reqs
             ]
-        hb = batch.prepare_for_spec_verify(drafts, self.spec_k)
+        kv_moves = None
+        src, dst = self._pending_kv_moves
+        if src:
+            # fold the previous tree acceptance's slot moves into this
+            # verify program's prologue (no extra dispatch)
+            kv_moves = (np.concatenate(src), np.concatenate(dst))
+        hb = batch.prepare_for_spec_verify(drafts, self.spec_k, kv_moves)
         if hb is None:
             if self.eagle is not None:
                 # page exhaustion fallback to plain decode desyncs the draft
@@ -609,6 +636,7 @@ class Scheduler:
                 for r in batch.reqs:
                     self.eagle.reset(r.rid)
             return None, None  # fall back to plain decode path
+        self._pending_kv_moves = ([], [])
         hb.return_verify_hidden = self.eagle is not None
         tokens = self.model_runner.forward(hb)  # [B, K+1] argmax
         batch.last_hb = hb
@@ -617,30 +645,64 @@ class Scheduler:
     def process_spec_result(self, batch: ScheduleBatch,
                             tokens: np.ndarray) -> None:
         from iaas_sglang_tpu.speculative.ngram_worker import (
+            TreeDraft,
             accept_draft_tokens,
+            accept_tree_tokens,
         )
 
         finished: List[Req] = []
         hb = getattr(batch, "last_hb", None)
         eagle_items = []
+        ps = self.page_size
         for i, req in enumerate(batch.reqs):
             if req.is_finished():
                 continue
             sp = req.sampling_params
-            emitted = accept_draft_tokens(
-                req._spec_draft, tokens[i],
-                eos_token_ids=req.eos_token_ids,
-                stop_token_ids=sp.stop_token_ids or [],
-                ignore_eos=sp.ignore_eos,
-            )
+            d = req._spec_draft
+            src_rows = None
+            if isinstance(d, TreeDraft):
+                emitted, src_rows, node_rows = accept_tree_tokens(
+                    d, tokens[i],
+                    eos_token_ids=req.eos_token_ids,
+                    stop_token_ids=sp.stop_token_ids or [],
+                    ignore_eos=sp.ignore_eos,
+                )
+            else:
+                emitted = accept_draft_tokens(
+                    d, tokens[i],
+                    eos_token_ids=req.eos_token_ids,
+                    stop_token_ids=sp.stop_token_ids or [],
+                    ignore_eos=sp.ignore_eos,
+                )
             room = sp.max_new_tokens - len(req.output_ids)
             emitted = emitted[:room]
+            f0 = req.fill_len
+            if src_rows is not None:
+                src_rows = src_rows[: len(emitted)]
+                node_rows = node_rows[: len(emitted)]
+                # accepted tree rows' KV moves to the chain-canonical
+                # slots (folded into the next program's prologue)
+                table = req.page_table_np()
+                mv_s, mv_d = [], []
+                for j, row in enumerate(node_rows):
+                    if row >= 0 and row != j + 1:
+                        ps_, pd_ = f0 + row, f0 + j + 1
+                        mv_s.append(table[ps_ // ps] * ps + ps_ % ps)
+                        mv_d.append(table[pd_ // ps] * ps + pd_ % ps)
+                if mv_s:
+                    self._pending_kv_moves[0].append(
+                        np.asarray(mv_s, np.int32))
+                    self._pending_kv_moves[1].append(
+                        np.asarray(mv_d, np.int32))
             req.output_ids.extend(emitted)
             req.fill_len += len(emitted)
             self.num_generated_tokens += len(emitted)
             self.spec_emitted += len(emitted)
             req.check_finished(self.tokenizer)
             if req.is_finished():
+                # the radix tree takes ownership of this request's pages:
+                # canonicalize its KV slots first
+                self._flush_kv_moves()
                 self._tree_of(req).cache_finished_req(req)
                 req.cleaned = True
                 finished.append(req)
@@ -648,10 +710,14 @@ class Scheduler:
                     self.eagle.evict(req.rid)
             elif (self.eagle is not None and hb is not None
                   and hb.verify_hidden is not None and emitted):
-                # emitted[j] was produced by the feature at verify slot j:
-                # these are exactly the draft's next (token, feature) pairs
+                # emitted[j] was produced by the feature at verify row
+                # src_rows[j] (chain: row j): the draft's next
+                # (token, feature) pairs
                 m = len(emitted)
-                eagle_items.append((req, emitted, hb.verify_hidden[i, :m]))
+                feat = (hb.verify_hidden[i, src_rows]
+                        if src_rows is not None
+                        else hb.verify_hidden[i, :m])
+                eagle_items.append((req, emitted, feat))
         if eagle_items:
             self.eagle.feed_pairs(eagle_items)
         self.spec_steps += 1
@@ -1195,6 +1261,9 @@ class Scheduler:
                 self.process_spec_result(batch, tokens)
                 self._maybe_log_decode()
                 return True
+        # any non-spec-verify program (or page retraction inside it) must
+        # see canonical KV slots: apply pending tree moves first
+        self._flush_kv_moves()
         if self._multi_eligible(batch) and self.run_multi_batch(batch):
             self._watchdog_busy = False
             return True

@@ -42,6 +42,13 @@ class ForwardBatch:
     last_token_idx: jnp.ndarray # i32[Bmax] index into [0,T) of seq's last token
     # speculative verify: token indices of each seq's K+1 query positions
     verify_idx: jnp.ndarray = None  # i32[Bmax, K+1] | None
+    # speculative TREE verify (EAGLE topk>1): per-row ancestor bitmask over
+    # the verify segment; None = chain (causal) verify
+    tree_bits: jnp.ndarray = None   # i32[Bmax, 32] | None
+    # KV slot canonicalization: accepted tree rows from the PREVIOUS verify
+    # step are moved src->dst (layer-relative slots) before this forward
+    move_src: jnp.ndarray = None    # i32[M] | None
+    move_dst: jnp.ndarray = None    # i32[M] | None
     # multi-LoRA: per-token adapter slot (0 = none) | None when LoRA unused
     lora_ids: jnp.ndarray = None    # i32[T] | None
     # prompt logprobs: per-row target token (the NEXT prompt token) | None

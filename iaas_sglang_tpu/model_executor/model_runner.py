@@ -65,6 +65,11 @@ class HostBatch:
     # speculative verify: K drafts per seq -> greedy argmax at K+1 positions
     verify_k: int = 0
     verify_idx: Any = None          # np i32[B, K+1] token indices
+    # tree verify (EAGLE topk>1): per-row ancestor bitmasks; chain = None
+    tree_bits: Any = None           # np i32[B, 32] | None
+    # KV slot moves folded into this program's prologue (tree acceptance)
+    move_src: Any = None            # np i32[M] | None
+    move_dst: Any = None            # np i32[M] | None
     # prompt logprobs (reference logits_processor.py input-logprob path)
     return_prompt_logprob: bool = False
     lp_targets: Any = None          # np i32[T] next-prompt-token per row
@@ -276,6 +281,8 @@ class ModelRunner:
             b *= 4
         mp_buckets.append(self.max_pages_per_seq)
         self.mp_buckets = mp_buckets
+        # KV slot-move batch sizes (tree-speculative canonicalization)
+        self.move_buckets = [8, 32, 128, 512, 2048]
 
     # ------------------------------------------------------------- step fns
 
@@ -290,10 +297,30 @@ class ModelRunner:
             compute_logprobs,
         )
 
+        num_layers = self.model_config.num_layers
+
+        def kv_move(kv, src, dst):
+            """Move KV entries between layer-relative slots in every layer
+            (tree-speculative acceptance canonicalization: accepted tree
+            rows' KV relocates to the chain-canonical slots). Pad entries
+            are garbage->garbage self-copies."""
+            Lp, ps_ = kv.shape[0], kv.shape[1]
+            span = (Lp // num_layers) * ps_
+            kvf = kv.reshape(Lp * ps_, *kv.shape[2:])
+            base = (jnp.arange(num_layers, dtype=jnp.int32) * span)[:, None]
+            s = (src[None, :] + base).reshape(-1)
+            d = (dst[None, :] + base).reshape(-1)
+            kvf = kvf.at[d].set(kvf[s])
+            return kvf.reshape(kv.shape)
+
+        self._kv_move_fn = jax.jit(kv_move, donate_argnums=(0,))
+
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
                  pen, grammar_mask, lora, attn_mode: str, logprob_top_k: int,
                  return_hidden: bool = False, verify_k: int = 0,
                  sampling_mode: str = "full", hidden_tap: str = "none"):
+            if fb.move_src is not None:
+                kv_pages = kv_move(kv_pages, fb.move_src, fb.move_dst)
             hidden, kv_pages = model.forward(
                 params, fb, kv_pages,
                 attn_backend=attn_backend, attn_mode=attn_mode,
@@ -815,6 +842,21 @@ class ModelRunner:
             vi = np.zeros((B_pad, hb.verify_k + 1), dtype=np.int32)
             vi[: hb.verify_idx.shape[0]] = hb.verify_idx
             verify_idx = jnp.asarray(vi)
+        tree_bits = None
+        if hb.tree_bits is not None:
+            tb = np.zeros((B_pad, 32), dtype=np.int32)
+            tb[: hb.tree_bits.shape[0]] = hb.tree_bits
+            tree_bits = jnp.asarray(tb)
+        move_src = move_dst = None
+        if hb.move_src is not None:
+            # accepted-tree-row KV canonicalization, folded into this
+            # program's prologue; padded with garbage->garbage self-copies
+            Mp = bucket_size(max(len(hb.move_src), 1), self.move_buckets)
+            ms = np.full(Mp, garbage_slot, dtype=np.int32)
+            md = np.full(Mp, garbage_slot, dtype=np.int32)
+            ms[: len(hb.move_src)] = hb.move_src
+            md[: len(hb.move_dst)] = hb.move_dst
+            move_src, move_dst = jnp.asarray(ms), jnp.asarray(md)
         mm_embeds, mm_positions = self._pad_mm(hb, T_pad, None)
         mrope = None
         if hb.mrope_positions is not None:
@@ -826,6 +868,9 @@ class ModelRunner:
             mm_embeds=mm_embeds,
             mm_positions=mm_positions,
             verify_idx=verify_idx,
+            tree_bits=tree_bits,
+            move_src=move_src,
+            move_dst=move_dst,
             lora_ids=lora_ids,
             lp_targets=lp_targets,
             input_ids=jnp.asarray(input_ids)
@@ -881,6 +926,22 @@ class ModelRunner:
             self._compiled[key] = exe
         with self.mesh_ctx.mesh:
             return exe(*args)
+
+    def apply_kv_moves(self, src: np.ndarray, dst: np.ndarray) -> None:
+        """Standalone KV slot-move dispatch — flushes pending tree-verify
+        canonicalizations when the next program is NOT a spec verify
+        (plain decode fallback, retraction, request finish)."""
+        if len(src) == 0:
+            return
+        Mp = bucket_size(len(src), self.move_buckets)
+        garbage = self.pages_per_layer * self.page_size
+        ms = np.full(Mp, garbage, np.int32)
+        md = np.full(Mp, garbage, np.int32)
+        ms[: len(src)] = src
+        md[: len(dst)] = dst
+        self.kv_pages = self._aot_call(
+            ("kv_move", Mp), self._kv_move_fn,
+            (self.kv_pages, jnp.asarray(ms), jnp.asarray(md)))
 
     # --------------------------------------------------------- multimodal
 

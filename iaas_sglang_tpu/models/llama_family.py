@@ -527,6 +527,7 @@ class LlamaFamilyForCausalLM:
                     logit_softcap=c.attn_logit_softcap,
                     backend=attn_backend,
                     mode=attn_mode,
+                    tree_bits=fb.tree_bits,
                 )
             attn_flat = attn.reshape(T, c.num_heads * c.head_dim)
             attn_out = qmatmul(attn_flat, lp["wo"])

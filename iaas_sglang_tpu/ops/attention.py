@@ -42,7 +42,13 @@ def paged_attention(
     logit_softcap: Optional[float] = None,   # gemma2 tanh soft-capping
     backend: str = "jnp",
     mode: str = "extend",   # static: "extend" (ragged q) | "decode" (q_len==1)
+    tree_bits: Optional[jnp.ndarray] = None,  # i32[Bmax, 32] spec-tree mask
 ) -> jnp.ndarray:
+    # Tree-mask verify (EAGLE tree speculation, reference
+    # build_eagle_tree.py:45 custom mask): each sequence's q segment is a
+    # draft TREE, row r may attend segment slot j iff bit j of
+    # tree_bits[seq, r] is set; prefix KV (slots before the segment) stays
+    # fully visible. Replaces the in-segment causal mask.
     # hybrid-SWA models (gemma2/3) scan one layer body over layers, so the
     # per-layer window arrives as a TRACED scalar — only the jnp path and
     # our own kernels support that; jax's builtin rpa needs a static int.
@@ -51,7 +57,18 @@ def paged_attention(
         return _jnp_paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
-            logit_softcap=logit_softcap,
+            logit_softcap=logit_softcap, tree_bits=tree_bits,
+        )
+    if tree_bits is not None:
+        # only our own extend kernel supports the tree mask on TPU
+        from iaas_sglang_tpu.ops.extend_attention import (
+            ragged_extend_attention,
+        )
+
+        return ragged_extend_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap, tree_bits=tree_bits,
         )
     if backend in ("pallas", "pallas_own"):
         if mode == "decode":
@@ -100,7 +117,7 @@ def paged_attention(
 
 def _jnp_paged_attention(
     q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
-    *, sm_scale, sliding_window=None, logit_softcap=None,
+    *, sm_scale, sliding_window=None, logit_softcap=None, tree_bits=None,
 ):
     T, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
@@ -139,8 +156,22 @@ def _jnp_paged_attention(
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
     key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
-    valid = (key_pos <= q_pos[:, None]) & (key_pos < kv_lens[seg_ids][:, None])
-    if sliding_window is not None:
+    if tree_bits is not None:
+        # speculative tree mask: within the q segment (the last q_len KV
+        # slots of the sequence) visibility follows the per-row ancestor
+        # bitmask; prefix slots stay fully visible
+        seg_start = (kv_lens - q_lens)[seg_ids]            # [T]
+        jseg = key_pos - seg_start[:, None]                # [T, S]
+        r_seg = jnp.clip(t_idx - cu_q_lens[seg_ids], 0, 31)
+        bits = tree_bits[seg_ids, r_seg]                   # i32[T]
+        allow = (jnp.right_shift(
+            bits[:, None], jnp.clip(jseg, 0, 31)) & 1) == 1
+        valid = (key_pos < kv_lens[seg_ids][:, None]) & (
+            (jseg < 0) | allow)
+    else:
+        valid = (key_pos <= q_pos[:, None]) \
+            & (key_pos < kv_lens[seg_ids][:, None])
+    if sliding_window is not None and tree_bits is None:
         win = jnp.asarray(sliding_window, jnp.int32)
         valid &= (win < 0) | (key_pos > q_pos[:, None] - win)
     # padding tokens (seg beyond num_seqs) get a degenerate but finite row;

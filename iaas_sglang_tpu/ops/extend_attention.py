@@ -39,6 +39,7 @@ def _extend_kernel(
     page_indices_ref,  # i32[B, MP]
     cu_q_lens_ref,     # i32[B+1]
     window_ref,        # i32[1] sliding window, -1 = full attention
+    tree_bits_ref,     # i32[B, 32] spec-tree ancestor bitmasks (or [1, 1])
     # inputs (ANY: manual DMA)
     q_hbm,             # [Tpad, Nq, D]
     kv_hbm,            # [NP, ps, 2Nk, D]
@@ -57,6 +58,7 @@ def _extend_kernel(
     max_pages: int,
     sm_scale: float,
     logit_softcap: Optional[float],
+    tree: bool = False,
 ):
     s = pl.program_id(0)
     qt = pl.program_id(1)
@@ -102,6 +104,14 @@ def _extend_kernel(
 
         # row positions within the sequence (absolute key-space)
         row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        if tree:
+            # per-row ancestor bitmask over the q segment (the last q_len
+            # KV slots): BQ is capped at 32 in tree mode, so the bits fit
+            # one SMEM scalar read per row
+            bits = jnp.concatenate(
+                [jnp.full((1, 1), tree_bits_ref[s, r], jnp.int32)
+                 for r in range(bq)], axis=0)                # [BQ, 1]
+            seg_start = kv_len - q_len
 
         def body(ci, carry):
             ms, ls, accs = carry
@@ -115,10 +125,17 @@ def _extend_kernel(
             flat2 = kv_buf[slot].reshape(CT, 2 * Nk * D)
             key_pos = ci * CT + jax.lax.broadcasted_iota(
                 jnp.int32, (1, CT), 1)                       # [1, CT]
-            # causal: key <= query position; bounded by kv_len
-            valid = (key_pos <= row_pos) & (key_pos < kv_len)  # [BQ, CT]
-            win = window_ref[0]
-            valid &= (win < 0) | (key_pos > row_pos - win)
+            if tree:
+                # prefix keys fully visible; segment keys by ancestor bit
+                jseg = key_pos - seg_start                   # [1, CT]
+                allow = jnp.bitwise_and(jnp.right_shift(
+                    bits, jnp.clip(jseg, 0, 31)), 1) == 1    # [BQ, CT]
+                valid = (key_pos < kv_len) & ((jseg < 0) | allow)
+            else:
+                # causal: key <= query position; bounded by kv_len
+                valid = (key_pos <= row_pos) & (key_pos < kv_len)  # [BQ, CT]
+                win = window_ref[0]
+                valid &= (win < 0) | (key_pos > row_pos - win)
             # GQA: broadcast the per-token mask over the G heads per kv head
             valid_g = jnp.repeat(valid, G, axis=0)           # [BQ*G, CT]
 
@@ -341,7 +358,8 @@ def mla_ragged_extend_attention(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "logit_softcap", "bq", "chunk_pages"),
+    static_argnames=("sm_scale", "logit_softcap", "bq", "chunk_pages",
+                     "interpret"),
 )
 def ragged_extend_attention(
     q: jnp.ndarray,             # [T, Nq, D]
@@ -351,18 +369,27 @@ def ragged_extend_attention(
     cu_q_lens: jnp.ndarray,     # i32[B+1]
     num_seqs: jnp.ndarray,      # i32[] (unused; padding seqs have q_len 0)
     sliding_window=None,        # None | int | traced i32 scalar (-1 = off)
+    tree_bits=None,             # i32[B, 32] spec-tree masks | None
     *,
     sm_scale: float,
     logit_softcap: Optional[float] = None,
     bq: int = DEFAULT_BQ,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     T, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
     Nk = NK2 // 2
     B, MP = page_indices.shape
     CP = min(chunk_pages, MP)
-    BQ = min(bq, max(T, 16))
+    tree = tree_bits is not None
+    if tree:
+        # tree-verify segments are <= 32 rows; one q tile covers a segment
+        BQ = 32
+        tree_arg = tree_bits.astype(jnp.int32)
+    else:
+        BQ = min(bq, max(T, 16))
+        tree_arg = jnp.zeros((1, 1), jnp.int32)
     window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
         else jnp.asarray(sliding_window, jnp.int32).reshape(1)
     # slack so a tile's full-BQ write never clips past the buffer
@@ -370,7 +397,7 @@ def ragged_extend_attention(
     QT = cdiv(T, BQ)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B, QT),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -390,6 +417,7 @@ def ragged_extend_attention(
         _extend_kernel,
         num_kv_heads=Nk, bq=BQ, chunk_pages=CP, page_size=ps,
         max_pages=MP, sm_scale=sm_scale, logit_softcap=logit_softcap,
+        tree=tree,
     )
     out = pl.pallas_call(
         kernel,
@@ -398,5 +426,6 @@ def ragged_extend_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(kv_lens, page_indices, cu_q_lens, window, q_pad, kv_pages)
+        interpret=interpret,
+    )(kv_lens, page_indices, cu_q_lens, window, tree_arg, q_pad, kv_pages)
     return out[:T]

@@ -118,6 +118,13 @@ class ServerArgs:
     speculative_num_draft_tokens: int = 4
     # EAGLE draft checkpoint dir (None = dummy-weight draft, for testing)
     speculative_draft_model_path: Optional[str] = None
+    # EAGLE tree drafting (reference --speculative-eagle-topk): >1 keeps
+    # topk sibling candidates per draft step and verifies the best
+    # num_draft_tokens nodes with a tree attention mask; 1 = chain
+    speculative_eagle_topk: int = 1
+    # draft chain steps in tree mode (pool = steps*topk candidates);
+    # None = num_draft_tokens
+    speculative_num_steps: Optional[int] = None
 
     # Double sparsity (reference double_sparsity_backend.py): decode-time
     # sparse attention — a small per-token "label" cache of r heavy K

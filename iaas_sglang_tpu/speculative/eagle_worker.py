@@ -55,6 +55,13 @@ class EagleWorker:
         self.mesh_ctx = mesh_ctx
         self.runner = runner
         self.K = server_args.speculative_num_draft_tokens
+        # tree drafting (EAGLE topk>1, reference eagle_worker.py:503 draft
+        # tree expansion): the spine is the greedy chain; each spine step
+        # additionally surfaces its topk sibling candidates, and the best
+        # K nodes of the pool become the verify tree.
+        self.topk = getattr(server_args, "speculative_eagle_topk", 1) or 1
+        self.steps = (getattr(server_args, "speculative_num_steps", None)
+                      or self.K)
         self.page_size = server_args.page_size
 
         draft_cfg = self._draft_config(server_args, target_config)
@@ -106,13 +113,17 @@ class EagleWorker:
         draft = self.draft
         ps = self.page_size
         K = self.K
+        S = self.steps
+        tk = self.topk
         tied = self.runner.model_config.tie_word_embeddings
 
-        def logits_argmax(hid, embed, lm_head):
+        def logits_fn(hid, embed, lm_head):
             w = embed.T if tied else lm_head
+            return hid.astype(jnp.float32) @ w.astype(jnp.float32)
+
+        def logits_argmax(hid, embed, lm_head):
             return jnp.argmax(
-                (hid.astype(jnp.float32) @ w.astype(jnp.float32)), axis=-1
-            ).astype(jnp.int32)
+                logits_fn(hid, embed, lm_head), axis=-1).astype(jnp.int32)
 
         def extend_chain(params, embed, lm_head, kv_pages,
                          tokens, feats, positions, out_slots,
@@ -148,7 +159,58 @@ class EagleWorker:
                 drafts = tok[None]
             return drafts.T, kv_pages                          # [B, K]
 
-        return jax.jit(extend_chain, donate_argnums=(3,))
+        def extend_tree(params, embed, lm_head, kv_pages,
+                        tokens, feats, positions, out_slots,
+                        page_indices, kv_lens, cu_q_lens, num_seqs):
+            """Spine chain + per-step topk siblings: the greedy chain runs
+            exactly as extend_chain (same draft KV), and every step also
+            emits its topk (token, cumulative-score) candidates."""
+            B = page_indices.shape[0]
+            hidden, kv_pages = draft.forward_pairs(
+                params, embed, tokens, feats, positions, out_slots,
+                kv_pages, page_indices, kv_lens, cu_q_lens, num_seqs,
+                attn_backend="jnp", attn_mode="extend")
+            last_idx = jnp.maximum(cu_q_lens[1:] - 1, 0)
+            hid = hidden[last_idx]                            # [B, H]
+            lp0 = jax.nn.log_softmax(
+                logits_fn(hid, embed, lm_head), axis=-1)
+            sc0, tok0 = jax.lax.top_k(lp0, tk)                # [B, tk]
+
+            def tree_body(carry, _):
+                hid, tok, kv, pos, cum = carry
+                page = jnp.take_along_axis(
+                    page_indices, (pos // ps)[:, None], axis=1)[:, 0]
+                slots = page * ps + pos % ps
+                hid2, kv = draft.forward_pairs(
+                    params, embed, tok, hid, pos, slots,
+                    kv, page_indices, pos + 1,
+                    jnp.arange(B + 1, dtype=jnp.int32), num_seqs,
+                    attn_backend="jnp", attn_mode="decode")
+                lp = jax.nn.log_softmax(
+                    logits_fn(hid2, embed, lm_head), axis=-1)
+                sc, cand = jax.lax.top_k(lp, tk)
+                cand_sc = cum[:, None] + sc                   # [B, tk]
+                return (hid2, cand[:, 0], kv, pos + 1, cand_sc[:, 0]), \
+                    (cand, cand_sc)
+
+            if S > 1:
+                (_, _, kv_pages, _, _), (toks, scs) = jax.lax.scan(
+                    tree_body,
+                    (hid, tok0[:, 0], kv_pages, kv_lens,
+                     sc0[:, 0].astype(jnp.float32)),
+                    None, length=S - 1)
+                cand_toks = jnp.concatenate(
+                    [tok0[None], toks], axis=0)               # [S, B, tk]
+                cand_scs = jnp.concatenate(
+                    [sc0[None].astype(jnp.float32), scs], axis=0)
+            else:
+                cand_toks, cand_scs = tok0[None], sc0[None].astype(
+                    jnp.float32)
+            return (cand_toks.transpose(1, 0, 2),             # [B, S, tk]
+                    cand_scs.transpose(1, 0, 2), kv_pages)
+
+        fn = extend_tree if tk > 1 else extend_chain
+        return jax.jit(fn, donate_argnums=(3,))
 
     def _run(self, tokens, feats, positions, out_slots,
              page_indices, kv_lens, cu_q_lens, B):
@@ -180,7 +242,11 @@ class EagleWorker:
                         len(positions), page_indices.shape[0],
                         _t.perf_counter() - t0)
         with self.mesh_ctx.mesh:
-            drafts, self.kv_pages = exe(*args)
+            out = exe(*args)
+        if self.topk > 1:
+            cand_toks, cand_scs, self.kv_pages = out
+            return np.asarray(cand_toks), np.asarray(cand_scs)
+        drafts, self.kv_pages = out
         return np.asarray(drafts)
 
     # ------------------------------------------------------------- host API
@@ -224,11 +290,12 @@ class EagleWorker:
             return
         ps = self.page_size
         K = self.K
+        S = self.steps if self.topk > 1 else K
         reqs = [it[0] for it in items]
         sts = [self.state(r.rid) for r in reqs]
-        # page budget: pairs + the K-1 chain positions
+        # page budget: pairs + the S-1 chain positions
         for st, (_, toks, _) in zip(sts, items):
-            if not self._ensure_pages(st, st.fill + len(toks) + K):
+            if not self._ensure_pages(st, st.fill + len(toks) + S):
                 # page exhaustion: drop drafting for this request this round
                 st.drafts = None
                 return
@@ -263,8 +330,18 @@ class EagleWorker:
             st.fill += m
         cu[B + 1 :] = t
 
-        drafts = self._run(tokens, feats, positions, out_slots,
-                           page_indices, kv_lens, cu, B)
-        for i, (st, (req, _, _)) in enumerate(zip(sts, items)):
-            st.drafts = [int(x) for x in drafts[i][:K]]
-            req._spec_next_draft = st.drafts
+        out = self._run(tokens, feats, positions, out_slots,
+                        page_indices, kv_lens, cu, B)
+        if self.topk > 1:
+            from iaas_sglang_tpu.speculative.ngram_worker import (
+                build_tree_draft,
+            )
+
+            cand_toks, cand_scs = out
+            for i, (st, (req, _, _)) in enumerate(zip(sts, items)):
+                st.drafts = build_tree_draft(cand_toks[i], cand_scs[i], K)
+                req._spec_next_draft = st.drafts
+        else:
+            for i, (st, (req, _, _)) in enumerate(zip(sts, items)):
+                st.drafts = [int(x) for x in out[i][:K]]
+                req._spec_next_draft = st.drafts

@@ -74,3 +74,93 @@ def accept_draft_tokens(
             return emitted
     emitted.append(int(verify_tokens[K]))  # all drafts accepted: bonus
     return emitted
+
+
+class TreeDraft:
+    """A selected draft tree for one request (EAGLE topk>1; analog of the
+    reference's build_eagle_tree.py:45 output). Rows are verify-segment
+    slots: row 0 = the pending output token (root), rows 1..K = tree nodes
+    sorted by score (ancestors always precede descendants because a
+    parent's cumulative logprob bounds its children's)."""
+
+    __slots__ = ("tokens", "depths", "bits", "parent_rows")
+
+    def __init__(self, tokens, depths, bits, parent_rows):
+        self.tokens = tokens            # list[int], len K
+        self.depths = depths            # list[int], len K (>= 1)
+        self.bits = bits                # np.int32[32] ancestor bitmask/row
+        self.parent_rows = parent_rows  # list[int], len K (0 = root)
+
+
+def build_tree_draft(cand_tokens: np.ndarray, cand_scores: np.ndarray,
+                     K: int) -> TreeDraft:
+    """Select the top-K nodes of a spine+siblings candidate pool.
+
+    cand_tokens/cand_scores: [S, tk] — step d's topk tokens (desc by
+    logprob; column 0 = the greedy spine token) and cumulative scores
+    (spine logprob through depth d plus the candidate's own logprob).
+    Every candidate's parent is the spine node at the previous depth, so
+    a score-descending top-K is automatically ancestor-closed."""
+    S, tk = cand_tokens.shape
+    flat = [(-float(cand_scores[d, j]), d, j)
+            for d in range(S) for j in range(tk)]
+    flat.sort()
+    sel = flat[:K]
+    rows = {}                      # (d, j) -> row id (1-based)
+    for r, (_, d, j) in enumerate(sel, start=1):
+        rows[(d, j)] = r
+    bits = np.zeros(32, dtype=np.int64)
+    bits[0] = 1
+    tokens, depths, parents = [], [], []
+    for r, (_, d, j) in enumerate(sel, start=1):
+        prow = 0 if d == 0 else rows.get((d - 1, 0), 0)
+        bits[r] = bits[prow] | (np.int64(1) << r)
+        tokens.append(int(cand_tokens[d, j]))
+        depths.append(d + 1)
+        parents.append(prow)
+    return TreeDraft(tokens, depths,
+                     (bits & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+                     parents)
+
+
+def accept_tree_tokens(
+    tree: TreeDraft,
+    verify_tokens: np.ndarray,   # i32[K+1] target argmax at each tree row
+    *,
+    eos_token_ids: set,
+    stop_token_ids: Sequence[int],
+    ignore_eos: bool,
+):
+    """Greedy tree acceptance: walk from the root, at each visited row
+    follow the child whose token equals the target's argmax there.
+    Returns (emitted, src_rows, node_rows):
+      emitted[j]   -- token to emit
+      src_rows[j]  -- the row whose hidden state PRODUCED emitted[j]
+                      (EAGLE feature feedback)
+      node_rows[j] -- the tree row holding emitted[j]'s KV, or -1 when the
+                      token has no written KV (bonus / divergence token)
+    """
+    children: dict = {}
+    for i, p in enumerate(tree.parent_rows):
+        children.setdefault(p, []).append((i + 1, tree.tokens[i]))
+
+    def is_stop(t: int) -> bool:
+        return (not ignore_eos and t in eos_token_ids) or t in stop_token_ids
+
+    emitted, src_rows, node_rows = [], [], []
+    cur = 0
+    while True:
+        t = int(verify_tokens[cur])
+        emitted.append(t)
+        src_rows.append(cur)
+        nxt = None
+        for (row, tok) in children.get(cur, ()):
+            if tok == t:
+                nxt = row
+                break
+        node_rows.append(-1 if nxt is None else nxt)
+        if nxt is None or is_stop(t):
+            if nxt is not None and is_stop(t):
+                pass  # accepted node token that is also a stop: keep its KV
+            return emitted, src_rows, node_rows
+        cur = nxt

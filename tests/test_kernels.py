@@ -181,3 +181,40 @@ def test_mla_extend_kernel_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_extend_kernel_tree_mask_interpret(shapes):
+    """Tree-verify mask in the extend kernel vs the jnp reference path."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.extend_attention import ragged_extend_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    Kp1 = 5
+    q_lens = [Kp1, Kp1, 0]
+    kv_lens_l = [23 + Kp1, 40 + Kp1, 0]
+    B, T, Tpad = 3, 2 * Kp1, 16
+    q = jnp.asarray(rng.standard_normal((Tpad, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    bits = np.zeros((B, 32), np.int32)
+    for b in range(B):
+        bits[b, 0] = 0b00001
+        bits[b, 1] = 0b00011
+        bits[b, 2] = 0b00101
+        bits[b, 3] = 0b01011
+        bits[b, 4] = 0b10101
+    bits_j = jnp.asarray(bits)
+    with pltpu.force_tpu_interpret_mode():
+        out = ragged_extend_attention(
+            q, kv, kv_lens, page_indices, cu, jnp.int32(2), None, bits_j,
+            sm_scale=D ** -0.5)
+    ref = _jnp_paged_attention(
+        q, kv, kv_lens, page_indices, cu, jnp.int32(2),
+        sm_scale=D ** -0.5, tree_bits=bits_j)
+    np.testing.assert_allclose(
+        np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
+        rtol=3e-2, atol=3e-2)

@@ -108,3 +108,130 @@ def test_eagle_prefix_cache_reuse_parity():
     first = eng.generate(input_ids=prompts, sampling_params=sp)
     second = eng.generate(input_ids=prompts, sampling_params=sp)
     assert first[0]["output_ids"] == second[0]["output_ids"]
+
+
+# ---------------------------------------------------------------- tree mode
+
+def test_build_tree_draft_structure():
+    from iaas_sglang_tpu.speculative.ngram_worker import build_tree_draft
+
+    # S=2 steps, topk=2: spine tokens 5 then 6
+    toks = np.array([[5, 9], [6, 11]])
+    scores = np.array([[-0.1, -2.0], [-0.3, -0.9]])
+    tree = build_tree_draft(toks, scores, K=3)
+    # top-3 by score: (0,0)=5 s-0.1, (1,0)=6 s-0.3, (1,1)=11 s-0.9
+    assert tree.tokens == [5, 6, 11]
+    assert tree.depths == [1, 2, 2]
+    assert tree.parent_rows == [0, 1, 1]
+    # row bits: root=1; row1 root+self; rows2/3 root+row1+self
+    assert tree.bits[0] == 0b0001
+    assert tree.bits[1] == 0b0011
+    assert tree.bits[2] == 0b0111
+    assert tree.bits[3] == 0b1011
+
+
+def test_accept_tree_walk():
+    from iaas_sglang_tpu.speculative.ngram_worker import (
+        TreeDraft,
+        accept_tree_tokens,
+    )
+
+    bits = np.zeros(32, np.int32)
+    tree = TreeDraft(tokens=[5, 6, 11], depths=[1, 2, 2],
+                     bits=bits, parent_rows=[0, 1, 1])
+    # target argmax: root->5 (match row1), row1->11 (match row3), row3->77
+    out = np.array([5, 11, 99, 77])
+    emitted, src_rows, node_rows = accept_tree_tokens(
+        tree, out, eos_token_ids=set(), stop_token_ids=[], ignore_eos=False)
+    assert emitted == [5, 11, 77]
+    assert src_rows == [0, 1, 3]
+    assert node_rows == [1, 3, -1]
+    # divergence at root: bonus only
+    out2 = np.array([42, 0, 0, 0])
+    e2, s2, n2 = accept_tree_tokens(
+        tree, out2, eos_token_ids=set(), stop_token_ids=[], ignore_eos=False)
+    assert e2 == [42] and s2 == [0] and n2 == [-1]
+
+
+def test_eagle_tree_matches_plain_greedy():
+    """Tree-verify EAGLE (topk>1) must emit exactly the plain greedy
+    continuation — tree acceptance walks target-argmax-matching edges."""
+    eng_tree = make_engine(speculative_algorithm="eagle",
+                           speculative_num_draft_tokens=4,
+                           speculative_eagle_topk=2,
+                           speculative_num_steps=3)
+    eng_plain = make_engine()
+    prompts = [
+        [7, 8, 9, 10, 7, 8, 9, 10, 7, 8],
+        list(range(30, 45)),
+        list(range(100, 170)),
+    ]
+    sp = {"max_new_tokens": 14, "temperature": 0.0}
+    outs_t = eng_tree.generate(input_ids=prompts, sampling_params=sp)
+    outs_p = eng_plain.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_t, outs_p):
+        assert a["output_ids"] == b["output_ids"]
+    st = eng_tree.get_internal_state()
+    assert st["spec_accept_length"] >= 1.0
+    eng_tree.scheduler.check_memory_leak()
+
+
+def test_eagle_tree_with_stop_and_mixed_batch():
+    eng = make_engine(speculative_algorithm="eagle",
+                      speculative_num_draft_tokens=3,
+                      speculative_eagle_topk=2)
+    ids = [3, 4, 5, 3, 4, 5, 3, 4]
+    free = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0})
+    stop_tok = free["output_ids"][2]
+    out = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 10, "temperature": 0.0,
+        "stop_token_ids": [stop_tok]})
+    assert out["output_ids"][-1] == stop_tok
+    assert len(out["output_ids"]) == 3
+    eng.scheduler.check_memory_leak()
+
+
+def test_eagle_tree_offspine_acceptance_and_kv_moves():
+    """Force acceptance through SIBLING (off-spine) tree nodes: the draft
+    tree is rigged so the true greedy tokens sit off the spine. This
+    exercises the tree attention mask (node 3 attends root+node2, skipping
+    node 1) AND the KV slot canonicalization moves; any corruption breaks
+    parity with plain greedy."""
+    from iaas_sglang_tpu.speculative.ngram_worker import TreeDraft
+
+    eng_plain = make_engine()
+    prompt = list(range(50, 65))
+    sp = {"max_new_tokens": 12, "temperature": 0.0}
+    expected = eng_plain.generate(
+        input_ids=prompt, sampling_params=sp)["output_ids"]
+
+    eng = make_engine(speculative_algorithm="eagle",
+                      speculative_num_draft_tokens=3,
+                      speculative_eagle_topk=2)
+    eagle = eng.scheduler.eagle
+    orig = eagle.feed_pairs
+
+    def rigged(items):
+        orig(items)
+        for (req, _, _) in items:
+            n = len(req.output_ids)
+            nxt = expected[n : n + 2]
+            if len(nxt) < 2:
+                continue
+            bits = np.zeros(32, np.int32)
+            bits[0] = 0b0001          # root
+            bits[1] = 0b0011          # wrong spine node
+            bits[2] = 0b0101          # true sibling (child of root)
+            bits[3] = 0b1101          # true grandchild (child of row 2)
+            st = eagle.state(req.rid)
+            st.drafts = TreeDraft(
+                tokens=[(nxt[0] + 1) % 256, nxt[0], nxt[1]],
+                depths=[1, 1, 2], bits=bits, parent_rows=[0, 0, 2])
+
+    eagle.feed_pairs = rigged
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert out["output_ids"] == expected
+    st = eng.get_internal_state()
+    assert st["spec_accept_length"] > 1.5  # rigged tree accepts 3/step
+    eng.scheduler.check_memory_leak()
