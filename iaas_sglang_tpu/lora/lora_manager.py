@@ -31,12 +31,14 @@ PEFT_NAMES = {
 
 class LoRAManager:
     def __init__(self, model, model_config, mesh_ctx, *,
-                 max_loras: int = 8, max_rank: int = 16):
+                 max_loras: int = 8, max_rank: int = 16,
+                 backend: str = "onehot"):
         self.model = model
         self.config = model_config
         self.mesh_ctx = mesh_ctx
         self.max_loras = max_loras      # usable slots: 1..max_loras
         self.max_rank = max_rank
+        self.backend = backend          # "onehot" | "gmm" (ops/lora.py)
         self.name_to_slot: Dict[str, int] = {}
         self.slot_scaling = np.zeros(max_loras + 1, dtype=np.float32)
 
@@ -137,6 +139,10 @@ class LoRAManager:
                 "scaling": jax.device_put(
                     self.slot_scaling.copy(), rep),
             }
+            if self.backend == "gmm":
+                # structural (leafless) marker: selects the grouped-matmul
+                # delta path at trace time without a non-array jit leaf
+                self._device["gmm"] = ()
         return self._device
 
     def slot_of(self, name: Optional[str]) -> int:

@@ -164,7 +164,8 @@ class ModelRunner:
             self.lora_manager = LoRAManager(
                 self.model, model_config, self.mesh_ctx,
                 max_loras=server_args.max_loras_per_batch,
-                max_rank=server_args.max_lora_rank)
+                max_rank=server_args.max_lora_rank,
+                backend=getattr(server_args, "lora_backend", "onehot"))
 
         self._init_kv_pool()
         self._init_buckets()

@@ -391,15 +391,30 @@ class LlamaFamilyForCausalLM:
                 hidden = hidden + params["pos_embed"][fb.positions].astype(
                     hidden.dtype)
         lora_onehot = None
+        lora_grouped = None
         if lora is not None and fb.lora_ids is not None:
             S1 = lora["scaling"].shape[0]
-            lora_onehot = jax.nn.one_hot(
-                fb.lora_ids, S1, dtype=jnp.float32)
-            lora_onehot = lora_onehot * lora["scaling"][None, :]
+            if "gmm" in lora:
+                # grouped-matmul path (ops/lora.py): sort once per forward,
+                # every delta reuses the order/group metadata
+                order = jnp.argsort(fb.lora_ids)
+                gs = jnp.bincount(fb.lora_ids, length=S1)
+                scale_sorted = lora["scaling"][fb.lora_ids[order]]
+                lora_grouped = (order, gs, scale_sorted)
+                lora_onehot = True  # sentinel: deltas enabled
+            else:
+                lora_onehot = jax.nn.one_hot(
+                    fb.lora_ids, S1, dtype=jnp.float32)
+                lora_onehot = lora_onehot * lora["scaling"][None, :]
 
         def lora_delta(x, A_l, B_l):
             """x [T, Hin]; A_l [S+1, Hin, r]; B_l [S+1, r, Hout] ->
-            per-token adapter delta [T, Hout] (one-hot slot mixing)."""
+            per-token adapter delta [T, Hout]."""
+            if lora_grouped is not None:
+                from iaas_sglang_tpu.ops.lora import lora_gmm_delta
+
+                order, gs, ssort = lora_grouped
+                return lora_gmm_delta(x, A_l, B_l, order, gs, ssort)
             xa = jnp.einsum(
                 "th,shr->tsr", x.astype(jnp.float32), A_l)
             xa = xa * lora_onehot[:, :, None]

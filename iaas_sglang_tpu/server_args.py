@@ -107,6 +107,9 @@ class ServerArgs:
     enable_lora: bool = False
     max_loras_per_batch: int = 8
     max_lora_rank: int = 16
+    # "onehot" (dense slot-mixing, best at small S*r) | "gmm" (megablox
+    # grouped matmul over adapter-sorted tokens, for many-adapter serving)
+    lora_backend: str = "onehot"
 
     # PD disaggregation (SURVEY 2.6): none | prefill | decode
     disaggregation_mode: str = "none"

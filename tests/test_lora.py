@@ -87,3 +87,57 @@ def test_mixed_adapter_batch(lora_engine):
                                lora_path="adB")
     assert len({tuple(o_none["output_ids"]), tuple(o_a["output_ids"]),
                 tuple(o_b["output_ids"])}) >= 2
+
+
+def test_lora_gmm_delta_matches_onehot():
+    """Grouped-matmul LoRA delta (ops/lora.py, megablox) vs the one-hot
+    slot-mixing math, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.lora import lora_gmm_delta
+
+    rng = np.random.default_rng(3)
+    T, Hin, Hout, r, S1 = 64, 128, 64, 8, 4
+    x = jnp.asarray(rng.standard_normal((T, Hin)).astype(np.float32))
+    A = jnp.asarray(rng.standard_normal((S1, Hin, r)).astype(np.float32) * .1)
+    B = jnp.asarray(rng.standard_normal((S1, r, Hout)).astype(np.float32) * .1)
+    # slot 0 = "no adapter": zero weights
+    A = A.at[0].set(0.0)
+    B = B.at[0].set(0.0)
+    scaling = jnp.asarray([0.0, 2.0, 0.5, 1.0], jnp.float32)
+    lora_ids = jnp.asarray(rng.integers(0, S1, T), jnp.int32)
+
+    order = jnp.argsort(lora_ids)
+    gs = jnp.bincount(lora_ids, length=S1)
+    scale_sorted = scaling[lora_ids[order]]
+    with pltpu.force_tpu_interpret_mode():
+        got = lora_gmm_delta(x, A, B, order, gs, scale_sorted)
+
+    onehot = jax.nn.one_hot(lora_ids, S1, dtype=jnp.float32) * scaling[None, :]
+    xa = jnp.einsum("th,shr->tsr", x, A) * onehot[:, :, None]
+    ref = jnp.einsum("tsr,sro->to", xa, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_lora_gmm_engine_parity():
+    """Full engine with lora_backend=gmm must match the onehot backend
+    token-for-token (interpret mode wraps compile+run)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    eng1 = make_engine(enable_lora=True, max_lora_rank=4)
+    eng2 = make_engine(enable_lora=True, max_lora_rank=4,
+                       lora_backend="gmm")
+    sd = _make_peft_state_dict(TINY_LLAMA, rank=4, seed=5)
+    eng1.load_lora_adapter("adG", sd, rank=4, alpha=8.0)
+    eng2.load_lora_adapter("adG", sd, rank=4, alpha=8.0)
+    ids = list(range(30, 46))
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    ref = eng1.generate(input_ids=ids, sampling_params=sp, lora_path="adG")
+    with pltpu.force_tpu_interpret_mode():
+        got = eng2.generate(input_ids=ids, sampling_params=sp,
+                            lora_path="adG")
+    assert got["output_ids"] == ref["output_ids"]
