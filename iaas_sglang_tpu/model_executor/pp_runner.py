@@ -49,10 +49,21 @@ class PPModelRunner(ModelRunner):
         self.lora_manager = None
 
         S = server_args.pp_size
+        tp = server_args.tp_size
         devices = jax.devices()
-        assert len(devices) >= S, f"pp_size {S} needs {S} devices"
+        assert len(devices) >= S * tp, \
+            f"pp_size {S} x tp_size {tp} needs {S * tp} devices"
         self.pp_size = S
-        self.stage_devices = devices[:S]
+        self.tp_size = tp
+        # tp x pp composition: each stage owns a tp-wide sub-mesh; stage
+        # weights/KV shard over it exactly like the single-mesh runner
+        # (GSPMD inserts the in-stage collectives), and activations hop
+        # between sub-meshes by resharding device_put
+        self.stage_meshes = [
+            make_mesh(tp, 1, devices[s * tp:(s + 1) * tp]) for s in range(S)
+        ]
+        self.mesh_ctx = self.stage_meshes[0]
+        self.stage_devices = [devices[s * tp] for s in range(S)]
         c = model_config
         assert c.num_layers % S == 0, \
             f"num_layers {c.num_layers} must divide pp_size {S}"
@@ -88,6 +99,13 @@ class PPModelRunner(ModelRunner):
         # non-stacked weights: embed -> stage 0; final_norm/lm_head -> last
         # (tied embeddings: the last stage needs the embedding table too)
         stage_params = [dict() for _ in range(S)]
+
+        def shd(s: int, spec):
+            dims = spec.pspec
+            if spec.stacked:
+                dims = (None,) + tuple(dims)
+            return self.stage_meshes[s].sharding(*dims)
+
         for name, spec in specs.items():
             arr = host[name]
             if spec.stacked and name.startswith("layers."):
@@ -95,16 +113,15 @@ class PPModelRunner(ModelRunner):
                 for s in range(S):
                     stage_params[s].setdefault("layers", {})[sub] = \
                         jax.device_put(arr[s * Ls:(s + 1) * Ls],
-                                       self.stage_devices[s])
+                                       shd(s, spec))
             elif name == "embed":
-                stage_params[0][name] = jax.device_put(
-                    arr, self.stage_devices[0])
+                stage_params[0][name] = jax.device_put(arr, shd(0, spec))
                 if c.tie_word_embeddings:
                     stage_params[-1][name] = jax.device_put(
-                        arr, self.stage_devices[-1])
+                        arr, shd(S - 1, spec))
             else:  # final_norm, lm_head, score
                 stage_params[-1][name] = jax.device_put(
-                    arr, self.stage_devices[-1])
+                    arr, shd(S - 1, spec))
         self.stage_params = stage_params
         self.params = stage_params[0]   # compat (embed for EAGLE etc. n/a)
         jax.block_until_ready(jax.tree.leaves(stage_params[-1])[0])
@@ -121,9 +138,11 @@ class PPModelRunner(ModelRunner):
         Ls = self.layers_per_stage
         kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         shape = (Ls * (pages_per_layer + 1), ps, ne, ed)
+        kv_dims = self.model.kv_shard_dims()
         self.stage_kv = [
-            jax.device_put(jnp.zeros(shape, dtype=kv_dtype), dev)
-            for dev in self.stage_devices
+            jax.device_put(jnp.zeros(shape, dtype=kv_dtype),
+                           self.stage_meshes[s].sharding(*kv_dims))
+            for s in range(self.pp_size)
         ]
         self.kv_pages = self.stage_kv[0]  # compat
         self.max_pages_per_seq = cdiv(c.context_len, ps)
@@ -225,30 +244,33 @@ class PPModelRunner(ModelRunner):
                       jnp.bfloat16 if self.model_config.dtype == "bfloat16"
                       else jnp.float32)  # dummy h_in for stage 0
         for s in range(S - 1):
-            dev = self.stage_devices[s]
-            fb_s = jax.device_put(fb, dev)
-            h = jax.device_put(h, dev)
+            rep = self.stage_meshes[s].replicated
+            fb_s = jax.device_put(fb, rep)
+            h = jax.device_put(h, rep)   # cross-sub-mesh activation hop
             statics = (attn_mode, s * Ls, s == 0)
-            exe = self._compile(
-                (f"stage{s}", attn_mode, shape_key), self._stage_fn,
-                (self.stage_params[s], self.stage_kv[s], fb_s, h), statics)
-            h, self.stage_kv[s] = exe(
-                self.stage_params[s], self.stage_kv[s], fb_s, h)
-        dev = self.stage_devices[-1]
-        fb_l = jax.device_put(fb, dev)
-        meta_l = jax.device_put(meta, dev)
-        pen_l = jax.device_put(pen, dev) if pen is not None else None
-        gmask_l = jax.device_put(gmask, dev) if gmask is not None else None
-        h = jax.device_put(h, dev)
+            with self.stage_meshes[s].mesh:
+                exe = self._compile(
+                    (f"stage{s}", attn_mode, shape_key), self._stage_fn,
+                    (self.stage_params[s], self.stage_kv[s], fb_s, h),
+                    statics)
+                h, self.stage_kv[s] = exe(
+                    self.stage_params[s], self.stage_kv[s], fb_s, h)
+        rep = self.stage_meshes[-1].replicated
+        fb_l = jax.device_put(fb, rep)
+        meta_l = jax.device_put(meta, rep)
+        pen_l = jax.device_put(pen, rep) if pen is not None else None
+        gmask_l = jax.device_put(gmask, rep) if gmask is not None else None
+        h = jax.device_put(h, rep)
         statics = (attn_mode, (S - 1) * Ls, logprob_top_k, sampling_mode)
-        exe = self._compile(
-            ("last", attn_mode, logprob_top_k, sampling_mode, shape_key),
-            self._last_fn,
-            (self.stage_params[-1], self.stage_kv[-1], fb_l, h, meta_l,
-             pen_l, gmask_l), statics)
-        tokens, logits, lp, topv, topi, self.stage_kv[-1] = exe(
-            self.stage_params[-1], self.stage_kv[-1], fb_l, h, meta_l,
-            pen_l, gmask_l)
+        with self.stage_meshes[-1].mesh:
+            exe = self._compile(
+                ("last", attn_mode, logprob_top_k, sampling_mode, shape_key),
+                self._last_fn,
+                (self.stage_params[-1], self.stage_kv[-1], fb_l, h, meta_l,
+                 pen_l, gmask_l), statics)
+            tokens, logits, lp, topv, topi, self.stage_kv[-1] = exe(
+                self.stage_params[-1], self.stage_kv[-1], fb_l, h, meta_l,
+                pen_l, gmask_l)
         hb.device_tokens = tokens
         hb.device_logits = logits
         hb.device_logprobs = (lp, topv, topi)

@@ -173,10 +173,10 @@ class ServerArgs:
         if self.page_size < 1:
             raise ValueError("page_size must be >= 1")
         if self.pp_size > 1:
-            if self.tp_size > 1 or self.dp_size > 1 or self.ep_size > 1:
+            if self.dp_size > 1 or self.ep_size > 1:
                 raise ValueError(
-                    "pp_size > 1 composes with tp/dp/ep in a later round; "
-                    "use pure pipeline stages for now")
+                    "pp_size > 1 composes with tp (per-stage sub-meshes); "
+                    "dp/ep compose in a later round")
             if (self.enable_dp_attention or self.enable_lora
                     or self.speculative_algorithm
                     or self.enable_hierarchical_cache

@@ -67,6 +67,24 @@ def test_pp_sampling_and_penalties():
 
 def test_pp_incompatible_flags():
     with pytest.raises(ValueError):
-        _args(pp_size=2, tp_size=2)
+        _args(pp_size=2, dp_size=2)
     with pytest.raises(ValueError):
         _args(pp_size=2, enable_lora=True)
+
+
+def test_pp_tp_composition_parity():
+    """tp=2 x pp=2 (per-stage TP sub-meshes) must match pp=1 tp=1."""
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    eng0 = Engine(_args(), hf_config_override=TINY_QWEN)
+    base = _gen(eng0, PROMPTS, sp)
+    eng0.shutdown()
+    eng = Engine(_args(pp_size=2, tp_size=2), hf_config_override=TINY_QWEN)
+    assert _gen(eng, PROMPTS, sp) == base
+    # per-stage weights actually shard over the stage sub-mesh
+    runner = eng.scheduler.model_runner
+    wq = runner.stage_params[0]["layers"]["wq"]
+    assert len(wq.sharding.device_set) == 2
+    devs0 = {d.id for d in runner.stage_params[0]["layers"]["wq"].sharding.device_set}
+    devs1 = {d.id for d in runner.stage_params[1]["layers"]["wq"].sharding.device_set}
+    assert devs0.isdisjoint(devs1)
+    eng.shutdown()
