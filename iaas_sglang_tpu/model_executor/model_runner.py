@@ -140,7 +140,12 @@ class ModelRunner:
                 assert server_args.ep_size == self.mesh_ctx.tp_size, \
                     "ep_size must equal tp_size (EP rides the tp axis)"
                 assert model_config.num_experts % server_args.ep_size == 0
-                self.model.moe_impl = "ep"
+                # a2a token dispatch: standard top-k routers only (the
+                # DeepSeek grouped router keeps the psum-combine EP path)
+                a2a = (server_args.moe_a2a_backend
+                       and model_config.model_type
+                       not in ("deepseek_v2", "deepseek_v3"))
+                self.model.moe_impl = "ep_a2a" if a2a else "ep"
             else:
                 self.model.moe_impl = "gmm" if (on_tpu and n_dev == 1) \
                     else "dense"

@@ -219,7 +219,7 @@ class LlamaFamilyForCausalLM:
             keys = self.MOE_KEYS[c.model_type]
             # EP shards the expert dim; TP (dense dispatch) shards the
             # expert intermediate dim
-            ep = self.moe_impl == "ep"
+            ep = self.moe_impl in ("ep", "ep_a2a")
             pg = ("tp", None, None) if ep else (None, None, "tp")
             pd = ("tp", None, None) if ep else (None, "tp", None)
             s["layers.w_router"] = WeightSpec(

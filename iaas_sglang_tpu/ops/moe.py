@@ -129,6 +129,82 @@ def moe_ep_mix(h: jnp.ndarray, combine: jnp.ndarray,
     )(h, combine, we_gate, we_up, we_down)
 
 
+def moe_ep_a2a(h: jnp.ndarray, combine_unused, we_gate, we_up, we_down,
+               w_router, *, top_k: int, renormalize: bool, mesh,
+               axis: str = "tp", capacity_factor: float = 2.0
+               ) -> jnp.ndarray:
+    """Expert-parallel MoE with all-to-all TOKEN dispatch — the TPU
+    re-design of the reference's DeepEP dispatcher
+    (srt/layers/moe/ep_moe/token_dispatcher.py:639): activations are
+    token-sharded over the mesh axis, each rank routes its own tokens,
+    ships (token, expert, weight) copies to the owning rank through
+    `lax.all_to_all` over ICI, computes its LOCAL experts, and ships
+    results back for a weighted scatter-add.
+
+    Fixed-capacity buffers keep shapes static: each rank sends up to
+    C = ceil(Tl*K/G * capacity_factor) copies per destination; overflow
+    copies are dropped (the standard capacity-factor trade — exact parity
+    with dense dispatch whenever capacity suffices). Compute per rank is
+    O(Tl*K*cf) token-rows against E/G local experts, vs O(T) rows against
+    E/G experts for the replicated-activation EP path — the win grows
+    with the mesh.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    G = mesh.shape[axis]
+    E = we_gate.shape[0]
+    E_loc = E // G
+    K = top_k
+
+    def shard_fn(h_l, wr, wg, wu, wd):
+        Tl, H = h_l.shape
+        C = -(-(Tl * K) // G)
+        C = int(C * capacity_factor)
+        w, ids = route_topk(h_l @ wr, K, renormalize)      # [Tl, K]
+        flat_e = ids.reshape(-1)                           # [Tl*K]
+        dst = flat_e // E_loc
+        order = jnp.argsort(dst)                           # stable
+        dst_s = dst[order]
+        bucket_start = jnp.searchsorted(dst_s, jnp.arange(G, dtype=dst_s.dtype))
+        pos = jnp.arange(Tl * K, dtype=jnp.int32) - bucket_start[dst_s]
+        src_tok = (order // K).astype(jnp.int32)
+        # capacity-bounded send buffers (overflow rows dropped)
+        send_x = jnp.zeros((G, C, H), h_l.dtype).at[dst_s, pos].set(
+            h_l[src_tok], mode="drop")
+        send_e = jnp.full((G, C), -1, jnp.int32).at[dst_s, pos].set(
+            (flat_e[order] % E_loc).astype(jnp.int32), mode="drop")
+        send_w = jnp.zeros((G, C), jnp.float32).at[dst_s, pos].set(
+            w.reshape(-1)[order], mode="drop")
+        send_slot = jnp.zeros((G, C), jnp.int32).at[dst_s, pos].set(
+            src_tok, mode="drop")
+
+        recv_x = jax.lax.all_to_all(send_x, axis, 0, 0)    # [G, C, H]
+        recv_e = jax.lax.all_to_all(send_e, axis, 0, 0)
+        recv_w = jax.lax.all_to_all(send_w, axis, 0, 0)
+
+        # local-expert compute on the received copies
+        x = recv_x.reshape(G * C, H)
+        e_loc = recv_e.reshape(-1)
+        wt = recv_w.reshape(-1)
+        combine = jnp.zeros((G * C, E_loc), jnp.float32).at[
+            jnp.arange(G * C), e_loc].set(wt, mode="drop")  # -1 dropped
+        y = dense_expert_mix(x, combine, wg, wu, wd)        # [G*C, H]
+
+        back = jax.lax.all_to_all(y.reshape(G, C, H), axis, 0, 0)
+        out = jnp.zeros((Tl, H), jnp.float32).at[
+            send_slot.reshape(-1)].add(
+            back.reshape(G * C, H).astype(jnp.float32))
+        return out.astype(h_l.dtype)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(h, w_router, we_gate, we_up, we_down)
+
+
 def moe_dense(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
               top_k: int, renormalize: bool) -> jnp.ndarray:
     """Dense-dispatch MoE: [T, H] -> [T, H]."""
@@ -166,16 +242,20 @@ def moe_gmm(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
 
 def moe_block(h, w_router, we_gate, we_up, we_down, *, top_k: int,
               renormalize: bool, impl: str, mesh=None,
-              return_combine: bool = False):
+              return_combine: bool = False, capacity_factor: float = 2.0):
     """When return_combine: also returns the dense combine matrix [T, E]
     (nonzero = expert selected) — the EPLB expert-distribution tap."""
     E = we_gate.shape[0]
     if impl == "gmm" and not return_combine:
         return moe_gmm(h, w_router, we_gate, we_up, we_down,
                        top_k, renormalize)
+    if impl == "ep_a2a" and not return_combine:
+        return moe_ep_a2a(h, None, we_gate, we_up, we_down, w_router,
+                          top_k=top_k, renormalize=renormalize, mesh=mesh,
+                          capacity_factor=capacity_factor)
     w, ids = route_topk(h @ w_router, top_k, renormalize)
     combine = combine_weights(ids, w, E)
-    if impl == "ep":
+    if impl in ("ep", "ep_a2a"):
         out = moe_ep_mix(h, combine, we_gate, we_up, we_down, mesh=mesh)
     else:
         out = dense_expert_mix(h, combine, we_gate, we_up, we_down)

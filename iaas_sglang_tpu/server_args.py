@@ -84,6 +84,10 @@ class ServerArgs:
     # shard experts over the tp mesh axis when > 1 (shard_map EP; reference
     # --ep-size, layers/moe/ep_moe). Must equal tp_size.
     ep_size: int = 1
+    # EP token dispatch: None = replicated-activation psum-combine;
+    # "a2a" = all-to-all token shipping to expert-owner ranks (the DeepEP
+    # analog, reference --moe-a2a-backend deepep / token_dispatcher.py)
+    moe_a2a_backend: Optional[str] = None
     # DP attention (reference --enable-dp-attention, layers/dp_attention.py):
     # attention runs batch-parallel with UNSPLIT heads over every mesh device
     # (attn_dp = tp_size * dp_size ranks) while FFN/MoE stays TP/EP over the

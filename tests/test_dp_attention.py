@@ -148,3 +148,50 @@ def test_incompatible_flags_rejected():
         _args(enable_dp_attention=True, enable_hierarchical_cache=True)
     with pytest.raises(ValueError):
         _args(enable_dp_attention=True, disaggregation_mode="prefill")
+
+
+def test_moe_ep_a2a_matches_dense():
+    """All-to-all EP token dispatch (ops/moe.py moe_ep_a2a) must match the
+    dense dispatch exactly when capacity suffices (8-dev CPU mesh)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iaas_sglang_tpu.ops.moe import moe_block
+    from iaas_sglang_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    T, H, E, I, K = 64, 32, 8, 16, 2
+    mesh_ctx = make_mesh(tp_size=8, dp_size=1)
+    h = jnp.asarray(rng.standard_normal((T, H)).astype(np.float32) * 0.3)
+    wr = jnp.asarray(rng.standard_normal((H, E)).astype(np.float32) * 0.3)
+    wg = jnp.asarray(rng.standard_normal((E, H, I)).astype(np.float32) * 0.3)
+    wu = jnp.asarray(rng.standard_normal((E, H, I)).astype(np.float32) * 0.3)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)).astype(np.float32) * 0.3)
+    ref = moe_block(h, wr, wg, wu, wd, top_k=K, renormalize=True,
+                    impl="dense")
+    with mesh_ctx.mesh:
+        got = moe_block(h, wr, wg, wu, wd, top_k=K, renormalize=True,
+                        impl="ep_a2a", mesh=mesh_ctx.mesh,
+                        capacity_factor=8.0)  # C = Tl*K: nothing can drop
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ep_a2a_engine_parity():
+    """Engine with --moe-a2a-backend a2a (mixtral, ep=4) matches tp=1."""
+    from tests.test_golden_model import TINY_MIXTRAL, _hf_moe_model
+    from tests.utils import RawDriver, load_hf_weights_into, make_runner
+
+    hf_model = _hf_moe_model(TINY_MIXTRAL)
+    runner, cfg, sa = make_runner(TINY_MIXTRAL, tp_size=4, ep_size=4,
+                                  moe_a2a_backend="a2a")
+    assert runner.model.moe_impl == "ep_a2a"
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    from tests.test_golden_model import PROMPT
+    from tests.utils import hf_forward_logits
+    import numpy as np
+
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
