@@ -150,7 +150,9 @@ class ModelRunner:
                 self.model.moe_impl = "gmm" if (on_tpu and n_dev == 1) \
                     else "dense"
             self.model.mesh = self.mesh_ctx.mesh
-            logger.info("MoE impl: %s", self.model.moe_impl)
+            self.model.tbo = server_args.enable_two_batch_overlap
+            logger.info("MoE impl: %s%s", self.model.moe_impl,
+                        " +tbo" if self.model.tbo else "")
 
         logger.info("loading weights (%s) ...", server_args.load_format)
         with self.mesh_ctx.mesh:

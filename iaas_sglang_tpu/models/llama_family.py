@@ -103,9 +103,16 @@ class LlamaFamilyForCausalLM:
             self.sm_scale = (c.query_pre_attn_scalar or c.head_dim) ** -0.5
         self.rope_attn_factor = rope_attention_factor(c.rope_scaling)
         # set by the runner: "dense" (GSPMD-shardable), "gmm" (megablox)
-        # or "ep" (shard_map expert parallel); mesh set alongside
+        # or "ep"/"ep_a2a" (shard_map expert parallel); mesh set alongside
         self.moe_impl = "dense"
         self.mesh = None
+        # two-batch overlap (reference srt/two_batch_overlap.py:218): split
+        # the MoE block into two independent half-batches INSIDE the
+        # program — XLA's latency-hiding scheduler then overlaps one
+        # half's a2a/collectives with the other half's expert GEMMs. On
+        # TPU the interleaving itself is the compiler's job; the split
+        # just exposes the independent work.
+        self.tbo = False
         # hybrid sliding-window layers (gemma2/3): per-layer window (-1 =
         # full attention) gathered by the traced layer index inside the
         # scan; uniform-SWA models (mistral) keep a static python window.
@@ -569,15 +576,25 @@ class LlamaFamilyForCausalLM:
             if c.is_moe:
                 from iaas_sglang_tpu.ops.moe import moe_block
 
-                mlp = moe_block(
-                    h2, lp["w_router"], lp["we_gate"], lp["we_up"],
-                    lp["we_down"],
-                    top_k=c.num_experts_per_tok,
-                    renormalize=c.norm_topk_prob,
-                    impl=self.moe_impl,
-                    mesh=self.mesh,
-                    return_combine=capture_experts,
-                )
+                def run_moe(x, cap):
+                    return moe_block(
+                        x, lp["w_router"], lp["we_gate"], lp["we_up"],
+                        lp["we_down"],
+                        top_k=c.num_experts_per_tok,
+                        renormalize=c.norm_topk_prob,
+                        impl=self.moe_impl,
+                        mesh=self.mesh,
+                        return_combine=cap,
+                    )
+
+                Tm = h2.shape[0]
+                if self.tbo and not capture_experts and Tm % 2 == 0:
+                    half = Tm // 2
+                    mlp = jnp.concatenate(
+                        [run_moe(h2[:half], False),
+                         run_moe(h2[half:], False)], axis=0)
+                else:
+                    mlp = run_moe(h2, capture_experts)
                 if capture_experts:
                     mlp, combine = mlp
                     # EPLB distribution tap: tokens routed per expert

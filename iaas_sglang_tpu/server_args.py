@@ -88,6 +88,11 @@ class ServerArgs:
     # "a2a" = all-to-all token shipping to expert-owner ranks (the DeepEP
     # analog, reference --moe-a2a-backend deepep / token_dispatcher.py)
     moe_a2a_backend: Optional[str] = None
+    # two-batch overlap (reference --enable-two-batch-overlap,
+    # two_batch_overlap.py): split the MoE block into two independent
+    # half-batches inside the compiled program so XLA overlaps one half's
+    # dispatch collectives with the other half's expert GEMMs
+    enable_two_batch_overlap: bool = False
     # DP attention (reference --enable-dp-attention, layers/dp_attention.py):
     # attention runs batch-parallel with UNSPLIT heads over every mesh device
     # (attn_dp = tp_size * dp_size ranks) while FFN/MoE stays TP/EP over the

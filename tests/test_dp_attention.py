@@ -195,3 +195,24 @@ def test_moe_ep_a2a_engine_parity():
     ours = driver.prefill_logits(PROMPT)
     ref = hf_forward_logits(hf_model, PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_tbo_moe_parity():
+    """--enable-two-batch-overlap must be bit-identical (the split is
+    row-wise; only the schedule changes)."""
+    from tests.test_golden_model import TINY_MIXTRAL, _hf_moe_model
+    from tests.utils import (RawDriver, hf_forward_logits,
+                             load_hf_weights_into, make_runner)
+    from tests.test_golden_model import PROMPT
+    import numpy as np
+
+    hf_model = _hf_moe_model(TINY_MIXTRAL)
+    runner, cfg, sa = make_runner(TINY_MIXTRAL, tp_size=4, ep_size=4,
+                                  moe_a2a_backend="a2a",
+                                  enable_two_batch_overlap=True)
+    assert runner.model.tbo
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
