@@ -106,6 +106,9 @@ class ModelConfig:
     logits_scale: float = 1.0         # final-logit multiplier (Cohere/Granite)
     attention_multiplier: Optional[float] = None  # direct sm_scale override
     clip_qkv: Optional[float] = None  # clamp q/k/v activations (DBRX/OLMo)
+    # per-layer rope enable (SmolLM3 NoPE layers, EXAONE-4 global layers);
+    # None = rope everywhere
+    rope_layers: Optional[list[bool]] = None
 
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
@@ -344,6 +347,79 @@ class ModelConfig:
             mc.attention_bias = get("attention_bias", True)
             if mc.model_type == "glm4":
                 mc.sandwich_norms = True
+        if mc.model_type == "gpt_bigcode":
+            # SantaCoder/StarCoder-1: GPT-2 layout with torch Linears,
+            # multi-query attention (1 kv head), learned positions.
+            mc.num_layers = get("n_layer", mc.num_layers)
+            mc.hidden_size = get("n_embd", mc.hidden_size)
+            mc.num_heads = get("n_head", mc.num_heads)
+            mc.num_kv_heads = 1 if get("multi_query", True) else mc.num_heads
+            mc.head_dim = mc.hidden_size // mc.num_heads
+            mc.intermediate_size = get("n_inner") or 4 * mc.hidden_size
+            mc.max_position_embeddings = get("n_positions", 8192)
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.rms_norm_eps = get("layer_norm_epsilon", 1e-5)
+            mc.mlp_gated = False
+            mc.mlp_bias = True
+            mc.attention_bias = True
+            mc.o_bias = True
+            mc.use_rope = False
+            mc.learned_pos_embed = True
+            mc.tie_word_embeddings = True
+            mc.hidden_act = get("activation_function", "gelu_pytorch_tanh")
+        if mc.model_type == "smollm3":
+            # llama with NoPE: rope disabled on every Nth layer
+            nrl = get("no_rope_layers")
+            if nrl:
+                mc.rope_layers = [bool(x) for x in nrl]
+            mc.tie_word_embeddings = get("tie_word_embeddings", True)
+        if mc.model_type == "exaone4":
+            # EXAONE-4: post-norm ordering (norm on sublayer output),
+            # per-head qk-norm, hybrid sliding windows with NoPE on the
+            # global-attention layers
+            mc.input_norms = False
+            mc.sandwich_norms = True
+            mc.qk_norm = True
+            lt = get("layer_types")
+            if lt:
+                pat = [t == "sliding_attention" for t in lt]
+            elif get("sliding_window"):
+                p = get("sliding_window_pattern", 4)
+                if isinstance(p, str):   # e.g. "LLLG": L=local, G=global
+                    pat = [p[i % len(p)] in "Ll"
+                           for i in range(mc.num_layers)]
+                else:
+                    pat = [(i + 1) % p != 0 for i in range(mc.num_layers)]
+            else:
+                pat = None
+            if pat is not None and any(pat):
+                mc.sliding_window_pattern = pat
+                # global-attention layers use NoPE (rope only on sliding)
+                mc.rope_layers = list(pat)
+                mc.sliding_window = get("sliding_window")
+        if mc.model_type == "dbrx":
+            attn_cfg = get("attn_config") or {}
+            ffn_cfg = get("ffn_config") or {}
+            mc.num_layers = get("n_layers", mc.num_layers)
+            mc.hidden_size = get("d_model", mc.hidden_size)
+            mc.num_heads = get("n_heads", mc.num_heads)
+            mc.num_kv_heads = attn_cfg.get("kv_n_heads", mc.num_heads)
+            mc.head_dim = mc.hidden_size // mc.num_heads
+            mc.max_position_embeddings = get("max_seq_len", 32768)
+            mc.rope_theta = attn_cfg.get("rope_theta", 500000.0)
+            mc.clip_qkv = attn_cfg.get("clip_qkv")
+            mc.norm_type = "layernorm"   # no-bias LayerNorm
+            mc.norm_bias = False
+            mc.rms_norm_eps = 1e-5
+            mc.num_experts = ffn_cfg.get("moe_num_experts", 16)
+            mc.num_experts_per_tok = ffn_cfg.get("moe_top_k", 4)
+            mc.moe_intermediate_size = ffn_cfg.get("ffn_hidden_size", 10752)
+            mc.intermediate_size = mc.moe_intermediate_size
+            # moe_normalize_expert_weights=1 (L1) == renormalize over top-k
+            mc.norm_topk_prob = bool(
+                ffn_cfg.get("moe_normalize_expert_weights", 1))
+            mc.tie_word_embeddings = get("tie_word_embeddings", False)
         if any(a.endswith("ForSequenceClassification")
                for a in mc.architectures):
             mc.num_labels = get("num_labels", 2) or 2

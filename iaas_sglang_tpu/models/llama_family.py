@@ -124,6 +124,10 @@ class LlamaFamilyForCausalLM:
         self.ds_heavy_tokens = 0
         self.inv_freq_local = None
         self.layer_is_local = None
+        # per-layer rope enable (SmolLM3 NoPE / EXAONE-4 global layers)
+        self.rope_layer_mask = (
+            jnp.asarray(c.rope_layers, jnp.bool_)
+            if c.rope_layers is not None else None)
         if c.sliding_window and c.sliding_window_pattern:
             self.layer_windows = jnp.asarray(
                 [c.sliding_window if s else -1
@@ -151,12 +155,17 @@ class LlamaFamilyForCausalLM:
         Nq, Nk, I, V = c.num_heads, c.num_kv_heads, c.intermediate_size, c.vocab_size
         mt = c.model_type
         gpt2 = mt == "gpt2"
-        lpre = "transformer.h.{l}." if gpt2 else "model.layers.{l}."
+        gptpre = mt in ("gpt2", "gpt_bigcode")
+        dbrx = mt == "dbrx"
+        lpre = ("transformer.h.{l}." if gptpre
+                else "transformer.blocks.{l}." if dbrx
+                else "model.layers.{l}.")
         opt_norm = mt == "olmo"   # OLMo v1: non-parametric LayerNorm
         s: dict[str, WeightSpec] = {
             "embed": WeightSpec(
                 (V, H), (None, "tp"),
-                "transformer.wte.weight" if gpt2 else "model.embed_tokens.weight"),
+                "transformer.wte.weight" if (gptpre or dbrx)
+                else "model.embed_tokens.weight"),
         }
         if c.learned_pos_embed:
             s["pos_embed"] = WeightSpec(
@@ -172,19 +181,24 @@ class LlamaFamilyForCausalLM:
                     (H,), (None,), key + ".bias", stacked=stacked,
                     optional=opt_norm)
 
-        final_key = ("transformer.ln_f" if gpt2
+        final_key = ("transformer.ln_f" if gptpre
+                     else "transformer.norm_f" if dbrx
                      else "model.final_layernorm" if mt == "phi"
                      else "model.norm")
         norm("final_norm", final_key, stacked=False)
         if c.input_norms:
             norm("layers.input_norm",
-                 lpre + ("ln_1" if gpt2 else "input_layernorm"))
+                 lpre + ("ln_1" if gptpre
+                         else "norm_attn_norm.norm_1" if dbrx
+                         else "input_layernorm"))
             if not c.parallel_residual:
                 # norm before the MLP: post_attention_layernorm, except
                 # gemma2/3 sandwich where it is pre_feedforward_layernorm
                 # (glm4's sandwich keeps the post_attention name)
-                if gpt2:
+                if gptpre:
                     pn = "ln_2"
+                elif dbrx:
+                    pn = "norm_attn_norm.norm_2"
                 elif c.sandwich_norms and mt.startswith("gemma"):
                     pn = "pre_feedforward_layernorm"
                 else:
@@ -197,6 +211,10 @@ class LlamaFamilyForCausalLM:
             qkv_fused = (lpre + "self_attn.qkv_proj", True, _rows)
         elif gpt2:
             qkv_fused = (lpre + "attn.c_attn", False, _cols)
+        elif mt == "gpt_bigcode":
+            qkv_fused = (lpre + "attn.c_attn", True, _rows)
+        elif dbrx:
+            qkv_fused = (lpre + "norm_attn_norm.attn.Wqkv", True, _rows)
         if qkv_fused is not None:
             fkey, ftr, fsl = qkv_fused
             offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
@@ -212,7 +230,8 @@ class LlamaFamilyForCausalLM:
                 s[f"layers.{nm}"] = WeightSpec(
                     (H, n_out), (None, "tp"), lpre + proj + ".weight",
                     transpose=True, stacked=True, quantizable=True)
-        o_key = (lpre + "attn.c_proj" if gpt2
+        o_key = (lpre + "attn.c_proj" if gptpre
+                 else lpre + "norm_attn_norm.attn.out_proj" if dbrx
                  else lpre + "self_attn.dense" if mt == "phi"
                  else lpre + "self_attn.o_proj")
         s["layers.wo"] = WeightSpec(
@@ -221,7 +240,33 @@ class LlamaFamilyForCausalLM:
         if c.o_bias:
             s["layers.bo"] = WeightSpec(
                 (H,), (None,), o_key + ".bias", stacked=True)
-        if c.is_moe:
+        if c.is_moe and dbrx:
+            # DBRX stores each expert matrix as ONE fused tensor
+            # [E*I, H] (DbrxExpertGLU w1/v1/w2); w2 is applied untransposed
+            E, Im = c.num_experts, c.moe_intermediate_size
+            ep = self.moe_impl in ("ep", "ep_a2a")
+            pg = ("tp", None, None) if ep else (None, None, "tp")
+            pd = ("tp", None, None) if ep else (None, "tp", None)
+
+            def _expand(transpose_last):
+                def f(t):
+                    t = t.reshape(E, Im, H)
+                    return t.transpose(0, 2, 1) if transpose_last else t
+                return f
+
+            s["layers.w_router"] = WeightSpec(
+                (H, E), (None, None), lpre + "ffn.router.layer.weight",
+                transpose=True, stacked=True)
+            s["layers.we_gate"] = WeightSpec(
+                (E, H, Im), pg, lpre + "ffn.experts.mlp.w1",
+                stacked=True, hf_pre=_expand(True))
+            s["layers.we_up"] = WeightSpec(
+                (E, H, Im), pg, lpre + "ffn.experts.mlp.v1",
+                stacked=True, hf_pre=_expand(True))
+            s["layers.we_down"] = WeightSpec(
+                (E, Im, H), pd, lpre + "ffn.experts.mlp.w2",
+                stacked=True, hf_pre=_expand(False))
+        elif c.is_moe:
             E, Im = c.num_experts, c.moe_intermediate_size
             keys = self.MOE_KEYS[c.model_type]
             # EP shards the expert dim; TP (dense dispatch) shards the
@@ -283,7 +328,7 @@ class LlamaFamilyForCausalLM:
                 (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
                 transpose=True, stacked=True, quantizable=True)
         if c.attention_bias:
-            if qkv_fused is not None and gpt2:
+            if qkv_fused is not None and gptpre:
                 bkey = lpre + "attn.c_attn.bias"
                 offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
                 for i, (nm, n_out) in enumerate(
@@ -484,6 +529,15 @@ class LlamaFamilyForCausalLM:
                                     interleaved=c.rope_interleaved)
                 q = jnp.concatenate([qr, q[..., rd:]], axis=-1)
                 k = jnp.concatenate([kr, k[..., rd:]], axis=-1)
+            elif self.rope_layer_mask is not None:
+                # NoPE layers (SmolLM3 / EXAONE-4 global attention):
+                # select per traced layer index inside the scan
+                q2, k2 = apply_rope(q, k, fb.positions, inv_freq,
+                                    self.rope_attn_factor,
+                                    interleaved=c.rope_interleaved)
+                use = self.rope_layer_mask[global_idx]
+                q = jnp.where(use, q2, q)
+                k = jnp.where(use, k2, k)
             else:
                 q, k = apply_rope(q, k, fb.positions, inv_freq,
                                   self.rope_attn_factor,

@@ -41,6 +41,11 @@ for _arch in (
     "GraniteForCausalLM",         # models/granite.py
     "GlmForCausalLM",             # models/glm4.py family
     "Glm4ForCausalLM",
+    "GPTBigCodeForCausalLM",      # models/gpt_bigcode.py (MQA StarCoder-1)
+    "SmolLM3ForCausalLM",         # llama + NoPE layers
+    "Exaone4ForCausalLM",         # models/exaone.py successor (post-norms,
+    #   hybrid SWA, NoPE on global layers)
+    "DbrxForCausalLM",            # models/dbrx.py (fused Wqkv, fused experts)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

@@ -223,3 +223,88 @@ def test_phi3_longrope_matches_hf():
     ours = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
     ref = hf_forward_logits(hf_model, PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+# ------------------------------------------------------- wave 3 (nested cfgs)
+
+WAVE3 = {
+    "gpt_bigcode": dict(
+        architectures=["GPTBigCodeForCausalLM"],
+        model_type="gpt_bigcode",
+        n_layer=2, n_embd=64, n_head=4, n_positions=512, n_inner=None,
+        vocab_size=256, layer_norm_epsilon=1e-5, multi_query=True,
+        activation_function="gelu_pytorch_tanh",
+    ),
+    "smollm3": dict(
+        COMMON,
+        architectures=["SmolLM3ForCausalLM"],
+        model_type="smollm3",
+        num_key_value_heads=2, pad_token_id=0,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        no_rope_layer_interval=2,   # rope off on layer 1 (of 2)
+        tie_word_embeddings=True,
+    ),
+    "exaone4": dict(
+        COMMON,
+        architectures=["Exaone4ForCausalLM"],
+        model_type="exaone4",
+        num_hidden_layers=4,
+        num_key_value_heads=2, pad_token_id=0,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        sliding_window=8, sliding_window_pattern=4,
+        tie_word_embeddings=False,
+    ),
+    "dbrx": dict(
+        architectures=["DbrxForCausalLM"],
+        model_type="dbrx",
+        n_layers=2, d_model=64, n_heads=4, max_seq_len=512,
+        vocab_size=256, pad_token_id=0, tie_word_embeddings=False,
+        attn_config=dict(kv_n_heads=2, clip_qkv=8.0, rope_theta=10000.0),
+        ffn_config=dict(ffn_hidden_size=48, moe_num_experts=4, moe_top_k=2),
+    ),
+}
+
+W3_CFG = {
+    "gpt_bigcode": "GPTBigCodeConfig",
+    "smollm3": "SmolLM3Config",
+    "exaone4": "Exaone4Config",
+    "dbrx": "DbrxConfig",
+}
+
+
+def _hf_w3(hf_dict, seed=0):
+    import torch
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg_cls = getattr(transformers, W3_CFG[hf_dict["model_type"]])
+    config = cfg_cls(**{k: v for k, v in hf_dict.items()
+                        if k != "architectures"})
+    config._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return AutoModelForCausalLM.from_config(config).eval()
+
+
+@pytest.mark.parametrize("name", sorted(WAVE3), ids=sorted(WAVE3))
+def test_wave3_prefill_logits_match_hf(name):
+    hf_dict = WAVE3[name]
+    hf_model = _hf_w3(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("name", ["gpt_bigcode", "exaone4", "dbrx"],
+                         ids=["gpt_bigcode", "exaone4", "dbrx"])
+def test_wave3_greedy_decode_matches_hf(name):
+    hf_dict = WAVE3[name]
+    hf_model = _hf_w3(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.generate_greedy(PROMPT, 12)
+    ref = hf_greedy_generate(hf_model, PROMPT, 12)
+    assert ours == ref
