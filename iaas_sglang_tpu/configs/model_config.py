@@ -142,7 +142,7 @@ class ModelConfig:
                 "vision_feature_select_strategy", "default")
             mc.mm_projector_act = get("projector_hidden_act", "gelu")
             return mc
-        if get("model_type") == "qwen2_vl":
+        if get("model_type") in ("qwen2_vl", "qwen2_5_vl"):
             # flat legacy configs AND new nested text_config both occur;
             # prefer the nested LM fields when present
             inner = dict(hf.get("text_config") or hf)
@@ -153,8 +153,10 @@ class ModelConfig:
                                      dtype=dtype)
             mc.hf_config = hf
             mc.architectures = get("architectures") or [
-                "Qwen2VLForConditionalGeneration"]
-            mc.model_type = "qwen2_vl"
+                "Qwen2_5_VLForConditionalGeneration"
+                if get("model_type") == "qwen2_5_vl"
+                else "Qwen2VLForConditionalGeneration"]
+            mc.model_type = get("model_type")
             mc.attention_bias = True
             mc.vision_config = get("vision_config") or {}
             mc.image_token_id = get("image_token_id", 151655)

@@ -982,16 +982,16 @@ class ModelRunner:
         dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
             else jnp.float32
         out: dict = {}
-        if self.model_config.model_type == "qwen2_vl":
-            from iaas_sglang_tpu.models.qwen2_vl import vision_rope_cos_sin
-
+        if hasattr(self.model, "vision_host_tables"):
+            # grid-bucketed tower (qwen2-vl / qwen2.5-vl): host tables
+            # (rope, window permutations/masks) are static per grid
             if not hasattr(self, "_encode_fn"):
                 self._encode_fn = jax.jit(self.model.encode_images)
             groups: dict = {}
             for it in items:
                 groups.setdefault(tuple(it.grid), []).append(it)
             for grid, grp in groups.items():
-                cos, sin = vision_rope_cos_sin(grid, self.model.vc)
+                tables = self.model.vision_host_tables(grid)
                 batch = np.stack([it.pixel for it in grp])
                 N = batch.shape[0]
                 N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
@@ -1002,8 +1002,8 @@ class ModelRunner:
                 rows = self._aot_call(
                     ("encode_images", batch_j.shape, grid),
                     self._encode_fn,
-                    (self.params, batch_j, jnp.asarray(cos),
-                     jnp.asarray(sin)))
+                    (self.params, batch_j,
+                     *(jnp.asarray(t) for t in tables)))
                 rows = np.asarray(rows)
                 for it, r in zip(grp, rows[:N]):
                     out[it.hash] = r

@@ -133,6 +133,12 @@ class Qwen2VLForConditionalGeneration:
     def kv_shard_dims(self):
         return self.lm.kv_shard_dims()
 
+    def vision_host_tables(self, grid):
+        """Grid-static host tables passed to encode_images (the runner
+        AOT-compiles one tower program per grid bucket)."""
+        cos, sin = vision_rope_cos_sin(grid, self.vc)
+        return (cos, sin)
+
     # ------------------------------------------------------------- weights
 
     def weight_specs(self) -> dict[str, WeightSpec]:
@@ -237,3 +243,178 @@ class Qwen2VLForConditionalGeneration:
 
     def compute_logits(self, params, hidden):
         return self.lm.compute_logits(params, hidden)
+
+
+class Qwen25VLVisionConfig:
+    def __init__(self, vc: dict[str, Any]):
+        self.depth = vc.get("depth", 32)
+        self.embed_dim = vc.get("hidden_size", 1280)
+        self.num_heads = vc.get("num_heads", 16)
+        self.intermediate = vc.get("intermediate_size", 3420)
+        self.patch_size = vc.get("patch_size", 14)
+        self.temporal_patch_size = vc.get("temporal_patch_size", 2)
+        self.spatial_merge_size = vc.get("spatial_merge_size", 2)
+        self.in_channels = vc.get("in_channels", vc.get("in_chans", 3))
+        self.hidden_act = vc.get("hidden_act", "silu")
+        self.out_hidden = vc.get("out_hidden_size", 0)
+        self.window_size = vc.get("window_size", 112)
+        self.fullatt_block_indexes = vc.get(
+            "fullatt_block_indexes", [7, 15, 23, 31])
+        self.head_dim = self.embed_dim // self.num_heads
+        self.patch_dim = (self.in_channels * self.temporal_patch_size
+                          * self.patch_size * self.patch_size)
+
+
+def window_order(grid: tuple[int, int, int], vc: Qwen25VLVisionConfig
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host replication of HF Qwen2_5_VisionTransformer.get_window_index:
+    returns (patch-level window permutation [S], per-patch window segment
+    id in window order [S], merge-unit inverse permutation [U])."""
+    t, h, w = grid
+    m = vc.spatial_merge_size
+    m2 = m * m
+    lh, lw = h // m, w // m
+    win = vc.window_size // m // vc.patch_size
+    index = np.arange(t * lh * lw).reshape(t, lh, lw)
+    pad_h = (-lh) % win or 0
+    pad_w = (-lw) % win or 0
+    nh, nw = (lh + pad_h) // win, (lw + pad_w) // win
+    padded = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+    padded[:, :lh, :lw] = index
+    padded = padded.reshape(t, nh, win, nw, win).transpose(0, 1, 3, 2, 4)
+    padded = padded.reshape(t, nh * nw, win, win)
+    seqlens = (padded != -100).sum(axis=(2, 3)).reshape(-1)   # units/window
+    flat = padded.reshape(-1)
+    unit_index = flat[flat != -100]                           # [U]
+    # patch-level permutation: each merge unit is m^2 consecutive patches
+    perm = (unit_index[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
+    seg = np.repeat(np.arange(len(seqlens)), seqlens * m2).astype(np.int32)
+    inv_units = np.argsort(unit_index).astype(np.int32)
+    return perm.astype(np.int32), seg, inv_units
+
+
+class Qwen25VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    """Qwen2.5-VL (reference srt/models/qwen2_5_vl.py): windowed ViT
+    (full attention only at fullatt_block_indexes), RMSNorm blocks,
+    gated-SiLU vision MLP; LM side identical MRope Qwen2.5."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.lm = LlamaFamilyForCausalLM(config)
+        self.vc = Qwen25VLVisionConfig(config.vision_config)
+        self.vc.out_hidden = self.vc.out_hidden or config.hidden_size
+        self.is_full = jnp.zeros(self.vc.depth, jnp.bool_).at[
+            jnp.asarray(self.vc.fullatt_block_indexes)].set(True)
+
+    def vision_host_tables(self, grid):
+        cos, sin = vision_rope_cos_sin(grid, self.vc)
+        perm, seg, inv_units = window_order(grid, self.vc)
+        # rope tables are built in merge-block order; the tower runs in
+        # window order, so gather them by the permutation host-side
+        cos, sin = cos[perm], sin[perm]
+        win_mask = seg[:, None] == seg[None, :]               # [S, S]
+        return (cos, sin, jnp.asarray(perm), jnp.asarray(inv_units),
+                jnp.asarray(win_mask))
+
+    def weight_specs(self) -> dict[str, WeightSpec]:
+        import dataclasses
+
+        s: dict[str, WeightSpec] = {}
+        for name, spec in self.lm.weight_specs().items():
+            key = spec.hf_key
+            if key is not None and key.startswith("model."):
+                key = "|".join(p + key[len("model."):] for p in _LM_PREFIXES)
+            s[name] = dataclasses.replace(spec, hf_key=key)
+        vc = self.vc
+        E, Iv = vc.embed_dim, vc.intermediate
+        Hm = E * vc.spatial_merge_size ** 2
+        Ho = vc.out_hidden
+
+        def k(suffix: str) -> str:
+            return "|".join(p + suffix for p in _VT_PREFIX)
+
+        s["vt.patch_w"] = WeightSpec(
+            (vc.patch_dim, E), (None, None),
+            k("patch_embed.proj.weight"), transpose=True)
+        per_layer = {
+            "ln1_w": ("norm1.weight", (E,), False),
+            "ln2_w": ("norm2.weight", (E,), False),
+            "wqkv": ("attn.qkv.weight", (E, 3 * E), True),
+            "bqkv": ("attn.qkv.bias", (3 * E,), False),
+            "wo": ("attn.proj.weight", (E, E), True),
+            "bo": ("attn.proj.bias", (E,), False),
+            "wg": ("mlp.gate_proj.weight", (E, Iv), True),
+            "bg": ("mlp.gate_proj.bias", (Iv,), False),
+            "wu": ("mlp.up_proj.weight", (E, Iv), True),
+            "bu": ("mlp.up_proj.bias", (Iv,), False),
+            "wd": ("mlp.down_proj.weight", (Iv, E), True),
+            "bd": ("mlp.down_proj.bias", (E,), False),
+        }
+        for name, (suffix, shape, tr) in per_layer.items():
+            s[f"vt_layers.{name}"] = WeightSpec(
+                shape, tuple(None for _ in shape),
+                k("blocks.{l}." + suffix),
+                transpose=tr, stacked=True, num_stack=vc.depth)
+        s["mm.ln_q_w"] = WeightSpec((E,), (None,), k("merger.ln_q.weight"))
+        s["mm.mlp0_w"] = WeightSpec((Hm, Hm), (None, None),
+                                    k("merger.mlp.0.weight"), transpose=True)
+        s["mm.mlp0_b"] = WeightSpec((Hm,), (None,), k("merger.mlp.0.bias"))
+        s["mm.mlp2_w"] = WeightSpec((Hm, Ho), (None, None),
+                                    k("merger.mlp.2.weight"), transpose=True)
+        s["mm.mlp2_b"] = WeightSpec((Ho,), (None,), k("merger.mlp.2.bias"))
+        return s
+
+    def encode_images(self, params: dict[str, Any], patches: jnp.ndarray,
+                      rope_cos, rope_sin, perm, inv_units, win_mask
+                      ) -> jnp.ndarray:
+        """patches [N, S, patch_dim] in merge-block order -> merged
+        LM-space rows [N, U, H] in merge-block (original) order."""
+        from iaas_sglang_tpu.layers.norms import rms_norm
+
+        vc = self.vc
+        E, Nh, Dh = vc.embed_dim, vc.num_heads, vc.head_dim
+        N, S, _ = patches.shape
+        eps = 1e-6
+        scale = Dh ** -0.5
+        cos = rope_cos[None, :, None, :]
+        sin = rope_sin[None, :, None, :]
+
+        x = patches @ params["vt"]["patch_w"]
+        x = x[:, perm]                      # window order
+
+        def rot_half(v):
+            h1, h2 = v[..., : Dh // 2], v[..., Dh // 2 :]
+            return jnp.concatenate([-h2, h1], axis=-1)
+
+        full_mask = jnp.ones_like(win_mask)
+
+        def body(carry, xs):
+            h = carry
+            lp, is_full = xs
+            mask = jnp.where(is_full, full_mask, win_mask)  # [S, S]
+            r = rms_norm(h, lp["ln1_w"], eps)
+            qkv = (r @ lp["wqkv"] + lp["bqkv"]).reshape(N, S, 3, Nh, Dh)
+            q = qkv[:, :, 0].astype(jnp.float32)
+            k_ = qkv[:, :, 1].astype(jnp.float32)
+            v = qkv[:, :, 2].astype(jnp.float32)
+            q = q * cos + rot_half(q) * sin
+            k_ = k_ * cos + rot_half(k_) * sin
+            sc = jnp.einsum("bqnd,bknd->bnqk", q, k_) * scale
+            sc = jnp.where(mask[None, None], sc, -jnp.inf)
+            a = jax.nn.softmax(sc, axis=-1)
+            ctx = jnp.einsum("bnqk,bknd->bqnd", a, v).reshape(N, S, E)
+            h = h + (ctx.astype(h.dtype) @ lp["wo"] + lp["bo"])
+            r2 = rms_norm(h, lp["ln2_w"], eps)
+            g = r2 @ lp["wg"] + lp["bg"]
+            u = r2 @ lp["wu"] + lp["bu"]
+            h = h + ((jax.nn.silu(g) * u) @ lp["wd"] + lp["bd"])
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, (params["vt_layers"], self.is_full))
+        mm = params["mm"]
+        x = rms_norm(x, mm["ln_q_w"], eps)
+        m2 = vc.spatial_merge_size ** 2
+        x = x.reshape(N, S // m2, m2 * E)
+        x = jax.nn.gelu(x @ mm["mlp0_w"] + mm["mlp0_b"], approximate=False)
+        x = x @ mm["mlp2_w"] + mm["mlp2_b"]                 # [N, U, H]
+        return x[:, inv_units]                              # original order

@@ -72,6 +72,17 @@ def _qwen2_vl(config):
 
 register("Qwen2VLForConditionalGeneration", _qwen2_vl)
 
+
+def _qwen2_5_vl(config):
+    from iaas_sglang_tpu.models.qwen2_vl import (
+        Qwen25VLForConditionalGeneration,
+    )
+
+    return Qwen25VLForConditionalGeneration(config)
+
+
+register("Qwen2_5_VLForConditionalGeneration", _qwen2_5_vl)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

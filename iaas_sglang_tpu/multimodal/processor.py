@@ -119,7 +119,7 @@ class MultimodalProcessor:
         self.model_type = model_config.model_type
         self.image_token_id = model_config.image_token_id
         self.vocab_size = model_config.vocab_size
-        if self.model_type == "qwen2_vl":
+        if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             self.patch = vc.get("patch_size", 14)
             self.merge = vc.get("spatial_merge_size", 2)
             self.temporal = vc.get("temporal_patch_size", 2)
@@ -138,7 +138,7 @@ class MultimodalProcessor:
 
     def _prep(self, data) -> Tuple[np.ndarray, Any]:
         img = load_image(data)
-        if self.model_type == "qwen2_vl":
+        if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             return qwen2vl_preprocess(
                 img, self.image_size, self.patch, self.temporal, self.merge)
         return clip_preprocess(img, self.image_size), None

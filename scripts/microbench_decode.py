@@ -66,7 +66,7 @@ def main():
     wd = qw_stack(I, H)
 
     @jax.jit
-    def layer_gemms(x):
+    def layer_gemms(x, wq, wk, wv, wo, wg, wu, wd):
         def body(h, lp):
             wq, wk, wv, wo, wg, wu, wd = lp
             q = qmatmul(h, wq)
@@ -82,7 +82,8 @@ def main():
         h, _ = jax.lax.scan(body, x, (wq, wk, wv, wo, wg, wu, wd))
         return h
 
-    t_gemm = timeit("32-layer INT4 GEMM stack (no attn)", layer_gemms, x)
+    t_gemm = timeit("32-layer INT4 GEMM stack (no attn)", layer_gemms,
+                    x, wq, wk, wv, wo, wg, wu, wd)
 
     # attention: paged decode over 32 layers
     from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
@@ -103,7 +104,7 @@ def main():
     pt = jnp.asarray(pt)
 
     @jax.jit
-    def attn32(q, kv):
+    def attn32(q, kv):  # pt/kv_lens are small closures
         def body(h, l):
             o = paged_decode_attention(
                 h, kv, kv_lens, pt + l * (pages_per_layer + 1),
@@ -119,10 +120,10 @@ def main():
                      jnp.bfloat16)
 
     @jax.jit
-    def lm_head(x):
+    def lm_head(x, lm):
         return (x @ lm).astype(jnp.float32)
 
-    t_lm = timeit("lm_head bf16 [32,4096]x[4096,128256]", lm_head, x)
+    t_lm = timeit("lm_head bf16 [32,4096]x[4096,128256]", lm_head, x, lm)
 
     print(f"\nsum of parts: {(t_gemm + t_attn + t_lm)*1000:.2f} ms "
           f"(measured e2e step ~29 ms at bench bs=32)")
