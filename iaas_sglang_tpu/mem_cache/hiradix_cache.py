@@ -31,7 +31,16 @@ class HiRadixCache(RadixCache):
         self.host_capacity_pages = host_capacity_pages
         self.host_pages_used = 0
         self.load_back_count = 0
+        # write-backs whose device->host copy is still in flight (the
+        # async-stream analog); resolved to numpy at the next evict/load
+        self._pending_writebacks: list = []
         super().__init__(allocator, page_size)
+
+    def _resolve_pending(self) -> None:
+        for node in self._pending_writebacks:
+            if node.host_data is not None                     and not isinstance(node.host_data, np.ndarray):
+                node.host_data = np.asarray(node.host_data)
+        self._pending_writebacks = []
 
     # host_data on a node: np array [n_pages * L, ps, 2Nk, D]
 
@@ -39,6 +48,7 @@ class HiRadixCache(RadixCache):
         """Write back LRU leaves to host instead of dropping them."""
         import heapq
 
+        self._resolve_pending()
         leaves = [n for n in self._collect_leaves()
                   if n.lock_ref == 0 and getattr(n, "on_device", True)]
         heapq.heapify(leaves)
@@ -49,7 +59,11 @@ class HiRadixCache(RadixCache):
                 continue
             n = len(leaf.pages)
             if self._host_reserve(n):
-                leaf.host_data = self.runner.gather_kv_pages(leaf.pages)
+                # async write-back: the gather + host copy overlap the
+                # scheduler's next steps; resolved on the next evict/load
+                leaf.host_data = self.runner.gather_kv_pages_async(
+                    leaf.pages)
+                self._pending_writebacks.append(leaf)
                 leaf.on_device = False
                 self.allocator.free(leaf.pages)
                 leaf.pages = np.empty(0, dtype=np.int32)
@@ -139,6 +153,7 @@ class HiRadixCache(RadixCache):
         return MatchResult(pages=pages, prefix_len=matched, last_node=node)
 
     def _load_back(self, node: TreeNode) -> bool:
+        self._resolve_pending()
         n = node.num_pages_host
         pages = self.allocator.alloc(n)
         if pages is None:

@@ -1125,6 +1125,19 @@ class ModelRunner:
         ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
         return np.asarray(self.kv_pages[ids])
 
+    def gather_kv_pages_async(self, pages: np.ndarray):
+        """Async write-back: launch the device gather and start the
+        device->host copy without blocking (the TPU analog of the
+        reference's dedicated write-back CUDA stream,
+        cache_controller.py:162). Resolve later with np.asarray()."""
+        ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
+        out = self.kv_pages[ids]
+        try:
+            out.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backends without async copy
+            pass
+        return out
+
     def scatter_kv_pages(self, pages: np.ndarray, data: np.ndarray) -> None:
         """Load host KV back into the given device pages (all layers)."""
         ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))

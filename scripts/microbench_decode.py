@@ -21,14 +21,18 @@ import jax.numpy as jnp
 
 
 def timeit(name, fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # AOT-compile: runtime jit dispatch through the relay stalls on big
+    # programs (CLAUDE.md) — every timed program goes through
+    # lower().compile() like the model runner does.
+    exe = fn.lower(*args).compile()
+    out = exe(*args)
+    _ = float(jnp.sum(out).astype(jnp.float32))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = exe(*args)
         _ = float(jnp.sum(out).astype(jnp.float32))  # host fetch
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name}: {dt*1000:.2f} ms")
+    print(f"{name}: {dt*1000:.2f} ms", flush=True)
     return dt
 
 
