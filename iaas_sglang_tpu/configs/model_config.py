@@ -40,6 +40,15 @@ class ModelConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # mixed dense/MoE stacks (Qwen2-MoE mlp_only_layers/decoder_sparse_step,
+    # Llama-4 interleave_moe_layer_step, DeepSeek-V1 first_k_dense): per-layer
+    # "this layer is MoE"; None = every layer when num_experts > 0
+    moe_layer_mask: Optional[list[bool]] = None
+    # shared expert applied to every token alongside the routed experts
+    shared_expert_size: int = 0         # intermediate size; 0 = none
+    shared_expert_gated: bool = False   # qwen2_moe sigmoid scalar gate
+    moe_gating: str = "softmax"         # softmax | llama4 (sigmoid-topk,
+    #                                     weight applied to expert INPUT)
     # Gemma-family quirks
     rms_weight_offset: float = 0.0   # rmsnorm uses (offset + w)
     embed_multiplier: float = 1.0    # hidden *= multiplier after embedding
@@ -110,6 +119,14 @@ class ModelConfig:
     # None = rope everywhere
     rope_layers: Optional[list[bool]] = None
 
+    # --- Llama-4 attention variants ---
+    qk_l2_norm: bool = False            # weightless post-rope q/k l2 norm
+    #   (rope layers only; Llama4TextL2Norm)
+    attn_temp_scale: Optional[float] = None   # NoPE-layer q temperature
+    attn_temp_floor: float = 8192.0           # tuning (log1p position scale)
+    attention_chunk_size: Optional[int] = None  # chunked local attention on
+    #   rope layers: keys visible iff floor(kpos/C) == floor(qpos/C)
+
     @staticmethod
     def from_path(model_path: str, context_length: Optional[int] = None,
                   dtype: str = "auto") -> "ModelConfig":
@@ -141,6 +158,17 @@ class ModelConfig:
             mc.vision_feature_select_strategy = get(
                 "vision_feature_select_strategy", "default")
             mc.mm_projector_act = get("projector_hidden_act", "gelu")
+            return mc
+        if get("model_type") == "llama4" and get("text_config"):
+            # Llama4ForConditionalGeneration wrapper: serve the text model
+            # (vision tower not yet supported — text-only requests work)
+            inner = dict(hf["text_config"])
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "Llama4ForConditionalGeneration"]
             return mc
         if get("model_type") in ("qwen2_vl", "qwen2_5_vl"):
             # flat legacy configs AND new nested text_config both occur;
@@ -197,6 +225,73 @@ class ModelConfig:
         # uses bias); handled per-model in the model zoo via arch name.
         if mc.model_type in ("qwen2",):
             mc.attention_bias = True
+        if mc.model_type == "qwen2_moe":
+            # Qwen1.5-MoE / Qwen2-57B-A14B (reference models/qwen2_moe.py):
+            # qkv bias, softmax-before-topk router, sigmoid-gated shared
+            # expert, sparse layers on a decoder_sparse_step grid minus
+            # mlp_only_layers exceptions.
+            mc.attention_bias = get("qkv_bias", True)
+            mc.moe_intermediate_size = get("moe_intermediate_size", 0)
+            mc.shared_expert_size = get("shared_expert_intermediate_size", 0)
+            mc.shared_expert_gated = True
+            mc.norm_topk_prob = get("norm_topk_prob", False)
+            only = set(get("mlp_only_layers") or [])
+            step = get("decoder_sparse_step", 1) or 1
+            mask = [(i not in only) and ((i + 1) % step == 0)
+                    for i in range(mc.num_layers)]
+            if not all(mask):
+                mc.moe_layer_mask = mask
+        if mc.model_type == "deepseek":
+            # DeepSeek V1 / DeepSeek-MoE-16B (reference models/deepseek.py):
+            # llama attention + softmax top-k router (no renorm), shared
+            # experts, dense first_k layers on a moe_layer_freq grid.
+            mc.num_experts = get("n_routed_experts", 0) or 0
+            if mc.num_experts:
+                mc.moe_intermediate_size = get("moe_intermediate_size", 0)
+                mc.shared_expert_size = (
+                    get("n_shared_experts", 0) or 0) * mc.moe_intermediate_size
+                mc.norm_topk_prob = get("norm_topk_prob", False)
+                fk = get("first_k_dense_replace", 0) or 0
+                freq = get("moe_layer_freq", 1) or 1
+                mask = [i >= fk and i % freq == 0
+                        for i in range(mc.num_layers)]
+                if not all(mask):
+                    mc.moe_layer_mask = mask
+        if mc.model_type == "llama4_text" or mc.model_type == "llama4":
+            # Llama-4 Scout/Maverick text model (reference models/llama4.py):
+            # interleaved MoE layers with a shared expert and sigmoid-of-topk
+            # router scores applied to the expert INPUT; NoPE every
+            # no_rope_layer_interval-th layer (those run full attention with
+            # temperature-tuned q); rope layers attend within
+            # attention_chunk_size chunks; weightless post-rope qk l2-norm.
+            mc.model_type = "llama4"
+            L = mc.num_layers
+            nrl = get("no_rope_layers")
+            if not nrl:
+                interval = get("no_rope_layer_interval", 4)
+                nrl = [int((i + 1) % interval != 0) for i in range(L)]
+            mc.rope_layers = [bool(x) for x in nrl]
+            mc.rope_interleaved = True
+            mc.qk_l2_norm = get("use_qk_norm", True)
+            if get("attn_temperature_tuning", True):
+                mc.attn_temp_scale = get("attn_scale", 0.1)
+                mc.attn_temp_floor = get("floor_scale", 8192.0)
+            mc.attention_chunk_size = get("attention_chunk_size", 8192)
+            mc.moe_gating = "llama4"
+            mc.norm_topk_prob = False
+            mc.num_experts = get("num_local_experts", 0) or 0
+            mc.num_experts_per_tok = get("num_experts_per_tok", 1) or 1
+            mc.moe_intermediate_size = get("intermediate_size", 0)
+            mc.shared_expert_size = get("intermediate_size", 0)
+            mc.intermediate_size = get("intermediate_size_mlp",
+                                       mc.intermediate_size)
+            ml = get("moe_layers")
+            if ml is None:
+                step = get("interleave_moe_layer_step", 1) or 1
+                ml = list(range(step - 1, L, step))
+            mask = [i in set(ml) for i in range(L)]
+            if not all(mask):
+                mc.moe_layer_mask = mask
         if mc.model_type in ("qwen3", "qwen3_moe"):
             mc.qk_norm = True
             mc.attention_bias = False

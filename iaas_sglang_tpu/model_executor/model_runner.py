@@ -140,6 +140,11 @@ class ModelRunner:
                 assert server_args.ep_size == self.mesh_ctx.tp_size, \
                     "ep_size must equal tp_size (EP rides the tp axis)"
                 assert model_config.num_experts % server_args.ep_size == 0
+                # mixed dense/MoE stacks branch with lax.cond inside the
+                # layer scan; shard_map collectives can't live in a cond
+                # branch, so EP is TP-only for these models for now
+                assert model_config.moe_layer_mask is None, \
+                    "EP not yet supported for mixed dense/MoE models"
                 # a2a token dispatch: standard top-k routers only (the
                 # DeepSeek grouped router keeps the psum-combine EP path)
                 a2a = (server_args.moe_a2a_backend

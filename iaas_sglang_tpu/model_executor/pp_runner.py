@@ -70,6 +70,9 @@ class PPModelRunner(ModelRunner):
         assert not c.is_mla and not c.is_encoder_only \
             and not c.is_multimodal and not c.num_labels, \
             "PP v1 covers llama-family causal LMs"
+        assert c.moe_layer_mask is None, \
+            "PP v1: mixed dense/MoE stacks not supported (non-'layers.' " \
+            "param groups don't slice per stage)"
         assert not server_args.quantization, "PP v1: no quantization yet"
         self.layers_per_stage = c.num_layers // S
 

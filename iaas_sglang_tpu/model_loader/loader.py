@@ -150,7 +150,8 @@ def _dummy_host_params(specs: Dict[str, WeightSpec], config: ModelConfig,
     dt = _np_dtype(config.dtype)
     out = {}
     for name, spec in specs.items():
-        n_stack = spec.num_stack or config.num_layers
+        n_stack = (len(spec.layer_map) if spec.layer_map is not None
+                   else spec.num_stack or config.num_layers)
         shape = ((n_stack,) + tuple(spec.shape)) if spec.stacked \
             else tuple(spec.shape)
         if "norm" in name:
@@ -275,11 +276,14 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
             prefix_t = spec.hf_key[: -len(".weight")]
             K, N = spec.shape
             if spec.stacked:
-                n_stack = spec.num_stack or config.num_layers
+                n_stack = (len(spec.layer_map) if spec.layer_map is not None
+                           else spec.num_stack or config.num_layers)
                 ps, ss, zs = [], [], []
                 for l in range(n_stack):
+                    hf_l = (spec.layer_map[l] if spec.layer_map is not None
+                            else l + spec.layer_offset)
                     p_, s_, z_ = _assemble_quant_one(
-                        getter, prefix_t.format(l=l + spec.layer_offset),
+                        getter, prefix_t.format(l=hf_l),
                         K, N, config.ckpt_quant_method)
                     ps.append(p_)
                     ss.append(s_)
@@ -290,10 +294,12 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
                     getter, prefix_t, K, N, config.ckpt_quant_method))
             continue
         if spec.stacked:
-            n_stack = spec.num_stack or config.num_layers
+            n_stack = (len(spec.layer_map) if spec.layer_map is not None
+                       else spec.num_stack or config.num_layers)
             stacked = np.empty((n_stack,) + tuple(spec.shape), dtype=dt)
             for l in range(n_stack):
-                hf_l = l + spec.layer_offset
+                hf_l = (spec.layer_map[l] if spec.layer_map is not None
+                        else l + spec.layer_offset)
                 if spec.num_experts:
                     for e in range(spec.num_experts):
                         t = _maybe_t(getter(spec.hf_key.format(l=hf_l, e=e)), spec)

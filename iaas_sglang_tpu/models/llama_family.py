@@ -52,6 +52,8 @@ class WeightSpec:
     #   (fused-source weights: phi3 qkv_proj, gpt2 c_attn, glm gate_up)
     optional: bool = False            # absent in ckpt => default-init (OLMo
     #   non-parametric LayerNorm ships no weights)
+    layer_map: Optional[list] = None  # stack index i <- hf layer layer_map[i]
+    #   (non-contiguous stacks: mixed dense/MoE layer interleaves)
 
 
 def _rows(a: int, b: int):
@@ -84,6 +86,25 @@ class LlamaFamilyForCausalLM:
             "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
             "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
             "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+        },
+        "qwen2_moe": {
+            "router": "model.layers.{l}.mlp.gate.weight",
+            "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+            "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+            "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+            "shared": "model.layers.{l}.mlp.shared_expert.",
+            "shared_gate": "model.layers.{l}.mlp.shared_expert_gate.weight",
+        },
+        "deepseek": {   # DeepSeek-V1/-MoE-16B (reference models/deepseek.py)
+            "router": "model.layers.{l}.mlp.gate.weight",
+            "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+            "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+            "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+            "shared": "model.layers.{l}.mlp.shared_experts.",
+        },
+        "llama4": {     # experts are single fused tensors (Llama4TextExperts)
+            "router": "model.layers.{l}.feed_forward.router.weight",
+            "shared": "model.layers.{l}.feed_forward.shared_expert.",
         },
     }
 
@@ -128,6 +149,28 @@ class LlamaFamilyForCausalLM:
         self.rope_layer_mask = (
             jnp.asarray(c.rope_layers, jnp.bool_)
             if c.rope_layers is not None else None)
+        # mixed dense/MoE stacks (Qwen2-MoE mlp_only_layers, DeepSeek-V1
+        # first_k_dense, Llama-4 interleave): MoE weights stack over the
+        # MoE layers only and dense-MLP weights over the rest; the scan
+        # body gathers layer l's slice by these slot tables and picks the
+        # branch with lax.cond (ONE scan, no per-segment recompiles —
+        # the reference branches per python layer, srt/models/qwen2_moe.py)
+        self.is_moe_layer = None
+        if c.moe_layer_mask is not None:
+            m = np.asarray(c.moe_layer_mask, bool)
+            self.is_moe_layer = jnp.asarray(m)
+            self.moe_slot = jnp.asarray(
+                np.maximum(np.cumsum(m) - 1, 0), jnp.int32)
+            self.dense_slot = jnp.asarray(
+                np.maximum(np.cumsum(~m) - 1, 0), jnp.int32)
+        # Llama-4 chunked local attention: rope layers attend within
+        # attention_chunk_size chunks; NoPE layers are global (full)
+        self.window_chunked = False
+        if c.attention_chunk_size and c.rope_layers is not None:
+            self.window_chunked = True
+            self.layer_windows = jnp.asarray(
+                [c.attention_chunk_size if r else -1
+                 for r in c.rope_layers], jnp.int32)
         if c.sliding_window and c.sliding_window_pattern:
             self.layer_windows = jnp.asarray(
                 [c.sliding_window if s else -1
@@ -274,18 +317,68 @@ class LlamaFamilyForCausalLM:
             ep = self.moe_impl in ("ep", "ep_a2a")
             pg = ("tp", None, None) if ep else (None, None, "tp")
             pd = ("tp", None, None) if ep else (None, "tp", None)
-            s["layers.w_router"] = WeightSpec(
-                (H, E), (None, None), keys["router"],
-                transpose=True, stacked=True)
-            s["layers.we_gate"] = WeightSpec(
-                (E, H, Im), pg, keys["gate"],
-                transpose=True, stacked=True, num_experts=E)
-            s["layers.we_up"] = WeightSpec(
-                (E, H, Im), pg, keys["up"],
-                transpose=True, stacked=True, num_experts=E)
-            s["layers.we_down"] = WeightSpec(
-                (E, Im, H), pd, keys["down"],
-                transpose=True, stacked=True, num_experts=E)
+            # mixed dense/MoE stacks go in their own param groups so each
+            # stacks only over its own layers (see __init__ slot tables)
+            mixed = c.moe_layer_mask is not None
+            g = "moe" if mixed else "layers"
+            kw: dict = dict(stacked=True)
+            if mixed:
+                moe_ls = [i for i, m in enumerate(c.moe_layer_mask) if m]
+                kw.update(num_stack=len(moe_ls), layer_map=moe_ls)
+            s[f"{g}.w_router"] = WeightSpec(
+                (H, E), (None, None), keys["router"], transpose=True, **kw)
+            if mt == "llama4":
+                # fused [E, H, 2I] gate_up + [E, I, H] down, stored
+                # pre-transposed (bmm convention, Llama4TextExperts)
+                guk = "model.layers.{l}.feed_forward.experts.gate_up_proj"
+                s[f"{g}.we_gate"] = WeightSpec(
+                    (E, H, Im), pg, guk, hf_pre=lambda t: t[:, :, :Im], **kw)
+                s[f"{g}.we_up"] = WeightSpec(
+                    (E, H, Im), pg, guk, hf_pre=lambda t: t[:, :, Im:], **kw)
+                s[f"{g}.we_down"] = WeightSpec(
+                    (E, Im, H), pd,
+                    "model.layers.{l}.feed_forward.experts.down_proj", **kw)
+            else:
+                s[f"{g}.we_gate"] = WeightSpec(
+                    (E, H, Im), pg, keys["gate"],
+                    transpose=True, num_experts=E, **kw)
+                s[f"{g}.we_up"] = WeightSpec(
+                    (E, H, Im), pg, keys["up"],
+                    transpose=True, num_experts=E, **kw)
+                s[f"{g}.we_down"] = WeightSpec(
+                    (E, Im, H), pd, keys["down"],
+                    transpose=True, num_experts=E, **kw)
+            if c.shared_expert_size:
+                Is = c.shared_expert_size
+                sk = keys["shared"]
+                s[f"{g}.ws_gate"] = WeightSpec(
+                    (H, Is), (None, "tp"), sk + "gate_proj.weight",
+                    transpose=True, **kw)
+                s[f"{g}.ws_up"] = WeightSpec(
+                    (H, Is), (None, "tp"), sk + "up_proj.weight",
+                    transpose=True, **kw)
+                s[f"{g}.ws_down"] = WeightSpec(
+                    (Is, H), ("tp", None), sk + "down_proj.weight",
+                    transpose=True, **kw)
+            if c.shared_expert_gated:
+                s[f"{g}.ws_scalar_gate"] = WeightSpec(
+                    (H, 1), (None, None), keys["shared_gate"],
+                    transpose=True, **kw)
+            if mixed:
+                # dense-MLP stack over the non-MoE layers
+                dense_ls = [i for i, m in enumerate(c.moe_layer_mask)
+                            if not m]
+                dkw = dict(stacked=True, num_stack=len(dense_ls),
+                           layer_map=dense_ls, quantizable=True,
+                           transpose=True)
+                dpre = (lpre + "feed_forward." if mt == "llama4"
+                        else lpre + "mlp.")
+                s["dense.w_gate"] = WeightSpec(
+                    (H, I), (None, "tp"), dpre + "gate_proj.weight", **dkw)
+                s["dense.w_up"] = WeightSpec(
+                    (H, I), (None, "tp"), dpre + "up_proj.weight", **dkw)
+                s["dense.w_down"] = WeightSpec(
+                    (I, H), ("tp", None), dpre + "down_proj.weight", **dkw)
         elif not c.mlp_gated:
             # two-linear MLP (GPT-2 c_fc/c_proj, Phi fc1/fc2, Starcoder2)
             if gpt2:
@@ -543,6 +636,29 @@ class LlamaFamilyForCausalLM:
                                   self.rope_attn_factor,
                                   interleaved=c.rope_interleaved)
 
+            if c.qk_l2_norm:
+                # Llama-4: weightless post-rope q/k l2-norm, rope layers
+                # only (Llama4TextL2Norm exists only when use_rope)
+                def _l2(x):
+                    return (x * jax.lax.rsqrt(
+                        jnp.mean(jnp.square(x.astype(jnp.float32)), -1,
+                                 keepdims=True) + c.rms_norm_eps)
+                            ).astype(x.dtype)
+
+                use = self.rope_layer_mask[global_idx]
+                q = jnp.where(use, _l2(q), q)
+                k = jnp.where(use, _l2(k), k)
+            if c.attn_temp_scale is not None:
+                # Llama-4 NoPE layers: q temperature grows with log of the
+                # absolute position (attn_temperature_tuning,
+                # https://huggingface.co/papers/2501.19399)
+                scale = (jnp.log1p(jnp.floor(
+                    (fb.positions.astype(jnp.float32) + 1.0)
+                    / c.attn_temp_floor)) * c.attn_temp_scale + 1.0)
+                q_t = (q.astype(jnp.float32)
+                       * scale[:, None, None]).astype(q.dtype)
+                q = jnp.where(self.rope_layer_mask[global_idx], q, q_t)
+
             if self.layer_windows is not None:
                 window = self.layer_windows[global_idx]  # traced, -1 = full
             else:
@@ -577,6 +693,7 @@ class LlamaFamilyForCausalLM:
                         fb.cu_q_lens, fb.num_seqs,
                         sm_scale=self.sm_scale,
                         sliding_window=window,
+                        window_chunked=self.window_chunked,
                         logit_softcap=c.attn_logit_softcap,
                         backend=attn_backend,
                         mode=attn_mode,
@@ -589,6 +706,7 @@ class LlamaFamilyForCausalLM:
                     fb.cu_q_lens, fb.num_seqs, mesh=self.mesh,
                     sm_scale=self.sm_scale,
                     sliding_window=window,
+                    window_chunked=self.window_chunked,
                     logit_softcap=c.attn_logit_softcap,
                     backend=attn_backend,
                     mode=attn_mode,
@@ -600,6 +718,7 @@ class LlamaFamilyForCausalLM:
                     fb.cu_q_lens, fb.num_seqs,
                     sm_scale=self.sm_scale,
                     sliding_window=window,
+                    window_chunked=self.window_chunked,
                     logit_softcap=c.attn_logit_softcap,
                     backend=attn_backend,
                     mode=attn_mode,
@@ -628,12 +747,23 @@ class LlamaFamilyForCausalLM:
                     h2 = hidden   # OLMo2: MLP on the raw residual
             counts = None
             if c.is_moe:
-                from iaas_sglang_tpu.ops.moe import moe_block
+                from iaas_sglang_tpu.ops.moe import (
+                    combine_weights, dense_expert_mix_input_scaled,
+                    moe_block, route_llama4)
 
-                def run_moe(x, cap):
+                def run_routed(x, mp, cap):
+                    if c.moe_gating == "llama4":
+                        logits = (x.astype(jnp.float32)
+                                  @ mp["w_router"].astype(jnp.float32))
+                        w, ids = route_llama4(logits, c.num_experts_per_tok)
+                        comb = combine_weights(ids, w, c.num_experts)
+                        out = dense_expert_mix_input_scaled(
+                            x, comb, mp["we_gate"], mp["we_up"],
+                            mp["we_down"])
+                        return (out, comb) if cap else out
                     return moe_block(
-                        x, lp["w_router"], lp["we_gate"], lp["we_up"],
-                        lp["we_down"],
+                        x, mp["w_router"], mp["we_gate"], mp["we_up"],
+                        mp["we_down"],
                         top_k=c.num_experts_per_tok,
                         renormalize=c.norm_topk_prob,
                         impl=self.moe_impl,
@@ -641,16 +771,62 @@ class LlamaFamilyForCausalLM:
                         return_combine=cap,
                     )
 
-                Tm = h2.shape[0]
-                if self.tbo and not capture_experts and Tm % 2 == 0:
-                    half = Tm // 2
-                    mlp = jnp.concatenate(
-                        [run_moe(h2[:half], False),
-                         run_moe(h2[half:], False)], axis=0)
+                def moe_mlp(x, mp, cap):
+                    """Routed experts + optional shared expert. Returns
+                    (out, combine|None); combine only when cap."""
+                    Tm = x.shape[0]
+                    comb = None
+                    if self.tbo and not cap and Tm % 2 == 0:
+                        half = Tm // 2
+                        out = jnp.concatenate(
+                            [run_routed(x[:half], mp, False),
+                             run_routed(x[half:], mp, False)], axis=0)
+                    elif cap:
+                        out, comb = run_routed(x, mp, True)
+                    else:
+                        out = run_routed(x, mp, False)
+                    if c.shared_expert_size:
+                        sg = qmatmul(x, mp["ws_gate"])
+                        su = qmatmul(x, mp["ws_up"])
+                        sh = qmatmul(jax.nn.silu(sg) * su, mp["ws_down"])
+                        if c.shared_expert_gated:
+                            # qwen2_moe: per-token scalar sigmoid gate
+                            gate = jax.nn.sigmoid(
+                                (x @ mp["ws_scalar_gate"]
+                                 ).astype(jnp.float32))
+                            sh = sh * gate.astype(sh.dtype)
+                        out = out + sh
+                    return out, comb
+
+                combine = None
+                if self.is_moe_layer is not None:
+                    # mixed dense/MoE stack: gather this layer's slice
+                    # from the group stacks, branch with lax.cond
+                    def _moe_branch(x):
+                        mp = jax.tree.map(
+                            lambda a: a[self.moe_slot[global_idx]],
+                            params["moe"])
+                        out, comb = moe_mlp(x, mp, capture_experts)
+                        return (out, comb) if capture_experts else out
+
+                    def _dense_branch(x):
+                        dpar = jax.tree.map(
+                            lambda a: a[self.dense_slot[global_idx]],
+                            params["dense"])
+                        inter = (jax.nn.silu(qmatmul(x, dpar["w_gate"]))
+                                 * qmatmul(x, dpar["w_up"]))
+                        out = qmatmul(inter, dpar["w_down"])
+                        if capture_experts:
+                            return out, jnp.zeros(
+                                (x.shape[0], c.num_experts), jnp.float32)
+                        return out
+
+                    r = jax.lax.cond(self.is_moe_layer[global_idx],
+                                     _moe_branch, _dense_branch, h2)
+                    mlp, combine = r if capture_experts else (r, None)
                 else:
-                    mlp = run_moe(h2, capture_experts)
+                    mlp, combine = moe_mlp(h2, lp, capture_experts)
                 if capture_experts:
-                    mlp, combine = mlp
                     # EPLB distribution tap: tokens routed per expert
                     # (padding rows masked out via cu_q_lens)
                     valid = (jnp.arange(combine.shape[0])

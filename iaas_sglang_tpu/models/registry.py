@@ -46,6 +46,12 @@ for _arch in (
     "Exaone4ForCausalLM",         # models/exaone.py successor (post-norms,
     #   hybrid SWA, NoPE on global layers)
     "DbrxForCausalLM",            # models/dbrx.py (fused Wqkv, fused experts)
+    "Qwen2MoeForCausalLM",        # models/qwen2_moe.py (shared expert +
+    #   sigmoid gate, mlp_only_layers/decoder_sparse_step mixed stack)
+    "DeepseekForCausalLM",        # models/deepseek.py (V1: llama attention,
+    #   softmax top-k MoE, shared experts, first_k_dense_replace)
+    "Llama4ForCausalLM",          # models/llama4.py (text: interleaved MoE,
+    "Llama4ForConditionalGeneration",  # NoPE + chunked local attention)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

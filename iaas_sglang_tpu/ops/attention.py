@@ -39,6 +39,8 @@ def paged_attention(
     *,
     sm_scale: float,
     sliding_window=None,     # None | int | traced i32 scalar (-1 = off)
+    window_chunked: bool = False,  # static: window = Llama-4 chunked local
+    #   attention (keys visible iff floor(kpos/C) == floor(qpos/C))
     logit_softcap: Optional[float] = None,   # gemma2 tanh soft-capping
     backend: str = "jnp",
     mode: str = "extend",   # static: "extend" (ragged q) | "decode" (q_len==1)
@@ -57,6 +59,7 @@ def paged_attention(
         return _jnp_paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
+            window_chunked=window_chunked,
             logit_softcap=logit_softcap, tree_bits=tree_bits,
         )
     if tree_bits is not None:
@@ -79,9 +82,11 @@ def paged_attention(
             return paged_decode_attention(
                 q, kv_pages, kv_lens, page_indices,
                 sm_scale=sm_scale, sliding_window=sliding_window,
+                window_chunked=window_chunked,
                 logit_softcap=logit_softcap,
             )
-        if backend == "pallas_own" or window_traced or logit_softcap:
+        if (backend == "pallas_own" or window_traced or logit_softcap
+                or window_chunked):
             from iaas_sglang_tpu.ops.extend_attention import (
                 ragged_extend_attention,
             )
@@ -89,6 +94,7 @@ def paged_attention(
             return ragged_extend_attention(
                 q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                 sm_scale=sm_scale, sliding_window=sliding_window,
+                window_chunked=window_chunked,
                 logit_softcap=logit_softcap,
             )
         # default extend path: jax's built-in ragged paged attention
@@ -117,7 +123,8 @@ def paged_attention(
 
 def _jnp_paged_attention(
     q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
-    *, sm_scale, sliding_window=None, logit_softcap=None, tree_bits=None,
+    *, sm_scale, sliding_window=None, window_chunked=False,
+    logit_softcap=None, tree_bits=None,
 ):
     T, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
@@ -173,7 +180,13 @@ def _jnp_paged_attention(
             & (key_pos < kv_lens[seg_ids][:, None])
     if sliding_window is not None and tree_bits is None:
         win = jnp.asarray(sliding_window, jnp.int32)
-        valid &= (win < 0) | (key_pos > q_pos[:, None] - win)
+        if window_chunked:
+            # Llama-4 chunked local attention
+            valid &= (win < 0) | (
+                key_pos >= (q_pos[:, None] // jnp.where(win < 0, 1, win))
+                * win)
+        else:
+            valid &= (win < 0) | (key_pos > q_pos[:, None] - win)
     # padding tokens (seg beyond num_seqs) get a degenerate but finite row;
     # only all-invalid rows get the key-0 escape (a blanket key-0 pass
     # would defeat the sliding-window mask for rows past the window)

@@ -51,6 +51,7 @@ def _decode_kernel(
     max_pages: int,
     sm_scale: float,
     logit_softcap: Optional[float],
+    win_chunked: bool = False,
 ):
     s = pl.program_id(0)
     CP = chunk_pages
@@ -106,7 +107,12 @@ def _decode_kernel(
             pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
             valid = pos < kv_len
             win = window_ref[0]
-            valid &= (win < 0) | (pos > kv_len - 1 - win)
+            if win_chunked:
+                # Llama-4 chunked local attention: the single query sits
+                # at position kv_len-1; keys from its chunk only
+                valid &= (win < 0) | (pos >= ((kv_len - 1) // win) * win)
+            else:
+                valid &= (win < 0) | (pos > kv_len - 1 - win)
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(Nk):
@@ -303,7 +309,8 @@ def mla_paged_decode_attention(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "logit_softcap", "chunk_pages"),
+    static_argnames=("sm_scale", "logit_softcap", "chunk_pages",
+                     "window_chunked"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, Nq, D]
@@ -314,6 +321,7 @@ def paged_decode_attention(
     *,
     sm_scale: float,
     logit_softcap: Optional[float] = None,
+    window_chunked: bool = False,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
@@ -347,6 +355,7 @@ def paged_decode_attention(
         max_pages=MP,
         sm_scale=sm_scale,
         logit_softcap=logit_softcap,
+        win_chunked=window_chunked,
     )
     return pl.pallas_call(
         kernel,

@@ -59,6 +59,7 @@ def _extend_kernel(
     sm_scale: float,
     logit_softcap: Optional[float],
     tree: bool = False,
+    chunked: bool = False,
 ):
     s = pl.program_id(0)
     qt = pl.program_id(1)
@@ -135,7 +136,12 @@ def _extend_kernel(
                 # causal: key <= query position; bounded by kv_len
                 valid = (key_pos <= row_pos) & (key_pos < kv_len)  # [BQ, CT]
                 win = window_ref[0]
-                valid &= (win < 0) | (key_pos > row_pos - win)
+                if chunked:
+                    # Llama-4 chunked local attention: keys visible iff
+                    # floor(kpos/C) == floor(qpos/C) (with causality)
+                    valid &= (win < 0) | (key_pos >= (row_pos // win) * win)
+                else:
+                    valid &= (win < 0) | (key_pos > row_pos - win)
             # GQA: broadcast the per-token mask over the G heads per kv head
             valid_g = jnp.repeat(valid, G, axis=0)           # [BQ*G, CT]
 
@@ -359,7 +365,7 @@ def mla_ragged_extend_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "bq", "chunk_pages",
-                     "interpret"),
+                     "window_chunked", "interpret"),
 )
 def ragged_extend_attention(
     q: jnp.ndarray,             # [T, Nq, D]
@@ -373,6 +379,7 @@ def ragged_extend_attention(
     *,
     sm_scale: float,
     logit_softcap: Optional[float] = None,
+    window_chunked: bool = False,
     bq: int = DEFAULT_BQ,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: bool = False,
@@ -417,7 +424,7 @@ def ragged_extend_attention(
         _extend_kernel,
         num_kv_heads=Nk, bq=BQ, chunk_pages=CP, page_size=ps,
         max_pages=MP, sm_scale=sm_scale, logit_softcap=logit_softcap,
-        tree=tree,
+        tree=tree, chunked=window_chunked,
     )
     out = pl.pallas_call(
         kernel,

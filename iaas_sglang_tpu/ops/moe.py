@@ -32,6 +32,15 @@ def route_topk(router_logits: jnp.ndarray, top_k: int,
     return w, ids.astype(jnp.int32)
 
 
+def route_llama4(router_logits: jnp.ndarray, top_k: int
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Llama-4 router (HF Llama4Router): top-k on the raw LOGITS, weights =
+    sigmoid of the selected logits (no renormalization). The weights scale
+    the expert INPUT, not its output — see dense_expert_mix_input_scaled."""
+    top_w, ids = jax.lax.top_k(router_logits.astype(jnp.float32), top_k)
+    return jax.nn.sigmoid(top_w), ids.astype(jnp.int32)
+
+
 def combine_weights(ids: jnp.ndarray, w: jnp.ndarray, num_experts: int
                     ) -> jnp.ndarray:
     """(ids i32[T, K], weights f32[T, K]) -> dense combine matrix f32[T, E]."""
@@ -50,6 +59,20 @@ def dense_expert_mix(h: jnp.ndarray, combine: jnp.ndarray,
     out = jnp.einsum("eti,eih->eth", act, we_down)   # [E, T, H]
     return jnp.einsum("eth,te->th", out.astype(jnp.float32),
                       combine).astype(h.dtype)
+
+
+def dense_expert_mix_input_scaled(h: jnp.ndarray, combine: jnp.ndarray,
+                                  we_gate, we_up, we_down) -> jnp.ndarray:
+    """Input-scaled variant (Llama-4): each selected expert e sees x * w_e
+    and outputs sum unweighted — f(x*w) != w*f(x) through the gated MLP, so
+    this cannot reuse the output-combine path."""
+    xe = jnp.einsum("te,th->eth", combine, h.astype(jnp.float32)).astype(
+        h.dtype)                                   # [E, T, H] scaled inputs
+    up = jnp.einsum("eth,ehi->eti", xe, we_up)
+    gate = jnp.einsum("eth,ehi->eti", xe, we_gate)
+    act = jax.nn.silu(gate) * up
+    out = jnp.einsum("eti,eih->eth", act, we_down)  # [E, T, H]
+    return jnp.sum(out.astype(jnp.float32), axis=0).astype(h.dtype)
 
 
 def deepseek_route(

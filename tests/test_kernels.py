@@ -218,3 +218,94 @@ def test_extend_kernel_tree_mask_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_decode_kernel_chunked_window_interpret(shapes):
+    """Llama-4 chunked local attention: decode kernel vs jnp reference."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    B = 4
+    kv_lens_l = [7, 40, 96, 17]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    C = jnp.int32(32)
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_decode_attention(
+            q, kv, kv_lens, page_indices, sliding_window=C,
+            window_chunked=True, sm_scale=D ** -0.5)
+    ref = _jnp_paged_attention(
+        q, kv, kv_lens, page_indices, cu, jnp.int32(B),
+        sliding_window=C, window_chunked=True, sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_extend_kernel_chunked_window_interpret(shapes):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.extend_attention import ragged_extend_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    q_lens = [40, 17, 1, 0]
+    kv_lens_l = [40, 60, 25, 0]
+    B = len(q_lens)
+    T = sum(q_lens)
+    Tpad = 64
+    q = jnp.asarray(rng.standard_normal((Tpad, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    C = jnp.int32(32)
+    with pltpu.force_tpu_interpret_mode():
+        out = ragged_extend_attention(
+            q, kv, kv_lens, page_indices, cu, jnp.int32(3),
+            sliding_window=C, window_chunked=True,
+            sm_scale=D ** -0.5, bq=32)
+    ref = _jnp_paged_attention(
+        q, kv, kv_lens, page_indices, cu, jnp.int32(3),
+        sliding_window=C, window_chunked=True, sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out[:T], np.float32), np.asarray(ref[:T], np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_jnp_chunked_window_mask_semantics():
+    """floor(kpos/C) == floor(qpos/C) visibility, dense-mask oracle."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+
+    rng = np.random.default_rng(1)
+    Nq, Nk, D, ps = 2, 2, 8, 4
+    S, C = 24, 8
+    kv = jnp.asarray(rng.standard_normal((6, ps, 2 * Nk, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((S, Nq, D)), jnp.float32)
+    kv_lens = jnp.asarray([S], jnp.int32)
+    pages = jnp.arange(6, dtype=jnp.int32).reshape(1, 6)
+    cu = jnp.asarray([0, S], jnp.int32)
+    out = _jnp_paged_attention(
+        q, kv, kv_lens, pages, cu, jnp.int32(1),
+        sliding_window=C, window_chunked=True, sm_scale=D ** -0.5)
+    # dense oracle
+    k = kv.reshape(S, 2 * Nk, D)[:, 0::2]
+    v = kv.reshape(S, 2 * Nk, D)[:, 1::2]
+    qf = np.asarray(q).reshape(S, Nk, Nq // Nk, D)
+    scores = np.einsum("tkgd,skd->tkgs", qf, np.asarray(k)) * D ** -0.5
+    qpos = np.arange(S)[:, None]
+    kpos = np.arange(S)[None, :]
+    mask = (kpos <= qpos) & ((kpos // C) == (qpos // C))
+    scores = np.where(mask[:, None, None, :], scores, -np.inf)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("tkgs,skd->tkgd", p, np.asarray(v)).reshape(S, Nq, D)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)

@@ -308,3 +308,123 @@ def test_wave3_greedy_decode_matches_hf(name):
     ours = driver.generate_greedy(PROMPT, 12)
     ref = hf_greedy_generate(hf_model, PROMPT, 12)
     assert ours == ref
+
+
+# ----------------------------------------- wave 4 (mixed dense/MoE stacks)
+
+WAVE4 = {
+    # shared expert + sigmoid scalar gate; decoder_sparse_step=2 makes
+    # layers 1,3 MoE and 0,2 dense — exercises the layer_map mixed stacks
+    "qwen2_moe": dict(
+        COMMON,
+        architectures=["Qwen2MoeForCausalLM"],
+        model_type="qwen2_moe",
+        num_hidden_layers=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        moe_intermediate_size=32, shared_expert_intermediate_size=64,
+        decoder_sparse_step=2, mlp_only_layers=[],
+        tie_word_embeddings=False,
+    ),
+    # all-MoE variant (decoder_sparse_step=1): shared expert rides the
+    # homogeneous "layers." stack inside the scan
+    "qwen2_moe_dense_step1": dict(
+        COMMON,
+        architectures=["Qwen2MoeForCausalLM"],
+        model_type="qwen2_moe",
+        num_hidden_layers=2,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        moe_intermediate_size=32, shared_expert_intermediate_size=64,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        tie_word_embeddings=False,
+    ),
+    # Llama-4 text: interleaved MoE (input-scaled sigmoid router + shared
+    # expert), NoPE layer 3 with temperature-tuned q, chunked local
+    # attention (C=4 < prompt len), post-rope qk l2 norm
+    "llama4": dict(
+        architectures=["Llama4ForCausalLM"],
+        model_type="llama4_text",
+        num_hidden_layers=4,
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,
+        intermediate_size=32, intermediate_size_mlp=128,
+        vocab_size=256, max_position_embeddings=512,
+        rms_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        num_local_experts=4, num_experts_per_tok=2,
+        interleave_moe_layer_step=2,
+        attention_chunk_size=4,
+        attn_temperature_tuning=True, attn_scale=0.1, floor_scale=2.0,
+        use_qk_norm=True, attention_bias=False,
+        tie_word_embeddings=False, pad_token_id=0,
+    ),
+}
+
+W4_CFG = {
+    "qwen2_moe": "Qwen2MoeConfig",
+    "llama4_text": "Llama4TextConfig",
+}
+
+
+def _hf_w4(hf_dict, seed=0):
+    import torch
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg_cls = getattr(transformers, W4_CFG[hf_dict["model_type"]])
+    config = cfg_cls(**{k: v for k, v in hf_dict.items()
+                        if k != "architectures"})
+    config._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return AutoModelForCausalLM.from_config(config).eval()
+
+
+@pytest.mark.parametrize("name", sorted(WAVE4), ids=sorted(WAVE4))
+def test_wave4_prefill_logits_match_hf(name):
+    hf_dict = WAVE4[name]
+    hf_model = _hf_w4(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(hf_model, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("name", ["qwen2_moe", "llama4"],
+                         ids=["qwen2_moe", "llama4"])
+def test_wave4_greedy_decode_matches_hf(name):
+    hf_dict = WAVE4[name]
+    hf_model = _hf_w4(hf_dict)
+    runner, cfg, sa = make_runner(hf_dict)
+    load_hf_weights_into(runner, hf_model)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.generate_greedy(PROMPT, 12)
+    ref = hf_greedy_generate(hf_model, PROMPT, 12)
+    assert ours == ref
+
+
+def test_deepseek_v1_mixed_stack_smoke():
+    """DeepSeek-V1 (remote-code arch, no HF class in the image):
+    first_k_dense_replace mixed stack builds, loads dummy weights and
+    prefills without NaNs."""
+    hf_dict = dict(
+        COMMON,
+        architectures=["DeepseekForCausalLM"],
+        model_type="deepseek",
+        num_hidden_layers=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+        n_routed_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        moe_intermediate_size=32, n_shared_experts=2,
+        first_k_dense_replace=1, moe_layer_freq=1,
+        tie_word_embeddings=False,
+    )
+    runner, cfg, sa = make_runner(hf_dict)
+    assert cfg.moe_layer_mask == [False, True, True, True]
+    assert cfg.shared_expert_size == 64
+    driver = RawDriver(runner, sa.page_size)
+    logits = driver.prefill_logits(PROMPT)
+    assert np.isfinite(logits).all()
