@@ -49,6 +49,8 @@ class ModelConfig:
     shared_expert_gated: bool = False   # qwen2_moe sigmoid scalar gate
     moe_gating: str = "softmax"         # softmax | llama4 (sigmoid-topk,
     #                                     weight applied to expert INPUT)
+    #                                   | sparsemixer (PhiMoE top-2)
+    moe_router_jitter: float = 0.01     # sparsemixer 2*eps mask threshold
     # Gemma-family quirks
     rms_weight_offset: float = 0.0   # rmsnorm uses (offset + w)
     embed_multiplier: float = 1.0    # hidden *= multiplier after embedding
@@ -241,6 +243,19 @@ class ModelConfig:
                     for i in range(mc.num_layers)]
             if not all(mask):
                 mc.moe_layer_mask = mask
+        if mc.model_type == "phimoe":
+            # Phi-3.5-MoE (reference models/phi3_small.py's sibling; HF
+            # PhimoeForCausalLM): LayerNorm (not RMS) blocks, mixtral-style
+            # expert keys, inference-mode sparsemixer top-2 router
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.attention_bias = get("attention_bias", False)
+            mc.o_bias = mc.attention_bias
+            mc.lm_head_bias = get("lm_head_bias", False)
+            mc.moe_gating = "sparsemixer"
+            mc.moe_router_jitter = get("router_jitter_noise", 0.01)
+            mc.moe_intermediate_size = mc.intermediate_size
+            mc.norm_topk_prob = False
         if mc.model_type == "deepseek":
             # DeepSeek V1 / DeepSeek-MoE-16B (reference models/deepseek.py):
             # llama attention + softmax top-k router (no renorm), shared

@@ -102,6 +102,12 @@ class LlamaFamilyForCausalLM:
             "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
             "shared": "model.layers.{l}.mlp.shared_experts.",
         },
+        "phimoe": {     # Phi-3.5-MoE: mixtral naming
+            "router": "model.layers.{l}.block_sparse_moe.gate.weight",
+            "gate": "model.layers.{l}.block_sparse_moe.experts.{e}.w1.weight",
+            "down": "model.layers.{l}.block_sparse_moe.experts.{e}.w2.weight",
+            "up": "model.layers.{l}.block_sparse_moe.experts.{e}.w3.weight",
+        },
         "llama4": {     # experts are single fused tensors (Llama4TextExperts)
             "router": "model.layers.{l}.feed_forward.router.weight",
             "shared": "model.layers.{l}.feed_forward.shared_expert.",
@@ -748,10 +754,21 @@ class LlamaFamilyForCausalLM:
             counts = None
             if c.is_moe:
                 from iaas_sglang_tpu.ops.moe import (
-                    combine_weights, dense_expert_mix_input_scaled,
-                    moe_block, route_llama4)
+                    combine_weights, dense_expert_mix,
+                    dense_expert_mix_input_scaled, moe_block, route_llama4,
+                    route_sparsemixer)
 
                 def run_routed(x, mp, cap):
+                    if c.moe_gating == "sparsemixer":
+                        logits = (x.astype(jnp.float32)
+                                  @ mp["w_router"].astype(jnp.float32))
+                        w, ids = route_sparsemixer(
+                            logits, c.moe_router_jitter)
+                        comb = combine_weights(ids, w, c.num_experts)
+                        out = dense_expert_mix(
+                            x, comb, mp["we_gate"], mp["we_up"],
+                            mp["we_down"])
+                        return (out, comb) if cap else out
                     if c.moe_gating == "llama4":
                         logits = (x.astype(jnp.float32)
                                   @ mp["w_router"].astype(jnp.float32))

@@ -52,6 +52,8 @@ for _arch in (
     #   softmax top-k MoE, shared experts, first_k_dense_replace)
     "Llama4ForCausalLM",          # models/llama4.py (text: interleaved MoE,
     "Llama4ForConditionalGeneration",  # NoPE + chunked local attention)
+    "PhimoeForCausalLM",          # Phi-3.5-MoE (LayerNorm blocks,
+    #   sparsemixer top-2 router)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

@@ -41,6 +41,33 @@ def route_llama4(router_logits: jnp.ndarray, top_k: int
     return jax.nn.sigmoid(top_w), ids.astype(jnp.int32)
 
 
+def route_sparsemixer(router_logits: jnp.ndarray, jitter_eps: float
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """PhiMoE sparsemixer router, inference path (HF modeling_phimoe.py
+    sparsemixer; https://huggingface.co/papers/2409.12136): pick the top-2
+    experts greedily; each weight is the softmax over the logits that
+    survive the relative-gap mask ((max - s)/max(|s|, max) <= 2*eps),
+    evaluated at the picked expert. Always top-2."""
+    s = router_logits.astype(jnp.float32)
+    E = s.shape[-1]
+
+    def pick(sc):
+        # sc: candidate logits (already -inf at excluded slots)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.argmax(sc, axis=-1)
+        factor = jnp.maximum(jnp.abs(s), m)     # |original scores| clamp
+        mask = ((m - s) / factor) > (2 * jitter_eps)
+        gates = jax.nn.softmax(jnp.where(mask, -jnp.inf, sc), axis=-1)
+        w = jnp.take_along_axis(gates, e[:, None], axis=-1)[:, 0]
+        return w, e
+
+    w1, e1 = pick(s)
+    s2 = jnp.where(jax.nn.one_hot(e1, E, dtype=bool), -jnp.inf, s)
+    w2, e2 = pick(s2)
+    return (jnp.stack([w1, w2], axis=-1),
+            jnp.stack([e1, e2], axis=-1).astype(jnp.int32))
+
+
 def combine_weights(ids: jnp.ndarray, w: jnp.ndarray, num_experts: int
                     ) -> jnp.ndarray:
     """(ids i32[T, K], weights f32[T, K]) -> dense combine matrix f32[T, E]."""

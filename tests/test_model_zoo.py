@@ -360,11 +360,26 @@ WAVE4 = {
         use_qk_norm=True, attention_bias=False,
         tie_word_embeddings=False, pad_token_id=0,
     ),
+    # Phi-3.5-MoE: LayerNorm blocks, attention+lm_head bias, inference
+    # sparsemixer top-2 router over mixtral-named experts
+    "phimoe": dict(
+        COMMON,
+        architectures=["PhimoeForCausalLM"],
+        model_type="phimoe",
+        num_hidden_layers=2,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        num_local_experts=4, num_experts_per_tok=2,
+        router_jitter_noise=0.01, input_jitter_noise=0.0,
+        attention_bias=True, lm_head_bias=True,
+        tie_word_embeddings=False, sliding_window=None,
+    ),
 }
 
 W4_CFG = {
     "qwen2_moe": "Qwen2MoeConfig",
     "llama4_text": "Llama4TextConfig",
+    "phimoe": "PhimoeConfig",
 }
 
 
@@ -393,8 +408,8 @@ def test_wave4_prefill_logits_match_hf(name):
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("name", ["qwen2_moe", "llama4"],
-                         ids=["qwen2_moe", "llama4"])
+@pytest.mark.parametrize("name", ["qwen2_moe", "llama4", "phimoe"],
+                         ids=["qwen2_moe", "llama4", "phimoe"])
 def test_wave4_greedy_decode_matches_hf(name):
     hf_dict = WAVE4[name]
     hf_model = _hf_w4(hf_dict)
