@@ -243,6 +243,50 @@ class ModelConfig:
                     for i in range(mc.num_layers)]
             if not all(mask):
                 mc.moe_layer_mask = mask
+        if mc.model_type == "qwen":
+            # Qwen-1 (reference models/qwen.py): transformer.h.* naming,
+            # fused c_attn WITH bias (no o bias), RMSNorm ln_1/ln_2, MHA,
+            # and the checkpoint's intermediate_size is 2x the real ffn
+            # width (w1/w2 halves)
+            mc.num_layers = get("num_hidden_layers", 0) or get("num_layers", 0)
+            mc.rms_norm_eps = get("layer_norm_epsilon", 1e-6)
+            mc.intermediate_size = get("intermediate_size", 0) // 2
+            mc.attention_bias = True
+            mc.rope_theta = get("rotary_emb_base", 10000.0)
+            if get("seq_length"):
+                mc.max_position_embeddings = get("seq_length")
+        if mc.model_type == "exaone":
+            # EXAONE-3 (reference models/exaone.py): transformer.h.* with
+            # attn.attention.* projections, c_fc_0/c_fc_1 gated MLP,
+            # RMSNorm ln_1/ln_2
+            mc.num_layers = get("num_layers", 0) or mc.num_layers
+            mc.rms_norm_eps = get("layer_norm_epsilon", 1e-6)
+            mc.hidden_act = get("activation_function", "silu")
+            mc.partial_rotary_factor = get(
+                "partial_rotary_factor", get("rotary_pct", 1.0) or 1.0)
+        if mc.model_type == "mimo":
+            # MiMo-7B (reference models/mimo.py): qwen2 body (qkv bias)
+            mc.attention_bias = True
+        if mc.model_type == "minicpm":
+            # MiniCPM 1/2 (reference models/minicpm.py): muP-style scaling
+            # — same mechanisms as Granite (embedding/residual multiplier,
+            # logits scale), llama keys
+            import math as _math
+
+            mc.embed_multiplier = get("scale_emb", 1.0) or 1.0
+            if get("scale_depth") and mc.num_layers:
+                mc.residual_multiplier = (
+                    get("scale_depth") / _math.sqrt(mc.num_layers))
+            if get("dim_model_base") and mc.hidden_size:
+                mc.logits_scale = get("dim_model_base") / mc.hidden_size
+        if mc.model_type == "baichuan":
+            # Baichuan(2) 7B: rope + fused W_pack (reference
+            # models/baichuan.py picks rope iff hidden_size == 4096; the
+            # 13B models use ALIBI, which our kernels don't implement)
+            if mc.hidden_size == 5120:
+                raise ValueError(
+                    "Baichuan-13B uses ALIBI position embeddings "
+                    "(unsupported); only the 7B rope variants are served")
         if mc.model_type == "phimoe":
             # Phi-3.5-MoE (reference models/phi3_small.py's sibling; HF
             # PhimoeForCausalLM): LayerNorm (not RMS) blocks, mixtral-style
@@ -535,6 +579,9 @@ class ModelConfig:
         if any(a.endswith("ForSequenceClassification")
                for a in mc.architectures):
             mc.num_labels = get("num_labels", 2) or 2
+        if "InternLM2ForRewardModel" in mc.architectures:
+            # v_head scalar reward (reference models/internlm2_reward.py)
+            mc.num_labels = 1
         if mc.model_type in ("bert", "roberta", "xlm-roberta"):
             mc.is_encoder_only = True
             if mc.model_type in ("roberta", "xlm-roberta"):

@@ -206,14 +206,17 @@ class LlamaFamilyForCausalLM:
         gpt2 = mt == "gpt2"
         gptpre = mt in ("gpt2", "gpt_bigcode")
         dbrx = mt == "dbrx"
-        lpre = ("transformer.h.{l}." if gptpre
+        th = mt in ("exaone", "qwen")   # transformer.h.* llama clones
+        ilm2 = mt == "internlm2"
+        lpre = ("transformer.h.{l}." if (gptpre or th)
                 else "transformer.blocks.{l}." if dbrx
                 else "model.layers.{l}.")
         opt_norm = mt == "olmo"   # OLMo v1: non-parametric LayerNorm
         s: dict[str, WeightSpec] = {
             "embed": WeightSpec(
                 (V, H), (None, "tp"),
-                "transformer.wte.weight" if (gptpre or dbrx)
+                "transformer.wte.weight" if (gptpre or dbrx or th)
+                else "model.tok_embeddings.weight" if ilm2
                 else "model.embed_tokens.weight"),
         }
         if c.learned_pos_embed:
@@ -230,24 +233,27 @@ class LlamaFamilyForCausalLM:
                     (H,), (None,), key + ".bias", stacked=stacked,
                     optional=opt_norm)
 
-        final_key = ("transformer.ln_f" if gptpre
+        final_key = ("transformer.ln_f" if (gptpre or th)
                      else "transformer.norm_f" if dbrx
                      else "model.final_layernorm" if mt == "phi"
                      else "model.norm")
         norm("final_norm", final_key, stacked=False)
         if c.input_norms:
             norm("layers.input_norm",
-                 lpre + ("ln_1" if gptpre
+                 lpre + ("ln_1" if (gptpre or th)
                          else "norm_attn_norm.norm_1" if dbrx
+                         else "attention_norm" if ilm2
                          else "input_layernorm"))
             if not c.parallel_residual:
                 # norm before the MLP: post_attention_layernorm, except
                 # gemma2/3 sandwich where it is pre_feedforward_layernorm
                 # (glm4's sandwich keeps the post_attention name)
-                if gptpre:
+                if gptpre or th:
                     pn = "ln_2"
                 elif dbrx:
                     pn = "norm_attn_norm.norm_2"
+                elif ilm2:
+                    pn = "ffn_norm"
                 elif c.sandwich_norms and mt.startswith("gemma"):
                     pn = "pre_feedforward_layernorm"
                 else:
@@ -264,7 +270,36 @@ class LlamaFamilyForCausalLM:
             qkv_fused = (lpre + "attn.c_attn", True, _rows)
         elif dbrx:
             qkv_fused = (lpre + "norm_attn_norm.attn.Wqkv", True, _rows)
-        if qkv_fused is not None:
+        elif mt == "qwen":
+            qkv_fused = (lpre + "attn.c_attn", True, _rows)
+        elif mt == "baichuan":
+            qkv_fused = (lpre + "self_attn.W_pack", True, _rows)
+        if ilm2:
+            # InternLM2 fused wqkv is GQA-INTERLEAVED: view as
+            # [Nk, g+2, D, H] — per kv head, g query heads then k then v
+            # (reference models/internlm2.py:335 load_weights)
+            g = Nq // Nk
+
+            def _ilm2_slice(which):
+                def f(t):
+                    t4 = t.reshape(Nk, g + 2, D, t.shape[-1])
+                    if which == "q":
+                        part = t4[:, :g]
+                    elif which == "k":
+                        part = t4[:, g:g + 1]
+                    else:
+                        part = t4[:, g + 1:g + 2]
+                    return part.reshape(-1, t4.shape[-1])
+                return f
+
+            for nm, n_out, which in [("wq", Nq * D, "q"), ("wk", Nk * D, "k"),
+                                     ("wv", Nk * D, "v")]:
+                s[f"layers.{nm}"] = WeightSpec(
+                    (H, n_out), (None, "tp"),
+                    lpre + "attention.wqkv.weight",
+                    transpose=True, stacked=True, quantizable=True,
+                    hf_pre=_ilm2_slice(which))
+        elif qkv_fused is not None:
             fkey, ftr, fsl = qkv_fused
             offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
             for i, (nm, n_out) in enumerate(
@@ -274,14 +309,18 @@ class LlamaFamilyForCausalLM:
                     transpose=ftr, stacked=True, quantizable=True,
                     hf_pre=fsl(offs[i], offs[i + 1]))
         else:
+            apre = ("attn.attention." if mt == "exaone"
+                    else "self_attn.")
             for nm, n_out in [("wq", Nq * D), ("wk", Nk * D), ("wv", Nk * D)]:
-                proj = f"self_attn.{nm[1]}_proj"
+                proj = f"{apre}{nm[1]}_proj"
                 s[f"layers.{nm}"] = WeightSpec(
                     (H, n_out), (None, "tp"), lpre + proj + ".weight",
                     transpose=True, stacked=True, quantizable=True)
-        o_key = (lpre + "attn.c_proj" if gptpre
+        o_key = (lpre + "attn.c_proj" if (gptpre or mt == "qwen")
                  else lpre + "norm_attn_norm.attn.out_proj" if dbrx
                  else lpre + "self_attn.dense" if mt == "phi"
+                 else lpre + "attn.attention.out_proj" if mt == "exaone"
+                 else lpre + "attention.wo" if ilm2
                  else lpre + "self_attn.o_proj")
         s["layers.wo"] = WeightSpec(
             (Nq * D, H), ("tp", None), o_key + ".weight",
@@ -417,17 +456,23 @@ class LlamaFamilyForCausalLM:
                 (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
                 transpose=True, stacked=True, quantizable=True)
         else:
+            gk, uk, dk = {
+                "exaone": ("mlp.c_fc_0", "mlp.c_fc_1", "mlp.c_proj"),
+                "qwen": ("mlp.w2", "mlp.w1", "mlp.c_proj"),
+                "internlm2": ("feed_forward.w1", "feed_forward.w3",
+                              "feed_forward.w2"),
+            }.get(mt, ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj"))
             s["layers.w_gate"] = WeightSpec(
-                (H, I), (None, "tp"), lpre + "mlp.gate_proj.weight",
+                (H, I), (None, "tp"), lpre + gk + ".weight",
                 transpose=True, stacked=True, quantizable=True)
             s["layers.w_up"] = WeightSpec(
-                (H, I), (None, "tp"), lpre + "mlp.up_proj.weight",
+                (H, I), (None, "tp"), lpre + uk + ".weight",
                 transpose=True, stacked=True, quantizable=True)
             s["layers.w_down"] = WeightSpec(
-                (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
+                (I, H), ("tp", None), lpre + dk + ".weight",
                 transpose=True, stacked=True, quantizable=True)
         if c.attention_bias:
-            if qkv_fused is not None and gptpre:
+            if qkv_fused is not None and (gptpre or mt == "qwen"):
                 bkey = lpre + "attn.c_attn.bias"
                 offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
                 for i, (nm, n_out) in enumerate(
@@ -468,12 +513,22 @@ class LlamaFamilyForCausalLM:
             # models/llama_classification.py / llama_reward.py): scores
             # replace the LM head for pooled requests
             s["score"] = WeightSpec(
-                (H, c.num_labels), (None, None), "score.weight",
+                (H, c.num_labels), (None, None),
+                "v_head.weight" if ilm2 else "score.weight",
                 transpose=True)
         if not c.tie_word_embeddings and not c.num_labels:
             # *ForSequenceClassification checkpoints ship no lm_head
+            head_key = "output.weight" if ilm2 else "lm_head.weight"
+            head_pre = None
+            if mt == "baichuan" and V == 125696:
+                # Baichuan2 NormHead: row-normalize the head at load
+                # (reference models/baichuan.py:395)
+                def head_pre(t):
+                    n = np.linalg.norm(t, axis=1, keepdims=True)
+                    return t / np.maximum(n, 1e-12)
             s["lm_head"] = WeightSpec(
-                (H, V), (None, "tp"), "lm_head.weight", transpose=True)
+                (H, V), (None, "tp"), head_key, transpose=True,
+                hf_pre=head_pre)
             if c.lm_head_bias:
                 s["lm_head_bias"] = WeightSpec(
                     (V,), ("tp",), "lm_head.bias")

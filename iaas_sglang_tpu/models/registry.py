@@ -54,6 +54,18 @@ for _arch in (
     "Llama4ForConditionalGeneration",  # NoPE + chunked local attention)
     "PhimoeForCausalLM",          # Phi-3.5-MoE (LayerNorm blocks,
     #   sparsemixer top-2 router)
+    "QWenLMHeadModel",            # models/qwen.py (Qwen-1: fused c_attn
+    #   with bias, w1/w2 half-width MLP, transformer.h.* keys)
+    "ExaoneForCausalLM",          # models/exaone.py (EXAONE-3:
+    #   attn.attention.* keys, c_fc_0/1 MLP)
+    "InternLM2ForCausalLM",       # models/internlm2.py (GQA-interleaved
+    #   fused wqkv, feed_forward.w1/w3/w2, output head)
+    "InternLM2ForRewardModel",    # models/internlm2_reward.py (v_head)
+    "BaichuanForCausalLM",        # models/baichuan.py (fused W_pack; 7B
+    "BaiChuanForCausalLM",        #   rope variants; Baichuan2 NormHead)
+    "XverseForCausalLM",          # models/xverse.py (llama keys)
+    "MiMoForCausalLM",            # models/mimo.py (qwen2 body)
+    "MiniCPMForCausalLM",         # models/minicpm.py (muP scaling)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

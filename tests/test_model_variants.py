@@ -1,0 +1,248 @@
+"""Llama/Qwen2 structural clones without HF classes in the image
+(InternLM2, Baichuan, XVERSE, MiMo, Qwen-1, EXAONE-3, MiniCPM).
+
+Test scheme: these archs are semantically identical to a tested oracle
+(HF Llama / Qwen2) modulo checkpoint key naming and weight fusion layout.
+We build the oracle HF model, repack its state dict into the variant's
+checkpoint format (fusing/interleaving exactly the way the real
+checkpoints store it), load that through our variant config, and require
+logit parity with the oracle — this validates the key tables and fusion
+slicing end to end (analog of sglang's per-model HF-parity runners)."""
+
+import numpy as np
+import pytest
+import torch
+
+from tests.utils import (
+    RawDriver,
+    hf_forward_logits,
+    load_hf_weights_into,
+    make_runner,
+)
+
+PROMPT = [3, 17, 94, 201, 5, 77, 150, 42, 9, 133, 61]
+
+GEOM = dict(num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+            intermediate_size=128, vocab_size=256,
+            max_position_embeddings=512)
+
+
+def _llama_oracle(kv_heads, bias=False, seed=0):
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg = transformers.LlamaConfig(
+        **GEOM, num_key_value_heads=kv_heads, rms_norm_eps=1e-6,
+        hidden_act="silu", rope_theta=10000.0, attention_bias=bias,
+        tie_word_embeddings=False)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return AutoModelForCausalLM.from_config(cfg).eval()
+
+
+def _qwen2_oracle(kv_heads, seed=0):
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg = transformers.Qwen2Config(
+        **GEOM, num_key_value_heads=kv_heads, rms_norm_eps=1e-6,
+        hidden_act="silu", rope_theta=10000.0, tie_word_embeddings=False)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return AutoModelForCausalLM.from_config(cfg).eval()
+
+
+def _load_repacked(runner, sd):
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, runner.model_config, runner.mesh_ctx, sd)
+
+
+def _check(hf_dict, oracle, sd):
+    runner, cfg, sa = make_runner(hf_dict)
+    _load_repacked(runner, sd)
+    driver = RawDriver(runner, sa.page_size)
+    ours = driver.prefill_logits(PROMPT)
+    ref = hf_forward_logits(oracle, PROMPT)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_xverse_llama_key_parity():
+    oracle = _llama_oracle(kv_heads=2)
+    hf_dict = dict(GEOM, architectures=["XverseForCausalLM"],
+                   model_type="xverse", num_key_value_heads=2,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   tie_word_embeddings=False)
+    _check(hf_dict, oracle, dict(oracle.state_dict()))
+
+
+def test_mimo_qwen2_key_parity():
+    oracle = _qwen2_oracle(kv_heads=2)
+    hf_dict = dict(GEOM, architectures=["MiMoForCausalLM"],
+                   model_type="mimo", num_key_value_heads=2,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   tie_word_embeddings=False)
+    _check(hf_dict, oracle, dict(oracle.state_dict()))
+
+
+def test_exaone3_repacked_matches_llama():
+    oracle = _llama_oracle(kv_heads=2)
+    sd = {}
+    for k, v in oracle.state_dict().items():
+        k = (k.replace("model.embed_tokens.", "transformer.wte.")
+             .replace("model.norm.", "transformer.ln_f.")
+             .replace("model.layers.", "transformer.h.")
+             .replace("self_attn.q_proj", "attn.attention.q_proj")
+             .replace("self_attn.k_proj", "attn.attention.k_proj")
+             .replace("self_attn.v_proj", "attn.attention.v_proj")
+             .replace("self_attn.o_proj", "attn.attention.out_proj")
+             .replace("mlp.gate_proj", "mlp.c_fc_0")
+             .replace("mlp.up_proj", "mlp.c_fc_1")
+             .replace("mlp.down_proj", "mlp.c_proj")
+             .replace("input_layernorm", "ln_1")
+             .replace("post_attention_layernorm", "ln_2"))
+        sd[k] = v
+    hf_dict = dict(architectures=["ExaoneForCausalLM"], model_type="exaone",
+                   num_layers=2, hidden_size=64, num_attention_heads=4,
+                   num_key_value_heads=2, intermediate_size=128,
+                   vocab_size=256, max_position_embeddings=512,
+                   layer_norm_epsilon=1e-6, activation_function="silu",
+                   rope_theta=10000.0, tie_word_embeddings=False)
+    _check(hf_dict, oracle, sd)
+
+
+def test_internlm2_interleaved_wqkv_matches_llama():
+    oracle = _llama_oracle(kv_heads=2)
+    Nq, Nk, D = 4, 2, 16
+    g = Nq // Nk
+    sd, per_layer = {}, {}
+    for k, v in oracle.state_dict().items():
+        if "self_attn." in k and "_proj.weight" in k:
+            per_layer.setdefault(k.split(".self_attn.")[0], {})[
+                k.split("self_attn.")[1].split("_proj")[0]] = v
+            if not k.endswith("o_proj.weight"):
+                continue
+        k2 = (k.replace("model.embed_tokens.", "model.tok_embeddings.")
+              .replace("self_attn.o_proj", "attention.wo")
+              .replace("mlp.gate_proj", "feed_forward.w1")
+              .replace("mlp.up_proj", "feed_forward.w3")
+              .replace("mlp.down_proj", "feed_forward.w2")
+              .replace("input_layernorm", "attention_norm")
+              .replace("post_attention_layernorm", "ffn_norm")
+              .replace("lm_head.", "output."))
+        sd[k2] = v
+    for pre, qkv in per_layer.items():
+        H = qkv["q"].shape[1]
+        q = qkv["q"].reshape(Nk, g, D, H)
+        kk = qkv["k"].reshape(Nk, 1, D, H)
+        vv = qkv["v"].reshape(Nk, 1, D, H)
+        sd[pre + ".attention.wqkv.weight"] = torch.cat(
+            [q, kk, vv], dim=1).reshape(-1, H)
+    hf_dict = dict(GEOM, architectures=["InternLM2ForCausalLM"],
+                   model_type="internlm2", num_key_value_heads=2,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   tie_word_embeddings=False)
+    _check(hf_dict, oracle, sd)
+
+
+def test_baichuan_wpack_matches_llama():
+    oracle = _llama_oracle(kv_heads=4)    # Baichuan is MHA
+    sd, per_layer = {}, {}
+    for k, v in oracle.state_dict().items():
+        if "self_attn." in k and not k.endswith("o_proj.weight"):
+            per_layer.setdefault(k.split(".self_attn.")[0], {})[
+                k.split("self_attn.")[1].split("_proj")[0]] = v
+            continue
+        sd[k] = v
+    for pre, qkv in per_layer.items():
+        sd[pre + ".self_attn.W_pack.weight"] = torch.cat(
+            [qkv["q"], qkv["k"], qkv["v"]], dim=0)
+    hf_dict = dict(GEOM, architectures=["BaichuanForCausalLM"],
+                   model_type="baichuan", num_key_value_heads=4,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   tie_word_embeddings=False)
+    _check(hf_dict, oracle, sd)
+
+
+def test_qwen1_repacked_matches_qwen2():
+    oracle = _qwen2_oracle(kv_heads=4)    # Qwen-1 is MHA with qkv bias
+    sd, per_layer = {}, {}
+    for k, v in oracle.state_dict().items():
+        if "self_attn." in k and "o_proj" not in k:
+            pre = k.split(".self_attn.")[0]
+            name = k.split("self_attn.")[1]   # e.g. q_proj.weight
+            per_layer.setdefault(pre, {})[name] = v
+            continue
+        k2 = (k.replace("model.embed_tokens.", "transformer.wte.")
+              .replace("model.norm.", "transformer.ln_f.")
+              .replace("model.layers.", "transformer.h.")
+              .replace("self_attn.o_proj", "attn.c_proj")
+              .replace("mlp.gate_proj", "mlp.w2")
+              .replace("mlp.up_proj", "mlp.w1")
+              .replace("mlp.down_proj", "mlp.c_proj")
+              .replace("input_layernorm", "ln_1")
+              .replace("post_attention_layernorm", "ln_2"))
+        sd[k2] = v
+    for pre, qkv in per_layer.items():
+        pre2 = pre.replace("model.layers.", "transformer.h.")
+        sd[pre2 + ".attn.c_attn.weight"] = torch.cat(
+            [qkv["q_proj.weight"], qkv["k_proj.weight"],
+             qkv["v_proj.weight"]], dim=0)
+        sd[pre2 + ".attn.c_attn.bias"] = torch.cat(
+            [qkv["q_proj.bias"], qkv["k_proj.bias"],
+             qkv["v_proj.bias"]], dim=0)
+    hf_dict = dict(architectures=["QWenLMHeadModel"], model_type="qwen",
+                   num_hidden_layers=2, hidden_size=64,
+                   num_attention_heads=4,
+                   intermediate_size=256,   # checkpoint value = 2x real
+                   vocab_size=256, seq_length=512,
+                   layer_norm_epsilon=1e-6, rotary_emb_base=10000.0,
+                   tie_word_embeddings=False)
+    _check(hf_dict, oracle, sd)
+
+
+def test_minicpm_mup_scaling_config():
+    """MiniCPM muP scaling maps onto the Granite-tested mechanisms."""
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+
+    hf_dict = dict(GEOM, architectures=["MiniCPMForCausalLM"],
+                   model_type="minicpm", num_key_value_heads=2,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   scale_emb=12.0, scale_depth=1.4, dim_model_base=32,
+                   tie_word_embeddings=False)
+    cfg = ModelConfig.from_hf(hf_dict, model_path="test://tiny",
+                              dtype="float32")
+    assert cfg.embed_multiplier == 12.0
+    assert abs(cfg.residual_multiplier - 1.4 / np.sqrt(2)) < 1e-9
+    assert abs(cfg.logits_scale - 32 / 64) < 1e-9
+    runner, cfg, sa = make_runner(hf_dict)
+    logits = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+    assert np.isfinite(logits).all()
+
+
+def test_internlm2_reward_head():
+    """v_head reward scoring through the pooled-output path."""
+    oracle = _llama_oracle(kv_heads=2)
+    hf_dict = dict(GEOM, architectures=["InternLM2ForRewardModel"],
+                   model_type="internlm2", num_key_value_heads=2,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   tie_word_embeddings=False)
+    runner, cfg, sa = make_runner(hf_dict)
+    assert cfg.num_labels == 1
+    specs = runner.model.weight_specs()
+    assert specs["score"].hf_key == "v_head.weight"
+    assert "lm_head" not in specs
+
+
+def test_baichuan_13b_alibi_rejected():
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+
+    hf_dict = dict(architectures=["BaichuanForCausalLM"],
+                   model_type="baichuan", num_hidden_layers=2,
+                   hidden_size=5120, num_attention_heads=40,
+                   intermediate_size=128, vocab_size=256)
+    with pytest.raises(ValueError, match="ALIBI"):
+        ModelConfig.from_hf(hf_dict, model_path="test://tiny")
