@@ -163,6 +163,10 @@ class Scheduler:
         self.eagle = None
         # tree-verify KV canonicalization moves awaiting the next program
         self._pending_kv_moves: tuple[list, list] = ([], [])
+        if self.spec_algorithm == "nextn":
+            # DeepSeek MTP head == EAGLE flow with a NextN draft
+            # (reference spec_info.py maps NEXTN onto the EAGLE worker)
+            self.spec_algorithm = "eagle"
         if self.spec_algorithm == "eagle":
             from iaas_sglang_tpu.speculative.eagle_worker import EagleWorker
 

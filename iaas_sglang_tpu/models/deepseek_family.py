@@ -21,7 +21,7 @@ srt/layers/moe/topk.py grouped/biased topk):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +197,8 @@ class DeepseekFamilyForCausalLM:
         scan_layers: bool = True,
         lora=None,
         capture_experts: bool = False,
+        hidden_in: Optional[jnp.ndarray] = None,
+        apply_final_norm: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
         L = c.num_layers
@@ -210,7 +212,10 @@ class DeepseekFamilyForCausalLM:
         pages_per_layer = kv_pages.shape[-4] // L
         ps = kv_pages.shape[-3]
 
-        hidden = params["embed"][fb.input_ids]  # [T, H]
+        if hidden_in is not None:
+            hidden = hidden_in       # NextN draft: eh_proj-combined pairs
+        else:
+            hidden = params["embed"][fb.input_ids]  # [T, H]
         T = hidden.shape[0]
 
         def attention(h, lp, layer_idx, kv):
@@ -349,7 +354,8 @@ class DeepseekFamilyForCausalLM:
             carry, mlp_moe, params.get("moe", {}), fk, L, is_moe_group=True)
         hidden, kv_pages = carry
 
-        hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
+        if apply_final_norm:
+            hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
         if capture_experts:
             E = c.num_experts
             zeros = jnp.zeros((fk, E), jnp.int32)

@@ -65,7 +65,16 @@ class EagleWorker:
         self.page_size = server_args.page_size
 
         draft_cfg = self._draft_config(server_args, target_config)
-        self.draft = LlamaEagleDraft(draft_cfg)
+        if target_config.is_mla:
+            # DeepSeek targets draft with the NextN MTP layer
+            # (reference models/deepseek_nextn.py)
+            from iaas_sglang_tpu.models.deepseek_nextn import (
+                DeepseekNextNDraft,
+            )
+
+            self.draft = DeepseekNextNDraft(draft_cfg)
+        else:
+            self.draft = LlamaEagleDraft(draft_cfg)
         with mesh_ctx.mesh:
             self.params = model_loader.load_params(
                 self.draft, draft_cfg, mesh_ctx,
@@ -99,11 +108,14 @@ class EagleWorker:
             cfg = ModelConfig.from_path(path, dtype=target_config.dtype)
             assert cfg.hidden_size == target_config.hidden_size, \
                 "EAGLE draft hidden size must match the target"
-            cfg.num_layers = 1
-            return cfg
-        import copy
+        else:
+            import copy
 
-        cfg = copy.deepcopy(target_config)
+            cfg = copy.deepcopy(target_config)
+        # NextN (MTP) weights sit at layer index num_hidden_layers in the
+        # full DeepSeek checkpoint; standalone 1-layer exports at 0
+        # (reference deepseek_v2.py:2344)
+        cfg.nextn_layer_id = 0 if cfg.num_layers == 1 else cfg.num_layers
         cfg.num_layers = 1
         return cfg
 

@@ -235,3 +235,79 @@ def test_eagle_tree_offspine_acceptance_and_kv_moves():
     st = eng.get_internal_state()
     assert st["spec_accept_length"] > 1.5  # rigged tree accepts 3/step
     eng.scheduler.check_memory_leak()
+
+
+# ------------------------------------------------------ DeepSeek NextN (MTP)
+
+TINY_DSV3_SPEC = dict(
+    architectures=["DeepseekV3ForCausalLM"], model_type="deepseek_v3",
+    num_hidden_layers=3, hidden_size=64, num_attention_heads=4,
+    num_key_value_heads=4, intermediate_size=96, vocab_size=256,
+    rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=512,
+    tie_word_embeddings=False, q_lora_rank=None, kv_lora_rank=16,
+    qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+    n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+    moe_intermediate_size=32, first_k_dense_replace=1,
+    routed_scaling_factor=1.0, topk_method="noaux_tc",
+    scoring_func="sigmoid", n_group=1, topk_group=1, norm_topk_prob=True,
+    num_nextn_predict_layers=1,
+)
+
+
+def make_ds_engine(**kw):
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    defaults = dict(
+        model_path="test://tiny-dsv3", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=512, device="cpu",
+        max_running_requests=8, max_prefill_tokens=128,
+        chunked_prefill_size=32, skip_tokenizer_init=True, random_seed=0,
+    )
+    defaults.update(kw)
+    sa = ServerArgs(**defaults)
+    return Engine(sa, hf_config_override=TINY_DSV3_SPEC)
+
+
+def test_nextn_matches_plain_greedy():
+    """NextN MTP drafting on a DeepSeek-V3 (MLA+MoE) target: exact greedy
+    parity with the plain decode path (dummy draft weights — verification
+    exactness is what's under test)."""
+    eng_spec = make_ds_engine(speculative_algorithm="nextn",
+                              speculative_num_draft_tokens=3)
+    eng_plain = make_ds_engine()
+    prompts = [
+        [7, 8, 9, 10, 7, 8, 9, 10, 7, 8],
+        list(range(30, 45)),
+        list(range(100, 170)),   # > chunked_prefill_size: exercises carry
+    ]
+    sp = {"max_new_tokens": 12, "temperature": 0.0}
+    outs_s = eng_spec.generate(input_ids=prompts, sampling_params=sp)
+    outs_p = eng_plain.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_s, outs_p):
+        assert a["output_ids"] == b["output_ids"]
+    assert eng_spec.get_internal_state()["spec_accept_length"] >= 1.0
+    eng_spec.scheduler.check_memory_leak()
+
+
+def test_nextn_weight_specs_layout():
+    """NextN weights resolve at layer index num_hidden_layers of the main
+    checkpoint (reference deepseek_v2.py:2344), with enorm/hnorm/eh_proj/
+    shared_head.norm under the layer prefix."""
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+    from iaas_sglang_tpu.models.deepseek_nextn import DeepseekNextNDraft
+
+    cfg = ModelConfig.from_hf(TINY_DSV3_SPEC, model_path="test://tiny",
+                              dtype="float32")
+    cfg.nextn_layer_id = cfg.num_layers
+    cfg.num_layers = 1
+    draft = DeepseekNextNDraft(cfg)
+    specs = draft.weight_specs()
+    assert specs["enorm"].hf_key == "model.layers.3.enorm.weight"
+    assert specs["eh_proj"].hf_key == "model.layers.3.eh_proj.weight"
+    assert specs["final_norm"].hf_key == \
+        "model.layers.3.shared_head.norm.weight"
+    assert "embed" not in specs and "lm_head" not in specs
+    # stacked layer weights address hf layer 3
+    st = [sp for sp in specs.values() if sp.stacked]
+    assert st and all(sp.layer_offset == 3 for sp in st)
