@@ -243,6 +243,35 @@ class ModelConfig:
                     for i in range(mc.num_layers)]
             if not all(mask):
                 mc.moe_layer_mask = mask
+        if mc.model_type == "chatglm":
+            # ChatGLM2/3 & GLM-4-9b chat (reference models/chatglm.py):
+            # transformer.encoder.* naming, fused query_key_value with qkv
+            # bias, fused swiglu dense_h_to_4h, MQA group heads, half-dim
+            # interleaved rotary at base 10000*rope_ratio
+            mc.num_layers = get("num_layers", 0) or mc.num_layers
+            mc.vocab_size = get("padded_vocab_size", mc.vocab_size)
+            mc.intermediate_size = get("ffn_hidden_size",
+                                       mc.intermediate_size)
+            mc.rms_norm_eps = get("layernorm_epsilon", 1e-5)
+            if not get("rmsnorm", True):
+                mc.norm_type = "layernorm"
+                mc.norm_bias = True
+            if get("multi_query_attention"):
+                mc.num_kv_heads = get("multi_query_group_num", 2)
+            mc.head_dim = get("kv_channels",
+                              mc.hidden_size // max(mc.num_heads, 1))
+            mc.attention_bias = bool(get("add_qkv_bias")
+                                     or get("add_bias_linear"))
+            mc.mlp_bias = bool(get("add_bias_linear"))
+            mc.partial_rotary_factor = 0.5
+            mc.rope_interleaved = True
+            mc.rope_theta = 10000.0 * (get("rope_ratio", 1.0) or 1.0)
+            if get("seq_length"):
+                mc.max_position_embeddings = get("seq_length")
+            mc.tie_word_embeddings = not get("untie_embeddings_and_output_weights", True) \
+                if "untie_embeddings_and_output_weights" in hf else False
+            assert not get("apply_residual_connection_post_layernorm"), \
+                "chatglm apply_residual_connection_post_layernorm unsupported"
         if mc.model_type == "qwen":
             # Qwen-1 (reference models/qwen.py): transformer.h.* naming,
             # fused c_attn WITH bias (no o bias), RMSNorm ln_1/ln_2, MHA,

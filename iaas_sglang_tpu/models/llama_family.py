@@ -208,8 +208,10 @@ class LlamaFamilyForCausalLM:
         dbrx = mt == "dbrx"
         th = mt in ("exaone", "qwen")   # transformer.h.* llama clones
         ilm2 = mt == "internlm2"
+        cglm = mt == "chatglm"
         lpre = ("transformer.h.{l}." if (gptpre or th)
                 else "transformer.blocks.{l}." if dbrx
+                else "transformer.encoder.layers.{l}." if cglm
                 else "model.layers.{l}.")
         opt_norm = mt == "olmo"   # OLMo v1: non-parametric LayerNorm
         s: dict[str, WeightSpec] = {
@@ -217,6 +219,7 @@ class LlamaFamilyForCausalLM:
                 (V, H), (None, "tp"),
                 "transformer.wte.weight" if (gptpre or dbrx or th)
                 else "model.tok_embeddings.weight" if ilm2
+                else "transformer.embedding.word_embeddings.weight" if cglm
                 else "model.embed_tokens.weight"),
         }
         if c.learned_pos_embed:
@@ -236,6 +239,7 @@ class LlamaFamilyForCausalLM:
         final_key = ("transformer.ln_f" if (gptpre or th)
                      else "transformer.norm_f" if dbrx
                      else "model.final_layernorm" if mt == "phi"
+                     else "transformer.encoder.final_layernorm" if cglm
                      else "model.norm")
         norm("final_norm", final_key, stacked=False)
         if c.input_norms:
@@ -274,6 +278,9 @@ class LlamaFamilyForCausalLM:
             qkv_fused = (lpre + "attn.c_attn", True, _rows)
         elif mt == "baichuan":
             qkv_fused = (lpre + "self_attn.W_pack", True, _rows)
+        elif cglm:
+            qkv_fused = (lpre + "self_attention.query_key_value", True,
+                         _rows)
         if ilm2:
             # InternLM2 fused wqkv is GQA-INTERLEAVED: view as
             # [Nk, g+2, D, H] — per kv head, g query heads then k then v
@@ -316,7 +323,8 @@ class LlamaFamilyForCausalLM:
                 s[f"layers.{nm}"] = WeightSpec(
                     (H, n_out), (None, "tp"), lpre + proj + ".weight",
                     transpose=True, stacked=True, quantizable=True)
-        o_key = (lpre + "attn.c_proj" if (gptpre or mt == "qwen")
+        o_key = (lpre + "self_attention.dense" if cglm
+                 else lpre + "attn.c_proj" if (gptpre or mt == "qwen")
                  else lpre + "norm_attn_norm.attn.out_proj" if dbrx
                  else lpre + "self_attn.dense" if mt == "phi"
                  else lpre + "attn.attention.out_proj" if mt == "exaone"
@@ -443,9 +451,10 @@ class LlamaFamilyForCausalLM:
                     (I,), ("tp",), k1 + ".bias", stacked=True)
                 s["layers.b_fc2"] = WeightSpec(
                     (H,), (None,), k2 + ".bias", stacked=True)
-        elif mt in ("phi3", "glm", "glm4"):
-            # fused gate_up_proj [2I, H]
-            guk = lpre + "mlp.gate_up_proj.weight"
+        elif mt in ("phi3", "glm", "glm4", "chatglm"):
+            # fused gate_up_proj [2I, H] (chatglm: dense_h_to_4h swiglu)
+            guk = lpre + ("mlp.dense_h_to_4h.weight" if cglm
+                          else "mlp.gate_up_proj.weight")
             s["layers.w_gate"] = WeightSpec(
                 (H, I), (None, "tp"), guk, transpose=True, stacked=True,
                 quantizable=True, hf_pre=_rows(0, I))
@@ -453,7 +462,9 @@ class LlamaFamilyForCausalLM:
                 (H, I), (None, "tp"), guk, transpose=True, stacked=True,
                 quantizable=True, hf_pre=_rows(I, 2 * I))
             s["layers.w_down"] = WeightSpec(
-                (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
+                (I, H), ("tp", None),
+                lpre + ("mlp.dense_4h_to_h.weight" if cglm
+                        else "mlp.down_proj.weight"),
                 transpose=True, stacked=True, quantizable=True)
         else:
             gk, uk, dk = {
@@ -472,8 +483,8 @@ class LlamaFamilyForCausalLM:
                 (I, H), ("tp", None), lpre + dk + ".weight",
                 transpose=True, stacked=True, quantizable=True)
         if c.attention_bias:
-            if qkv_fused is not None and (gptpre or mt == "qwen"):
-                bkey = lpre + "attn.c_attn.bias"
+            if qkv_fused is not None and (gptpre or mt == "qwen" or cglm):
+                bkey = qkv_fused[0] + ".bias"
                 offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
                 for i, (nm, n_out) in enumerate(
                         [("bq", Nq * D), ("bk", Nk * D), ("bv", Nk * D)]):
@@ -518,7 +529,9 @@ class LlamaFamilyForCausalLM:
                 transpose=True)
         if not c.tie_word_embeddings and not c.num_labels:
             # *ForSequenceClassification checkpoints ship no lm_head
-            head_key = "output.weight" if ilm2 else "lm_head.weight"
+            head_key = ("output.weight" if ilm2
+                        else "transformer.output_layer.weight" if cglm
+                        else "lm_head.weight")
             head_pre = None
             if mt == "baichuan" and V == 125696:
                 # Baichuan2 NormHead: row-normalize the head at load

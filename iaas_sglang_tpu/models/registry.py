@@ -66,6 +66,9 @@ for _arch in (
     "XverseForCausalLM",          # models/xverse.py (llama keys)
     "MiMoForCausalLM",            # models/mimo.py (qwen2 body)
     "MiniCPMForCausalLM",         # models/minicpm.py (muP scaling)
+    "ChatGLMModel",               # models/chatglm.py (fused query_key_value
+    "ChatGLMForConditionalGeneration",  # + swiglu dense_h_to_4h, MQA,
+    #   half-dim interleaved rotary)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

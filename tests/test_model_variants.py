@@ -246,3 +246,54 @@ def test_baichuan_13b_alibi_rejected():
                    intermediate_size=128, vocab_size=256)
     with pytest.raises(ValueError, match="ALIBI"):
         ModelConfig.from_hf(hf_dict, model_path="test://tiny")
+
+
+def test_chatglm_repacked_matches_glm():
+    """ChatGLM maps onto the HF Glm semantics (qkv bias, half-dim
+    interleaved rotary, fused swiglu) with transformer.encoder.* naming."""
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg = transformers.GlmConfig(
+        num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=512, head_dim=16,
+        rms_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        partial_rotary_factor=0.5, attention_bias=True,
+        pad_token_id=0, eos_token_id=2, tie_word_embeddings=False)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    oracle = AutoModelForCausalLM.from_config(cfg).eval()
+
+    sd, per_layer = {}, {}
+    for k, v in oracle.state_dict().items():
+        if "self_attn." in k and "o_proj" not in k:
+            pre = k.split(".self_attn.")[0]
+            per_layer.setdefault(pre, {})[k.split("self_attn.")[1]] = v
+            continue
+        k2 = (k.replace("model.embed_tokens.",
+                        "transformer.embedding.word_embeddings.")
+              .replace("model.norm.", "transformer.encoder.final_layernorm.")
+              .replace("model.layers.", "transformer.encoder.layers.")
+              .replace("self_attn.o_proj", "self_attention.dense")
+              .replace("mlp.gate_up_proj", "mlp.dense_h_to_4h")
+              .replace("mlp.down_proj", "mlp.dense_4h_to_h")
+              .replace("lm_head.", "transformer.output_layer."))
+        sd[k2] = v
+    for pre, qkv in per_layer.items():
+        pre2 = pre.replace("model.layers.", "transformer.encoder.layers.")
+        sd[pre2 + ".self_attention.query_key_value.weight"] = torch.cat(
+            [qkv["q_proj.weight"], qkv["k_proj.weight"],
+             qkv["v_proj.weight"]], dim=0)
+        sd[pre2 + ".self_attention.query_key_value.bias"] = torch.cat(
+            [qkv["q_proj.bias"], qkv["k_proj.bias"],
+             qkv["v_proj.bias"]], dim=0)
+    hf_dict = dict(
+        architectures=["ChatGLMModel"], model_type="chatglm",
+        num_layers=2, hidden_size=64, num_attention_heads=4,
+        multi_query_attention=True, multi_query_group_num=2,
+        kv_channels=16, ffn_hidden_size=128, padded_vocab_size=256,
+        layernorm_epsilon=1e-5, rmsnorm=True, add_qkv_bias=True,
+        add_bias_linear=False, rope_ratio=1.0, seq_length=512,
+        apply_residual_connection_post_layernorm=False)
+    _check(hf_dict, oracle, sd)
