@@ -51,6 +51,7 @@ class ModelConfig:
     #                                     weight applied to expert INPUT)
     #                                   | sparsemixer (PhiMoE top-2)
     moe_router_jitter: float = 0.01     # sparsemixer 2*eps mask threshold
+    router_logit_softcap: Optional[float] = None  # grok tanh router capping
     # Gemma-family quirks
     rms_weight_offset: float = 0.0   # rmsnorm uses (offset + w)
     embed_multiplier: float = 1.0    # hidden *= multiplier after embedding
@@ -243,6 +244,33 @@ class ModelConfig:
                     for i in range(mc.num_layers)]
             if not all(mask):
                 mc.moe_layer_mask = mask
+        if mc.model_type == "grok-1":
+            # Grok-1 (reference models/grok.py): sandwich rms norms
+            # (pre/post attn + pre/post moe), attn + router logit
+            # softcapping, gelu experts with mixtral-style keys, embedding
+            # and output multipliers
+            mc.sandwich_norms = True
+            mc.attn_logit_softcap = get("attn_logit_softcapping", 30.0)
+            mc.embed_multiplier = get("embedding_multiplier_scale", 1.0)
+            mc.logits_scale = get("output_multiplier_scale", 1.0)
+            mc.moe_gating = "softcap"
+            mc.router_logit_softcap = get("router_logit_softcapping", 30.0)
+            mc.norm_topk_prob = False
+            mc.head_dim = get("head_dim", 128)
+            mc.hidden_act = "gelu"
+            mc.moe_intermediate_size = (get("moe_intermediate_size", 0)
+                                        or mc.intermediate_size)
+        if "XverseMoeForCausalLM" in (get("architectures") or []):
+            # XVERSE-MoE-A4.2B (reference models/xverse_moe.py): llama
+            # attention, softmax top-k router over per-expert MLPs at the
+            # dense intermediate width, ungated shared experts
+            mc.model_type = "xverse_moe"
+            mc.num_experts = get("num_experts", 0) or 0
+            mc.num_experts_per_tok = get("moe_top_k", 2) or 2
+            mc.moe_intermediate_size = mc.intermediate_size
+            mc.norm_topk_prob = get("norm_topk_prob", False)
+            mc.shared_expert_size = (
+                (get("num_shared_experts", 0) or 0) * mc.intermediate_size)
         if mc.model_type == "chatglm":
             # ChatGLM2/3 & GLM-4-9b chat (reference models/chatglm.py):
             # transformer.encoder.* naming, fused query_key_value with qkv

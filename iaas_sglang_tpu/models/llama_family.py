@@ -108,6 +108,19 @@ class LlamaFamilyForCausalLM:
             "down": "model.layers.{l}.block_sparse_moe.experts.{e}.w2.weight",
             "up": "model.layers.{l}.block_sparse_moe.experts.{e}.w3.weight",
         },
+        "grok-1": {     # Grok-1: mixtral naming, gelu experts
+            "router": "model.layers.{l}.block_sparse_moe.gate.weight",
+            "gate": "model.layers.{l}.block_sparse_moe.experts.{e}.w1.weight",
+            "down": "model.layers.{l}.block_sparse_moe.experts.{e}.w2.weight",
+            "up": "model.layers.{l}.block_sparse_moe.experts.{e}.w3.weight",
+        },
+        "xverse_moe": {
+            "router": "model.layers.{l}.mlp.router.weight",
+            "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+            "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+            "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+            "shared": "model.layers.{l}.mlp.shared_experts.",
+        },
         "llama4": {     # experts are single fused tensors (Llama4TextExperts)
             "router": "model.layers.{l}.feed_forward.router.weight",
             "shared": "model.layers.{l}.feed_forward.shared_expert.",
@@ -247,6 +260,7 @@ class LlamaFamilyForCausalLM:
                  lpre + ("ln_1" if (gptpre or th)
                          else "norm_attn_norm.norm_1" if dbrx
                          else "attention_norm" if ilm2
+                         else "pre_attn_norm" if mt == "grok-1"
                          else "input_layernorm"))
             if not c.parallel_residual:
                 # norm before the MLP: post_attention_layernorm, except
@@ -258,6 +272,8 @@ class LlamaFamilyForCausalLM:
                     pn = "norm_attn_norm.norm_2"
                 elif ilm2:
                     pn = "ffn_norm"
+                elif mt == "grok-1":
+                    pn = "pre_moe_norm"
                 elif c.sandwich_norms and mt.startswith("gemma"):
                     pn = "pre_feedforward_layernorm"
                 else:
@@ -500,6 +516,8 @@ class LlamaFamilyForCausalLM:
         if c.sandwich_norms:
             pa, pf = (("post_self_attn_layernorm", "post_mlp_layernorm")
                       if mt == "glm4" else
+                      ("post_attn_norm", "post_moe_norm")
+                      if mt == "grok-1" else
                       ("post_attention_layernorm", "post_feedforward_layernorm"))
             norm("layers.post_attn_norm", lpre + pa)
             norm("layers.post_ffw_norm", lpre + pf)
@@ -827,6 +845,23 @@ class LlamaFamilyForCausalLM:
                     route_sparsemixer)
 
                 def run_routed(x, mp, cap):
+                    if c.moe_gating == "softcap":
+                        # Grok-1: tanh-capped logits, softmax over ALL
+                        # experts, weights = probs at the top-k (no renorm)
+                        from iaas_sglang_tpu.ops.moe import route_topk
+
+                        logits = (x.astype(jnp.float32)
+                                  @ mp["w_router"].astype(jnp.float32))
+                        rc = c.router_logit_softcap
+                        if rc:
+                            logits = rc * jnp.tanh(logits / rc)
+                        w, ids = route_topk(logits, c.num_experts_per_tok,
+                                            renormalize=c.norm_topk_prob)
+                        comb = combine_weights(ids, w, c.num_experts)
+                        out = dense_expert_mix(
+                            x, comb, mp["we_gate"], mp["we_up"],
+                            mp["we_down"], act=c.hidden_act)
+                        return (out, comb) if cap else out
                     if c.moe_gating == "sparsemixer":
                         logits = (x.astype(jnp.float32)
                                   @ mp["w_router"].astype(jnp.float32))

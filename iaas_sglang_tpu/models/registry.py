@@ -69,6 +69,10 @@ for _arch in (
     "ChatGLMModel",               # models/chatglm.py (fused query_key_value
     "ChatGLMForConditionalGeneration",  # + swiglu dense_h_to_4h, MQA,
     #   half-dim interleaved rotary)
+    "Grok1ForCausalLM",           # models/grok.py (sandwich norms, gelu
+    "Grok1ModelForCausalLM",      #   experts, attn+router softcapping)
+    "XverseMoeForCausalLM",       # models/xverse_moe.py (per-expert MLPs
+    #   at dense width + ungated shared experts)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

@@ -77,12 +77,14 @@ def combine_weights(ids: jnp.ndarray, w: jnp.ndarray, num_experts: int
 
 
 def dense_expert_mix(h: jnp.ndarray, combine: jnp.ndarray,
-                     we_gate, we_up, we_down) -> jnp.ndarray:
+                     we_gate, we_up, we_down,
+                     act: str = "silu") -> jnp.ndarray:
     """All experts on all tokens, combined by [T, E] weights (the
     GSPMD-shardable dense dispatch path)."""
     up = jnp.einsum("th,ehi->eti", h, we_up)
     gate = jnp.einsum("th,ehi->eti", h, we_gate)
-    act = jax.nn.silu(gate) * up
+    act_fn = jax.nn.gelu if "gelu" in act else jax.nn.silu
+    act = act_fn(gate) * up
     out = jnp.einsum("eti,eih->eth", act, we_down)   # [E, T, H]
     return jnp.einsum("eth,te->th", out.astype(jnp.float32),
                       combine).astype(h.dtype)

@@ -297,3 +297,76 @@ def test_chatglm_repacked_matches_glm():
         add_bias_linear=False, rope_ratio=1.0, seq_length=512,
         apply_residual_connection_post_layernorm=False)
     _check(hf_dict, oracle, sd)
+
+
+def test_grok_router_softcap_math():
+    """Grok router: weights are the FULL softmax probs (over tanh-capped
+    logits) gathered at the top-k — no renormalization (reference
+    srt/layers/moe/router.py fused_moe_router_kernel)."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.moe import route_topk
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((5, 8)).astype(np.float32) * 50
+    cap = 30.0
+    capped = cap * np.tanh(logits / cap)
+    w, ids = route_topk(jnp.asarray(capped), 2, renormalize=False)
+    p = np.exp(capped - capped.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    order = np.argsort(-capped, axis=-1)[:, :2]
+    np.testing.assert_array_equal(np.asarray(ids), order)
+    np.testing.assert_allclose(
+        np.asarray(w), np.take_along_axis(p, order, axis=-1), rtol=1e-5)
+
+
+def test_grok_smoke_prefill():
+    """Grok-1 tiny config builds (sandwich norms, mixtral keys, gelu
+    experts, softcapped router) and prefills finitely with dummy weights."""
+    hf_dict = dict(
+        architectures=["Grok1ForCausalLM"], model_type="grok-1",
+        num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, intermediate_size=128,
+        vocab_size=256, max_position_embeddings=512,
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        num_local_experts=4, num_experts_per_tok=2,
+        attn_logit_softcapping=30.0, router_logit_softcapping=30.0,
+        embedding_multiplier_scale=8.0, output_multiplier_scale=0.5,
+        tie_word_embeddings=True)
+    runner, cfg, sa = make_runner(hf_dict)
+    assert cfg.sandwich_norms and cfg.moe_gating == "softcap"
+    assert cfg.hidden_act == "gelu" and cfg.embed_multiplier == 8.0
+    specs = runner.model.weight_specs()
+    assert specs["layers.w_router"].hf_key == \
+        "model.layers.{l}.block_sparse_moe.gate.weight"
+    assert specs["layers.input_norm"].hf_key == \
+        "model.layers.{l}.pre_attn_norm.weight"
+    assert specs["layers.post_norm"].hf_key == \
+        "model.layers.{l}.pre_moe_norm.weight"
+    assert specs["layers.post_attn_norm"].hf_key == \
+        "model.layers.{l}.post_attn_norm.weight"
+    logits = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+    assert np.isfinite(logits).all()
+
+
+def test_xverse_moe_smoke_prefill():
+    """XVERSE-MoE: softmax top-k over per-expert MLPs at the dense width
+    plus ungated shared experts (num_shared_experts * intermediate)."""
+    hf_dict = dict(
+        architectures=["XverseMoeForCausalLM"], model_type="xverse",
+        num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=32, vocab_size=256,
+        max_position_embeddings=512, rms_norm_eps=1e-6,
+        hidden_act="silu", rope_theta=10000.0,
+        num_experts=4, moe_top_k=2, num_shared_experts=2,
+        tie_word_embeddings=False)
+    runner, cfg, sa = make_runner(hf_dict)
+    assert cfg.model_type == "xverse_moe"
+    assert cfg.shared_expert_size == 64 and cfg.moe_intermediate_size == 32
+    specs = runner.model.weight_specs()
+    assert specs["layers.w_router"].hf_key == \
+        "model.layers.{l}.mlp.router.weight"
+    assert specs["layers.ws_gate"].hf_key == \
+        "model.layers.{l}.mlp.shared_experts.gate_proj.weight"
+    logits = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
+    assert np.isfinite(logits).all()
