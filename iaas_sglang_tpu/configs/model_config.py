@@ -437,7 +437,27 @@ class ModelConfig:
                 pat = get("sliding_window_pattern", 6) or 6
                 mc.sliding_window_pattern = [
                     (i + 1) % pat != 0 for i in range(mc.num_layers)]
+        if mc.model_type == "minicpm3":
+            # MiniCPM3 (reference models/minicpm3.py): MLA attention with
+            # deepseek-v2 key naming but NEOX-style rope on the rope
+            # channels, dense MLP, MiniCPM muP scaling
+            import math as _math
+
+            mc.q_lora_rank = get("q_lora_rank")
+            mc.kv_lora_rank = get("kv_lora_rank", 0) or 0
+            mc.qk_nope_head_dim = get("qk_nope_head_dim", 64)
+            mc.qk_rope_head_dim = get("qk_rope_head_dim", 32)
+            mc.v_head_dim = get("v_head_dim",
+                                mc.hidden_size // max(mc.num_heads, 1))
+            mc.head_dim = mc.qk_nope_head_dim + mc.qk_rope_head_dim
+            mc.embed_multiplier = get("scale_emb", 1.0) or 1.0
+            if get("scale_depth") and mc.num_layers:
+                mc.residual_multiplier = (
+                    get("scale_depth") / _math.sqrt(mc.num_layers))
+            if get("dim_model_base") and mc.hidden_size:
+                mc.logits_scale = get("dim_model_base") / mc.hidden_size
         if mc.model_type in ("deepseek_v2", "deepseek_v3"):
+            mc.rope_interleaved = True
             mc.q_lora_rank = get("q_lora_rank")
             mc.kv_lora_rank = get("kv_lora_rank", 512) or 0
             mc.qk_nope_head_dim = get("qk_nope_head_dim", 128)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from iaas_sglang_tpu.configs.model_config import ModelConfig
 from iaas_sglang_tpu.layers.norms import rms_norm
-from iaas_sglang_tpu.layers.rotary import (apply_rope_interleaved,
+from iaas_sglang_tpu.layers.rotary import (apply_rope,
+                                            apply_rope_interleaved,
                                             compute_inv_freq,
                                             rope_attention_factor)
 from iaas_sglang_tpu.model_executor.forward_batch import ForwardBatch
@@ -216,6 +217,9 @@ class DeepseekFamilyForCausalLM:
             hidden = hidden_in       # NextN draft: eh_proj-combined pairs
         else:
             hidden = params["embed"][fb.input_ids]  # [T, H]
+            if c.embed_multiplier != 1.0:
+                hidden = hidden * jnp.asarray(c.embed_multiplier,
+                                              hidden.dtype)
         T = hidden.shape[0]
 
         def attention(h, lp, layer_idx, kv):
@@ -227,15 +231,24 @@ class DeepseekFamilyForCausalLM:
                 q = qmatmul(h, lp["wq"])
             q = q.reshape(T, Nq, dn + dr)
             q_nope, q_pe = q[..., :dn], q[..., dn:]
-            q_pe = apply_rope_interleaved(q_pe, fb.positions, self.inv_freq,
-                                          self.rope_attn_factor)
+            if c.rope_interleaved:
+                q_pe = apply_rope_interleaved(
+                    q_pe, fb.positions, self.inv_freq, self.rope_attn_factor)
+            else:
+                # MiniCPM3: standard neox rope on the rope channels
+                q_pe, _ = apply_rope(q_pe, q_pe, fb.positions,
+                                     self.inv_freq, self.rope_attn_factor)
 
             kv_a = qmatmul(h, lp["wkv_a"])              # [T, lora+dr]
             c_kv = rms_norm(kv_a[:, :lora_rank], lp["kv_a_norm"],
                             c.rms_norm_eps)
             k_pe = kv_a[:, None, lora_rank:]            # [T, 1, dr]
-            k_pe = apply_rope_interleaved(k_pe, fb.positions, self.inv_freq,
-                                          self.rope_attn_factor)
+            if c.rope_interleaved:
+                k_pe = apply_rope_interleaved(
+                    k_pe, fb.positions, self.inv_freq, self.rope_attn_factor)
+            else:
+                k_pe, _ = apply_rope(k_pe, k_pe, fb.positions,
+                                     self.inv_freq, self.rope_attn_factor)
 
             # absorb w_kc into the query: q_abs[t,n,:] = q_nope[t,n,:] @ w_kc[n]
             wkv_b = lp["wkv_b"].reshape(lora_rank, Nq, dn + dv)
@@ -316,13 +329,14 @@ class DeepseekFamilyForCausalLM:
                 lp, layer_idx = xs
                 h = rms_norm(hidden, lp["input_norm"], c.rms_norm_eps)
                 attn_out, kv = attention(h, lp, layer_idx, kv)
-                hidden = hidden + attn_out
+                rm = c.residual_multiplier   # MiniCPM3 muP depth scaling
+                hidden = hidden + (attn_out * rm if rm != 1.0 else attn_out)
                 h2 = rms_norm(hidden, lp["post_norm"], c.rms_norm_eps)
                 counts = None
                 mlp = mlp_fn(h2, lp)
                 if capture_experts and is_moe_group:
                     mlp, counts = mlp
-                hidden = hidden + mlp
+                hidden = hidden + (mlp * rm if rm != 1.0 else mlp)
                 return (hidden, kv), counts
             return body
 
@@ -369,4 +383,7 @@ class DeepseekFamilyForCausalLM:
             w = params["embed"].T
         else:
             w = params["lm_head"]
-        return (hidden @ w).astype(jnp.float32)
+        logits = (hidden @ w).astype(jnp.float32)
+        if self.config.logits_scale != 1.0:
+            logits = logits * self.config.logits_scale
+        return logits

@@ -76,7 +76,8 @@ for _arch in (
 ):
     register(_arch, LlamaFamilyForCausalLM)
 
-for _arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM"):
+for _arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
+              "MiniCPM3ForCausalLM"):   # models/minicpm3.py: MLA + muP
     register(_arch, DeepseekFamilyForCausalLM)
 
 

@@ -370,3 +370,28 @@ def test_xverse_moe_smoke_prefill():
         "model.layers.{l}.mlp.shared_experts.gate_proj.weight"
     logits = RawDriver(runner, sa.page_size).prefill_logits(PROMPT)
     assert np.isfinite(logits).all()
+
+
+def test_minicpm3_mla_smoke():
+    """MiniCPM3: deepseek-v2 MLA keys + muP scaling + neox rope on the
+    rope channels (reference models/minicpm3.py uses plain get_rope)."""
+    hf_dict = dict(
+        architectures=["MiniCPM3ForCausalLM"], model_type="minicpm3",
+        num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=4, intermediate_size=96, vocab_size=256,
+        max_position_embeddings=512, rms_norm_eps=1e-6, rope_theta=10000.0,
+        q_lora_rank=32, kv_lora_rank=16, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        scale_emb=12.0, scale_depth=1.4, dim_model_base=32,
+        hidden_act="silu", tie_word_embeddings=False)
+    runner, cfg, sa = make_runner(hf_dict)
+    assert cfg.is_mla and not cfg.rope_interleaved
+    assert cfg.embed_multiplier == 12.0
+    assert abs(cfg.logits_scale - 0.5) < 1e-9
+    driver = RawDriver(runner, sa.page_size)
+    logits = driver.prefill_logits(PROMPT)
+    assert np.isfinite(logits).all()
+    a = driver.generate_greedy(PROMPT, 8)
+    # decode path determinism (prefill+decode consistency)
+    b = driver.generate_greedy(PROMPT, 8)
+    assert a == b
