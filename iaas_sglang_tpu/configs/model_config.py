@@ -32,6 +32,8 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     qk_norm: bool = False
+    qk_norm_post: bool = False        # per-head q/k RMSNorm AFTER rope
+    #   (HunYuan query_layernorm/key_layernorm)
     hidden_act: str = "silu"
     context_len: int = 4096
     dtype: str = "bfloat16"
@@ -244,6 +246,37 @@ class ModelConfig:
                     for i in range(mc.num_layers)]
             if not all(mask):
                 mc.moe_layer_mask = mask
+        if mc.model_type in ("hunyuan_v1_moe", "hunyuan_v1_dense",
+                             "hunyuan"):
+            # HunYuan-A13B / dense (reference models/hunyuan.py): post-rope
+            # per-head q/k RMSNorm, softmax top-k renormalized router with
+            # ungated shared expert(s), NTK-alpha dynamic rope
+            def _first(v):
+                if isinstance(v, list):
+                    assert len(set(v)) == 1, \
+                        "per-layer-varying HunYuan MoE configs unsupported"
+                    return v[0]
+                return v
+
+            if get("use_cla"):
+                raise ValueError(
+                    "HunYuan CLA (cross-layer attention) not supported")
+            mc.model_type = "hunyuan"
+            mc.qk_norm_post = bool(get("use_qk_norm", False))
+            ne = _first(get("num_experts", 0) or 0)
+            if ne and ne > 1:
+                mc.num_experts = ne
+                mc.num_experts_per_tok = _first(get("moe_topk", 1) or 1)
+                mc.moe_intermediate_size = _first(
+                    get("moe_intermediate_size", 0)
+                    or get("intermediate_size", 0))
+                mc.norm_topk_prob = mc.num_experts_per_tok > 1
+                if get("use_mixed_mlp_moe"):
+                    mc.shared_expert_size = (
+                        mc.intermediate_size
+                        * _first(get("num_shared_expert", 1) or 1))
+            else:
+                mc.num_experts = 0
         if mc.model_type == "grok-1":
             # Grok-1 (reference models/grok.py): sandwich rms norms
             # (pre/post attn + pre/post moe), attn + router logit

@@ -44,6 +44,14 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
         return scaled.astype(np.float32)
     if rope_type == "linear":
         return (inv_freq / rope_scaling["factor"]).astype(np.float32)
+    if rope_type == "dynamic" and "alpha" in rope_scaling:
+        # HunYuan NTK-alpha: static base stretch base*alpha^(D/(D-2))
+        # (reference srt/layers/rotary_embedding.py
+        # DynamicNTKAlphaRotaryEmbedding)
+        base = rope_theta * rope_scaling["alpha"] ** (
+            head_dim / (head_dim - 2))
+        return (1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64)
+                                / head_dim))).astype(np.float32)
     if rope_type == "yarn":
         # NTK-by-parts (YaRN, arXiv:2309.00071; HF _compute_yarn_parameters;
         # reference srt/layers/rotary_embedding.py YaRNScalingRotaryEmbedding)

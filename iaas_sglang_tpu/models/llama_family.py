@@ -108,6 +108,15 @@ class LlamaFamilyForCausalLM:
             "down": "model.layers.{l}.block_sparse_moe.experts.{e}.w2.weight",
             "up": "model.layers.{l}.block_sparse_moe.experts.{e}.w3.weight",
         },
+        "hunyuan": {    # HunYuan-A13B: shared_mlp ungated shared expert
+            # router key: gate.wg (HF) vs gate (original checkpoints)
+            "router": "model.layers.{l}.mlp.gate.wg.weight"
+                      "|model.layers.{l}.mlp.gate.weight",
+            "gate": "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+            "up": "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+            "down": "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+            "shared": "model.layers.{l}.mlp.shared_mlp.",
+        },
         "grok-1": {     # Grok-1: mixtral naming, gelu experts
             "router": "model.layers.{l}.block_sparse_moe.gate.weight",
             "gate": "model.layers.{l}.block_sparse_moe.experts.{e}.w1.weight",
@@ -528,6 +537,14 @@ class LlamaFamilyForCausalLM:
             s["layers.k_norm"] = WeightSpec(
                 (D,), (None,), lpre + "self_attn.k_norm.weight",
                 stacked=True)
+        if c.qk_norm_post:
+            # HunYuan: per-head q/k RMSNorm applied AFTER rope
+            s["layers.q_norm"] = WeightSpec(
+                (D,), (None,), lpre + "self_attn.query_layernorm.weight",
+                stacked=True)
+            s["layers.k_norm"] = WeightSpec(
+                (D,), (None,), lpre + "self_attn.key_layernorm.weight",
+                stacked=True)
         if c.qk_norm_full:
             # OLMo2/OLMoE: RMSNorm over the FULL q/k projection width,
             # applied before the head reshape (HF Olmo2Attention order)
@@ -728,6 +745,10 @@ class LlamaFamilyForCausalLM:
                                   self.rope_attn_factor,
                                   interleaved=c.rope_interleaved)
 
+            if c.qk_norm_post:
+                # HunYuan: post-rope per-head q/k RMSNorm
+                q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
             if c.qk_l2_norm:
                 # Llama-4: weightless post-rope q/k l2-norm, rope layers
                 # only (Llama4TextL2Norm exists only when use_rope)

@@ -73,6 +73,8 @@ for _arch in (
     "Grok1ModelForCausalLM",      #   experts, attn+router softcapping)
     "XverseMoeForCausalLM",       # models/xverse_moe.py (per-expert MLPs
     #   at dense width + ungated shared experts)
+    "HunYuanMoEV1ForCausalLM",    # models/hunyuan.py (post-rope qk norm,
+    "HunYuanDenseV1ForCausalLM",  #   shared_mlp mixed MoE)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

@@ -374,12 +374,38 @@ WAVE4 = {
         attention_bias=True, lm_head_bias=True,
         tie_word_embeddings=False, sliding_window=None,
     ),
+    # HunYuan: post-rope per-head qk RMSNorm, renormalized softmax top-k
+    # router, ungated shared_mlp expert
+    "hunyuan_v1_moe": dict(
+        COMMON,
+        architectures=["HunYuanMoEV1ForCausalLM"],
+        model_type="hunyuan_v1_moe",
+        num_hidden_layers=2,
+        num_key_value_heads=2, head_dim=16,
+        rms_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        num_experts=4, moe_topk=2,
+        use_mixed_mlp_moe=1, num_shared_expert=1, use_qk_norm=True,
+        use_cla=False, attention_bias=False,
+        tie_word_embeddings=False, pad_token_id=0,
+    ),
+    "hunyuan_v1_dense": dict(
+        COMMON,
+        architectures=["HunYuanDenseV1ForCausalLM"],
+        model_type="hunyuan_v1_dense",
+        num_hidden_layers=2,
+        num_key_value_heads=2, head_dim=16,
+        rms_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        use_qk_norm=True, use_cla=False, attention_bias=False,
+        tie_word_embeddings=False, pad_token_id=0,
+    ),
 }
 
 W4_CFG = {
     "qwen2_moe": "Qwen2MoeConfig",
     "llama4_text": "Llama4TextConfig",
     "phimoe": "PhimoeConfig",
+    "hunyuan_v1_moe": "HunYuanMoEV1Config",
+    "hunyuan_v1_dense": "HunYuanDenseV1Config",
 }
 
 
@@ -408,8 +434,9 @@ def test_wave4_prefill_logits_match_hf(name):
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("name", ["qwen2_moe", "llama4", "phimoe"],
-                         ids=["qwen2_moe", "llama4", "phimoe"])
+@pytest.mark.parametrize(
+    "name", ["qwen2_moe", "llama4", "phimoe", "hunyuan_v1_moe"],
+    ids=["qwen2_moe", "llama4", "phimoe", "hunyuan_v1_moe"])
 def test_wave4_greedy_decode_matches_hf(name):
     hf_dict = WAVE4[name]
     hf_model = _hf_w4(hf_dict)
