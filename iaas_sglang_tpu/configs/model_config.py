@@ -164,6 +164,20 @@ class ModelConfig:
                 "vision_feature_select_strategy", "default")
             mc.mm_projector_act = get("projector_hidden_act", "gelu")
             return mc
+        if get("model_type") == "gemma3" and get("text_config"):
+            # Gemma3 multimodal wrapper: SigLIP tower + pooled projector
+            # around the gemma3_text LM (reference models/gemma3_mm.py)
+            inner = dict(hf["text_config"])
+            inner.setdefault("model_type", "gemma3_text")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "Gemma3ForConditionalGeneration"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_index", 262144)
+            return mc
         if get("model_type") == "llama4" and get("text_config"):
             # Llama4ForConditionalGeneration wrapper: serve the text model
             # (vision tower not yet supported — text-only requests work)
@@ -447,6 +461,10 @@ class ModelConfig:
         if mc.model_type in ("gemma", "gemma2", "gemma3_text"):
             mc.rms_weight_offset = 1.0
             mc.embed_multiplier = float(mc.hidden_size) ** 0.5
+            # gemma configs name the activation "hidden_activation";
+            # the family default is gelu_pytorch_tanh, NOT silu
+            mc.hidden_act = get("hidden_activation",
+                                get("hidden_act", "gelu_pytorch_tanh"))
         if mc.model_type in ("gemma2", "gemma3_text"):
             mc.sandwich_norms = True
             mc.query_pre_attn_scalar = get("query_pre_attn_scalar")

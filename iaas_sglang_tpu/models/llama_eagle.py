@@ -48,7 +48,7 @@ class LlamaEagleDraft:
         c = self.config
         H, D = c.hidden_size, c.head_dim
         Nq, Nk, I = c.num_heads, c.num_kv_heads, c.intermediate_size
-        return {
+        out = {
             "fc_w": WeightSpec((2 * H, H), (None, None), "model.fc.weight",
                                transpose=True),
             "fc_b": WeightSpec((H,), (None,), "model.fc.bias"),
@@ -77,6 +77,15 @@ class LlamaEagleDraft:
                                  "model.layers.0.mlp.down_proj.weight",
                                  transpose=True),
         }
+        if c.attention_bias:
+            # qwen2-family EAGLE drafts (reference models/qwen2_eagle.py)
+            for nm, n_out, p_ in [("bq", Nq * D, "q"), ("bk", Nk * D, "k"),
+                                  ("bv", Nk * D, "v")]:
+                out[nm] = WeightSpec(
+                    (n_out,), ("tp",),
+                    f"model.layers.0.self_attn.{p_}_proj.bias",
+                    optional=True)
+        return out
 
     def forward_pairs(
         self,
@@ -102,9 +111,12 @@ class LlamaEagleDraft:
                             axis=-1)
         h = x @ params["fc_w"] + params["fc_b"]      # [T, H]
         # layer 0: input_layernorm removed (EAGLE cnets.py)
-        q = (h @ params["wq"]).reshape(T, c.num_heads, c.head_dim)
-        k = (h @ params["wk"]).reshape(T, c.num_kv_heads, c.head_dim)
-        v = (h @ params["wv"]).reshape(T, c.num_kv_heads, c.head_dim)
+        q, k, v = h @ params["wq"], h @ params["wk"], h @ params["wv"]
+        if "bq" in params:   # qwen2-family drafts carry qkv bias
+            q, k, v = q + params["bq"], k + params["bk"], v + params["bv"]
+        q = q.reshape(T, c.num_heads, c.head_dim)
+        k = k.reshape(T, c.num_kv_heads, c.head_dim)
+        v = v.reshape(T, c.num_kv_heads, c.head_dim)
         q, k = apply_rope(q, k, positions, self.inv_freq)
         kv_pages = write_kv_pages(kv_pages, out_slots, k, v)
         attn = paged_attention(

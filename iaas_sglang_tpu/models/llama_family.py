@@ -635,6 +635,12 @@ class LlamaFamilyForCausalLM:
             hidden = hidden_in          # pipeline stage > 0
         else:
             hidden = params["embed"][fb.input_ids]  # [T, H]
+            if c.embed_multiplier != 1.0:
+                # Gemma scales token embeddings by sqrt(hidden) BEFORE the
+                # image rows are inserted (HF merges image features into
+                # the already-normalized embeds)
+                hidden = hidden * jnp.asarray(c.embed_multiplier,
+                                              hidden.dtype)
             if fb.mm_embeds is not None:
                 # VLM: overwrite image-placeholder rows with projected
                 # vision embeddings (the reference's input-embedding merge;
@@ -673,9 +679,6 @@ class LlamaFamilyForCausalLM:
                 "th,shr->tsr", x.astype(jnp.float32), A_l)
             xa = xa * lora_onehot[:, :, None]
             return jnp.einsum("tsr,sro->to", xa, B_l)
-        if c.embed_multiplier != 1.0 and hidden_in is None:
-            # Gemma scales embeddings by sqrt(hidden) in the input dtype
-            hidden = hidden * jnp.asarray(c.embed_multiplier, hidden.dtype)
 
         def layer_body(carry, xs):
             hidden, kv = carry

@@ -92,6 +92,17 @@ def _llava(config):
 register("LlavaForConditionalGeneration", _llava)
 
 
+def _gemma3_mm(config):
+    from iaas_sglang_tpu.models.gemma3_mm import (
+        Gemma3MMForConditionalGeneration,
+    )
+
+    return Gemma3MMForConditionalGeneration(config)
+
+
+register("Gemma3ForConditionalGeneration", _gemma3_mm)
+
+
 def _qwen2_vl(config):
     from iaas_sglang_tpu.models.qwen2_vl import (
         Qwen2VLForConditionalGeneration,

@@ -159,3 +159,105 @@ def clip_encode(params: dict[str, Any], patches: jnp.ndarray,
     lp_all = jax.tree.map(lambda a: a[:n_run], params["vt_layers"])
     h, _ = jax.lax.scan(body, h, lp_all)
     return h
+
+
+# ----------------------------------------------------------------- SigLIP
+
+
+class SiglipVisionConfig:
+    def __init__(self, vc: dict[str, Any]):
+        self.hidden_size = vc.get("hidden_size", 1152)
+        self.intermediate_size = vc.get("intermediate_size", 4304)
+        self.num_layers = vc.get("num_hidden_layers", 27)
+        self.num_heads = vc.get("num_attention_heads", 16)
+        self.image_size = vc.get("image_size", 224)
+        self.patch_size = vc.get("patch_size", 14)
+        self.hidden_act = vc.get("hidden_act", "gelu_pytorch_tanh")
+        self.layer_norm_eps = vc.get("layer_norm_eps", 1e-6)
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+
+
+def siglip_vision_specs(vc: SiglipVisionConfig, key_prefix: str
+                        ) -> dict[str, WeightSpec]:
+    """SigLIP tower (reference srt/models/siglip.py; HF SiglipVisionModel):
+    CLIP-like pre-norm blocks but NO class token / pre-layernorm, a biased
+    patch conv, and a final post_layernorm. The attention-pool `head.*`
+    keys are unused for embedding extraction (gemma3_mm taps the encoder
+    output) and simply not loaded."""
+    Hv, Iv = vc.hidden_size, vc.intermediate_size
+    L = vc.num_layers
+    P = vc.num_patches
+    p = vc.patch_size
+
+    def k(suffix: str) -> str:
+        return "|".join(pref + suffix for pref in key_prefix.split("|"))
+
+    lk = "encoder.layers.{l}."
+    s: dict[str, WeightSpec] = {
+        "vt.patch_w": WeightSpec(
+            (3 * p * p, Hv), (None, None),
+            k("embeddings.patch_embedding.weight"), transpose=True),
+        "vt.patch_b": WeightSpec(
+            (Hv,), (None,), k("embeddings.patch_embedding.bias")),
+        "vt.pos_emb": WeightSpec(
+            (P, Hv), (None, None), k("embeddings.position_embedding.weight")),
+        "vt.post_ln_w": WeightSpec((Hv,), (None,), k("post_layernorm.weight")),
+        "vt.post_ln_b": WeightSpec((Hv,), (None,), k("post_layernorm.bias")),
+    }
+    per_layer = {
+        "ln1_w": ("layer_norm1.weight", (Hv,), False),
+        "ln1_b": ("layer_norm1.bias", (Hv,), False),
+        "ln2_w": ("layer_norm2.weight", (Hv,), False),
+        "ln2_b": ("layer_norm2.bias", (Hv,), False),
+        "wq": ("self_attn.q_proj.weight", (Hv, Hv), True),
+        "bq": ("self_attn.q_proj.bias", (Hv,), False),
+        "wk": ("self_attn.k_proj.weight", (Hv, Hv), True),
+        "bk": ("self_attn.k_proj.bias", (Hv,), False),
+        "wv": ("self_attn.v_proj.weight", (Hv, Hv), True),
+        "bv": ("self_attn.v_proj.bias", (Hv,), False),
+        "wo": ("self_attn.out_proj.weight", (Hv, Hv), True),
+        "bo": ("self_attn.out_proj.bias", (Hv,), False),
+        "w1": ("mlp.fc1.weight", (Hv, Iv), True),
+        "b1": ("mlp.fc1.bias", (Iv,), False),
+        "w2": ("mlp.fc2.weight", (Iv, Hv), True),
+        "b2": ("mlp.fc2.bias", (Hv,), False),
+    }
+    for name, (suffix, shape, tr) in per_layer.items():
+        s[f"vt_layers.{name}"] = WeightSpec(
+            shape, tuple(None for _ in shape), k(lk + suffix),
+            transpose=tr, stacked=True, num_stack=L)
+    return s
+
+
+def siglip_encode(params: dict[str, Any], patches: jnp.ndarray,
+                  vc: SiglipVisionConfig) -> jnp.ndarray:
+    """patches [N, P, 3*p*p] -> encoder output [N, P, Hv] after the full
+    depth + post_layernorm (what gemma3's projector consumes)."""
+    Hv, Nh = vc.hidden_size, vc.num_heads
+    Dh = Hv // Nh
+    N = patches.shape[0]
+
+    vt = params["vt"]
+    h = (patches @ vt["patch_w"] + vt["patch_b"]) + vt["pos_emb"][None]
+    act = _act(vc.hidden_act)
+    scale = Dh ** -0.5
+
+    def body(carry, lp):
+        x = carry
+        r = layer_norm(x, lp["ln1_w"], lp["ln1_b"], vc.layer_norm_eps)
+        q = (r @ lp["wq"] + lp["bq"]).reshape(N, -1, Nh, Dh)
+        k_ = (r @ lp["wk"] + lp["bk"]).reshape(N, -1, Nh, Dh)
+        v = (r @ lp["wv"] + lp["bv"]).reshape(N, -1, Nh, Dh)
+        s = jnp.einsum("bqnd,bknd->bnqk", q.astype(jnp.float32),
+                       k_.astype(jnp.float32)) * scale
+        a = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", a, v.astype(jnp.float32))
+        ctx = ctx.reshape(N, -1, Hv).astype(x.dtype)
+        x = x + (ctx @ lp["wo"] + lp["bo"])
+        r2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], vc.layer_norm_eps)
+        x = x + (act(r2 @ lp["w1"] + lp["b1"]) @ lp["w2"] + lp["b2"])
+        return x, None
+
+    h, _ = jax.lax.scan(body, h, params["vt_layers"])
+    return layer_norm(h, vt["post_ln_w"], vt["post_ln_b"], vc.layer_norm_eps)

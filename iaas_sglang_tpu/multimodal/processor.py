@@ -110,6 +110,18 @@ def qwen2vl_preprocess(img, image_size: int, patch: int = 14,
             (1, gh, gw))
 
 
+def gemma3_preprocess(img, image_size: int) -> np.ndarray:
+    """Gemma3/SigLIP preprocessing: plain square resize (bilinear) and
+    mean/std = 0.5 normalization (HF Gemma3ImageProcessor defaults,
+    pan-and-scan off)."""
+    from PIL import Image
+
+    img = img.resize((image_size, image_size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = (arr - 0.5) / 0.5
+    return arr.transpose(2, 0, 1)
+
+
 class MultimodalProcessor:
     """Built from ModelConfig; stateless per request."""
 
@@ -119,7 +131,16 @@ class MultimodalProcessor:
         self.model_type = model_config.model_type
         self.image_token_id = model_config.image_token_id
         self.vocab_size = model_config.vocab_size
-        if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
+        self.is_gemma3 = any(
+            a == "Gemma3ForConditionalGeneration"
+            for a in (model_config.architectures or []))
+        if self.is_gemma3:
+            # Gemma3: square resize + 0.5/0.5 normalize; the projector
+            # pools the patch grid down to mm_tokens_per_image rows
+            self.image_size = vc.get("image_size", 896)
+            self.num_image_tokens = model_config.hf_config.get(
+                "mm_tokens_per_image", 256)
+        elif self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             self.patch = vc.get("patch_size", 14)
             self.merge = vc.get("spatial_merge_size", 2)
             self.temporal = vc.get("temporal_patch_size", 2)
@@ -138,6 +159,8 @@ class MultimodalProcessor:
 
     def _prep(self, data) -> Tuple[np.ndarray, Any]:
         img = load_image(data)
+        if self.is_gemma3:
+            return gemma3_preprocess(img, self.image_size), None
         if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             return qwen2vl_preprocess(
                 img, self.image_size, self.patch, self.temporal, self.merge)

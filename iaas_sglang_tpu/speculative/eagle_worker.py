@@ -73,6 +73,11 @@ class EagleWorker:
             )
 
             self.draft = DeepseekNextNDraft(draft_cfg)
+        elif target_config.model_type == "mimo":
+            # MiMo's MTP head (reference models/mimo_mtp.py)
+            from iaas_sglang_tpu.models.mimo_mtp import MiMoMTPDraft
+
+            self.draft = MiMoMTPDraft(draft_cfg)
         else:
             self.draft = LlamaEagleDraft(draft_cfg)
         with mesh_ctx.mesh:

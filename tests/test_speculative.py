@@ -311,3 +311,58 @@ def test_nextn_weight_specs_layout():
     # stacked layer weights address hf layer 3
     st = [sp for sp in specs.values() if sp.stacked]
     assert st and all(sp.layer_offset == 3 for sp in st)
+
+
+def test_mimo_mtp_matches_plain_greedy():
+    """MiMo MTP drafting (qwen2 body, flipped concat order, position-0
+    token-embed masking): greedy parity with plain decode."""
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    hf = dict(architectures=["MiMoForCausalLM"], model_type="mimo",
+              num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+              rms_norm_eps=1e-6, rope_theta=10000.0,
+              max_position_embeddings=512, tie_word_embeddings=False,
+              num_nextn_predict_layers=1)
+
+    def mk(**kw):
+        defaults = dict(
+            model_path="dummy://mimo", load_format="dummy", dtype="float32",
+            page_size=4, max_total_tokens=512, device="cpu",
+            max_running_requests=8, max_prefill_tokens=128,
+            chunked_prefill_size=32, skip_tokenizer_init=True,
+            random_seed=0)
+        defaults.update(kw)
+        return Engine(ServerArgs(**defaults), hf_config_override=hf)
+
+    eng_spec = mk(speculative_algorithm="eagle",
+                  speculative_num_draft_tokens=3)
+    eng_plain = mk()
+    prompts = [[7, 8, 9, 10] * 3, list(range(30, 50))]
+    sp = {"max_new_tokens": 10, "temperature": 0.0}
+    outs_s = eng_spec.generate(input_ids=prompts, sampling_params=sp)
+    outs_p = eng_plain.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_s, outs_p):
+        assert a["output_ids"] == b["output_ids"]
+    # draft plumbing sanity: MTP keys resolve under model.mtp_layers.0
+    specs = eng_spec.scheduler.eagle.draft.weight_specs()
+    assert specs["input_proj"].hf_key == \
+        "model.mtp_layers.0.input_proj.weight"
+    assert specs["final_norm"].hf_key == \
+        "model.mtp_layers.0.final_layernorm.weight"
+    eng_spec.shutdown()
+    eng_plain.shutdown()
+
+
+def test_qwen2_eagle_draft_bias_specs():
+    """Qwen2-family EAGLE drafts carry qkv bias (models/qwen2_eagle.py)."""
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+    from iaas_sglang_tpu.models.llama_eagle import LlamaEagleDraft
+
+    hf = dict(architectures=["Qwen2ForCausalLM"], model_type="qwen2",
+              num_hidden_layers=1, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, intermediate_size=128, vocab_size=256)
+    cfg = ModelConfig.from_hf(hf, model_path="t", dtype="float32")
+    specs = LlamaEagleDraft(cfg).weight_specs()
+    assert "bq" in specs and specs["bq"].optional
