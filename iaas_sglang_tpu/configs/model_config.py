@@ -164,6 +164,35 @@ class ModelConfig:
                 "vision_feature_select_strategy", "default")
             mc.mm_projector_act = get("projector_hidden_act", "gelu")
             return mc
+        if get("model_type") == "clip":
+            # CLIPModel embedding serving (reference models/clip.py): text
+            # tower geometry from text_config; images are embedded by the
+            # vision tower directly (scheduler embed_image route)
+            tc = dict(hf.get("text_config") or {})
+            mc = ModelConfig(
+                model_path=model_path, hf_config=hf,
+                architectures=get("architectures") or ["CLIPModel"],
+                model_type="clip",
+                num_layers=tc.get("num_hidden_layers", 12),
+                hidden_size=tc.get("hidden_size", 512),
+                num_heads=tc.get("num_attention_heads", 8),
+                num_kv_heads=tc.get("num_attention_heads", 8),
+                head_dim=(tc.get("hidden_size", 512)
+                          // tc.get("num_attention_heads", 8)),
+                intermediate_size=tc.get("intermediate_size", 2048),
+                vocab_size=tc.get("vocab_size", 49408),
+                max_position_embeddings=tc.get(
+                    "max_position_embeddings", 77),
+                hidden_act=tc.get("hidden_act", "quick_gelu"),
+            )
+            mc.is_encoder_only = True
+            mc.pooling_type = "last"
+            mc.layer_norm_eps = tc.get("layer_norm_eps", 1e-5)
+            mc.vision_config = get("vision_config") or {}
+            mc.context_len = context_length or mc.max_position_embeddings
+            if dtype != "auto":
+                mc.dtype = dtype
+            return mc
         if get("model_type") == "gemma3" and get("text_config"):
             # Gemma3 multimodal wrapper: SigLIP tower + pooled projector
             # around the gemma3_text LM (reference models/gemma3_mm.py)

@@ -178,7 +178,7 @@ class Engine:
         results = [self._finalize(rid) for rid in rids]
         return results if was_batch else results[0]
 
-    def encode(self, prompt=None, input_ids=None):
+    def encode(self, prompt=None, input_ids=None, image_data=None):
         """Embedding API (analog of Engine.encode / EmbeddingReqInput):
         returns {"embedding": [...], "meta_info": ...} or a list."""
         import uuid as _uuid
@@ -190,16 +190,31 @@ class Engine:
             [prompt] if prompt is not None else None)
         idss = input_ids if (input_ids is not None and batch) else (
             [input_ids] if input_ids is not None else None)
-        n = len(prompts) if prompts is not None else len(idss)
+        if image_data is not None and not isinstance(image_data, list):
+            image_data = [image_data]
+        n = (len(prompts) if prompts is not None
+             else len(idss) if idss is not None else len(image_data))
         rids = []
         for i in range(n):
-            ids = idss[i] if idss is not None else self.tokenizer.encode(
-                prompts[i])
+            px = None
+            if image_data is not None and image_data[i] is not None:
+                # CLIP image embedding request
+                from iaas_sglang_tpu.multimodal.processor import (
+                    clip_preprocess, load_image)
+
+                vc = self.scheduler.model_config.vision_config or {}
+                px = clip_preprocess(load_image(image_data[i]),
+                                     vc.get("image_size", 224))
+                ids = [0]
+            elif idss is not None:
+                ids = idss[i]
+            else:
+                ids = self.tokenizer.encode(prompts[i])
             rid = _uuid.uuid4().hex
             self.scheduler.process_input(TokenizedEmbeddingReqInput(
                 rid=rid,
-                input_text=prompts[i] if prompts is not None else None,
-                input_ids=ids))
+                input_text=(prompts[i] if prompts is not None else None),
+                input_ids=ids, pixel=px))
             rids.append(rid)
         while any(r not in self._outputs for r in rids):
             if not self.scheduler.step() and not self.scheduler.has_work():

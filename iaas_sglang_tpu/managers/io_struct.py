@@ -158,6 +158,9 @@ class TokenizedEmbeddingReqInput:
     rid: str
     input_text: Optional[str]
     input_ids: List[int]
+    # CLIP image embedding: preprocessed pixels [3, S, S] (models/clip.py —
+    # an image request bypasses the text tower)
+    pixel: Optional[Any] = None
 
 
 @dataclass

@@ -285,6 +285,17 @@ class Scheduler:
             eos_token_ids=self.eos_token_ids,
         )
         req.is_embedding = True
+        if getattr(m, "pixel", None) is not None:
+            # CLIP image embedding: bypass the text tower entirely
+            # (reference models/clip.py image branch)
+            import numpy as _np
+
+            emb = self.model_runner.embed_image_vec(
+                _np.asarray(m.pixel)[None])[0]
+            req.embedding = [float(x) for x in emb]
+            req.finished_reason = FinishLength(0)
+            self._emit_embeddings([req])
+            return
         req.no_chunk = self.model_config.is_encoder_only
         if req.no_chunk and req.prompt_len > self.server_args.max_prefill_tokens:
             req.finished_reason = FinishAbort(

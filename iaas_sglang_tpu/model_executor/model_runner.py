@@ -979,6 +979,26 @@ class ModelRunner:
             (self.params, patches_j))
         return np.asarray(out)[:N]
 
+    def embed_image_vec(self, pixel_values: np.ndarray) -> np.ndarray:
+        """CLIP embedding path: [N, 3, S, S] pixels -> normalized image
+        embedding vectors np [N, proj_dim] (models/clip_embedding.py)."""
+        patches = self.model.patchify(np.asarray(pixel_values))
+        N = patches.shape[0]
+        N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
+        if N_pad != N:
+            patches = np.concatenate(
+                [patches, np.zeros((N_pad - N,) + patches.shape[1:],
+                                   patches.dtype)])
+        if not hasattr(self, "_embed_img_fn"):
+            self._embed_img_fn = jax.jit(self.model.embed_image)
+        dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
+            else jnp.float32
+        patches_j = jnp.asarray(patches, dt)
+        out = self._aot_call(
+            ("embed_image", patches_j.shape), self._embed_img_fn,
+            (self.params, patches_j))
+        return np.asarray(out)[:N]
+
     def encode_mm_items(self, items: list) -> dict:
         """Encode a batch of MMItems (cache misses only) -> {hash: rows}.
         Items are grouped by pixel shape/grid; each group is one jitted

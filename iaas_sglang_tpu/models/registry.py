@@ -145,6 +145,15 @@ for _arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
     register(_arch, _bert)
 
 
+def _clip(config):
+    from iaas_sglang_tpu.models.clip_embedding import ClipEmbeddingModel
+
+    return ClipEmbeddingModel(config)
+
+
+register("CLIPModel", _clip)
+
+
 def resolve_model_cls(config: ModelConfig):
     for arch in config.architectures:
         if arch in _REGISTRY:

@@ -60,8 +60,8 @@ class ClipVisionConfig:
         self.num_patches = self.grid * self.grid
 
 
-def clip_vision_specs(vc: ClipVisionConfig, key_prefix: str
-                      ) -> dict[str, WeightSpec]:
+def clip_vision_specs(vc: ClipVisionConfig, key_prefix: str,
+                      with_post_ln: bool = False) -> dict[str, WeightSpec]:
     """WeightSpecs of a CLIP vision tower. `key_prefix` is the HF key prefix
     up to (and incl.) 'vision_model.'; alternates separated by '|' are tried
     in order by the loader (transformers >=4.52 nests towers under 'model.')."""
@@ -85,6 +85,13 @@ def clip_vision_specs(vc: ClipVisionConfig, key_prefix: str
         "vt.pre_ln_w": WeightSpec((Hv,), (None,), k("pre_layrnorm.weight")),
         "vt.pre_ln_b": WeightSpec((Hv,), (None,), k("pre_layrnorm.bias")),
     }
+    if with_post_ln:
+        # CLS pooling (CLIP embedding serving) needs the final layernorm;
+        # llava taps layer -2 and never uses it
+        s["vt.post_ln_w"] = WeightSpec(
+            (Hv,), (None,), k("post_layernorm.weight"))
+        s["vt.post_ln_b"] = WeightSpec(
+            (Hv,), (None,), k("post_layernorm.bias"))
     per_layer = {
         "ln1_w": ("layer_norm1.weight", (Hv,), False),
         "ln1_b": ("layer_norm1.bias", (Hv,), False),
@@ -120,7 +127,8 @@ def clip_patchify(pixel_values: np.ndarray, patch: int) -> np.ndarray:
 
 
 def clip_encode(params: dict[str, Any], patches: jnp.ndarray,
-                vc: ClipVisionConfig, feature_layer: int) -> jnp.ndarray:
+                vc: ClipVisionConfig, feature_layer: int,
+                post_ln: bool = False) -> jnp.ndarray:
     """patches [N, P, 3*p*p] -> features [N, P+1, Hv] taken after encoder
     layer `feature_layer` (negative = from the end, llava's -2 skips the
     last layer; CLS kept — the caller selects)."""
@@ -158,6 +166,9 @@ def clip_encode(params: dict[str, Any], patches: jnp.ndarray,
 
     lp_all = jax.tree.map(lambda a: a[:n_run], params["vt_layers"])
     h, _ = jax.lax.scan(body, h, lp_all)
+    if post_ln:
+        h = layer_norm(h, vt["post_ln_w"], vt["post_ln_b"],
+                       vc.layer_norm_eps)
     return h
 
 

@@ -160,3 +160,108 @@ def test_http_cross_encoder_rerank(tmp_path):
         assert out[0]["score"] >= out[1]["score"]
     finally:
         kill_server(proc)
+
+
+# --------------------------------------------------------------- CLIP
+
+def tiny_clip_cfg():
+    from transformers import CLIPConfig
+
+    return CLIPConfig(
+        text_config=dict(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, vocab_size=256,
+            max_position_embeddings=77, layer_norm_eps=1e-5,
+            eos_token_id=255, hidden_act="quick_gelu"),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=14),
+        projection_dim=48)
+
+
+def _norm(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def test_clip_text_embedding_matches_hf():
+    import torch
+    from transformers import CLIPModel
+
+    torch.manual_seed(0)
+    hf = CLIPModel(tiny_clip_cfg()).eval()
+    from tests.utils import RawDriver, load_hf_weights_into, make_runner
+
+    runner, cfg, sa = make_runner(tiny_clip_cfg().to_dict())
+    assert cfg.is_encoder_only and cfg.pooling_type == "last"
+    load_hf_weights_into(runner, hf)
+    # ends with eos = the LARGEST vocab id, mirroring the real CLIP vocab
+    # (HF legacy pooling = argmax of token ids; ours = last-token)
+    ids = [5, 17, 94, 42, 255]
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+
+    driver = RawDriver(runner, sa.page_size)
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+    with torch.no_grad():
+        ref = hf.get_text_features(input_ids=torch.tensor([ids]))
+    ref = _norm(ref[0].float().numpy())
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=5e-3)
+
+
+def test_clip_image_embedding_matches_hf():
+    import torch
+    from transformers import CLIPModel
+
+    torch.manual_seed(0)
+    hf = CLIPModel(tiny_clip_cfg()).eval()
+    from tests.utils import load_hf_weights_into, make_runner
+
+    runner, cfg, sa = make_runner(tiny_clip_cfg().to_dict())
+    load_hf_weights_into(runner, hf)
+    torch.manual_seed(3)
+    pixel = torch.randn(2, 3, 28, 28)
+    ours = runner.embed_image_vec(pixel.numpy())
+    with torch.no_grad():
+        ref = hf.get_image_features(pixel_values=pixel)
+    ref = _norm(ref.float().numpy())
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=5e-3)
+
+
+def test_engine_clip_text_and_image_embeddings():
+    import base64
+    import io
+
+    from PIL import Image
+
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 255, (40, 52, 3), dtype=np.uint8), "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+
+    sa = ServerArgs(model_path="dummy://clip", load_format="dummy",
+                    dtype="float32", page_size=4, max_total_tokens=512,
+                    device="cpu", max_running_requests=8,
+                    max_prefill_tokens=128, chunked_prefill_size=32,
+                    skip_tokenizer_init=True, random_seed=0)
+    eng = Engine(sa, hf_config_override=tiny_clip_cfg().to_dict())
+    t = eng.encode(input_ids=[[5, 17, 94, 2]])
+    assert len(t) == 1 and len(t[0]["embedding"]) == 48
+    assert abs(np.linalg.norm(t[0]["embedding"]) - 1.0) < 1e-4
+    im = eng.encode(input_ids=[[0]], image_data=[b64])
+    assert len(im[0]["embedding"]) == 48
+    assert abs(np.linalg.norm(im[0]["embedding"]) - 1.0) < 1e-4
+    eng.shutdown()
