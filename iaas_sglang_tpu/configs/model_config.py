@@ -94,6 +94,7 @@ class ModelConfig:
     mrope_section: Optional[list[int]] = None
     # sequence classification / reward head (LlamaForSequenceClassification)
     num_labels: int = 0
+    reward_head_2layer: bool = False  # Qwen2ForRewardModel Linear+ReLU+Linear
     # encoder-only embedding model (BERT family): bidirectional attention,
     # prefill-only serving; pooling: cls | mean | last
     is_encoder_only: bool = False
@@ -735,7 +736,13 @@ class ModelConfig:
             mc.tie_word_embeddings = get("tie_word_embeddings", False)
         if any(a.endswith("ForSequenceClassification")
                for a in mc.architectures):
-            mc.num_labels = get("num_labels", 2) or 2
+            # HF configs often carry the label count only via id2label
+            mc.num_labels = (get("num_labels")
+                             or len(get("id2label") or {}) or 2)
+        if "Qwen2ForRewardModel" in mc.architectures:
+            # 2-layer gated reward head (reference models/qwen2_rm.py)
+            mc.num_labels = get("num_labels", 1) or 1
+            mc.reward_head_2layer = True
         if "InternLM2ForRewardModel" in mc.architectures:
             # v_head scalar reward (reference models/internlm2_reward.py)
             mc.num_labels = 1

@@ -554,7 +554,16 @@ class LlamaFamilyForCausalLM:
             s["layers.k_norm"] = WeightSpec(
                 (Nk * D,), ("tp",), lpre + "self_attn.k_norm.weight",
                 stacked=True)
-        if c.num_labels:
+        if c.num_labels and c.reward_head_2layer:
+            # Qwen2ForRewardModel: Linear(H,H) + ReLU + Linear(H,labels)
+            s["score_w0"] = WeightSpec((H, H), (None, None),
+                                       "score.0.weight", transpose=True)
+            s["score_b0"] = WeightSpec((H,), (None,), "score.0.bias")
+            s["score_w2"] = WeightSpec((H, c.num_labels), (None, None),
+                                       "score.2.weight", transpose=True)
+            s["score_b2"] = WeightSpec((c.num_labels,), (None,),
+                                       "score.2.bias")
+        elif c.num_labels:
             # sequence classification / reward head (reference
             # models/llama_classification.py / llama_reward.py): scores
             # replace the LM head for pooled requests
@@ -587,6 +596,13 @@ class LlamaFamilyForCausalLM:
         """Embedding-request output per sequence: classification/reward
         scores when the model has a score head, else the raw hidden state
         (reference layers/pooler.py last-token pooling)."""
+        if self.config.num_labels and self.config.reward_head_2layer:
+            x = (last_h.astype(jnp.float32)
+                 @ params["score_w0"].astype(jnp.float32)
+                 + params["score_b0"])
+            x = jax.nn.relu(x)
+            return (x @ params["score_w2"].astype(jnp.float32)
+                    + params["score_b2"])
         if self.config.num_labels:
             return (last_h.astype(jnp.float32)
                     @ params["score"].astype(jnp.float32))

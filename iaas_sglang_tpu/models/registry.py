@@ -130,6 +130,8 @@ for _arch in (
     "Qwen2ForSequenceClassification",
     "Qwen3ForSequenceClassification",
     "MistralForSequenceClassification",
+    "Gemma2ForSequenceClassification",  # models/gemma2_reward.py
+    "Qwen2ForRewardModel",              # models/qwen2_rm.py (2-layer head)
 ):
     register(_arch, LlamaFamilyForCausalLM)
 

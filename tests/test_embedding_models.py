@@ -265,3 +265,104 @@ def test_engine_clip_text_and_image_embeddings():
     assert len(im[0]["embedding"]) == 48
     assert abs(np.linalg.norm(im[0]["embedding"]) - 1.0) < 1e-4
     eng.shutdown()
+
+
+def test_gemma2_sequence_classification_matches_hf():
+    import torch
+    import transformers
+    from transformers import AutoModelForSequenceClassification
+
+    cfg = transformers.Gemma2Config(
+        num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, intermediate_size=128,
+        vocab_size=256, max_position_embeddings=512, rms_norm_eps=1e-6,
+        query_pre_attn_scalar=16, sliding_window=8, num_labels=3,
+        attn_logit_softcapping=None, final_logit_softcapping=None,
+        pad_token_id=0)
+    cfg._attn_implementation = "eager"
+    cfg.architectures = ["Gemma2ForSequenceClassification"]
+    torch.manual_seed(0)
+    hf = AutoModelForSequenceClassification.from_config(cfg).eval()
+
+    hf_dict = cfg.to_dict()
+    hf_dict["architectures"] = ["Gemma2ForSequenceClassification"]
+    runner, mc, sa = make_runner(hf_dict)
+    assert mc.num_labels == 3
+    load_hf_weights_into(runner, hf)
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+    import torch as _t
+
+    with _t.no_grad():
+        ref = hf(input_ids=_t.tensor([ids])).logits[0].float().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_qwen2_reward_two_layer_head():
+    """Qwen2ForRewardModel: Linear+ReLU+Linear score head over the
+    last-token hidden (reference models/qwen2_rm.py)."""
+    import torch
+    import transformers
+    from transformers import AutoModelForCausalLM
+
+    cfg = transformers.Qwen2Config(
+        num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=512, rms_norm_eps=1e-6,
+        tie_word_embeddings=False)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    base = AutoModelForCausalLM.from_config(cfg).eval()
+    sd = dict(base.state_dict())
+    torch.manual_seed(1)
+    w0, b0 = torch.randn(64, 64) * 0.1, torch.randn(64) * 0.1
+    w2, b2 = torch.randn(1, 64) * 0.1, torch.randn(1) * 0.1
+    sd.update({"score.0.weight": w0, "score.0.bias": b0,
+               "score.2.weight": w2, "score.2.bias": b2})
+
+    hf_dict = cfg.to_dict()
+    hf_dict["architectures"] = ["Qwen2ForRewardModel"]
+    runner, mc, sa = make_runner(hf_dict)
+    assert mc.num_labels == 1 and mc.reward_head_2layer
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, mc, runner.mesh_ctx, sd)
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+    import torch as _t
+
+    with _t.no_grad():
+        h = base.model(input_ids=_t.tensor([ids])).last_hidden_state[0, -1]
+        ref = (_t.relu(h @ w0.T + b0) @ w2.T + b2).float().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
