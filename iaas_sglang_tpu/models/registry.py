@@ -92,6 +92,23 @@ def _llava(config):
 register("LlavaForConditionalGeneration", _llava)
 
 
+def _yivl(config):
+    from iaas_sglang_tpu.models.llava import YiVLForCausalLM
+
+    return YiVLForCausalLM(config)
+
+
+def _llavavid(config):
+    from iaas_sglang_tpu.models.llava import LlavaVidForCausalLM
+
+    return LlavaVidForCausalLM(config)
+
+
+register("YiVLForCausalLM", _yivl)
+register("LlavaVidForCausalLM", _llavavid)
+register("LlavaLlamaForCausalLM", _llava)   # legacy llava arch string
+
+
 def _gemma3_mm(config):
     from iaas_sglang_tpu.models.gemma3_mm import (
         Gemma3MMForConditionalGeneration,

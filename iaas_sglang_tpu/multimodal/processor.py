@@ -131,6 +131,7 @@ class MultimodalProcessor:
         self.model_type = model_config.model_type
         self.image_token_id = model_config.image_token_id
         self.vocab_size = model_config.vocab_size
+        self.is_video = False
         self.is_gemma3 = any(
             a == "Gemma3ForConditionalGeneration"
             for a in (model_config.architectures or []))
@@ -149,6 +150,17 @@ class MultimodalProcessor:
             self.image_size = vc.get("serving_image_size", 448)
             self.num_image_tokens = (self.image_size // self.patch) ** 2 \
                 // self.merge ** 2
+        elif any(a == "LlavaVidForCausalLM"
+                 for a in (model_config.architectures or [])):
+            # video: num_frames pooled frames per placeholder
+            self.is_video = True
+            self.image_size = vc.get("image_size", 336)
+            patch = vc.get("patch_size", 14)
+            hf = model_config.hf_config
+            self.num_frames = hf.get("num_frames", 16)
+            stride = hf.get("mm_spatial_pool_stride", 2)
+            g = self.image_size // patch // stride
+            self.num_image_tokens = self.num_frames * g * g
         else:
             self.image_size = vc.get("image_size", 336)
             patch = vc.get("patch_size", 14)
@@ -158,6 +170,15 @@ class MultimodalProcessor:
             self.num_image_tokens = n
 
     def _prep(self, data) -> Tuple[np.ndarray, Any]:
+        if getattr(self, "is_video", False):
+            # a video arrives as a LIST of frame payloads; pad by repeating
+            # the last frame / trim to num_frames (static tower shapes)
+            frames = data if isinstance(data, (list, tuple)) else [data]
+            px = [clip_preprocess(load_image(f), self.image_size)
+                  for f in frames][:self.num_frames]
+            while len(px) < self.num_frames:
+                px.append(px[-1])
+            return np.stack(px), None
         img = load_image(data)
         if self.is_gemma3:
             return gemma3_preprocess(img, self.image_size), None
@@ -172,8 +193,17 @@ class MultimodalProcessor:
         image or a list (one per placeholder, in order)."""
         if image_data is None:
             return list(input_ids), []
-        images = image_data if isinstance(image_data, (list, tuple)) \
-            else [image_data]
+        if getattr(self, "is_video", False):
+            # one video = a LIST of frames; accept one video or a list of
+            # videos (list of lists)
+            if (isinstance(image_data, (list, tuple)) and image_data
+                    and not isinstance(image_data[0], (list, tuple))):
+                images = [image_data]
+            else:
+                images = list(image_data)
+        else:
+            images = image_data if isinstance(image_data, (list, tuple)) \
+                else [image_data]
         prepped = [self._prep(d) for d in images]
 
         def make_item(offset: int) -> Tuple[MMItem, List[int]]:

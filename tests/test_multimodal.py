@@ -199,3 +199,96 @@ def test_engine_vlm_no_placeholder_prepends_image():
     # prompt grew by the image span
     assert out["meta_info"]["prompt_tokens"] == 3 + N_IMG_TOKENS
     eng.shutdown()
+
+
+# --------------------------------------------------- LLaVA variants (wave 4)
+
+
+def test_yivl_projector_matches_torch():
+    """Yi-VL layernormed projector (reference models/yivl.py
+    YiVLMultiModalProjector) vs a torch reference on the same weights."""
+    import torch
+
+    hf = build_hf_llava()
+    cfg_dict = tiny_llava_cfg().to_dict()
+    cfg_dict["architectures"] = ["YiVLForCausalLM"]
+    runner, mc, sa = make_runner(cfg_dict)
+    sd = dict(hf.state_dict())
+    mmp = ("model.multi_modal_projector."
+           if "model.multi_modal_projector.linear_1.weight" in sd
+           else "multi_modal_projector.")
+    torch.manual_seed(5)
+    Hl = 64
+    extra = {
+        mmp + "ln_1.weight": torch.randn(Hl) * 0.1 + 1,
+        mmp + "ln_1.bias": torch.randn(Hl) * 0.1,
+        mmp + "ln_2.weight": torch.randn(Hl) * 0.1 + 1,
+        mmp + "ln_2.bias": torch.randn(Hl) * 0.1,
+    }
+    sd.update(extra)
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, mc, runner.mesh_ctx, sd)
+    torch.manual_seed(7)
+    pixel = torch.randn(1, 3, 28, 28)
+    ours = runner.encode_images(pixel.numpy())   # [1, 4, H]
+
+    with torch.no_grad():
+        feats = hf.vision_tower(pixel, output_hidden_states=True)
+        f = feats.hidden_states[-2][:, 1:]       # feature layer -2, drop CLS
+        x = f @ sd[mmp + "linear_1.weight"].T + sd[mmp + "linear_1.bias"]
+        x = torch.nn.functional.layer_norm(
+            x, (Hl,), extra[mmp + "ln_1.weight"], extra[mmp + "ln_1.bias"])
+        x = torch.nn.functional.gelu(x)
+        x = x @ sd[mmp + "linear_2.weight"].T + sd[mmp + "linear_2.bias"]
+        ref = torch.nn.functional.layer_norm(
+            x, (Hl,), extra[mmp + "ln_2.weight"], extra[mmp + "ln_2.bias"])
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), ref[0].reshape(1, 4, -1).numpy(),
+        rtol=2e-3, atol=5e-3)
+
+
+def test_llavavid_video_serving():
+    """LLaVA-video end-to-end: a list of frames through the Engine,
+    deterministic tokens, pooled token count num_frames*(g/stride)^2."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    def frame_b64(seed):
+        rng = np.random.default_rng(seed)
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            buf, format="PNG")
+        return ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    hf = tiny_llava_cfg().to_dict()
+    hf["architectures"] = ["LlavaVidForCausalLM"]
+    hf["num_frames"] = 4
+    hf["mm_spatial_pool_stride"] = 2
+    sa = ServerArgs(model_path="dummy://lvid", load_format="dummy",
+                    dtype="float32", page_size=4, max_total_tokens=512,
+                    device="cpu", max_running_requests=8,
+                    max_prefill_tokens=128, chunked_prefill_size=64,
+                    skip_tokenizer_init=True, random_seed=0)
+    eng = Engine(sa, hf_config_override=hf)
+    # grid 2, stride 2 -> 1 token/frame, 4 frames -> span of 4
+    video = [frame_b64(i) for i in range(3)]    # padded to 4 frames
+    prompt = [3, 17, 255, 94, 201]
+    sp = {"max_new_tokens": 5, "temperature": 0.0}
+    o1 = eng.generate(input_ids=[prompt], sampling_params=sp,
+                      image_data=[video])
+    o2 = eng.generate(input_ids=[prompt], sampling_params=sp,
+                      image_data=[video])
+    assert o1[0]["output_ids"] == o2[0]["output_ids"]
+    assert o1[0]["meta_info"]["prompt_tokens"] == len(prompt) - 1 + 4
+    eng.shutdown()
