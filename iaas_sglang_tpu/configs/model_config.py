@@ -95,6 +95,13 @@ class ModelConfig:
     # sequence classification / reward head (LlamaForSequenceClassification)
     num_labels: int = 0
     reward_head_2layer: bool = False  # Qwen2ForRewardModel Linear+ReLU+Linear
+    # decoder-as-embedding-model (LlamaEmbeddingModel): L2-normalize pooled
+    normalize_pooled: bool = False
+    # override the checkpoint key of the classification score head
+    classification_head_key: Optional[str] = None
+    # encoder classification head style: "cls" (BERT pooler+classifier) |
+    # "roberta_head" (dense+tanh+out_proj over CLS)
+    classifier_pooling: str = "cls"
     # encoder-only embedding model (BERT family): bidirectional attention,
     # prefill-only serving; pooling: cls | mean | last
     is_encoder_only: bool = False
@@ -147,10 +154,20 @@ class ModelConfig:
                 context_length: Optional[int] = None,
                 dtype: str = "auto") -> "ModelConfig":
         get = hf.get
-        if get("model_type") in ("llava",):
+        if get("model_type") in ("llava", "llava_mistral", "llava_qwen",
+                                 "llava_llama"):
             # VLM wrapper config: LM geometry lives in text_config; the
-            # outer config carries the vision tower + token plumbing
+            # outer config carries the vision tower + token plumbing.
+            # Legacy (liuhaotian-style) checkpoints are FLAT: LM fields at
+            # top level (model_type llava_mistral/llava_qwen for mistral /
+            # qwen2 bodies) plus mm_* keys; the tower is CLIP-L/14-336.
             inner = dict(hf.get("text_config") or {})
+            if not inner:
+                inner = {k: v for k, v in hf.items()
+                         if k not in ("architectures", "model_type")}
+                inner["model_type"] = {
+                    "llava_mistral": "mistral", "llava_qwen": "qwen2",
+                }.get(get("model_type"), "llama")
             mc = ModelConfig.from_hf(inner, model_path=model_path,
                                      context_length=context_length,
                                      dtype=dtype)
@@ -638,7 +655,7 @@ class ModelConfig:
         if mc.model_type == "olmoe":
             mc.qk_norm_full = True
             mc.norm_topk_prob = get("norm_topk_prob", False)
-        if mc.model_type in ("cohere", "commandr"):
+        if mc.model_type in ("cohere", "commandr", "cohere2"):
             mc.norm_type = "layernorm"   # no-bias mean-centering LayerNorm
             mc.norm_bias = False
             mc.rms_norm_eps = get("layer_norm_eps", 1e-5)
@@ -648,6 +665,19 @@ class ModelConfig:
             mc.tie_word_embeddings = get("tie_word_embeddings", True)
             if get("use_qk_norm"):
                 raise NotImplementedError("cohere use_qk_norm not supported")
+            if mc.model_type == "cohere2":
+                # Command R7B (reference models/commandr.py Cohere2): every
+                # sliding_window_pattern-th layer is global attention with
+                # NO rope; the others are rope + sliding-window
+                pat = get("sliding_window_pattern", 4) or 4
+                lt = get("layer_types")
+                if lt:
+                    sw = [t == "sliding_attention" for t in lt]
+                else:
+                    sw = [(i + 1) % pat != 0 for i in range(mc.num_layers)]
+                if any(sw) and mc.sliding_window:
+                    mc.sliding_window_pattern = sw
+                    mc.rope_layers = list(sw)
         if mc.model_type == "granite":
             mc.embed_multiplier = get("embedding_multiplier", 1.0)
             mc.residual_multiplier = get("residual_multiplier", 1.0)
@@ -734,11 +764,22 @@ class ModelConfig:
             mc.norm_topk_prob = bool(
                 ffn_cfg.get("moe_normalize_expert_weights", 1))
             mc.tie_word_embeddings = get("tie_word_embeddings", False)
+        if any(a in ("LlamaEmbeddingModel", "MistralModel")
+               for a in mc.architectures):
+            # decoder used as embedding model (e5-mistral etc., reference
+            # models/llama_embedding.py): last-token pooling, L2-normalized
+            mc.normalize_pooled = True
         if any(a.endswith("ForSequenceClassification")
+               or a in ("LlamaForClassification",
+                        "LlamaForSequenceClassificationWithNormal_Weights")
                for a in mc.architectures):
             # HF configs often carry the label count only via id2label
             mc.num_labels = (get("num_labels")
                              or len(get("id2label") or {}) or 2)
+            if "LlamaForClassification" in mc.architectures:
+                # reference models/llama_classification.py stores the head
+                # as classification_head.weight
+                mc.classification_head_key = "classification_head.weight"
         if "Qwen2ForRewardModel" in mc.architectures:
             # 2-layer gated reward head (reference models/qwen2_rm.py)
             mc.num_labels = get("num_labels", 1) or 1
@@ -755,6 +796,19 @@ class ModelConfig:
             mc.hidden_act = get("hidden_act", "gelu")
             mc.pooling_type = get("pooling_type", "cls")
             mc.rms_norm_eps = get("layer_norm_eps", 1e-12)
+            if "Contriever" in mc.architectures:
+                # facebook/contriever (reference models/llama_embedding.py
+                # sibling): BERT body with mean pooling
+                mc.pooling_type = "mean"
+            if any(a.endswith("ForSequenceClassification")
+                   for a in mc.architectures):
+                # cross-encoder reranker (reference models/bert.py /
+                # roberta.py classification): scores instead of embeddings
+                mc.num_labels = (get("num_labels")
+                                 or len(get("id2label") or {}) or 2)
+                mc.classifier_pooling = get("classifier_pooling",
+                                            "cls" if mc.model_type == "bert"
+                                            else "roberta_head")
         qc = get("quantization_config") or {}
         if qc.get("quant_method") in ("awq", "gptq"):
             if qc.get("bits", 4) != 4:

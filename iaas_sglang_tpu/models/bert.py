@@ -40,19 +40,27 @@ class BertEmbeddingModel:
         c = self.config
         H, I, V = c.hidden_size, c.intermediate_size, c.vocab_size
         L = c.num_layers
+
+        # classification checkpoints nest the body under "bert."/"roberta."
+        # (BertForSequenceClassification etc.); embedding ones are bare
+        def alts(key: str) -> str:
+            return "|".join((key, "bert." + key, "roberta." + key))
+
         lk = "encoder.layer.{l}."
         s: dict[str, WeightSpec] = {
             "embed": WeightSpec(
-                (V, H), (None, None), "embeddings.word_embeddings.weight"),
+                (V, H), (None, None),
+                alts("embeddings.word_embeddings.weight")),
             "pos_embed": WeightSpec(
                 (c.max_position_embeddings, H), (None, None),
-                "embeddings.position_embeddings.weight"),
+                alts("embeddings.position_embeddings.weight")),
             "type_embed": WeightSpec(
                 (c.type_vocab_size, H), (None, None),
-                "embeddings.token_type_embeddings.weight"),
+                alts("embeddings.token_type_embeddings.weight")),
             "emb_ln_w": WeightSpec((H,), (None,),
-                                   "embeddings.LayerNorm.weight"),
-            "emb_ln_b": WeightSpec((H,), (None,), "embeddings.LayerNorm.bias"),
+                                   alts("embeddings.LayerNorm.weight")),
+            "emb_ln_b": WeightSpec((H,), (None,),
+                                   alts("embeddings.LayerNorm.bias")),
         }
         per_layer = {
             "wq": (lk + "attention.self.query.weight", (H, H), True),
@@ -74,8 +82,35 @@ class BertEmbeddingModel:
         }
         for name, (key, shape, tr) in per_layer.items():
             s[f"layers.{name}"] = WeightSpec(
-                shape, tuple(None for _ in shape), key,
+                shape, tuple(None for _ in shape), alts(key),
                 transpose=tr, stacked=True, num_stack=L)
+        if c.num_labels:
+            # cross-encoder classification head (reference models/bert.py
+            # BertForSequenceClassification / roberta.py
+            # XLMRobertaForSequenceClassification)
+            nl = c.num_labels
+            if c.classifier_pooling == "roberta_head":
+                s["cls_dense_w"] = WeightSpec(
+                    (H, H), (None, None), "classifier.dense.weight",
+                    transpose=True)
+                s["cls_dense_b"] = WeightSpec(
+                    (H,), (None,), "classifier.dense.bias")
+                s["cls_out_w"] = WeightSpec(
+                    (H, nl), (None, None), "classifier.out_proj.weight",
+                    transpose=True)
+                s["cls_out_b"] = WeightSpec(
+                    (nl,), (None,), "classifier.out_proj.bias")
+            else:
+                s["pool_w"] = WeightSpec(
+                    (H, H), (None, None), alts("pooler.dense.weight"),
+                    transpose=True)
+                s["pool_b"] = WeightSpec(
+                    (H,), (None,), alts("pooler.dense.bias"))
+                s["cls_out_w"] = WeightSpec(
+                    (H, nl), (None, None), "classifier.weight",
+                    transpose=True)
+                s["cls_out_b"] = WeightSpec(
+                    (nl,), (None,), "classifier.bias")
         return s
 
     # ------------------------------------------------------------- forward
@@ -130,7 +165,11 @@ class BertEmbeddingModel:
         # pool per sequence and plant the result at each last-token row
         # (the runner's standard last-token gather then returns it)
         last_idx = jnp.maximum(fb.cu_q_lens[1:] - 1, 0)      # [Bmax]
-        if c.pooling_type == "mean":
+        if c.num_labels:
+            # cross-encoder classification: always CLS (HF Bert/Roberta
+            # ForSequenceClassification); head applied in pooled_output
+            pooled = h[fb.cu_q_lens[:-1]].astype(jnp.float32)
+        elif c.pooling_type == "mean":
             hf = h.astype(jnp.float32) * valid[:, None]
             sums = jax.ops.segment_sum(hf, seg, num_segments=Bmax + 1)[:Bmax]
             lens = jnp.maximum(
@@ -140,8 +179,9 @@ class BertEmbeddingModel:
             pooled = h[last_idx].astype(jnp.float32)
         else:  # cls
             pooled = h[fb.cu_q_lens[:-1]].astype(jnp.float32)
-        pooled = pooled / jnp.maximum(
-            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
+        if not c.num_labels:
+            pooled = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
         # padded rows share last_idx = T_real-1 (cu stops there) and would
         # clobber the final real sequence's row — send them OOB instead
         row_valid = jnp.arange(Bmax) < fb.num_seqs
@@ -150,7 +190,22 @@ class BertEmbeddingModel:
         return h, kv_pages
 
     def pooled_output(self, params, last_h):
-        return last_h.astype(jnp.float32)
+        c = self.config
+        x = last_h.astype(jnp.float32)
+        if not c.num_labels:
+            return x
+        if c.classifier_pooling == "roberta_head":
+            # XLMRobertaForSequenceClassification head: dense->tanh->out
+            x = jnp.tanh(x @ params["cls_dense_w"].astype(jnp.float32)
+                         + params["cls_dense_b"])
+            return (x @ params["cls_out_w"].astype(jnp.float32)
+                    + params["cls_out_b"])
+        # BertForSequenceClassification: pooler (tanh dense) + classifier
+        if "pool_w" in params:
+            x = jnp.tanh(x @ params["pool_w"].astype(jnp.float32)
+                         + params["pool_b"])
+        return (x @ params["cls_out_w"].astype(jnp.float32)
+                + params["cls_out_b"])
 
     def compute_logits(self, params, hidden):
         # encoder-only: no LM head; the sampler sees a single dummy logit

@@ -569,7 +569,8 @@ class LlamaFamilyForCausalLM:
             # replace the LM head for pooled requests
             s["score"] = WeightSpec(
                 (H, c.num_labels), (None, None),
-                "v_head.weight" if ilm2 else "score.weight",
+                c.classification_head_key
+                or ("v_head.weight" if ilm2 else "score.weight"),
                 transpose=True)
         if not c.tie_word_embeddings and not c.num_labels:
             # *ForSequenceClassification checkpoints ship no lm_head
@@ -606,7 +607,13 @@ class LlamaFamilyForCausalLM:
         if self.config.num_labels:
             return (last_h.astype(jnp.float32)
                     @ params["score"].astype(jnp.float32))
-        return last_h.astype(jnp.float32)
+        x = last_h.astype(jnp.float32)
+        if self.config.normalize_pooled:
+            # LlamaEmbeddingModel / MistralModel (reference
+            # models/llama_embedding.py): Pooler(LAST, normalize=True)
+            x = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+        return x
 
     # ------------------------------------------------------------- forward
 

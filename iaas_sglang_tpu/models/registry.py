@@ -75,6 +75,19 @@ for _arch in (
     #   at dense width + ungated shared experts)
     "HunYuanMoEV1ForCausalLM",    # models/hunyuan.py (post-rope qk norm,
     "HunYuanDenseV1ForCausalLM",  #   shared_mlp mixed MoE)
+    "Cohere2ForCausalLM",         # models/commandr.py Command R7B (hybrid
+    #   SWA layers with NoPE globals via cohere2 config flags)
+    "InternLM3ForCausalLM",       # models/llama.py:719 — llama semantics
+    "QuantMixtralForCausalLM",    # models/mixtral_quant.py — same weights
+    "LlamaEmbeddingModel",        # models/llama_embedding.py (e5-mistral
+    "MistralModel",               #   style: LAST pooling, normalized)
+    "LlamaForClassification",     # models/llama_classification.py aliases
+    "LlamaForSequenceClassificationWithNormal_Weights",
+    # torch-native TP demos (models/torch_native_llama.py): identical
+    # weights/semantics to the plain archs — the torch-TP mechanism they
+    # demo is replaced by GSPMD here
+    "TorchNativeLlamaForCausalLM",
+    "TorchNativePhi3ForCausalLM",
 ):
     register(_arch, LlamaFamilyForCausalLM)
 
@@ -106,7 +119,9 @@ def _llavavid(config):
 
 register("YiVLForCausalLM", _yivl)
 register("LlavaVidForCausalLM", _llavavid)
-register("LlavaLlamaForCausalLM", _llava)   # legacy llava arch string
+register("LlavaLlamaForCausalLM", _llava)    # legacy llava arch strings
+register("LlavaMistralForCausalLM", _llava)  # (mistral / qwen2 LM bodies
+register("LlavaQwenForCausalLM", _llava)     #  via text_config.model_type)
 
 
 def _gemma3_mm(config):
@@ -160,7 +175,10 @@ def _bert(config):
 
 
 for _arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
-              "XLMRobertaModel"):
+              "XLMRobertaModel",
+              "Contriever",                       # mean-pooled BERT
+              "BertForSequenceClassification",    # cross-encoder rerankers
+              "XLMRobertaForSequenceClassification"):
     register(_arch, _bert)
 
 
@@ -171,6 +189,52 @@ def _clip(config):
 
 
 register("CLIPModel", _clip)
+
+
+# speculative draft architectures (loadable only as --speculative-draft
+# models; the EAGLE worker instantiates them — reference models/llama_eagle.py,
+# qwen2_eagle.py, mimo_mtp.py, deepseek_nextn.py)
+def _eagle_draft(config):
+    from iaas_sglang_tpu.models.llama_eagle import LlamaEagleDraft
+
+    return LlamaEagleDraft(config)
+
+
+def _mimo_mtp(config):
+    from iaas_sglang_tpu.models.mimo_mtp import MiMoMTPDraft
+
+    return MiMoMTPDraft(config)
+
+
+def _nextn(config):
+    from iaas_sglang_tpu.models.deepseek_nextn import DeepseekNextNDraft
+
+    return DeepseekNextNDraft(config)
+
+
+for _arch in ("LlamaForCausalLMEagle", "LlamaForCausalLMEagle3",
+              "Qwen2ForCausalLMEagle"):
+    register(_arch, _eagle_draft)
+register("MiMoMTP", _mimo_mtp)
+register("DeepseekV3ForCausalLMNextN", _nextn)
+
+
+def _transformers_fallback(config):
+    # reference models/transformers.py serves unknown archs through HF
+    # modeling code on GPU; the TPU analog is a best-effort mapping onto
+    # the functional decoder for llama-shaped configs (standard q/k/v/o +
+    # gate/up/down keys). Anything structurally different fails at weight
+    # load with a missing-key error rather than silently mis-serving.
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "arch %s not in the registry; attempting the generic llama-layout "
+        "fallback (TransformersForCausalLM analog)",
+        config.architectures)
+    return LlamaFamilyForCausalLM(config)
+
+
+register("TransformersForCausalLM", _transformers_fallback)
 
 
 def resolve_model_cls(config: ModelConfig):

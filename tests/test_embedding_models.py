@@ -366,3 +366,175 @@ def test_qwen2_reward_two_layer_head():
         h = base.model(input_ids=_t.tensor([ids])).last_hidden_state[0, -1]
         ref = (_t.relu(h @ w0.T + b0) @ w2.T + b2).float().numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+# ------------------------------------------------- cross-encoder heads
+
+
+def test_bert_sequence_classification_matches_hf():
+    """BertForSequenceClassification (reference models/bert.py cross-encoder
+    rerankers): bert.-prefixed body keys + pooler + classifier."""
+    import torch
+    from transformers import BertConfig, BertForSequenceClassification
+
+    torch.manual_seed(0)
+    cfg = BertConfig(**{k: v for k, v in TINY_BERT.items()
+                        if k != "architectures"}, num_labels=1)
+    hf = BertForSequenceClassification(cfg).eval()
+
+    hf_dict = dict(TINY_BERT, architectures=["BertForSequenceClassification"],
+                   num_labels=1)
+    runner, mc, sa = make_runner(hf_dict)
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, runner.model_config, runner.mesh_ctx, hf.state_dict())
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5, 77, 9]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_xlmr_sequence_classification_matches_hf():
+    """XLMRobertaForSequenceClassification (bge-reranker style): roberta
+    classification head (dense->tanh->out_proj over CLS) + position offset."""
+    import torch
+    from transformers import (XLMRobertaConfig,
+                              XLMRobertaForSequenceClassification)
+
+    torch.manual_seed(0)
+    geom = {k: v for k, v in TINY_BERT.items()
+            if k not in ("architectures", "pad_token_id")}
+    cfg = XLMRobertaConfig(**geom, num_labels=1, pad_token_id=1)
+    hf = XLMRobertaForSequenceClassification(cfg).eval()
+
+    hf_dict = dict(TINY_BERT, model_type="xlm-roberta", pad_token_id=1,
+                   architectures=["XLMRobertaForSequenceClassification"],
+                   num_labels=1)
+    runner, mc, sa = make_runner(hf_dict)
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, runner.model_config, runner.mesh_ctx, hf.state_dict())
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_contriever_mean_pooling_matches_hf():
+    """Contriever = BERT body + mean pooling (reference models/bert.py)."""
+    import torch
+
+    hf = _hf_bert()
+    hf_dict = dict(TINY_BERT, architectures=["Contriever"])
+    runner, mc, sa = make_runner(hf_dict)
+    assert mc.pooling_type == "mean"
+    load_hf_weights_into(runner, hf)
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5, 77, 9]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+
+    with torch.no_grad():
+        out = hf(torch.tensor([ids])).last_hidden_state[0].float().numpy()
+    ref = out.mean(axis=0)
+    ref = ref / np.linalg.norm(ref)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_llama_embedding_model_normalized():
+    """LlamaEmbeddingModel/MistralModel (reference models/llama_embedding.py):
+    causal LM body, LAST pooling, L2-normalized."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    geom = dict(num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+                num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+                max_position_embeddings=512, rms_norm_eps=1e-6,
+                rope_theta=10000.0)
+    torch.manual_seed(0)
+    cfg = LlamaConfig(**geom)
+    cfg._attn_implementation = "eager"
+    hf = LlamaModel(cfg).eval()
+
+    hf_dict = dict(geom, architectures=["LlamaEmbeddingModel"],
+                   model_type="llama", tie_word_embeddings=True)
+    runner, mc, sa = make_runner(hf_dict)
+    assert mc.normalize_pooled
+    sd = {"model." + k: v for k, v in hf.state_dict().items()}
+    from iaas_sglang_tpu.model_loader.loader import (
+        load_params_from_state_dict,
+    )
+
+    runner.params = load_params_from_state_dict(
+        runner.model, runner.model_config, runner.mesh_ctx, sd)
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+    from tests.utils import RawDriver
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = [3, 17, 94, 201, 5]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).last_hidden_state[0, -1].float().numpy()
+    ref = ref / np.linalg.norm(ref)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)

@@ -395,3 +395,64 @@ def test_minicpm3_mla_smoke():
     # decode path determinism (prefill+decode consistency)
     b = driver.generate_greedy(PROMPT, 8)
     assert a == b
+
+
+def test_registry_resolves_alias_archs():
+    """Every reference-registered architecture alias resolves (SURVEY §2.11
+    coverage: classification aliases, embedding models, draft models,
+    torch-native demos, generic fallback)."""
+    from iaas_sglang_tpu.models.registry import _REGISTRY
+
+    for arch in [
+        "Cohere2ForCausalLM", "InternLM3ForCausalLM",
+        "QuantMixtralForCausalLM", "LlamaEmbeddingModel", "MistralModel",
+        "LlamaForClassification",
+        "LlamaForSequenceClassificationWithNormal_Weights",
+        "TorchNativeLlamaForCausalLM", "TorchNativePhi3ForCausalLM",
+        "LlamaForCausalLMEagle", "LlamaForCausalLMEagle3",
+        "Qwen2ForCausalLMEagle", "MiMoMTP", "DeepseekV3ForCausalLMNextN",
+        "TransformersForCausalLM", "Contriever",
+        "BertForSequenceClassification",
+        "XLMRobertaForSequenceClassification",
+        "LlavaMistralForCausalLM", "LlavaQwenForCausalLM",
+    ]:
+        assert arch in _REGISTRY, arch
+
+
+def test_llama_for_classification_head_key():
+    """LlamaForClassification stores its head as classification_head.weight
+    (reference models/llama_classification.py:43)."""
+    import torch
+
+    oracle = _llama_oracle(kv_heads=2)
+    sd = {k: v for k, v in oracle.state_dict().items()
+          if k != "lm_head.weight"}
+    torch.manual_seed(7)
+    sd["classification_head.weight"] = torch.randn(3, 64)
+    hf_dict = dict(GEOM, architectures=["LlamaForClassification"],
+                   model_type="llama", num_key_value_heads=2,
+                   rms_norm_eps=1e-6, hidden_act="silu", rope_theta=10000.0,
+                   tie_word_embeddings=True, num_labels=3)
+    runner, cfg, sa = make_runner(hf_dict)
+    _load_repacked(runner, sd)
+
+    from iaas_sglang_tpu.mem_cache.allocator import slots_for_tokens
+    from iaas_sglang_tpu.model_executor.forward_batch import ForwardMode
+
+    driver = RawDriver(runner, sa.page_size)
+    ids = PROMPT[:5]
+    T = len(ids)
+    pages = driver.alloc.alloc(-(-T // driver.ps))
+    hb = driver._mk(ForwardMode.EXTEND, np.asarray(ids, np.int32),
+                    np.arange(T, dtype=np.int32),
+                    slots_for_tokens(pages, 0, T, driver.ps), [pages],
+                    np.array([T], np.int32), np.array([T], np.int32))
+    hb.return_hidden = True
+    runner.forward(hb)
+    ours = np.asarray(hb.hidden_states)[0]
+
+    import torch as _t
+    with _t.no_grad():
+        hs = oracle.model(_t.tensor([ids])).last_hidden_state[0, -1]
+        ref = (hs @ sd["classification_head.weight"].T).float().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)

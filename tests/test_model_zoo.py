@@ -94,6 +94,18 @@ ZOO = {
         layer_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
         logit_scale=0.25, tie_word_embeddings=True, use_qk_norm=False,
     ),
+    "cohere2": dict(
+        COMMON,
+        architectures=["Cohere2ForCausalLM"],
+        model_type="cohere2",
+        num_key_value_heads=2,
+        layer_norm_eps=1e-5, hidden_act="silu", rope_theta=10000.0,
+        logit_scale=0.25, tie_word_embeddings=True,
+        # prompt len 11 > window 4: exercises the sliding mask; layer 0
+        # sliding+rope, layer 1 global+NoPE (Command R7B hybrid layout)
+        sliding_window=4,
+        layer_types=["sliding_attention", "full_attention"],
+    ),
     "granite": dict(
         COMMON,
         architectures=["GraniteForCausalLM"],
@@ -135,6 +147,7 @@ CFG_CLS = {
     "olmo2": "Olmo2Config",
     "olmo": "OlmoConfig",
     "cohere": "CohereConfig",
+    "cohere2": "Cohere2Config",
     "granite": "GraniteConfig",
     "glm4": "Glm4Config",
     "glm": "GlmConfig",
