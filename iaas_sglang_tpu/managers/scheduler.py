@@ -163,9 +163,11 @@ class Scheduler:
         self.eagle = None
         # tree-verify KV canonicalization moves awaiting the next program
         self._pending_kv_moves: tuple[list, list] = ([], [])
-        if self.spec_algorithm == "nextn":
-            # DeepSeek MTP head == EAGLE flow with a NextN draft
-            # (reference spec_info.py maps NEXTN onto the EAGLE worker)
+        if self.spec_algorithm in ("nextn", "eagle3"):
+            # DeepSeek MTP head / EAGLE3 == EAGLE flow with a different
+            # draft (reference spec_info.py maps NEXTN/EAGLE3 onto the
+            # EAGLE worker); the worker reads the real algorithm from
+            # server_args
             self.spec_algorithm = "eagle"
         if self.spec_algorithm == "eagle":
             from iaas_sglang_tpu.speculative.eagle_worker import EagleWorker

@@ -179,6 +179,29 @@ class ModelRunner:
                 max_rank=server_args.max_lora_rank,
                 backend=getattr(server_args, "lora_backend", "onehot"))
 
+        # EAGLE3 aux feature tap: the target captures the residual stream
+        # entering layers [2, L//2, L-3] (reference models/llama.py:707), or
+        # the draft checkpoint's eagle_aux_hidden_state_layer_ids (+1)
+        self.eagle3_aux_layers = None
+        if server_args.speculative_algorithm == "eagle3":
+            L = model_config.num_layers
+            layers = [2, L // 2, L - 3]
+            dp = server_args.speculative_draft_model_path
+            if dp:
+                import json as _json
+                import os as _os
+
+                cfgf = _os.path.join(dp, "config.json")
+                if _os.path.exists(cfgf):
+                    with open(cfgf) as f:
+                        ids = _json.load(f).get(
+                            "eagle_aux_hidden_state_layer_ids")
+                    if ids:
+                        layers = [i + 1 for i in ids]
+            # keep exactly 3 slots (fc expects 3*H) — duplicates are fine
+            self.eagle3_aux_layers = tuple(
+                sorted(min(max(i, 0), L - 1) for i in layers))
+
         self._init_kv_pool()
         self._init_buckets()
         self._step_fn = self._build_step_fn()
@@ -328,17 +351,31 @@ class ModelRunner:
 
         self._kv_move_fn = jax.jit(kv_move, donate_argnums=(0,))
 
+        aux_layers = self.eagle3_aux_layers
+
         def step(params, kv_pages, fb: ForwardBatch, meta: SamplingMetadata,
                  pen, grammar_mask, lora, attn_mode: str, logprob_top_k: int,
                  return_hidden: bool = False, verify_k: int = 0,
                  sampling_mode: str = "full", hidden_tap: str = "none"):
             if fb.move_src is not None:
                 kv_pages = kv_move(kv_pages, fb.move_src, fb.move_dst)
-            hidden, kv_pages = model.forward(
-                params, fb, kv_pages,
-                attn_backend=attn_backend, attn_mode=attn_mode,
-                scan_layers=scan_layers, lora=lora,
-            )
+            # EAGLE3: the draft feature is the 3-layer aux concat, captured
+            # only on programs that tap features (verify / prefill prime)
+            want_aux = aux_layers is not None and hidden_tap != "none"
+            if want_aux:
+                hidden, kv_pages, feat_src = model.forward(
+                    params, fb, kv_pages,
+                    attn_backend=attn_backend, attn_mode=attn_mode,
+                    scan_layers=scan_layers, lora=lora,
+                    aux_capture=aux_layers,
+                )
+            else:
+                hidden, kv_pages = model.forward(
+                    params, fb, kv_pages,
+                    attn_backend=attn_backend, attn_mode=attn_mode,
+                    scan_layers=scan_layers, lora=lora,
+                )
+                feat_src = hidden
             if verify_k > 0:
                 # TARGET_VERIFY (forward_batch_info.py ForwardMode analog):
                 # greedy argmax at each of the K+1 draft positions
@@ -346,9 +383,10 @@ class ModelRunner:
                 vh = hidden[fb.verify_idx.reshape(-1)]
                 vlogits = model.compute_logits(params, vh)
                 vtokens = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
-                # EAGLE taps the pre-lm_head features at the verify positions
-                vhid = vh.reshape(Bmax, Kp1, -1) if hidden_tap == "verify" \
-                    else None
+                # EAGLE taps the draft features at the verify positions
+                vhid = (feat_src[fb.verify_idx.reshape(-1)]
+                        .reshape(Bmax, Kp1, -1)
+                        if hidden_tap == "verify" else None)
                 return (vtokens.reshape(Bmax, Kp1), None, None, None, None,
                         vhid, None, kv_pages)
             if fb.lp_targets is not None:
@@ -378,7 +416,7 @@ class ModelRunner:
             else:
                 lp = topv = topi = None
             if hidden_tap == "all":
-                hid = hidden          # [T, H] — EAGLE prefill feature prime
+                hid = feat_src        # [T, H|3H] — EAGLE prefill feature prime
             elif return_hidden:
                 pool_fn = getattr(model, "pooled_output", None)
                 hid = (pool_fn(params, last_h) if pool_fn is not None

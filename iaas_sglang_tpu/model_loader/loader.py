@@ -154,7 +154,9 @@ def _dummy_host_params(specs: Dict[str, WeightSpec], config: ModelConfig,
                    else spec.num_stack or config.num_layers)
         shape = ((n_stack,) + tuple(spec.shape)) if spec.stacked \
             else tuple(spec.shape)
-        if "norm" in name:
+        if spec.force_dtype is not None:
+            out[name] = np.zeros(shape, dtype=np.dtype(spec.force_dtype))
+        elif "norm" in name:
             out[name] = np.ones(shape, dtype=dt)
         else:
             # NOTE: scale BEFORE casting — `astype(bf16) * 0.02` silently
@@ -228,7 +230,7 @@ def _assemble_quant_one(getter, prefix: str, K: int, N: int, method: str):
 
 def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
               raw_getter) -> Dict[str, np.ndarray]:
-    dt = _np_dtype(config.dtype)
+    dt = _np_dtype(config.dtype)   # per-spec force_dtype shadows this below
     out: Dict[str, np.ndarray] = {}
 
     def _maybe_t(t: np.ndarray, spec) -> np.ndarray:
@@ -248,6 +250,8 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
     def _default_init(spec, name: str) -> np.ndarray:
         # optional weights absent from the checkpoint (OLMo's
         # non-parametric LayerNorm): identity for norms, zero otherwise
+        if spec.force_dtype is not None:
+            return np.zeros(spec.shape, dtype=np.dtype(spec.force_dtype))
         if "norm" in name:
             return np.ones(spec.shape, dtype=dt)
         return np.zeros(spec.shape, dtype=dt)
@@ -266,6 +270,8 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
     for name, spec in specs.items():
         if spec.hf_key is None:
             continue
+        dt = (np.dtype(spec.force_dtype) if spec.force_dtype is not None
+              else _np_dtype(config.dtype))
         if (config.ckpt_quant_method in ("awq", "gptq") and spec.quantizable
                 and spec.hf_pre is not None):
             raise NotImplementedError(

@@ -54,6 +54,8 @@ class WeightSpec:
     #   non-parametric LayerNorm ships no weights)
     layer_map: Optional[list] = None  # stack index i <- hf layer layer_map[i]
     #   (non-contiguous stacks: mixed dense/MoE layer interleaves)
+    force_dtype: Optional[str] = None  # keep this dtype instead of the
+    #   model dtype (integer lookup tables: EAGLE3 d2t)
 
 
 def _rows(a: int, b: int):
@@ -631,6 +633,7 @@ class LlamaFamilyForCausalLM:
         layer_offset: int = 0,
         hidden_in: Optional[jnp.ndarray] = None,
         apply_final_norm: bool = True,
+        aux_capture: Optional[tuple] = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.config
         # number of layers present IN THESE PARAMS: a pipeline stage passes
@@ -1044,7 +1047,38 @@ class LlamaFamilyForCausalLM:
                 layer_params[f"lora_B_{t}"] = lora["B"][t]
         layer_ids = jnp.arange(L, dtype=jnp.int32)
         global_ids = layer_ids + layer_offset
-        if scan_layers:
+        aux = None
+        if aux_capture is not None:
+            # EAGLE3 feature tap (reference models/llama.py:329-332): save
+            # the residual-stream value ENTERING each capture layer
+            assert not capture_experts, \
+                "aux_capture and expert capture are mutually exclusive"
+            aux0 = jnp.zeros((len(aux_capture),) + hidden.shape,
+                             dtype=hidden.dtype)
+
+            def body_aux(carry, xs):
+                hidden, kv, aux = carry
+                gid = xs[2]
+                for j, cj in enumerate(aux_capture):
+                    aux = aux.at[j].set(
+                        jnp.where(gid == cj, hidden, aux[j]))
+                (hidden, kv), y = layer_body((hidden, kv), xs)
+                return (hidden, kv, aux), y
+
+            if scan_layers:
+                (hidden, kv_pages, aux), ys = jax.lax.scan(
+                    body_aux, (hidden, kv_pages, aux0),
+                    (layer_params, layer_ids, global_ids))
+            else:
+                carry = (hidden, kv_pages, aux0)
+                for l in range(L):
+                    lp = jax.tree.map(lambda x: x[l], layer_params)
+                    carry, _ = body_aux(
+                        carry, (lp, jnp.int32(l),
+                                jnp.int32(l + layer_offset)))
+                hidden, kv_pages, aux = carry
+            aux = jnp.concatenate(list(aux), axis=-1)   # [T, 3H]
+        elif scan_layers:
             (hidden, kv_pages), ys = jax.lax.scan(
                 layer_body, (hidden, kv_pages),
                 (layer_params, layer_ids, global_ids)
@@ -1060,6 +1094,10 @@ class LlamaFamilyForCausalLM:
                 ys_l.append(y)
             ys = jnp.stack(ys_l) if capture_experts else None
 
+        if aux_capture is not None:
+            if apply_final_norm:
+                hidden = norm_fn(hidden, params, "final_norm")
+            return hidden, kv_pages, aux
         if apply_final_norm:
             hidden = norm_fn(hidden, params, "final_norm")
         if capture_experts:

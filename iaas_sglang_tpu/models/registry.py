@@ -212,9 +212,15 @@ def _nextn(config):
     return DeepseekNextNDraft(config)
 
 
-for _arch in ("LlamaForCausalLMEagle", "LlamaForCausalLMEagle3",
-              "Qwen2ForCausalLMEagle"):
+def _eagle3_draft(config):
+    from iaas_sglang_tpu.models.llama_eagle3 import LlamaEagle3Draft
+
+    return LlamaEagle3Draft(config)
+
+
+for _arch in ("LlamaForCausalLMEagle", "Qwen2ForCausalLMEagle"):
     register(_arch, _eagle_draft)
+register("LlamaForCausalLMEagle3", _eagle3_draft)
 register("MiMoMTP", _mimo_mtp)
 register("DeepseekV3ForCausalLMNextN", _nextn)
 

@@ -125,8 +125,10 @@ class ServerArgs:
     disaggregation_transfer_backend: str = "zmq"  # zmq | fake
     disaggregation_bootstrap_port: int = 0        # decode-side KV ingest port
 
-    # Speculative decoding: None | "ngram" | "eagle" | "nextn" (DeepSeek
-    # MTP; same worker as eagle with the NextN draft)
+    # Speculative decoding: None | "ngram" | "eagle" | "eagle3" | "nextn"
+    # (DeepSeek MTP; same worker as eagle with the NextN draft. eagle3 =
+    # 3-layer aux feature tap + reduced-draft-vocab head, reference
+    # models/llama_eagle3.py)
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
     # EAGLE draft checkpoint dir (None = dummy-weight draft, for testing)

@@ -65,7 +65,13 @@ class EagleWorker:
         self.page_size = server_args.page_size
 
         draft_cfg = self._draft_config(server_args, target_config)
-        if target_config.is_mla:
+        if server_args.speculative_algorithm == "eagle3":
+            # EAGLE3 (reference models/llama_eagle3.py): 3-layer aux
+            # feature input, own embedding + reduced-vocab head + d2t map
+            from iaas_sglang_tpu.models.llama_eagle3 import LlamaEagle3Draft
+
+            self.draft = LlamaEagle3Draft(draft_cfg)
+        elif target_config.is_mla:
             # DeepSeek targets draft with the NextN MTP layer
             # (reference models/deepseek_nextn.py)
             from iaas_sglang_tpu.models.deepseek_nextn import (
@@ -109,14 +115,22 @@ class EagleWorker:
     @staticmethod
     def _draft_config(server_args, target_config: ModelConfig) -> ModelConfig:
         path = server_args.speculative_draft_model_path
+        eagle3 = server_args.speculative_algorithm == "eagle3"
         if path:
             cfg = ModelConfig.from_path(path, dtype=target_config.dtype)
-            assert cfg.hidden_size == target_config.hidden_size, \
-                "EAGLE draft hidden size must match the target"
+            if not eagle3:
+                # eagle3 drafts may use their own width (fc maps the
+                # 3*target_hidden feature in); eagle-1 pairs must match
+                assert cfg.hidden_size == target_config.hidden_size, \
+                    "EAGLE draft hidden size must match the target"
         else:
             import copy
 
             cfg = copy.deepcopy(target_config)
+        if eagle3:
+            cfg.hf_config = dict(cfg.hf_config or {})
+            cfg.hf_config.setdefault("target_hidden_size",
+                                     target_config.hidden_size)
         # NextN (MTP) weights sit at layer index num_hidden_layers in the
         # full DeepSeek checkpoint; standalone 1-layer exports at 0
         # (reference deepseek_v2.py:2344)
@@ -133,14 +147,24 @@ class EagleWorker:
         S = self.steps
         tk = self.topk
         tied = self.runner.model_config.tie_word_embeddings
+        own_head = getattr(draft, "own_head", False)
 
-        def logits_fn(hid, embed, lm_head):
+        def logits_fn(params, hid, embed, lm_head):
+            if own_head:
+                # EAGLE3: the draft's own reduced-vocab head over the
+                # final-norm of the pre-norm hidden
+                return draft.head_logits(params, hid)
             w = embed.T if tied else lm_head
             return hid.astype(jnp.float32) @ w.astype(jnp.float32)
 
-        def logits_argmax(hid, embed, lm_head):
-            return jnp.argmax(
-                logits_fn(hid, embed, lm_head), axis=-1).astype(jnp.int32)
+        def map_tok(params, tok):
+            # draft-vocab index -> target token id (identity for eagle-1)
+            return draft.map_tokens(params, tok) if own_head else tok
+
+        def logits_argmax(params, hid, embed, lm_head):
+            return map_tok(params, jnp.argmax(
+                logits_fn(params, hid, embed, lm_head),
+                axis=-1).astype(jnp.int32))
 
         def extend_chain(params, embed, lm_head, kv_pages,
                          tokens, feats, positions, out_slots,
@@ -152,7 +176,7 @@ class EagleWorker:
                 attn_backend="jnp", attn_mode="extend")
             last_idx = jnp.maximum(cu_q_lens[1:] - 1, 0)      # [B]
             hid = hidden[last_idx]                            # [B, H]
-            tok = logits_argmax(hid, embed, lm_head)          # [B]
+            tok = logits_argmax(params, hid, embed, lm_head)  # [B]
 
             def chain_body(carry, _):
                 hid, tok, kv, pos = carry      # pos i32[B]: next pair index
@@ -164,7 +188,7 @@ class EagleWorker:
                     kv, page_indices, pos + 1,
                     jnp.arange(B + 1, dtype=jnp.int32), num_seqs,
                     attn_backend="jnp", attn_mode="decode")
-                tok2 = logits_argmax(hid2, embed, lm_head)
+                tok2 = logits_argmax(params, hid2, embed, lm_head)
                 return (hid2, tok2, kv, pos + 1), tok2
 
             if K > 1:
@@ -190,8 +214,9 @@ class EagleWorker:
             last_idx = jnp.maximum(cu_q_lens[1:] - 1, 0)
             hid = hidden[last_idx]                            # [B, H]
             lp0 = jax.nn.log_softmax(
-                logits_fn(hid, embed, lm_head), axis=-1)
+                logits_fn(params, hid, embed, lm_head), axis=-1)
             sc0, tok0 = jax.lax.top_k(lp0, tk)                # [B, tk]
+            tok0 = map_tok(params, tok0)
 
             def tree_body(carry, _):
                 hid, tok, kv, pos, cum = carry
@@ -204,8 +229,9 @@ class EagleWorker:
                     jnp.arange(B + 1, dtype=jnp.int32), num_seqs,
                     attn_backend="jnp", attn_mode="decode")
                 lp = jax.nn.log_softmax(
-                    logits_fn(hid2, embed, lm_head), axis=-1)
+                    logits_fn(params, hid2, embed, lm_head), axis=-1)
                 sc, cand = jax.lax.top_k(lp, tk)
+                cand = map_tok(params, cand)
                 cand_sc = cum[:, None] + sc                   # [B, tk]
                 return (hid2, cand[:, 0], kv, pos + 1, cand_sc[:, 0]), \
                     (cand, cand_sc)

@@ -366,3 +366,61 @@ def test_qwen2_eagle_draft_bias_specs():
     cfg = ModelConfig.from_hf(hf, model_path="t", dtype="float32")
     specs = LlamaEagleDraft(cfg).weight_specs()
     assert "bq" in specs and specs["bq"].optional
+
+
+# ---------------------------------------------------------------- EAGLE3
+
+
+def test_eagle3_matches_plain_greedy():
+    """EAGLE3 (reference models/llama_eagle3.py): target taps the 3-layer
+    aux feature concat, draft runs the cat[embeds_norm; hidden_norm] layer
+    with its own head + d2t map (identity under dummy weights). Exact
+    greedy parity regardless of draft quality."""
+    eng_e3 = make_engine(speculative_algorithm="eagle3",
+                         speculative_num_draft_tokens=3)
+    eng_plain = make_engine()
+    from iaas_sglang_tpu.models.llama_eagle3 import LlamaEagle3Draft
+
+    assert isinstance(eng_e3.scheduler.eagle.draft, LlamaEagle3Draft)
+    assert eng_e3.scheduler.model_runner.eagle3_aux_layers is not None
+    prompts = [
+        [7, 8, 9, 10, 7, 8, 9, 10, 7, 8],
+        list(range(30, 45)),
+        list(range(100, 170)),   # > chunked_prefill_size: exercises carry
+    ]
+    sp = {"max_new_tokens": 14, "temperature": 0.0}
+    outs_e = eng_e3.generate(input_ids=prompts, sampling_params=sp)
+    outs_p = eng_plain.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_e, outs_p):
+        assert a["output_ids"] == b["output_ids"]
+    st = eng_e3.get_internal_state()
+    assert st["spec_accept_length"] >= 1.0
+    eng_e3.scheduler.check_memory_leak()
+
+
+def test_eagle3_draft_weight_specs_layout():
+    """EAGLE3 checkpoint layout: midlayer.* keys, 2H-wide qkv input, 3*Ht
+    fc, reduced-vocab head, integer d2t offsets."""
+    from iaas_sglang_tpu.configs.model_config import ModelConfig
+    from iaas_sglang_tpu.models.llama_eagle3 import LlamaEagle3Draft
+
+    hf = dict(architectures=["LlamaForCausalLMEagle3"], model_type="llama",
+              num_hidden_layers=1, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+              draft_vocab_size=64, target_hidden_size=96,
+              rms_norm_eps=1e-6, rope_theta=10000.0,
+              max_position_embeddings=512, tie_word_embeddings=False)
+    cfg = ModelConfig.from_hf(hf)
+    d = LlamaEagle3Draft(cfg)
+    s = d.weight_specs()
+    assert s["wq"].shape == (128, 64)            # 2H -> NqD
+    assert s["fc_w"].shape == (3 * 96, 64)       # 3*target_hidden -> H
+    assert s["lm_head"].shape == (64, 64)        # H -> draft_vocab
+    assert s["d2t"].shape == (64,) and s["d2t"].force_dtype == "int32"
+    assert "midlayer.hidden_norm.weight" in s["hidden_norm"].hf_key
+
+    # d2t mapping: target_id = i + d2t[i]
+    import jax.numpy as jnp
+    params = {"d2t": jnp.asarray([5, 0, 7], jnp.int32)}
+    out = d.map_tokens(params, jnp.asarray([0, 1, 2], jnp.int32))
+    assert out.tolist() == [5, 1, 9]
