@@ -182,6 +182,40 @@ class ModelConfig:
                 "vision_feature_select_strategy", "default")
             mc.mm_projector_act = get("projector_hidden_act", "gelu")
             return mc
+        if get("model_type") == "vila":
+            # VILA/NVILA wrapper (reference models/vila.py VILAConfig):
+            # qwen2 LM under text_config, SigLIP tower, 3x3-downsample
+            # projector; keys live under llm./vision_tower./mm_projector.
+            inner = dict(hf.get("text_config") or {})
+            inner.setdefault("model_type", "qwen2")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "VILAForConditionalGeneration"]
+            mc.model_type = "vila"
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_id", 151649)
+            return mc
+        if get("model_type") == "multi_modality":
+            # DeepSeek Janus-Pro (reference models/deepseek_janus_pro.py):
+            # llama LM under language_config, timm-SigLIP tower + aligner;
+            # the gen_* image-generation stack is not served
+            inner = dict(hf.get("language_config") or {})
+            inner.setdefault("model_type", "llama")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "MultiModalityCausalLM"]
+            mc.model_type = "multi_modality"
+            mc.vision_config = get("vision_config") or {}
+            # Janus tokenizers carry <image_placeholder> (id 100581 in the
+            # deepseek-llm vocab); configs may override
+            mc.image_token_id = get("image_token_id", 100581)
+            return mc
         if get("model_type") == "clip":
             # CLIPModel embedding serving (reference models/clip.py): text
             # tower geometry from text_config; images are embedded by the

@@ -156,6 +156,24 @@ def _qwen2_5_vl(config):
 
 register("Qwen2_5_VLForConditionalGeneration", _qwen2_5_vl)
 
+
+def _vila(config):
+    from iaas_sglang_tpu.models.vila import VILAForConditionalGeneration
+
+    return VILAForConditionalGeneration(config)
+
+
+register("VILAForConditionalGeneration", _vila)
+
+
+def _janus(config):
+    from iaas_sglang_tpu.models.janus import MultiModalityCausalLM
+
+    return MultiModalityCausalLM(config)
+
+
+register("MultiModalityCausalLM", _janus)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -242,9 +242,12 @@ def siglip_vision_specs(vc: SiglipVisionConfig, key_prefix: str
 
 
 def siglip_encode(params: dict[str, Any], patches: jnp.ndarray,
-                  vc: SiglipVisionConfig) -> jnp.ndarray:
+                  vc: SiglipVisionConfig, feature_layer: int = None,
+                  post_ln: bool = True) -> jnp.ndarray:
     """patches [N, P, 3*p*p] -> encoder output [N, P, Hv] after the full
-    depth + post_layernorm (what gemma3's projector consumes)."""
+    depth + post_layernorm (what gemma3's projector consumes). With
+    `feature_layer` (HF hidden_states indexing, e.g. VILA's -2) the encoder
+    stops early and post_layernorm is the caller's choice."""
     Hv, Nh = vc.hidden_size, vc.num_heads
     Dh = Hv // Nh
     N = patches.shape[0]
@@ -270,5 +273,127 @@ def siglip_encode(params: dict[str, Any], patches: jnp.ndarray,
         x = x + (act(r2 @ lp["w1"] + lp["b1"]) @ lp["w2"] + lp["b2"])
         return x, None
 
-    h, _ = jax.lax.scan(body, h, params["vt_layers"])
+    lp_all = params["vt_layers"]
+    if feature_layer is not None:
+        n_run = (feature_layer + vc.num_layers + 1 if feature_layer < 0
+                 else feature_layer + 1)
+        lp_all = jax.tree.map(lambda a: a[:n_run], lp_all)
+    h, _ = jax.lax.scan(body, h, lp_all)
+    if not post_ln:
+        return h
     return layer_norm(h, vt["post_ln_w"], vt["post_ln_b"], vc.layer_norm_eps)
+
+
+# ------------------------------------------------ timm-style ViT (Janus)
+
+
+class TimmVitConfig:
+    """Geometry of a timm VisionTransformer (Janus-Pro's SigLIP towers are
+    shipped in timm layout: fused blocks.N.attn.qkv, final `norm`, a plain
+    [1, P, D] pos_embed parameter, no class token; reference
+    srt/models/deepseek_janus_pro.py:689 VisionTransformer +
+    SigLIP_MODEL_CONFIG:1018)."""
+
+    def __init__(self, model_name: str, image_size: int = None,
+                 overrides: dict = None):
+        table = {
+            "siglip_so400m_patch14_384": (384, 14, 1152, 27, 16, 3.7362),
+            "siglip_so400m_patch14_224": (224, 14, 1152, 27, 16, 3.7362),
+            "siglip_large_patch16_384": (384, 16, 1024, 24, 16, 4.0),
+            "siglip_large_patch16_256": (256, 16, 1024, 24, 16, 4.0),
+        }
+        if model_name not in table:
+            raise ValueError(f"unknown timm ViT model {model_name!r}; "
+                             f"known: {sorted(table)}")
+        img, p, w, l, h, mr = table[model_name]
+        ov = overrides or {}
+        self.image_size = image_size or ov.get("image_size", img)
+        self.patch_size = ov.get("patch_size", p)
+        self.hidden_size = ov.get("width", w)
+        self.num_layers = ov.get("layers", l)
+        self.num_heads = ov.get("heads", h)
+        self.intermediate_size = int(self.hidden_size
+                                     * ov.get("mlp_ratio", mr))
+        self.layer_norm_eps = 1e-6
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+
+
+def timm_vit_specs(vc: TimmVitConfig, key_prefix: str
+                   ) -> dict[str, WeightSpec]:
+    Hv, Iv = vc.hidden_size, vc.intermediate_size
+    L = vc.num_layers
+    P = vc.num_patches
+    p = vc.patch_size
+
+    def k(suffix: str) -> str:
+        return "|".join(pref + suffix for pref in key_prefix.split("|"))
+
+    lk = "blocks.{l}."
+    s: dict[str, WeightSpec] = {
+        "vt.patch_w": WeightSpec(
+            (3 * p * p, Hv), (None, None),
+            k("patch_embed.proj.weight"), transpose=True),
+        "vt.patch_b": WeightSpec((Hv,), (None,), k("patch_embed.proj.bias")),
+        "vt.pos_emb": WeightSpec(
+            (P, Hv), (None, None), k("pos_embed"),
+            hf_pre=lambda t: t.reshape(-1, t.shape[-1])),
+        "vt.post_ln_w": WeightSpec((Hv,), (None,), k("norm.weight")),
+        "vt.post_ln_b": WeightSpec((Hv,), (None,), k("norm.bias")),
+    }
+    per_layer = {
+        "ln1_w": ("norm1.weight", (Hv,), False),
+        "ln1_b": ("norm1.bias", (Hv,), False),
+        "ln2_w": ("norm2.weight", (Hv,), False),
+        "ln2_b": ("norm2.bias", (Hv,), False),
+        "wqkv": ("attn.qkv.weight", (Hv, 3 * Hv), True),
+        "bqkv": ("attn.qkv.bias", (3 * Hv,), False),
+        "wo": ("attn.proj.weight", (Hv, Hv), True),
+        "bo": ("attn.proj.bias", (Hv,), False),
+        "w1": ("mlp.fc1.weight", (Hv, Iv), True),
+        "b1": ("mlp.fc1.bias", (Iv,), False),
+        "w2": ("mlp.fc2.weight", (Iv, Hv), True),
+        "b2": ("mlp.fc2.bias", (Hv,), False),
+    }
+    for name, (suffix, shape, tr) in per_layer.items():
+        s[f"vt_layers.{name}"] = WeightSpec(
+            shape, tuple(None for _ in shape), k(lk + suffix),
+            transpose=tr, stacked=True, num_stack=L)
+    return s
+
+
+def timm_vit_encode(params: dict[str, Any], patches: jnp.ndarray,
+                    vc: TimmVitConfig) -> jnp.ndarray:
+    """patches [N, P, 3*p*p] -> features [N, P, Hv] after the final norm
+    (timm forward_features; the head/attn-pool is ignored)."""
+    Hv, Nh = vc.hidden_size, vc.num_heads
+    Dh = Hv // Nh
+    N = patches.shape[0]
+    eps = vc.layer_norm_eps
+
+    vt = params["vt"]
+    h = (patches @ vt["patch_w"] + vt["patch_b"]) + vt["pos_emb"][None]
+    scale = Dh ** -0.5
+
+    def body(carry, lp):
+        x = carry
+        r = layer_norm(x, lp["ln1_w"], lp["ln1_b"], eps)
+        qkv = r @ lp["wqkv"] + lp["bqkv"]
+        q, k_, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(N, -1, Nh, Dh)
+        k_ = k_.reshape(N, -1, Nh, Dh)
+        v = v.reshape(N, -1, Nh, Dh)
+        s = jnp.einsum("bqnd,bknd->bnqk", q.astype(jnp.float32),
+                       k_.astype(jnp.float32)) * scale
+        a = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", a, v.astype(jnp.float32))
+        ctx = ctx.reshape(N, -1, Hv).astype(x.dtype)
+        x = x + (ctx @ lp["wo"] + lp["bo"])
+        r2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], eps)
+        x = x + (jax.nn.gelu(
+            (r2 @ lp["w1"] + lp["b1"]).astype(jnp.float32),
+            approximate=False).astype(x.dtype) @ lp["w2"] + lp["b2"])
+        return x, None
+
+    h, _ = jax.lax.scan(body, h, params["vt_layers"])
+    return layer_norm(h, vt["post_ln_w"], vt["post_ln_b"], eps)

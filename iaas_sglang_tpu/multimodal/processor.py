@@ -110,6 +110,17 @@ def qwen2vl_preprocess(img, image_size: int, patch: int = 14,
             (1, gh, gw))
 
 
+def siglip_preprocess(img, image_size: int) -> np.ndarray:
+    """SigLIP standalone preprocessing (HF SiglipImageProcessor): square
+    resize (bicubic) + mean/std = 0.5 normalization."""
+    from PIL import Image
+
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = (arr - 0.5) / 0.5
+    return arr.transpose(2, 0, 1)
+
+
 def gemma3_preprocess(img, image_size: int) -> np.ndarray:
     """Gemma3/SigLIP preprocessing: plain square resize (bilinear) and
     mean/std = 0.5 normalization (HF Gemma3ImageProcessor defaults,
@@ -150,6 +161,23 @@ class MultimodalProcessor:
             self.image_size = vc.get("serving_image_size", 448)
             self.num_image_tokens = (self.image_size // self.patch) ** 2 \
                 // self.merge ** 2
+        elif self.model_type == "vila":
+            # VILA: SigLIP square resize (bicubic, 0.5/0.5), projector
+            # downsamples the patch grid 3x3 -> ceil(g/3)^2 rows
+            self.image_size = vc.get("image_size", 448)
+            g = self.image_size // vc.get("patch_size", 14)
+            t = -(-g // 3)
+            self.num_image_tokens = t * t
+        elif self.model_type == "multi_modality":
+            # Janus-Pro: timm-SigLIP tower; square resize + 0.5/0.5
+            from iaas_sglang_tpu.models.vision import TimmVitConfig
+
+            vp = vc.get("params", {})
+            tvc = TimmVitConfig(
+                vp.get("model_name", "siglip_large_patch16_384"),
+                vp.get("image_size"), overrides=vp)
+            self.image_size = tvc.image_size
+            self.num_image_tokens = tvc.num_patches
         elif any(a == "LlavaVidForCausalLM"
                  for a in (model_config.architectures or [])):
             # video: num_frames pooled frames per placeholder
@@ -182,6 +210,8 @@ class MultimodalProcessor:
         img = load_image(data)
         if self.is_gemma3:
             return gemma3_preprocess(img, self.image_size), None
+        if self.model_type in ("vila", "multi_modality"):
+            return siglip_preprocess(img, self.image_size), None
         if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             return qwen2vl_preprocess(
                 img, self.image_size, self.patch, self.temporal, self.merge)
