@@ -216,6 +216,20 @@ class ModelConfig:
             # deepseek-llm vocab); configs may override
             mc.image_token_id = get("image_token_id", 100581)
             return mc
+        if get("model_type") == "internvl_chat":
+            # InternVL (reference models/internvl.py): LM under llm_config
+            # (qwen2 / internlm2 / llama — mc.model_type stays the LM's so
+            # the weight-key tables resolve), InternViT tower + mlp1
+            inner = dict(hf.get("llm_config") or hf.get("text_config") or {})
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or ["InternVLChatModel"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get(
+                "img_context_token_id", get("image_token_id", 151667))
+            return mc
         if get("model_type") == "clip":
             # CLIPModel embedding serving (reference models/clip.py): text
             # tower geometry from text_config; images are embedded by the

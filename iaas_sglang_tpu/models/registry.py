@@ -174,6 +174,15 @@ def _janus(config):
 
 register("MultiModalityCausalLM", _janus)
 
+
+def _internvl(config):
+    from iaas_sglang_tpu.models.internvl import InternVLChatModel
+
+    return InternVLChatModel(config)
+
+
+register("InternVLChatModel", _internvl)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -110,6 +110,19 @@ def qwen2vl_preprocess(img, image_size: int, patch: int = 14,
             (1, gh, gw))
 
 
+def internvl_preprocess(img, image_size: int) -> np.ndarray:
+    """InternVL single-tile preprocessing: square resize (bicubic) +
+    imagenet mean/std (reference srt/multimodal/processors/internvl.py)."""
+    from PIL import Image
+
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    arr = (arr - mean) / std
+    return arr.transpose(2, 0, 1)
+
+
 def siglip_preprocess(img, image_size: int) -> np.ndarray:
     """SigLIP standalone preprocessing (HF SiglipImageProcessor): square
     resize (bicubic) + mean/std = 0.5 normalization."""
@@ -168,6 +181,18 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             t = -(-g // 3)
             self.num_image_tokens = t * t
+        elif any(a == "InternVLChatModel"
+                 for a in (model_config.architectures or [])):
+            # InternVL: 448px square (single tile; the reference's dynamic
+            # tiling is preprocessing-side), imagenet mean/std, tokens =
+            # grid^2 * downsample_ratio^2 after pixel_shuffle
+            self.is_internvl = True
+            hf = model_config.hf_config
+            self.image_size = (hf.get("force_image_size")
+                               or vc.get("image_size", 448))
+            g = self.image_size // vc.get("patch_size", 14)
+            ds = hf.get("downsample_ratio", 0.5)
+            self.num_image_tokens = int(g * g * ds * ds)
         elif self.model_type == "multi_modality":
             # Janus-Pro: timm-SigLIP tower; square resize + 0.5/0.5
             from iaas_sglang_tpu.models.vision import TimmVitConfig
@@ -212,6 +237,8 @@ class MultimodalProcessor:
             return gemma3_preprocess(img, self.image_size), None
         if self.model_type in ("vila", "multi_modality"):
             return siglip_preprocess(img, self.image_size), None
+        if getattr(self, "is_internvl", False):
+            return internvl_preprocess(img, self.image_size), None
         if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             return qwen2vl_preprocess(
                 img, self.image_size, self.patch, self.temporal, self.merge)
