@@ -216,6 +216,42 @@ class ModelConfig:
             # deepseek-llm vocab); configs may override
             mc.image_token_id = get("image_token_id", 100581)
             return mc
+        if get("model_type") == "mistral3":
+            # Mistral-3 (reference models/mistral.py
+            # Mistral3ForConditionalGeneration): mistral LM + pixtral tower
+            inner = dict(hf.get("text_config") or {})
+            inner.setdefault("model_type", "mistral")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "Mistral3ForConditionalGeneration"]
+            mc.model_type = "mistral3"
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_index", 10)
+            return mc
+        if get("model_type") == "pixtral":
+            # bare Pixtral tower (reference pixtral.py PixtralVisionModel):
+            # image-embedding serving only
+            mc = ModelConfig(
+                model_path=model_path, hf_config=hf,
+                architectures=get("architectures") or ["PixtralVisionModel"],
+                model_type="pixtral",
+                num_layers=get("num_hidden_layers", 24),
+                hidden_size=get("hidden_size", 1024),
+                num_heads=get("num_attention_heads", 16),
+                num_kv_heads=get("num_attention_heads", 16),
+                head_dim=get("head_dim", 64),
+                intermediate_size=get("intermediate_size", 4096),
+                vocab_size=1,
+            )
+            mc.is_encoder_only = True
+            mc.vision_config = dict(hf)
+            mc.context_len = context_length or 8192
+            if dtype != "auto":
+                mc.dtype = dtype
+            return mc
         if get("model_type") == "internvl_chat":
             # InternVL (reference models/internvl.py): LM under llm_config
             # (qwen2 / internlm2 / llama — mc.model_type stays the LM's so

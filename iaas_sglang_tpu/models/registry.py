@@ -183,6 +183,24 @@ def _internvl(config):
 
 register("InternVLChatModel", _internvl)
 
+
+def _mistral3(config):
+    from iaas_sglang_tpu.models.pixtral import (
+        Mistral3ForConditionalGeneration,
+    )
+
+    return Mistral3ForConditionalGeneration(config)
+
+
+def _pixtral_vm(config):
+    from iaas_sglang_tpu.models.pixtral import PixtralVisionModel
+
+    return PixtralVisionModel(config)
+
+
+register("Mistral3ForConditionalGeneration", _mistral3)
+register("PixtralVisionModel", _pixtral_vm)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -193,6 +193,14 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             ds = hf.get("downsample_ratio", 0.5)
             self.num_image_tokens = int(g * g * ds * ds)
+        elif self.model_type == "mistral3":
+            # Pixtral tower: fixed serving square; tokens = grid^2/merge^2
+            from iaas_sglang_tpu.models.pixtral import PixtralVisionConfig
+
+            pvc = PixtralVisionConfig(vc)
+            self.image_size = pvc.serving_size
+            merge = model_config.hf_config.get("spatial_merge_size", 2)
+            self.num_image_tokens = pvc.num_patches // (merge * merge)
         elif self.model_type == "multi_modality":
             # Janus-Pro: timm-SigLIP tower; square resize + 0.5/0.5
             from iaas_sglang_tpu.models.vision import TimmVitConfig
@@ -239,6 +247,15 @@ class MultimodalProcessor:
             return siglip_preprocess(img, self.image_size), None
         if getattr(self, "is_internvl", False):
             return internvl_preprocess(img, self.image_size), None
+        if self.model_type == "mistral3":
+            # Pixtral: square resize + CLIP mean/std (no crop)
+            from PIL import Image
+
+            img = img.resize((self.image_size, self.image_size),
+                             Image.BICUBIC)
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            arr = (arr - CLIP_MEAN) / CLIP_STD
+            return arr.transpose(2, 0, 1), None
         if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             return qwen2vl_preprocess(
                 img, self.image_size, self.patch, self.temporal, self.merge)
