@@ -216,6 +216,22 @@ class ModelConfig:
             # deepseek-llm vocab); configs may override
             mc.image_token_id = get("image_token_id", 100581)
             return mc
+        if get("model_type") == "qwen2_audio":
+            # Qwen2-Audio (reference models/qwen2_audio.py): qwen2 LM +
+            # Whisper audio tower; audio spans ride the multimodal path
+            inner = dict(hf.get("text_config") or {})
+            inner.setdefault("model_type", "qwen2")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "Qwen2AudioForConditionalGeneration"]
+            mc.model_type = "qwen2_audio"
+            mc.attention_bias = True
+            mc.vision_config = dict(get("audio_config") or {})
+            mc.image_token_id = get("audio_token_index", 151646)
+            return mc
         if get("model_type") == "mistral3":
             # Mistral-3 (reference models/mistral.py
             # Mistral3ForConditionalGeneration): mistral LM + pixtral tower

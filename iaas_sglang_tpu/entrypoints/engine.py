@@ -122,6 +122,7 @@ class Engine:
         rid=None,
         token_ids_logprob=None,
         image_data=None,
+        audio_data=None,
     ) -> Union[dict, List[dict]]:
         gri = GenerateReqInput(
             text=prompt, input_ids=input_ids, sampling_params=sampling_params,
@@ -129,6 +130,7 @@ class Engine:
             logprob_start_len=logprob_start_len,
             session_id=session_id, lora_path=lora_path, rid=rid,
             token_ids_logprob=token_ids_logprob, image_data=image_data,
+            audio_data=audio_data,
         )
         was_batch = gri.is_batch()
         singles = gri.normalize()
@@ -141,14 +143,15 @@ class Engine:
                 ids = self.tokenizer.encode(g.text)
             sp = SamplingParams.from_dict(g.sampling_params)
             mm_items = None
-            if g.image_data is not None:
+            if g.image_data is not None or g.audio_data is not None:
                 if not self.model_config.is_multimodal:
                     raise ValueError("model is not multimodal")
                 if not hasattr(self, "_mm_processor"):
                     from iaas_sglang_tpu.multimodal import MultimodalProcessor
 
                     self._mm_processor = MultimodalProcessor(self.model_config)
-                ids, mm_items = self._mm_processor.process(ids, g.image_data)
+                ids, mm_items = self._mm_processor.process(
+                    ids, g.image_data, audio_data=g.audio_data)
             self.scheduler.process_input(TokenizedGenerateReqInput(
                 rid=g.rid, input_text=g.text, input_ids=ids,
                 sampling_params=sp, stream=False, mm_items=mm_items,

@@ -166,6 +166,7 @@ async def handle_generate(request: web.Request) -> web.StreamResponse:
         disagg_decode_url=body.get("disagg_decode_url"),
         lora_path=body.get("lora_path"),
         image_data=body.get("image_data"),
+        audio_data=body.get("audio_data"),
     )
     tm = state.tokenizer_manager
 

@@ -35,6 +35,9 @@ class GenerateReqInput:
     # multimodal: one image (or list per placeholder) per request; batched
     # requests pass a list of per-request payloads
     image_data: Optional[Any] = None
+    # audio payloads (wav path/bytes/base64/float waveform), same shape
+    # conventions as image_data (reference GenerateReqInput.audio_data)
+    audio_data: Optional[Any] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -65,6 +68,8 @@ class GenerateReqInput:
                 rid = self.rid if isinstance(self.rid, str) else None
             img = (self.image_data[i] if (self.is_batch()
                    and isinstance(self.image_data, list)) else self.image_data)
+            aud = (self.audio_data[i] if (self.is_batch()
+                   and isinstance(self.audio_data, list)) else self.audio_data)
             out.append(
                 GenerateReqInput(
                     rid=rid or uuid.uuid4().hex,
@@ -80,6 +85,7 @@ class GenerateReqInput:
                     session_id=self.session_id,
                     lora_path=self.lora_path,
                     image_data=img,
+                    audio_data=aud,
                 )
             )
         return out

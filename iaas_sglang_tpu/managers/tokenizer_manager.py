@@ -103,9 +103,9 @@ class TokenizerManager:
             assert self.tokenizer is not None, "text input needs a tokenizer"
             ids = self.tokenizer.encode(gri.text)
         mm_items = None
-        if gri.image_data is not None:
+        if gri.image_data is not None or gri.audio_data is not None:
             ids, mm_items = self._get_mm_processor().process(
-                ids, gri.image_data)
+                ids, gri.image_data, audio_data=gri.audio_data)
         sp = SamplingParams.from_dict(
             gri.sampling_params if isinstance(gri.sampling_params, dict)
             else None)

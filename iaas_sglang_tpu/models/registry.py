@@ -201,6 +201,17 @@ def _pixtral_vm(config):
 register("Mistral3ForConditionalGeneration", _mistral3)
 register("PixtralVisionModel", _pixtral_vm)
 
+
+def _qwen2_audio(config):
+    from iaas_sglang_tpu.models.qwen2_audio import (
+        Qwen2AudioForConditionalGeneration,
+    )
+
+    return Qwen2AudioForConditionalGeneration(config)
+
+
+register("Qwen2AudioForConditionalGeneration", _qwen2_audio)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

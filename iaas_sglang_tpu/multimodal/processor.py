@@ -193,6 +193,17 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             ds = hf.get("downsample_ratio", 0.5)
             self.num_image_tokens = int(g * g * ds * ds)
+        elif self.model_type == "qwen2_audio":
+            # Whisper tower: 30 s chunks -> up to 750 rows per clip
+            from iaas_sglang_tpu.models.qwen2_audio import (
+                audio_output_lengths,
+            )
+
+            self.is_audio = True
+            ac = model_config.hf_config.get("audio_config") or {}
+            self.n_mels = ac.get("num_mel_bins", 128)
+            self.num_image_tokens = audio_output_lengths(
+                2 * ac.get("max_source_positions", 1500))
         elif self.model_type == "mistral3":
             # Pixtral tower: fixed serving square; tokens = grid^2/merge^2
             from iaas_sglang_tpu.models.pixtral import PixtralVisionConfig
@@ -231,6 +242,14 @@ class MultimodalProcessor:
             self.num_image_tokens = n
 
     def _prep(self, data) -> Tuple[np.ndarray, Any]:
+        if getattr(self, "is_audio", False):
+            # audio: whisper log-mel; grid carries the un-padded frame
+            # count so num_tokens tracks the clip length
+            from iaas_sglang_tpu.multimodal.audio import (load_audio,
+                                                           whisper_log_mel)
+
+            mel, valid = whisper_log_mel(load_audio(data), self.n_mels)
+            return mel, valid
         if getattr(self, "is_video", False):
             # a video arrives as a LIST of frame payloads; pad by repeating
             # the last frame / trim to num_frames (static tower shapes)
@@ -261,10 +280,13 @@ class MultimodalProcessor:
                 img, self.image_size, self.patch, self.temporal, self.merge)
         return clip_preprocess(img, self.image_size), None
 
-    def process(self, input_ids: List[int], image_data: Any
-                ) -> Tuple[List[int], List[MMItem]]:
-        """Expand image placeholders and build MMItems. `image_data` is one
-        image or a list (one per placeholder, in order)."""
+    def process(self, input_ids: List[int], image_data: Any = None,
+                audio_data: Any = None) -> Tuple[List[int], List[MMItem]]:
+        """Expand image/audio placeholders and build MMItems. `image_data`
+        (or `audio_data` for audio models) is one payload or a list (one
+        per placeholder, in order)."""
+        if getattr(self, "is_audio", False) and audio_data is not None:
+            image_data = audio_data
         if image_data is None:
             return list(input_ids), []
         if getattr(self, "is_video", False):
@@ -285,7 +307,14 @@ class MultimodalProcessor:
             make_item.i += 1
             h = hashlib.sha1(px.tobytes()).hexdigest()
             base = int(h[:8], 16)
-            n = self.num_image_tokens
+            if getattr(self, "is_audio", False):
+                from iaas_sglang_tpu.models.qwen2_audio import (
+                    audio_output_lengths,
+                )
+
+                n = audio_output_lengths(grid)
+            else:
+                n = self.num_image_tokens
             item = MMItem(hash=h, offset=offset, num_tokens=n,
                           pixel=px, grid=grid)
             return item, [(base + j) % self.vocab_size for j in range(n)]
