@@ -282,6 +282,27 @@ class ModelConfig:
             mc.image_token_id = get(
                 "img_context_token_id", get("image_token_id", 151667))
             return mc
+        if get("model_type") == "minicpmv":
+            # MiniCPM-V (reference models/minicpmv.py): FLAT config — the LM
+            # fields live at the top level (qwen2 for 2.6+, llama for 2.5,
+            # get_version_by_config minicpmv.py:358); vision_config is the
+            # Idefics2/NaViT SigLIP tower, resampler geometry from query_num
+            inner = dict(hf)
+            ver = hf.get("version")
+            if ver is None:
+                ver = 2.0 if (hf.get("hidden_size") == 2304
+                              and hf.get("query_num") == 64) else 2.5
+            inner["model_type"] = "qwen2" if float(ver) >= 2.6 else "llama"
+            inner.pop("architectures", None)
+            inner.setdefault("tie_word_embeddings", False)
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or ["MiniCPMV"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_id", 151646)  # <image>
+            return mc
         if get("model_type") == "clip":
             # CLIPModel embedding serving (reference models/clip.py): text
             # tower geometry from text_config; images are embedded by the

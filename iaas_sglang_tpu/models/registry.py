@@ -212,6 +212,15 @@ def _qwen2_audio(config):
 
 register("Qwen2AudioForConditionalGeneration", _qwen2_audio)
 
+
+def _minicpmv(config):
+    from iaas_sglang_tpu.models.minicpmv import MiniCPMV
+
+    return MiniCPMV(config)
+
+
+register("MiniCPMV", _minicpmv)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

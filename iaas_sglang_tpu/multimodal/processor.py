@@ -193,6 +193,15 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             ds = hf.get("downsample_ratio", 0.5)
             self.num_image_tokens = int(g * g * ds * ds)
+        elif any(a == "MiniCPMV"
+                 for a in (model_config.architectures or [])):
+            # MiniCPM-V: one fixed square tile (the reference's adaptive
+            # slicing is preprocessing-side); the perceiver resampler emits
+            # query_num rows per image regardless of grid size
+            self.is_minicpmv = True
+            self.image_size = vc.get("serving_image_size", 448)
+            self.num_image_tokens = model_config.hf_config.get(
+                "query_num", 64)
         elif self.model_type == "qwen2_audio":
             # Whisper tower: 30 s chunks -> up to 750 rows per clip
             from iaas_sglang_tpu.models.qwen2_audio import (
@@ -262,7 +271,10 @@ class MultimodalProcessor:
         img = load_image(data)
         if self.is_gemma3:
             return gemma3_preprocess(img, self.image_size), None
-        if self.model_type in ("vila", "multi_modality"):
+        if (self.model_type in ("vila", "multi_modality")
+                or getattr(self, "is_minicpmv", False)):
+            # 0.5/0.5 normalize + square resize (MiniCPM-V's NaViT
+            # processor also normalizes with mean=std=0.5)
             return siglip_preprocess(img, self.image_size), None
         if getattr(self, "is_internvl", False):
             return internvl_preprocess(img, self.image_size), None
