@@ -87,6 +87,8 @@ class ModelConfig:
     # (analog of srt/configs/model_config.py is_multimodal detection)
     vision_config: Optional[dict[str, Any]] = None
     image_token_id: Optional[int] = None
+    # dual-modality models (MiniCPM-O): separate audio placeholder token
+    audio_token_id: Optional[int] = None
     vision_feature_layer: int = -2
     vision_feature_select_strategy: str = "default"
     mm_projector_act: str = "gelu"
@@ -282,26 +284,32 @@ class ModelConfig:
             mc.image_token_id = get(
                 "img_context_token_id", get("image_token_id", 151667))
             return mc
-        if get("model_type") == "minicpmv":
-            # MiniCPM-V (reference models/minicpmv.py): FLAT config — the LM
-            # fields live at the top level (qwen2 for 2.6+, llama for 2.5,
-            # get_version_by_config minicpmv.py:358); vision_config is the
-            # Idefics2/NaViT SigLIP tower, resampler geometry from query_num
+        if get("model_type") in ("minicpmv", "minicpmo"):
+            # MiniCPM-V/O (reference models/minicpmv.py, minicpmo.py): FLAT
+            # config — the LM fields live at the top level (qwen2 for 2.6+,
+            # llama for 2.5, get_version_by_config minicpmv.py:358);
+            # vision_config is the Idefics2/NaViT SigLIP tower, resampler
+            # geometry from query_num; -O adds a Whisper audio_config
+            is_o = get("model_type") == "minicpmo"
             inner = dict(hf)
             ver = hf.get("version")
             if ver is None:
                 ver = 2.0 if (hf.get("hidden_size") == 2304
                               and hf.get("query_num") == 64) else 2.5
-            inner["model_type"] = "qwen2" if float(ver) >= 2.6 else "llama"
+            inner["model_type"] = ("qwen2" if is_o or float(ver) >= 2.6
+                                   else "llama")
             inner.pop("architectures", None)
             inner.setdefault("tie_word_embeddings", False)
             mc = ModelConfig.from_hf(inner, model_path=model_path,
                                      context_length=context_length,
                                      dtype=dtype)
             mc.hf_config = hf
-            mc.architectures = get("architectures") or ["MiniCPMV"]
+            mc.architectures = get("architectures") or [
+                "MiniCPMO" if is_o else "MiniCPMV"]
             mc.vision_config = get("vision_config") or {}
             mc.image_token_id = get("image_token_id", 151646)  # <image>
+            if is_o:
+                mc.audio_token_id = get("audio_token_id", 151648)
             return mc
         if get("model_type") == "clip":
             # CLIPModel embedding serving (reference models/clip.py): text

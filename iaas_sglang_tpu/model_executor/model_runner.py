@@ -1045,6 +1045,34 @@ class ModelRunner:
         dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
             else jnp.float32
         out: dict = {}
+        if hasattr(self.model, "encode_audio"):
+            # dual-modality (MiniCPM-O): audio items go through the
+            # whisper branch; `grid` carries the clip's valid mel frames
+            audio = [it for it in items if it.modality == "audio"]
+            items = [it for it in items if it.modality != "audio"]
+            if audio:
+                if not hasattr(self, "_encode_audio_fn"):
+                    self._encode_audio_fn = jax.jit(self.model.encode_audio)
+                mel_t = self.model.patchify_audio(
+                    np.stack([it.pixel for it in audio]))
+                conv_valid = np.array(
+                    [(int(it.grid) - 1) // 2 + 1 for it in audio], np.int32)
+                N = mel_t.shape[0]
+                N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
+                if N_pad != N:
+                    mel_t = np.concatenate([mel_t, np.zeros(
+                        (N_pad - N,) + mel_t.shape[1:], mel_t.dtype)])
+                    conv_valid = np.concatenate(
+                        [conv_valid, np.ones(N_pad - N, np.int32)])
+                mel_j = jnp.asarray(mel_t, dt)
+                rows = self._aot_call(
+                    ("encode_audio", mel_j.shape), self._encode_audio_fn,
+                    (self.params, mel_j, jnp.asarray(conv_valid)))
+                rows = np.asarray(rows)
+                for it, r in zip(audio, rows[:N]):
+                    out[it.hash] = r
+            if not items:
+                return out
         if hasattr(self.model, "vision_host_tables"):
             # grid-bucketed tower (qwen2-vl / qwen2.5-vl): host tables
             # (rope, window permutations/masks) are static per grid

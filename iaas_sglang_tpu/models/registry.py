@@ -221,6 +221,15 @@ def _minicpmv(config):
 
 register("MiniCPMV", _minicpmv)
 
+
+def _minicpmo(config):
+    from iaas_sglang_tpu.models.minicpmo import MiniCPMO
+
+    return MiniCPMO(config)
+
+
+register("MiniCPMO", _minicpmo)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -36,6 +36,8 @@ class MMItem:
     pixel: np.ndarray         # model-ready pixels: llava f32 [3, S, S];
     #                           qwen2-vl flattened patches f32 [S, patch_dim]
     grid: Any = None          # qwen2-vl (t, gh, gw) patch grid | None
+    modality: str = "image"   # "image" | "audio" (dual-modality models
+    #                           route audio items to model.encode_audio)
 
 
 def load_image(data: Any):
@@ -193,15 +195,22 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             ds = hf.get("downsample_ratio", 0.5)
             self.num_image_tokens = int(g * g * ds * ds)
-        elif any(a == "MiniCPMV"
+        elif any(a in ("MiniCPMV", "MiniCPMO")
                  for a in (model_config.architectures or [])):
-            # MiniCPM-V: one fixed square tile (the reference's adaptive
+            # MiniCPM-V/O: one fixed square tile (the reference's adaptive
             # slicing is preprocessing-side); the perceiver resampler emits
-            # query_num rows per image regardless of grid size
+            # query_num rows per image regardless of grid size. -O adds a
+            # second (audio) placeholder stream through the Whisper branch.
             self.is_minicpmv = True
             self.image_size = vc.get("serving_image_size", 448)
             self.num_image_tokens = model_config.hf_config.get(
                 "query_num", 64)
+            if model_config.audio_token_id is not None:
+                hf = model_config.hf_config
+                self.audio_token_id = model_config.audio_token_id
+                ac = hf.get("audio_config") or {}
+                self.n_mels = ac.get("num_mel_bins", 80)
+                self.audio_pool_step = hf.get("audio_pool_step", 2)
         elif self.model_type == "qwen2_audio":
             # Whisper tower: 30 s chunks -> up to 750 rows per clip
             from iaas_sglang_tpu.models.qwen2_audio import (
@@ -296,60 +305,94 @@ class MultimodalProcessor:
                 audio_data: Any = None) -> Tuple[List[int], List[MMItem]]:
         """Expand image/audio placeholders and build MMItems. `image_data`
         (or `audio_data` for audio models) is one payload or a list (one
-        per placeholder, in order)."""
+        per placeholder, in order). Dual-modality models (MiniCPM-O) carry
+        two independent placeholder streams."""
         if getattr(self, "is_audio", False) and audio_data is not None:
-            image_data = audio_data
-        if image_data is None:
-            return list(input_ids), []
-        if getattr(self, "is_video", False):
-            # one video = a LIST of frames; accept one video or a list of
-            # videos (list of lists)
-            if (isinstance(image_data, (list, tuple)) and image_data
-                    and not isinstance(image_data[0], (list, tuple))):
-                images = [image_data]
-            else:
-                images = list(image_data)
-        else:
-            images = image_data if isinstance(image_data, (list, tuple)) \
-                else [image_data]
-        prepped = [self._prep(d) for d in images]
+            image_data = audio_data     # pure-audio models: single stream
+            audio_data = None
 
-        def make_item(offset: int) -> Tuple[MMItem, List[int]]:
-            px, grid = prepped[make_item.i]
-            make_item.i += 1
+        def prep_images(data):
+            if getattr(self, "is_video", False):
+                # one video = a LIST of frames; accept one video or a list
+                # of videos (list of lists)
+                if (isinstance(data, (list, tuple)) and data
+                        and not isinstance(data[0], (list, tuple))):
+                    images = [data]
+                else:
+                    images = list(data)
+            else:
+                images = data if isinstance(data, (list, tuple)) \
+                    else [data]
+            out = []
+            for d in images:
+                px, grid = self._prep(d)
+                if getattr(self, "is_audio", False):
+                    from iaas_sglang_tpu.models.qwen2_audio import (
+                        audio_output_lengths,
+                    )
+
+                    n = audio_output_lengths(grid)
+                    mod = "audio"
+                else:
+                    n = self.num_image_tokens
+                    mod = "image"
+                out.append((px, grid, mod, n))
+            return out
+
+        # ordered streams: placeholder token id -> prepped payloads
+        streams: list[Tuple[int, list]] = []
+        if image_data is not None:
+            streams.append((self.image_token_id, prep_images(image_data)))
+        if (audio_data is not None
+                and getattr(self, "audio_token_id", None) is not None):
+            from iaas_sglang_tpu.models.minicpmo import (
+                minicpmo_audio_tokens,
+            )
+            from iaas_sglang_tpu.multimodal.audio import (load_audio,
+                                                           whisper_log_mel)
+
+            auds = audio_data if isinstance(audio_data, (list, tuple)) \
+                else [audio_data]
+            prepped = []
+            for d in auds:
+                mel, valid = whisper_log_mel(load_audio(d), self.n_mels)
+                n = minicpmo_audio_tokens(valid, self.audio_pool_step)
+                prepped.append((mel, valid, "audio", n))
+            streams.append((self.audio_token_id, prepped))
+        if not streams:
+            return list(input_ids), []
+
+        by_tok = {tid: p for tid, p in streams}
+        idx = {tid: 0 for tid in by_tok}
+
+        def make_item(tid: int, offset: int) -> Tuple[MMItem, List[int]]:
+            px, grid, mod, n = by_tok[tid][idx[tid]]
+            idx[tid] += 1
             h = hashlib.sha1(px.tobytes()).hexdigest()
             base = int(h[:8], 16)
-            if getattr(self, "is_audio", False):
-                from iaas_sglang_tpu.models.qwen2_audio import (
-                    audio_output_lengths,
-                )
-
-                n = audio_output_lengths(grid)
-            else:
-                n = self.num_image_tokens
             item = MMItem(hash=h, offset=offset, num_tokens=n,
-                          pixel=px, grid=grid)
+                          pixel=px, grid=grid, modality=mod)
             return item, [(base + j) % self.vocab_size for j in range(n)]
 
-        make_item.i = 0
         out_ids: List[int] = []
         items: List[MMItem] = []
         for tok in input_ids:
-            if tok == self.image_token_id and make_item.i < len(prepped):
-                item, ids = make_item(len(out_ids))
+            if tok in by_tok and idx[tok] < len(by_tok[tok]):
+                item, ids = make_item(tok, len(out_ids))
                 items.append(item)
                 out_ids.extend(ids)
             else:
                 out_ids.append(tok)
-        if make_item.i < len(prepped):
-            # no placeholder in the prompt: prepend image spans (the common
-            # "image first" chat convention)
+        if any(idx[tid] < len(p) for tid, p in streams):
+            # no placeholder in the prompt: prepend spans (the common
+            # "media first" chat convention), stream order preserved
             prefix_ids: List[int] = []
             prefix_items: List[MMItem] = []
-            while make_item.i < len(prepped):
-                item, ids = make_item(len(prefix_ids))
-                prefix_items.append(item)
-                prefix_ids.extend(ids)
+            for tid, p in streams:
+                while idx[tid] < len(p):
+                    item, ids = make_item(tid, len(prefix_ids))
+                    prefix_items.append(item)
+                    prefix_ids.extend(ids)
             for it in items:
                 it.offset += len(prefix_ids)
             out_ids = prefix_ids + out_ids
