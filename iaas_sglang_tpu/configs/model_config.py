@@ -311,6 +311,22 @@ class ModelConfig:
             if is_o:
                 mc.audio_token_id = get("audio_token_id", 151648)
             return mc
+        if get("model_type") == "kimi_vl":
+            # Kimi-VL (reference models/kimi_vl.py): MoonViT tower +
+            # DeepSeek MLA LM under text_config (configs/kimi_vl.py:30
+            # DeepseekV2Config); mc.model_type stays the LM's so the
+            # deepseek key tables resolve under the language_model. prefix
+            inner = dict(hf.get("text_config") or {})
+            inner.setdefault("model_type", "deepseek_v2")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "KimiVLForConditionalGeneration"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("media_placeholder_token_id", 163605)
+            return mc
         if get("model_type") == "clip":
             # CLIPModel embedding serving (reference models/clip.py): text
             # tower geometry from text_config; images are embedded by the

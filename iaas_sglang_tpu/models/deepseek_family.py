@@ -220,6 +220,11 @@ class DeepseekFamilyForCausalLM:
             if c.embed_multiplier != 1.0:
                 hidden = hidden * jnp.asarray(c.embed_multiplier,
                                               hidden.dtype)
+            if fb.mm_embeds is not None:
+                # VLM (Kimi-VL): overwrite image-placeholder rows with
+                # projected vision embeddings (input-embedding merge)
+                hidden = hidden.at[fb.mm_positions].set(
+                    fb.mm_embeds.astype(hidden.dtype), mode="drop")
         T = hidden.shape[0]
 
         def attention(h, lp, layer_idx, kv):

@@ -230,6 +230,15 @@ def _minicpmo(config):
 
 register("MiniCPMO", _minicpmo)
 
+
+def _kimi_vl(config):
+    from iaas_sglang_tpu.models.kimi_vl import KimiVLForConditionalGeneration
+
+    return KimiVLForConditionalGeneration(config)
+
+
+register("KimiVLForConditionalGeneration", _kimi_vl)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

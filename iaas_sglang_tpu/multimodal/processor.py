@@ -211,6 +211,15 @@ class MultimodalProcessor:
                 ac = hf.get("audio_config") or {}
                 self.n_mels = ac.get("num_mel_bins", 80)
                 self.audio_pool_step = hf.get("audio_pool_step", 2)
+        elif any(a == "KimiVLForConditionalGeneration"
+                 for a in (model_config.architectures or [])):
+            # Kimi-VL: fixed square tile (the reference's native dynamic
+            # resolution is preprocessing-side); 2x2 merger -> (g/2)^2 rows
+            self.is_kimi_vl = True
+            self.image_size = vc.get("serving_image_size", 448)
+            g = self.image_size // vc.get("patch_size", 14)
+            kh, kw = tuple(vc.get("merge_kernel_size", (2, 2)))
+            self.num_image_tokens = (g // kh) * (g // kw)
         elif self.model_type == "qwen2_audio":
             # Whisper tower: 30 s chunks -> up to 750 rows per clip
             from iaas_sglang_tpu.models.qwen2_audio import (
@@ -281,7 +290,8 @@ class MultimodalProcessor:
         if self.is_gemma3:
             return gemma3_preprocess(img, self.image_size), None
         if (self.model_type in ("vila", "multi_modality")
-                or getattr(self, "is_minicpmv", False)):
+                or getattr(self, "is_minicpmv", False)
+                or getattr(self, "is_kimi_vl", False)):
             # 0.5/0.5 normalize + square resize (MiniCPM-V's NaViT
             # processor also normalizes with mean=std=0.5)
             return siglip_preprocess(img, self.image_size), None
