@@ -311,6 +311,25 @@ class ModelConfig:
             if is_o:
                 mc.audio_token_id = get("audio_token_id", 151648)
             return mc
+        if get("model_type") == "deepseek_vl_v2":
+            # DeepSeek-VL2 (reference models/deepseek_vl2.py): timm SigLIP
+            # tower + downsample projector + DeepSeek MLA LM under
+            # language_config; tiny (use_mla=False) variants are rejected
+            inner = dict(hf.get("language_config")
+                         or hf.get("text_config") or {})
+            if not inner.get("use_mla", True):
+                raise ValueError(
+                    "deepseek-vl2 use_mla=False (tiny) is not supported")
+            inner.setdefault("model_type", "deepseek_v2")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "DeepseekVL2ForCausalLM"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_id", 100003)  # <image>
+            return mc
         if get("model_type") == "kimi_vl":
             # Kimi-VL (reference models/kimi_vl.py): MoonViT tower +
             # DeepSeek MLA LM under text_config (configs/kimi_vl.py:30

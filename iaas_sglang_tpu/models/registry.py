@@ -239,6 +239,15 @@ def _kimi_vl(config):
 
 register("KimiVLForConditionalGeneration", _kimi_vl)
 
+
+def _deepseek_vl2(config):
+    from iaas_sglang_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
+
+    return DeepseekVL2ForCausalLM(config)
+
+
+register("DeepseekVL2ForCausalLM", _deepseek_vl2)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

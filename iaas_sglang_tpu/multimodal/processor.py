@@ -220,6 +220,18 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             kh, kw = tuple(vc.get("merge_kernel_size", (2, 2)))
             self.num_image_tokens = (g // kh) * (g // kw)
+        elif any(a == "DeepseekVL2ForCausalLM"
+                 for a in (model_config.architectures or [])):
+            # DeepSeek-VL2: fixed (1,1)-crop square tile at grid*patch px;
+            # rows = 2 views * hp*(hp+1) (newline per row) + 1 separator
+            self.is_deepseek_vl2 = True
+            p = vc.get("patch_size", 14)
+            g = vc.get("image_size", 384) // p
+            self.image_size = g * p
+            pc = model_config.hf_config.get("projector_config") or {}
+            ds = pc.get("downsample_ratio", 2)
+            hp = -(-g // ds)
+            self.num_image_tokens = 2 * hp * (hp + 1) + 1
         elif self.model_type == "qwen2_audio":
             # Whisper tower: 30 s chunks -> up to 750 rows per clip
             from iaas_sglang_tpu.models.qwen2_audio import (
@@ -291,7 +303,8 @@ class MultimodalProcessor:
             return gemma3_preprocess(img, self.image_size), None
         if (self.model_type in ("vila", "multi_modality")
                 or getattr(self, "is_minicpmv", False)
-                or getattr(self, "is_kimi_vl", False)):
+                or getattr(self, "is_kimi_vl", False)
+                or getattr(self, "is_deepseek_vl2", False)):
             # 0.5/0.5 normalize + square resize (MiniCPM-V's NaViT
             # processor also normalizes with mean=std=0.5)
             return siglip_preprocess(img, self.image_size), None
