@@ -129,6 +129,8 @@ class ModelConfig:
     residual_multiplier: float = 1.0  # Granite residual scaling
     logits_scale: float = 1.0         # final-logit multiplier (Cohere/Granite)
     attention_multiplier: Optional[float] = None  # direct sm_scale override
+    gegelu_limit: Optional[float] = None   # phi3small gegelu clamp
+    dummy_token_indices: Optional[tuple] = None  # phi3small -inf logits
     clip_qkv: Optional[float] = None  # clamp q/k/v activations (DBRX/OLMo)
     # per-layer rope enable (SmolLM3 NoPE layers, EXAONE-4 global layers);
     # None = rope everywhere
@@ -772,6 +774,41 @@ class ModelConfig:
             mc.attention_bias = bias
             mc.o_bias = bias
             mc.tie_word_embeddings = get("tie_word_embeddings", True)
+        if mc.model_type == "phi3small":
+            # Phi-3-small (reference models/phi3_small.py): LayerNorm
+            # blocks, GQA-interleaved fused query_key_value (+bias),
+            # gegelu fused up_proj, muP scaling, tiktoken dummy tokens.
+            # The reference constructs blocksparse params but runs dense
+            # attention (bs_params unused at phi3_small.py:200) — same here.
+            mc.norm_type = "layernorm"
+            mc.norm_bias = True
+            mc.rms_norm_eps = get("layer_norm_epsilon", 1e-5)
+            mc.attention_bias = True
+            mc.o_bias = True
+            mc.mlp_bias = True
+            mc.hidden_act = "gegelu"
+            mc.gegelu_limit = get("gegelu_limit")
+            mc.rope_theta = get("rope_embedding_base",
+                                get("rope_theta", 1e6))
+            pos_scale = get("rope_position_scale", 1.0)
+            if mc.rope_scaling is None and pos_scale != 1.0:
+                mc.rope_scaling = {"rope_type": "linear",
+                                   "factor": pos_scale}
+            if get("mup_use_scaling", False):
+                # sm_scale = mup_attn_multiplier / head_dim
+                # (phi3_small.py:132 norm_factor inverse)
+                mc.attention_multiplier = (
+                    get("mup_attn_multiplier", 1.0) / mc.head_dim)
+            mc.embed_multiplier = get("mup_embedding_multiplier", 1.0) or 1.0
+            wm = get("mup_width_multiplier")
+            if wm:
+                # HF divides logits by the width multiplier (greedy-
+                # invariant; the reference omits it)
+                mc.logits_scale = 1.0 / wm
+            mc.tie_word_embeddings = get("tie_word_embeddings", True)
+            dummy = get("dummy_token_indices")
+            if dummy:
+                mc.dummy_token_indices = tuple(int(i) for i in dummy)
         if mc.model_type == "phi":
             # Phi-1/1.5/2: parallel attn+MLP residual over a shared
             # LayerNorm, partial rotary, biased linears + LM-head bias.

@@ -232,6 +232,7 @@ class LlamaFamilyForCausalLM:
         dbrx = mt == "dbrx"
         th = mt in ("exaone", "qwen")   # transformer.h.* llama clones
         ilm2 = mt == "internlm2"
+        p3s = mt == "phi3small"
         cglm = mt == "chatglm"
         lpre = ("transformer.h.{l}." if (gptpre or th)
                 else "transformer.blocks.{l}." if dbrx
@@ -262,7 +263,8 @@ class LlamaFamilyForCausalLM:
 
         final_key = ("transformer.ln_f" if (gptpre or th)
                      else "transformer.norm_f" if dbrx
-                     else "model.final_layernorm" if mt == "phi"
+                     else "model.final_layernorm" if mt in ("phi",
+                                                            "phi3small")
                      else "transformer.encoder.final_layernorm" if cglm
                      else "model.norm")
         norm("final_norm", final_key, stacked=False)
@@ -308,31 +310,39 @@ class LlamaFamilyForCausalLM:
         elif cglm:
             qkv_fused = (lpre + "self_attention.query_key_value", True,
                          _rows)
-        if ilm2:
-            # InternLM2 fused wqkv is GQA-INTERLEAVED: view as
-            # [Nk, g+2, D, H] — per kv head, g query heads then k then v
-            # (reference models/internlm2.py:335 load_weights)
+        if ilm2 or p3s:
+            # InternLM2 wqkv / Phi-3-small query_key_value are fused and
+            # GQA-INTERLEAVED: view as [Nk, g+2, D, ...] — per kv head,
+            # g query heads then k then v (reference
+            # models/internlm2.py:335, models/phi3_small.py:222)
             g = Nq // Nk
+            fqk = lpre + ("attention.wqkv" if ilm2
+                          else "self_attn.query_key_value")
 
-            def _ilm2_slice(which):
+            def _gqa_slice(which, bias=False):
                 def f(t):
-                    t4 = t.reshape(Nk, g + 2, D, t.shape[-1])
+                    t4 = t.reshape((Nk, g + 2, D) if bias
+                                   else (Nk, g + 2, D, t.shape[-1]))
                     if which == "q":
                         part = t4[:, :g]
                     elif which == "k":
                         part = t4[:, g:g + 1]
                     else:
                         part = t4[:, g + 1:g + 2]
-                    return part.reshape(-1, t4.shape[-1])
+                    return part.reshape((-1,) if bias
+                                        else (-1, t4.shape[-1]))
                 return f
 
             for nm, n_out, which in [("wq", Nq * D, "q"), ("wk", Nk * D, "k"),
                                      ("wv", Nk * D, "v")]:
                 s[f"layers.{nm}"] = WeightSpec(
-                    (H, n_out), (None, "tp"),
-                    lpre + "attention.wqkv.weight",
+                    (H, n_out), (None, "tp"), fqk + ".weight",
                     transpose=True, stacked=True, quantizable=True,
-                    hf_pre=_ilm2_slice(which))
+                    hf_pre=_gqa_slice(which))
+                if c.attention_bias:
+                    s[f"layers.b{which}"] = WeightSpec(
+                        (n_out,), ("tp",), fqk + ".bias", stacked=True,
+                        hf_pre=_gqa_slice(which, bias=True))
         elif qkv_fused is not None:
             fkey, ftr, fsl = qkv_fused
             offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
@@ -353,7 +363,7 @@ class LlamaFamilyForCausalLM:
         o_key = (lpre + "self_attention.dense" if cglm
                  else lpre + "attn.c_proj" if (gptpre or mt == "qwen")
                  else lpre + "norm_attn_norm.attn.out_proj" if dbrx
-                 else lpre + "self_attn.dense" if mt == "phi"
+                 else lpre + "self_attn.dense" if mt in ("phi", "phi3small")
                  else lpre + "attn.attention.out_proj" if mt == "exaone"
                  else lpre + "attention.wo" if ilm2
                  else lpre + "self_attn.o_proj")
@@ -478,6 +488,27 @@ class LlamaFamilyForCausalLM:
                     (I,), ("tp",), k1 + ".bias", stacked=True)
                 s["layers.b_fc2"] = WeightSpec(
                     (H,), (None,), k2 + ".bias", stacked=True)
+        elif p3s:
+            # Phi-3-small fused up_proj [2I, H] is CHANNEL-INTERLEAVED for
+            # gegelu: even rows feed the gelu branch, odd rows the linear
+            # branch (reference models/phi3_small.py:37 gegelu)
+            upk = lpre + "mlp.up_proj"
+
+            def _every_other(start):
+                return lambda t: t[start::2]
+
+            for nm, st in (("w_gate", 0), ("w_up", 1)):
+                s[f"layers.{nm}"] = WeightSpec(
+                    (H, I), (None, "tp"), upk + ".weight", transpose=True,
+                    stacked=True, quantizable=True, hf_pre=_every_other(st))
+                s[f"layers.b{nm[1:]}"] = WeightSpec(
+                    (I,), ("tp",), upk + ".bias", stacked=True,
+                    hf_pre=_every_other(st))
+            s["layers.w_down"] = WeightSpec(
+                (I, H), ("tp", None), lpre + "mlp.down_proj.weight",
+                transpose=True, stacked=True, quantizable=True)
+            s["layers.b_down"] = WeightSpec(
+                (H,), (None,), lpre + "mlp.down_proj.bias", stacked=True)
         elif mt in ("phi3", "glm", "glm4", "chatglm"):
             # fused gate_up_proj [2I, H] (chatglm: dense_h_to_4h swiglu)
             guk = lpre + ("mlp.dense_h_to_4h.weight" if cglm
@@ -509,7 +540,7 @@ class LlamaFamilyForCausalLM:
             s["layers.w_down"] = WeightSpec(
                 (I, H), ("tp", None), lpre + dk + ".weight",
                 transpose=True, stacked=True, quantizable=True)
-        if c.attention_bias:
+        if c.attention_bias and not (ilm2 or p3s):   # interleaved: see above
             if qkv_fused is not None and (gptpre or mt == "qwen" or cglm):
                 bkey = qkv_fused[0] + ".bias"
                 offs = [0, Nq * D, (Nq + Nk) * D, (Nq + 2 * Nk) * D]
@@ -1026,8 +1057,23 @@ class LlamaFamilyForCausalLM:
                         up = up + lora_delta(
                             h2, lp["lora_A_w_up"], lp["lora_B_w_up"]
                         ).astype(up.dtype)
-                    inter = act_fn(gate) * up
+                    if c.mlp_bias and "b_gate" in lp:
+                        gate = gate + lp["b_gate"]
+                        up = up + lp["b_up"]
+                    if c.hidden_act == "gegelu":
+                        # quick_gelu(min(gate, lim)) * (clip(up, ±lim) + 1)
+                        # (reference models/phi3_small.py:37)
+                        lim = c.gegelu_limit
+                        if lim is not None:
+                            gate = jnp.minimum(gate, lim)
+                            up = jnp.clip(up, -lim, lim)
+                        inter = gate * jax.nn.sigmoid(1.702 * gate) \
+                            * (up + 1.0)
+                    else:
+                        inter = act_fn(gate) * up
                     mlp = qmatmul(inter, lp["w_down"])
+                    if c.mlp_bias and "b_down" in lp:
+                        mlp = mlp + lp["b_down"]
                     if lora_onehot is not None:
                         mlp = mlp + lora_delta(
                             inter, lp["lora_A_w_down"], lp["lora_B_w_down"]
@@ -1119,4 +1165,9 @@ class LlamaFamilyForCausalLM:
         cap = self.config.final_logit_softcap
         if cap:
             logits = cap * jnp.tanh(logits / cap)
+        if self.config.dummy_token_indices:
+            # Phi-3-small: tiktoken slots never produced by the model
+            # (reference models/phi3_small.py:399 index_fill -inf)
+            idx = jnp.asarray(self.config.dummy_token_indices, jnp.int32)
+            logits = logits.at[..., idx].set(-jnp.inf)
         return logits

@@ -64,6 +64,8 @@ for _arch in (
     "BaichuanForCausalLM",        # models/baichuan.py (fused W_pack; 7B
     "BaiChuanForCausalLM",        #   rope variants; Baichuan2 NormHead)
     "XverseForCausalLM",          # models/xverse.py (llama keys)
+    "Phi3SmallForCausalLM",       # models/phi3_small.py (LayerNorm,
+    #   GQA-interleaved fused qkv, gegelu, muP, dummy-token mask)
     "MiMoForCausalLM",            # models/mimo.py (qwen2 body)
     "MiniCPMForCausalLM",         # models/minicpm.py (muP scaling)
     "ChatGLMModel",               # models/chatglm.py (fused query_key_value
