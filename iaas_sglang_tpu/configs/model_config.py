@@ -678,6 +678,21 @@ class ModelConfig:
             # the family default is gelu_pytorch_tanh, NOT silu
             mc.hidden_act = get("hidden_activation",
                                 get("hidden_act", "gelu_pytorch_tanh"))
+        if mc.model_type == "gemma3n_text":
+            # Gemma 3n (reference models/gemma3n_causal.py): AltUp streams,
+            # laurel, per-layer embeddings, KV sharing — the exotica lives
+            # in models/gemma3n.py reading hf_config; here only the base
+            # geometry is normalized (intermediate_size ships as a
+            # per-layer list, uniform in released checkpoints)
+            isz = get("intermediate_size")
+            if isinstance(isz, (list, tuple)):
+                if len(set(isz)) != 1:
+                    raise ValueError(
+                        "gemma3n with non-uniform intermediate_size is "
+                        "not supported (layer stacks must be uniform)")
+                mc.intermediate_size = int(isz[0])
+            mc.tie_word_embeddings = True
+            mc.sliding_window = get("sliding_window", 512)
         if mc.model_type in ("gemma2", "gemma3_text"):
             mc.sandwich_norms = True
             mc.query_pre_attn_scalar = get("query_pre_attn_scalar")

@@ -250,6 +250,15 @@ def _deepseek_vl2(config):
 
 register("DeepseekVL2ForCausalLM", _deepseek_vl2)
 
+
+def _gemma3n(config):
+    from iaas_sglang_tpu.models.gemma3n import Gemma3nForCausalLM
+
+    return Gemma3nForCausalLM(config)
+
+
+register("Gemma3nForCausalLM", _gemma3n)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",
