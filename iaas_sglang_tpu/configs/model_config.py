@@ -392,8 +392,9 @@ class ModelConfig:
             mc.image_token_id = get("image_token_index", 262144)
             return mc
         if get("model_type") == "llama4" and get("text_config"):
-            # Llama4ForConditionalGeneration wrapper: serve the text model
-            # (vision tower not yet supported — text-only requests work)
+            # Llama4ForConditionalGeneration wrapper (reference
+            # models/mllama4.py): Llama4VisionModel tower + pixel-shuffle
+            # adapter around the llama4 text family
             inner = dict(hf["text_config"])
             mc = ModelConfig.from_hf(inner, model_path=model_path,
                                      context_length=context_length,
@@ -401,6 +402,8 @@ class ModelConfig:
             mc.hf_config = hf
             mc.architectures = get("architectures") or [
                 "Llama4ForConditionalGeneration"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_index", 200092)
             return mc
         if get("model_type") in ("qwen2_vl", "qwen2_5_vl"):
             # flat legacy configs AND new nested text_config both occur;

@@ -51,7 +51,7 @@ for _arch in (
     "DeepseekForCausalLM",        # models/deepseek.py (V1: llama attention,
     #   softmax top-k MoE, shared experts, first_k_dense_replace)
     "Llama4ForCausalLM",          # models/llama4.py (text: interleaved MoE,
-    "Llama4ForConditionalGeneration",  # NoPE + chunked local attention)
+    #   NoPE + chunked local attention)
     "PhimoeForCausalLM",          # Phi-3.5-MoE (LayerNorm blocks,
     #   sparsemixer top-2 router)
     "QWenLMHeadModel",            # models/qwen.py (Qwen-1: fused c_attn
@@ -258,6 +258,19 @@ def _gemma3n(config):
 
 
 register("Gemma3nForCausalLM", _gemma3n)
+
+
+def _llama4_mm(config):
+    if config.vision_config:
+        from iaas_sglang_tpu.models.mllama4 import (
+            Llama4ForConditionalGeneration,
+        )
+
+        return Llama4ForConditionalGeneration(config)
+    return LlamaFamilyForCausalLM(config)   # flat text-only configs
+
+
+register("Llama4ForConditionalGeneration", _llama4_mm)
 
 # sequence classification / reward heads share the causal LM body
 for _arch in (

@@ -232,6 +232,16 @@ class MultimodalProcessor:
             ds = pc.get("downsample_ratio", 2)
             hp = -(-g // ds)
             self.num_image_tokens = 2 * hp * (hp + 1) + 1
+        elif (any(a == "Llama4ForConditionalGeneration"
+                  for a in (model_config.architectures or []))
+              and model_config.vision_config):
+            # Llama-4 vision: one fixed square tile; pixel-shuffle adapter
+            # emits (g*ratio)^2 rows per image
+            self.is_llama4 = True
+            self.image_size = vc.get("image_size", 336)
+            g = self.image_size // vc.get("patch_size", 14)
+            r = vc.get("pixel_shuffle_ratio", 0.5)
+            self.num_image_tokens = int(g * g * r * r)
         elif self.model_type == "qwen2_audio":
             # Whisper tower: 30 s chunks -> up to 750 rows per clip
             from iaas_sglang_tpu.models.qwen2_audio import (
@@ -304,7 +314,8 @@ class MultimodalProcessor:
         if (self.model_type in ("vila", "multi_modality")
                 or getattr(self, "is_minicpmv", False)
                 or getattr(self, "is_kimi_vl", False)
-                or getattr(self, "is_deepseek_vl2", False)):
+                or getattr(self, "is_deepseek_vl2", False)
+                or getattr(self, "is_llama4", False)):
             # 0.5/0.5 normalize + square resize (MiniCPM-V's NaViT
             # processor also normalizes with mean=std=0.5)
             return siglip_preprocess(img, self.image_size), None
