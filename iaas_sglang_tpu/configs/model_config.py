@@ -89,6 +89,8 @@ class ModelConfig:
     image_token_id: Optional[int] = None
     # dual-modality models (MiniCPM-O): separate audio placeholder token
     audio_token_id: Optional[int] = None
+    # cross-attention VLMs (Mllama): global layer ids of the cross layers
+    cross_attention_layers: Optional[list] = None
     vision_feature_layer: int = -2
     vision_feature_select_strategy: str = "default"
     mm_projector_act: str = "gelu"
@@ -331,6 +333,27 @@ class ModelConfig:
                 "DeepseekVL2ForCausalLM"]
             mc.vision_config = get("vision_config") or {}
             mc.image_token_id = get("image_token_id", 100003)  # <image>
+            return mc
+        if get("model_type") == "mllama":
+            # Llama 3.2 Vision (reference models/mllama.py): llama text
+            # layers with gated cross-attention layers interleaved; the
+            # vision tower feeds per-request encoder KV (models/mllama.py
+            # here). The embedding table carries 8 extra special rows
+            # (<|image|> = vocab_size).
+            inner = dict(hf.get("text_config") or {})
+            inner.setdefault("model_type", "llama")
+            inner.pop("cross_attention_layers", None)
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "MllamaForConditionalGeneration"]
+            mc.vision_config = get("vision_config") or {}
+            mc.cross_attention_layers = list(
+                (hf.get("text_config") or {}).get("cross_attention_layers")
+                or [])
+            mc.image_token_id = get("image_token_index", mc.vocab_size)
             return mc
         if get("model_type") == "kimi_vl":
             # Kimi-VL (reference models/kimi_vl.py): MoonViT tower +

@@ -161,6 +161,9 @@ class Req:
 
     def release_pages(self, allocator: PageAllocator, tree_cache: BasePrefixCache):
         """Drop all request-owned pages and tree locks (retract / abort)."""
+        from iaas_sglang_tpu.mem_cache.radix_cache import free_encoder_pages
+
+        free_encoder_pages(self, allocator)   # re-written on re-admission
         allocator.free(self.owned_pages)
         self.owned_pages = np.empty(0, dtype=np.int32)
         if self.last_node is not None:

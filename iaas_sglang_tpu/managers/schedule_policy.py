@@ -134,7 +134,8 @@ class PrefillAdder:
         # has no KV to reuse — a "cached prefix" would skip real compute.
         need_lock = (req.fill_len == 0
                      and not getattr(req, "lora_slot", 0)
-                     and not getattr(req, "no_chunk", 0))
+                     and not getattr(req, "no_chunk", 0)
+                     and not getattr(req, "radix_bypass", 0))
         if need_lock:
             if len(self.tree_caches) > 1:
                 self._assign_rank(req)
@@ -154,10 +155,15 @@ class PrefillAdder:
             req.fill_len = max(req.fill_len - 1, 0)
             remaining = req.extend_target() - req.fill_len
 
-        # KV budget: this chunk + decode headroom estimate
+        # KV budget: this chunk + decode headroom estimate (+ encoder-KV
+        # pages for cross-attention requests not yet written)
+        enc_need = 0
+        if not getattr(req, "enc_written", False):
+            enc_need = sum(getattr(it, "enc_tokens", 0)
+                           for it in getattr(req, "mm_items", []) or [])
         est_tokens = remaining + min(
             req.sampling_params.max_new_tokens, 256
-        )
+        ) + enc_need
         if est_tokens + self.headroom_tokens \
                 > self._available_tokens(req.dp_rank):
             return AddReqResult.NO_TOKEN

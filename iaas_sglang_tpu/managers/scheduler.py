@@ -272,6 +272,11 @@ class Scheduler:
                 regex=sp.regex, json_schema=sp.json_schema, ebnf=sp.ebnf)
         req.logprob_start_len = m.logprob_start_len
         req.mm_items = m.mm_items or []
+        if self.model_config.cross_attention_layers and req.mm_items:
+            # Mllama: text KV is image-conditioned through the cross
+            # layers; identical token ids with different images must NOT
+            # share prefixes
+            req.radix_bypass = True
         req.disagg_decode_url = m.disagg_decode_url
         req.session_id = m.session_id
         if m.lora_path and self.model_runner.lora_manager is not None:
@@ -581,6 +586,7 @@ class Scheduler:
         hb = batch.prepare_for_decode_multi(self.multi_steps)
         if hb is None:
             return False  # page pressure: single-step path retracts
+        self._attach_encoder(batch, hb)
         toks = self.model_runner.forward(hb)   # np [B, N]
         self.process_multi_result(batch, toks)
         return True
@@ -789,6 +795,48 @@ class Scheduler:
             hb.mm_positions = np.concatenate(pos_l)
             hb.mm_embeds = np.concatenate(emb_l)
 
+    def _attach_encoder(self, batch: ScheduleBatch, hb) -> None:
+        """Cross-attention (Mllama): on a request's FIRST prefill chunk,
+        run the vision tower (mm cache), allocate encoder pages and write
+        the per-cross-layer encoder K/V once; every batch then carries
+        per-seq encoder lens + page tables (0 / empty for text-only)."""
+        if not self.model_config.cross_attention_layers or hb is None:
+            return
+        ps = self.page_size
+        if hb.mode.is_extend():
+            for r in batch.reqs:
+                if not r.mm_items or getattr(r, "enc_written", False):
+                    continue
+                rows = []
+                for it in r.mm_items:
+                    e = self.mm_cache.get(it.hash)
+                    if e is None:
+                        e = self.model_runner.encode_mm_items([it])[it.hash]
+                        self.mm_cache.put(it.hash, e)
+                    rows.append(np.asarray(e))
+                rows = np.concatenate(rows, axis=0)
+                E = rows.shape[0]
+                pages = self.allocator.alloc(-(-E // ps))
+                if pages is None:
+                    self.tree_cache.evict(-(-E // ps))
+                    pages = self.allocator.alloc(-(-E // ps))
+                if pages is None:
+                    raise RuntimeError(
+                        "encoder-KV page allocation failed (admission "
+                        "budget should have covered it)")
+                slots = (np.asarray(pages, np.int64)[:, None] * ps
+                         + np.arange(ps)[None]).reshape(-1)[:E]
+                self.model_runner.write_cross_kv(rows, slots)
+                r.enc_pages = np.asarray(pages, dtype=np.int32)
+                r.enc_len = E
+                r.enc_written = True
+        empty = np.empty(0, dtype=np.int32)
+        hb.enc_lens = np.array(
+            [getattr(r, "enc_len", 0) or 0 for r in batch.reqs], np.int32)
+        hb.enc_page_tables = [
+            r.enc_pages if getattr(r, "enc_pages", None) is not None
+            else empty for r in batch.reqs]
+
     def _mrope_rows(self, req: Req, f0: int, f1: int) -> "np.ndarray":
         """3D rope positions for seq positions [f0, f1) of one request.
         Prompt rows come from the cached table; generated rows (and text-
@@ -837,6 +885,7 @@ class Scheduler:
             hb = batch.prepare_for_extend()
             self._attach_mm(batch, hb)
             self._attach_mrope(batch, hb)
+            self._attach_encoder(batch, hb)
             if self.eagle is not None:
                 hb.return_all_hidden = True
         else:
@@ -861,6 +910,7 @@ class Scheduler:
                 hb = batch.prepare_for_decode()
         if not batch.mode.is_extend():
             self._attach_mrope(batch, hb)
+            self._attach_encoder(batch, hb)
         tokens = self.model_runner.forward(hb, fetch=fetch)
         if (self.expert_recorder is not None and self.expert_recorder.recording
                 and hb.input_ids is not None and hb.multi_steps == 1
@@ -1257,6 +1307,7 @@ class Scheduler:
                 hb = nb.prepare_for_decode(chain_from=ihb)
                 if hb is not None:
                     self._attach_mrope(nb, hb)
+                    self._attach_encoder(nb, hb)
                     self.model_runner.forward(hb, fetch=False)
                     for r in nb.reqs:
                         r.pending_steps += 1

@@ -21,6 +21,9 @@ class ChunkCache(BasePrefixCache):
         )
 
     def cache_finished_req(self, req) -> None:
+        from iaas_sglang_tpu.mem_cache.radix_cache import free_encoder_pages
+
+        free_encoder_pages(req, self.allocator)
         self.allocator.free(np.asarray(req.page_table_np(), dtype=np.int32))
 
     def cache_unfinished_req(self, req) -> None:

@@ -53,6 +53,17 @@ class MatchResult:
     last_node: object                 # node to lock while the request runs
 
 
+def free_encoder_pages(req, allocator) -> None:
+    """Cross-attention (Mllama): release a request's encoder-KV pages
+    (allocated outside the text page table) on finish/retract/abort."""
+    enc = getattr(req, "enc_pages", None)
+    if enc is not None and len(enc):
+        allocator.free(np.asarray(enc, dtype=np.int32))
+    req.enc_pages = None
+    req.enc_written = False
+    req.enc_len = 0
+
+
 class BasePrefixCache:
     def match_prefix(self, token_ids: list[int]) -> MatchResult:
         raise NotImplementedError
@@ -285,8 +296,11 @@ class RadixCache(BasePrefixCache):
 
         Analog of radix_cache.py:182 cache_finished_req.
         """
-        if getattr(req, "lora_slot", 0):
-            # adapter-specific KV never enters the shared tree
+        free_encoder_pages(req, self.allocator)
+        if getattr(req, "lora_slot", 0) or getattr(req, "radix_bypass", 0):
+            # adapter-specific KV never enters the shared tree; nor does
+            # image-conditioned text KV (cross-attention outputs differ
+            # per image while the token ids do not)
             self.allocator.free(np.asarray(req.owned_pages, dtype=np.int32))
             if req.last_node is not None:
                 self.dec_lock_ref(req.last_node)
@@ -311,7 +325,7 @@ class RadixCache(BasePrefixCache):
         """Publish the full pages of an in-flight request into the tree so
         concurrent requests can share them (chunked prefill dedup), and
         re-lock the deeper node. Analog of radix_cache.py:219."""
-        if getattr(req, "lora_slot", 0):
+        if getattr(req, "lora_slot", 0) or getattr(req, "radix_bypass", 0):
             return
         token_ids = req.fill_ids()[: req.fill_len]
         aligned = len(token_ids) - (len(token_ids) % self.page_size)

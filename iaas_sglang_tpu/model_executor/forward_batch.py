@@ -59,6 +59,11 @@ class ForwardBatch:
     mm_positions: jnp.ndarray = None  # i32[Tm] | None
     # MRope (Qwen2-VL): 3D (t, h, w) rope positions; None = standard rope
     mrope_positions: jnp.ndarray = None  # i32[3, T] | None
+    # cross-attention (Mllama): per-TOKEN encoder lengths and page tables
+    # into the cross layers' page-space slices (0 / garbage for sequences
+    # without an image); None on non-cross-attention models
+    enc_lens: jnp.ndarray = None         # i32[T] | None
+    enc_page_indices: jnp.ndarray = None  # i32[T, EP] | None
 
 
 @struct.dataclass

@@ -92,6 +92,10 @@ class HostBatch:
     mm_positions: Any = None        # np i32[Tm] | None
     # MRope (Qwen2-VL): 3D rope positions aligned with `positions`
     mrope_positions: Any = None     # np i32[3, T] | None
+    # cross-attention (Mllama): per-SEQ encoder lens + page tables (the
+    # runner expands to per-token); None on non-cross-attention models
+    enc_lens: Any = None            # np i32[B] | None
+    enc_page_tables: Any = None     # list[np i32[...]] | None
     # set by the runner in dp mode: padded placement maps (request order ->
     # flat padded row / token positions)
     row_of_req: Any = None          # np i64[B] | None
@@ -909,6 +913,25 @@ class ModelRunner:
             md[: len(hb.move_dst)] = hb.move_dst
             move_src, move_dst = jnp.asarray(ms), jnp.asarray(md)
         mm_embeds, mm_positions = self._pad_mm(hb, T_pad, None)
+        enc_lens = enc_pages = None
+        if hb.enc_lens is not None:
+            # cross-attention: expand per-seq encoder metadata to per-token
+            # rows (decode: 1:1; extend: repeat by q_lens)
+            EP = bucket_size(
+                max((len(pt) for pt in hb.enc_page_tables), default=1),
+                self.mp_buckets)
+            el = np.zeros(T_pad, dtype=np.int32)
+            epi = np.full((T_pad, EP), garbage_page, dtype=np.int32)
+            reps = (np.ones(B, np.int32) if hb.mode.is_decode()
+                    else hb.q_lens.astype(np.int32))
+            t = 0
+            for i in range(B):
+                el[t : t + reps[i]] = hb.enc_lens[i]
+                pt = hb.enc_page_tables[i]
+                if len(pt):
+                    epi[t : t + reps[i], : len(pt)] = pt
+                t += reps[i]
+            enc_lens, enc_pages = jnp.asarray(el), jnp.asarray(epi)
         mrope = None
         if hb.mrope_positions is not None:
             mr = np.zeros((3, T_pad), dtype=np.int32)
@@ -916,6 +939,8 @@ class ModelRunner:
             mrope = jnp.asarray(mr)
         fb = ForwardBatch(
             mrope_positions=mrope,
+            enc_lens=enc_lens,
+            enc_page_indices=enc_pages,
             mm_embeds=mm_embeds,
             mm_positions=mm_positions,
             verify_idx=verify_idx,
@@ -977,6 +1002,22 @@ class ModelRunner:
             self._compiled[key] = exe
         with self.mesh_ctx.mesh:
             return exe(*args)
+
+    def write_cross_kv(self, enc_rows: np.ndarray,
+                       enc_slots: np.ndarray) -> None:
+        """Cross-attention (Mllama): project one request's encoder rows
+        [E, H] into every cross layer's K/V pages (layer-relative slots
+        [E]); run once per request before its first prefill chunk."""
+        if not hasattr(self, "_write_cross_fn"):
+            self._write_cross_fn = jax.jit(
+                self.model.write_cross_kv, donate_argnums=(1,))
+        dt = jnp.bfloat16 if self.model_config.dtype == "bfloat16" \
+            else jnp.float32
+        rows = jnp.asarray(np.asarray(enc_rows), dt)
+        slots = jnp.asarray(np.asarray(enc_slots, np.int32))
+        self.kv_pages = self._aot_call(
+            ("write_cross_kv", rows.shape), self._write_cross_fn,
+            (self.params, self.kv_pages, rows, slots))
 
     def apply_kv_moves(self, src: np.ndarray, dst: np.ndarray) -> None:
         """Standalone KV slot-move dispatch — flushes pending tree-verify

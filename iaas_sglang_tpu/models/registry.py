@@ -272,6 +272,15 @@ def _llama4_mm(config):
 
 register("Llama4ForConditionalGeneration", _llama4_mm)
 
+
+def _mllama(config):
+    from iaas_sglang_tpu.models.mllama import MllamaForConditionalGeneration
+
+    return MllamaForConditionalGeneration(config)
+
+
+register("MllamaForConditionalGeneration", _mllama)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -38,6 +38,9 @@ class MMItem:
     grid: Any = None          # qwen2-vl (t, gh, gw) patch grid | None
     modality: str = "image"   # "image" | "audio" (dual-modality models
     #                           route audio items to model.encode_audio)
+    enc_tokens: int = 0       # cross-attention models (Mllama): encoder
+    #                           rows per item (num_tokens stays 0 — the
+    #                           image occupies no text positions)
 
 
 def load_image(data: Any):
@@ -242,6 +245,14 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             r = vc.get("pixel_shuffle_ratio", 0.5)
             self.num_image_tokens = int(g * g * r * r)
+        elif model_config.cross_attention_layers:
+            # Mllama: the image occupies NO text positions — the tower's
+            # (grid^2 + 1) rows become per-request encoder KV for the
+            # cross layers; the <|image|> token stays in the prompt
+            self.is_cross_attn = True
+            self.image_size = vc.get("image_size", 560)
+            g = self.image_size // vc.get("patch_size", 14)
+            self.num_image_tokens = g * g + 1
         elif self.model_type == "qwen2_audio":
             # Whisper tower: 30 s chunks -> up to 750 rows per clip
             from iaas_sglang_tpu.models.qwen2_audio import (
@@ -333,6 +344,16 @@ class MultimodalProcessor:
         if self.model_type in ("qwen2_vl", "qwen2_5_vl"):
             return qwen2vl_preprocess(
                 img, self.image_size, self.patch, self.temporal, self.merge)
+        if getattr(self, "is_cross_attn", False):
+            # Mllama: square resize (the reference's tile padding is
+            # preprocessing-side) + CLIP mean/std
+            from PIL import Image
+
+            img = img.resize((self.image_size, self.image_size),
+                             Image.BICUBIC)
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            arr = (arr - CLIP_MEAN) / CLIP_STD
+            return arr.transpose(2, 0, 1), None
         return clip_preprocess(img, self.image_size), None
 
     def process(self, input_ids: List[int], image_data: Any = None,
@@ -370,6 +391,8 @@ class MultimodalProcessor:
                 else:
                     n = self.num_image_tokens
                     mod = "image"
+                if getattr(self, "is_cross_attn", False):
+                    n = 0   # encoder rows occupy no text positions
                 out.append((px, grid, mod, n))
             return out
 
@@ -399,13 +422,16 @@ class MultimodalProcessor:
         by_tok = {tid: p for tid, p in streams}
         idx = {tid: 0 for tid in by_tok}
 
+        cross = getattr(self, "is_cross_attn", False)
+
         def make_item(tid: int, offset: int) -> Tuple[MMItem, List[int]]:
             px, grid, mod, n = by_tok[tid][idx[tid]]
             idx[tid] += 1
             h = hashlib.sha1(px.tobytes()).hexdigest()
             base = int(h[:8], 16)
             item = MMItem(hash=h, offset=offset, num_tokens=n,
-                          pixel=px, grid=grid, modality=mod)
+                          pixel=px, grid=grid, modality=mod,
+                          enc_tokens=self.num_image_tokens if cross else 0)
             return item, [(base + j) % self.vocab_size for j in range(n)]
 
         out_ids: List[int] = []
@@ -414,7 +440,10 @@ class MultimodalProcessor:
             if tok in by_tok and idx[tok] < len(by_tok[tok]):
                 item, ids = make_item(tok, len(out_ids))
                 items.append(item)
-                out_ids.extend(ids)
+                if cross:
+                    out_ids.append(tok)   # <|image|> stays in the prompt
+                else:
+                    out_ids.extend(ids)
             else:
                 out_ids.append(tok)
         if any(idx[tid] < len(p) for tid, p in streams):
