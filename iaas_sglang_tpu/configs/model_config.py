@@ -355,6 +355,22 @@ class ModelConfig:
                 or [])
             mc.image_token_id = get("image_token_index", mc.vocab_size)
             return mc
+        if get("model_type") == "phi4mm":
+            # Phi-4-multimodal (reference models/phi4mm.py): phi3-family LM
+            # with plain model.* keys; the siglip-so400m-448 tower geometry
+            # is hardcoded by the reference, not in the HF config
+            inner = dict(hf)
+            inner["model_type"] = "phi3"
+            inner.pop("architectures", None)
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or ["Phi4MMForCausalLM"]
+            from iaas_sglang_tpu.models.phi4mm import PHI4MM_VISION
+            mc.vision_config = dict(get("vision_config") or PHI4MM_VISION)
+            mc.image_token_id = get("image_token_id", 200010)
+            return mc
         if get("model_type") == "kimi_vl":
             # Kimi-VL (reference models/kimi_vl.py): MoonViT tower +
             # DeepSeek MLA LM under text_config (configs/kimi_vl.py:30
@@ -867,6 +883,8 @@ class ModelConfig:
                 raise NotImplementedError("phi qk_layernorm not supported")
         if mc.model_type == "phi3":
             # Phi-3/3.5/4: fused qkv_proj/gate_up_proj, LongRope scaling.
+            # Phi-4-mini/-MM additionally rope only part of the head dim.
+            mc.partial_rotary_factor = get("partial_rotary_factor", 1.0)
             if mc.rope_scaling and mc.rope_scaling.get(
                     "rope_type", mc.rope_scaling.get("type")) == "longrope":
                 mc.rope_scaling = dict(mc.rope_scaling)

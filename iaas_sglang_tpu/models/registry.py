@@ -281,6 +281,15 @@ def _mllama(config):
 
 register("MllamaForConditionalGeneration", _mllama)
 
+
+def _phi4mm(config):
+    from iaas_sglang_tpu.models.phi4mm import Phi4MMForCausalLM
+
+    return Phi4MMForCausalLM(config)
+
+
+register("Phi4MMForCausalLM", _phi4mm)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -245,6 +245,14 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             r = vc.get("pixel_shuffle_ratio", 0.5)
             self.num_image_tokens = int(g * g * r * r)
+        elif any(a == "Phi4MMForCausalLM"
+                 for a in (model_config.architectures or [])):
+            # Phi-4-MM: fixed single crop; pooled grid g2 -> per-view
+            # g2*(g2+1) rows + glb_GN; sub view == global view
+            self.is_phi4mm = True
+            self.image_size = vc.get("image_size", 448)
+            g2 = self.image_size // vc.get("patch_size", 14) // 2
+            self.num_image_tokens = 2 * g2 * (g2 + 1) + 1
         elif model_config.cross_attention_layers:
             # Mllama: the image occupies NO text positions — the tower's
             # (grid^2 + 1) rows become per-request encoder KV for the
@@ -326,7 +334,8 @@ class MultimodalProcessor:
                 or getattr(self, "is_minicpmv", False)
                 or getattr(self, "is_kimi_vl", False)
                 or getattr(self, "is_deepseek_vl2", False)
-                or getattr(self, "is_llama4", False)):
+                or getattr(self, "is_llama4", False)
+                or getattr(self, "is_phi4mm", False)):
             # 0.5/0.5 normalize + square resize (MiniCPM-V's NaViT
             # processor also normalizes with mean=std=0.5)
             return siglip_preprocess(img, self.image_size), None
