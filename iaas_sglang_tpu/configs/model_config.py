@@ -416,6 +416,22 @@ class ModelConfig:
             if dtype != "auto":
                 mc.dtype = dtype
             return mc
+        if get("model_type") == "gemma3n" and get("text_config"):
+            # Gemma 3n multimodal wrapper (reference models/gemma3n_mm.py):
+            # conformer audio tower + multimodal embedders around the
+            # gemma3n text model; vision tower rejected (timm MobileNetV5)
+            inner = dict(hf["text_config"])
+            inner.setdefault("model_type", "gemma3n_text")
+            mc = ModelConfig.from_hf(inner, model_path=model_path,
+                                     context_length=context_length,
+                                     dtype=dtype)
+            mc.hf_config = hf
+            mc.architectures = get("architectures") or [
+                "Gemma3nForConditionalGeneration"]
+            mc.vision_config = get("vision_config") or {}
+            mc.image_token_id = get("image_token_id", 262145)
+            mc.audio_token_id = get("audio_token_id", 262273)
+            return mc
         if get("model_type") == "gemma3" and get("text_config"):
             # Gemma3 multimodal wrapper: SigLIP tower + pooled projector
             # around the gemma3_text LM (reference models/gemma3_mm.py)

@@ -1096,19 +1096,20 @@ class ModelRunner:
                     self._encode_audio_fn = jax.jit(self.model.encode_audio)
                 mel_t = self.model.patchify_audio(
                     np.stack([it.pixel for it in audio]))
-                conv_valid = np.array(
-                    [(int(it.grid) - 1) // 2 + 1 for it in audio], np.int32)
+                # `grid` carries the clip's valid mel frames; the model
+                # maps them to its own post-conv geometry
+                valid = np.array([int(it.grid) for it in audio], np.int32)
                 N = mel_t.shape[0]
                 N_pad = max(1, int(2 ** np.ceil(np.log2(N))))
                 if N_pad != N:
                     mel_t = np.concatenate([mel_t, np.zeros(
                         (N_pad - N,) + mel_t.shape[1:], mel_t.dtype)])
-                    conv_valid = np.concatenate(
-                        [conv_valid, np.ones(N_pad - N, np.int32)])
+                    valid = np.concatenate(
+                        [valid, np.ones(N_pad - N, np.int32)])
                 mel_j = jnp.asarray(mel_t, dt)
                 rows = self._aot_call(
                     ("encode_audio", mel_j.shape), self._encode_audio_fn,
-                    (self.params, mel_j, jnp.asarray(conv_valid)))
+                    (self.params, mel_j, jnp.asarray(valid)))
                 rows = np.asarray(rows)
                 for it, r in zip(audio, rows[:N]):
                     out[it.hash] = r

@@ -197,6 +197,19 @@ class Gemma3nForCausalLM:
 
     # ------------------------------------------------------------- forward
 
+    def _embed_inputs(self, params, fb):
+        """(embedding rows [T, H], per-layer-table ids [T]); the mm wrapper
+        overrides this with the embed_vision/embed_audio hard-token paths
+        and zeroes per-layer ids at soft-token positions."""
+        H = self.config.hidden_size
+        emb = params["embed"][fb.input_ids] * jnp.asarray(
+            H ** 0.5, params["embed"].dtype)
+        if fb.mm_embeds is not None:
+            emb = emb.at[fb.mm_positions].set(
+                fb.mm_embeds.astype(emb.dtype), mode="drop")
+        pl_ids = jnp.where(fb.input_ids < self.vocab_pl, fb.input_ids, 0)
+        return emb, pl_ids
+
     def forward(
         self,
         params: dict[str, Any],
@@ -222,14 +235,8 @@ class Gemma3nForCausalLM:
         f32 = jnp.float32
 
         # ---- embeddings + per-layer inputs (gemma3n_causal.py:765-800)
-        emb = params["embed"][fb.input_ids] * jnp.asarray(
-            H ** 0.5, params["embed"].dtype)
-        if fb.mm_embeds is not None:
-            emb = emb.at[fb.mm_positions].set(
-                fb.mm_embeds.astype(emb.dtype), mode="drop")
+        emb, pl_ids = self._embed_inputs(params, fb)
         T = emb.shape[0]
-        # per-layer table lookup (ids outside the per-layer vocab -> 0)
-        pl_ids = jnp.where(fb.input_ids < self.vocab_pl, fb.input_ids, 0)
         pl_emb = (params["embed_pl"][pl_ids]
                   * jnp.asarray(Dpl ** 0.5, emb.dtype)).reshape(T, L, Dpl)
         pl_proj = (emb.astype(f32) @ params["pl_proj"].astype(f32)

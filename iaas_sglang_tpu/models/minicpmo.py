@@ -83,12 +83,13 @@ class MiniCPMO(MiniCPMV):
         return np.swapaxes(np.asarray(mel), 1, 2)
 
     def encode_audio(self, params: dict[str, Any], mel_t: jnp.ndarray,
-                     conv_valid: jnp.ndarray) -> jnp.ndarray:
-        """mel_t [N, T, n_mels], conv_valid [N] (post-conv valid frames) ->
-        LM rows [N, (T/2)//pool, H]. Rows beyond a clip's token count are
-        sliced off by the caller."""
+                     valid: jnp.ndarray) -> jnp.ndarray:
+        """mel_t [N, T, n_mels], valid mel frames [N] -> LM rows
+        [N, (T/2)//pool, H]. Rows beyond a clip's token count are sliced
+        off by the caller."""
         N, T, _ = mel_t.shape
         T2 = T // 2
+        conv_valid = (valid - 1) // 2 + 1    # stride-2 conv frames
         i = jnp.arange(T2)
         # padded keys masked for every query (minicpmo.py:1690-1703); with
         # chunking, query i additionally sees only keys before its chunk's

@@ -290,6 +290,17 @@ def _phi4mm(config):
 
 register("Phi4MMForCausalLM", _phi4mm)
 
+
+def _gemma3n_mm(config):
+    from iaas_sglang_tpu.models.gemma3n_mm import (
+        Gemma3nForConditionalGeneration,
+    )
+
+    return Gemma3nForConditionalGeneration(config)
+
+
+register("Gemma3nForConditionalGeneration", _gemma3n_mm)
+
 # sequence classification / reward heads share the causal LM body
 for _arch in (
     "LlamaForSequenceClassification",

@@ -245,6 +245,18 @@ class MultimodalProcessor:
             g = self.image_size // vc.get("patch_size", 14)
             r = vc.get("pixel_shuffle_ratio", 0.5)
             self.num_image_tokens = int(g * g * r * r)
+        elif any(a == "Gemma3nForConditionalGeneration"
+                 for a in (model_config.architectures or [])):
+            # Gemma 3n: audio through the conformer tower (every clip
+            # occupies audio_soft_tokens_per_image positions); the vision
+            # tower (MobileNetV5 via timm) is unavailable here
+            self.is_gemma3n = True
+            hf = model_config.hf_config
+            self.audio_token_id = model_config.audio_token_id
+            ac = hf.get("audio_config") or {}
+            self.n_mels = ac.get("input_feat_size", 128)
+            self.num_image_tokens = hf.get("audio_soft_tokens_per_image",
+                                           188)
         elif any(a == "Phi4MMForCausalLM"
                  for a in (model_config.architectures or [])):
             # Phi-4-MM: fixed single crop; pooled grid g2 -> per-view
@@ -309,7 +321,44 @@ class MultimodalProcessor:
                 n += 1
             self.num_image_tokens = n
 
+    def _prep_audio(self, data) -> Tuple[np.ndarray, int, int]:
+        """Dual-modality models: one clip -> (mel, valid_frames,
+        n_lm_tokens)."""
+        from iaas_sglang_tpu.multimodal.audio import load_audio
+
+        if getattr(self, "is_gemma3n", False):
+            # Gemma3n: HF Gemma3nAudioFeatureExtractor (numpy) on a fixed
+            # 30 s buffer; every clip occupies audio_soft_tokens positions
+            from transformers import Gemma3nAudioFeatureExtractor
+
+            if not hasattr(self, "_g3n_fe"):
+                self._g3n_fe = Gemma3nAudioFeatureExtractor(
+                    feature_size=self.n_mels, padding_value=0.0,
+                    dither=0.0)
+            wave = load_audio(data)
+            n = 30 * 16000
+            valid_samples = min(len(wave), n)
+            buf = np.zeros(n, np.float32)
+            buf[:valid_samples] = wave[:n]
+            mel, _ = self._g3n_fe._extract_spectrogram(
+                buf, np.ones(n, bool))               # [T, n_mels]
+            mel = np.asarray(mel, np.float32)
+            hop = self._g3n_fe.hop_length
+            fl = self._g3n_fe.frame_length
+            valid = max(0, (valid_samples - (fl + 1)) // hop + 1)
+            return mel, int(min(valid, mel.shape[0])), self.num_image_tokens
+        from iaas_sglang_tpu.models.minicpmo import minicpmo_audio_tokens
+        from iaas_sglang_tpu.multimodal.audio import whisper_log_mel
+
+        mel, valid = whisper_log_mel(load_audio(data), self.n_mels)
+        return mel, valid, minicpmo_audio_tokens(valid,
+                                                 self.audio_pool_step)
+
     def _prep(self, data) -> Tuple[np.ndarray, Any]:
+        if getattr(self, "is_gemma3n", False):
+            raise ValueError(
+                "gemma3n image inputs are not supported (the MobileNetV5 "
+                "vision tower needs timm); audio and text only")
         if getattr(self, "is_audio", False):
             # audio: whisper log-mel; grid carries the un-padded frame
             # count so num_tokens tracks the clip length
@@ -411,18 +460,11 @@ class MultimodalProcessor:
             streams.append((self.image_token_id, prep_images(image_data)))
         if (audio_data is not None
                 and getattr(self, "audio_token_id", None) is not None):
-            from iaas_sglang_tpu.models.minicpmo import (
-                minicpmo_audio_tokens,
-            )
-            from iaas_sglang_tpu.multimodal.audio import (load_audio,
-                                                           whisper_log_mel)
-
             auds = audio_data if isinstance(audio_data, (list, tuple)) \
                 else [audio_data]
             prepped = []
             for d in auds:
-                mel, valid = whisper_log_mel(load_audio(d), self.n_mels)
-                n = minicpmo_audio_tokens(valid, self.audio_pool_step)
+                mel, valid, n = self._prep_audio(d)
                 prepped.append((mel, valid, "audio", n))
             streams.append((self.audio_token_id, prepped))
         if not streams:

@@ -181,12 +181,11 @@ def test_minicpmo_audio_features_match_oracle(mcpmo_pair):
     assert n_tok == 30
 
     mel_b = mel[None]                                   # [1, 16, 3000]
-    conv_valid = [(valid - 1) // 2 + 1]
     ours = np.asarray(runner.model.encode_audio(
         runner.params, runner.model.patchify_audio(mel_b),
-        np.asarray(conv_valid, np.int32)), np.float32)
+        np.asarray([valid], np.int32)), np.float32)
     with torch.no_grad():
-        ref = apm(torch.tensor(mel_b), conv_valid,
+        ref = apm(torch.tensor(mel_b), [(valid - 1) // 2 + 1],
                   chunk_frames=50).float().numpy()
     assert ours.shape == ref.shape == (1, 750, 256)
     np.testing.assert_allclose(ours[:, :n_tok], ref[:, :n_tok],
