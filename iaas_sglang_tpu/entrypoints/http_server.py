@@ -526,6 +526,28 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/v1/rerank", handle_rerank)
     app.router.add_post("/rerank", handle_rerank)
     app.router.add_post("/v1/score", handle_score)
+
+    async def _startup_warmup(app_: web.Application) -> None:
+        # health-generate warmup (the reference's _wait_and_warmup) plus
+        # any named --warmups (srt/warmup.py analog)
+        state = app_["state"]
+        if state.server_args.skip_server_warmup:
+            return
+        from iaas_sglang_tpu.managers.io_struct import GenerateReqInput
+        from iaas_sglang_tpu.warmup import execute_warmups
+
+        gri = GenerateReqInput(
+            input_ids=[1, 2, 3],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "ignore_eos": True})
+        async for _ in state.tokenizer_manager.generate_request(gri):
+            pass
+        if state.server_args.warmups:
+            await execute_warmups(state.server_args.warmups.split(","),
+                                  state.tokenizer_manager)
+        logger.info("warmup complete")
+
+    app.on_startup.append(_startup_warmup)
     return app
 
 

@@ -169,7 +169,8 @@ class ServerArgs:
     # Misc
     random_seed: Optional[int] = None
     watchdog_timeout: float = 300.0
-    warmups: Optional[str] = None
+    warmups: Optional[str] = None          # comma-separated registry names
+    skip_server_warmup: bool = False
 
     def __post_init__(self):
         if self.tokenizer_path is None:
