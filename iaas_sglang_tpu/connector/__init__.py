@@ -31,6 +31,17 @@ class BaseConnector:
     def set(self, key: str, value: bytes) -> None:
         raise NotImplementedError
 
+    def put_weights(self, named_arrays) -> int:
+        """Persist (name, np.ndarray) pairs so weight_iterator reads them
+        back (save_remote_model path). Returns the tensor count."""
+        n = 0
+        for name, arr in named_arrays:
+            buf = io.BytesIO()
+            np.save(buf, arr)
+            self.set(f"weights:{name}", buf.getvalue())
+            n += 1
+        return n
+
 
 class FileConnector(BaseConnector):
     """file:// — directory of .npz weight shards + a kv/ blob store."""
@@ -61,6 +72,12 @@ class FileConnector(BaseConnector):
         os.makedirs(os.path.dirname(self._path(key)), exist_ok=True)
         with open(self._path(key), "wb") as f:
             f.write(value)
+
+    def put_weights(self, named_arrays) -> int:
+        # one .npz in the root so weight_iterator round-trips it
+        arrays = dict(named_arrays)
+        np.savez(os.path.join(self.root, "weights-00000.npz"), **arrays)
+        return len(arrays)
 
 
 class RedisConnector(BaseConnector):

@@ -363,6 +363,48 @@ class Engine:
         return self.scheduler.process_input(
             GetWeightsByNameReqInput(name)).value
 
+    def init_weights_update_group(self, master_address: str,
+                                  master_port: int,
+                                  group_name: str = "weight_update_group"
+                                  ) -> tuple:
+        """Open the trainer->server weight channel (the reference's NCCL
+        update group, ZMQ PULL here — model_runner.py:745 analog)."""
+        from iaas_sglang_tpu.managers.io_struct import (
+            InitWeightsUpdateGroupReqInput,
+        )
+
+        out = self.scheduler.process_input(InitWeightsUpdateGroupReqInput(
+            master_address, master_port, group_name))
+        return out.success, out.message
+
+    def update_weights_from_distributed(self, names, dtypes=None,
+                                        shapes=None) -> tuple:
+        from iaas_sglang_tpu.managers.io_struct import (
+            UpdateWeightsFromDistributedReqInput,
+        )
+
+        out = self.scheduler.process_input(
+            UpdateWeightsFromDistributedReqInput(names, dtypes, shapes))
+        return out.success, out.message
+
+    def save_sharded_model(self, path: str,
+                           max_shard_bytes: int = 2 << 30) -> tuple:
+        from iaas_sglang_tpu.managers.io_struct import (
+            SaveShardedModelReqInput,
+        )
+
+        out = self.scheduler.process_input(
+            SaveShardedModelReqInput(path, max_shard_bytes))
+        return out.success, out.message
+
+    def save_remote_model(self, url: str) -> tuple:
+        from iaas_sglang_tpu.managers.io_struct import (
+            SaveRemoteModelReqInput,
+        )
+
+        out = self.scheduler.process_input(SaveRemoteModelReqInput(url))
+        return out.success, out.message
+
     def release_memory_occupation(self) -> None:
         from iaas_sglang_tpu.managers.io_struct import (
             ReleaseMemoryOccupationReqInput,

@@ -235,6 +235,68 @@ class ResumeMemoryOccupationReqOutput:
 
 
 @dataclass
+class InitWeightsUpdateGroupReqInput:
+    """Open a weight-receive channel to an external trainer (the TPU
+    analog of the reference's NCCL group, model_runner.py:745 — here a
+    ZMQ PULL socket; the trainer PUSHes serialized named tensors)."""
+
+    master_address: str
+    master_port: int
+    group_name: str = "weight_update_group"
+
+
+@dataclass
+class InitWeightsUpdateGroupReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclass
+class UpdateWeightsFromDistributedReqInput:
+    """Receive the named tensors from the update group and apply them
+    (model_runner.py:790 update_weights_from_distributed analog)."""
+
+    names: list
+    dtypes: list = None
+    shapes: list = None
+
+
+@dataclass
+class UpdateWeightsFromDistributedReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclass
+class SaveShardedModelReqInput:
+    """Persist the served weights as flat safetensors shards reloadable
+    with --load-format sharded_state (scheduler.py:2213 analog)."""
+
+    path: str
+    max_shard_bytes: int = 2 << 30
+
+
+@dataclass
+class SaveShardedModelReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclass
+class SaveRemoteModelReqInput:
+    """Persist the served weights through a connector URL
+    (scheduler.py:2206 save_remote_model analog)."""
+
+    url: str
+
+
+@dataclass
+class SaveRemoteModelReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclass
 class GetWeightsByNameReqInput:
     name: str
 

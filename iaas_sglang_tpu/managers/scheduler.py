@@ -33,6 +33,10 @@ from iaas_sglang_tpu.managers.io_struct import (
     GetInternalStateReqOutput,
     GetWeightsByNameReqInput,
     GetWeightsByNameReqOutput,
+    InitWeightsUpdateGroupReqInput,
+    UpdateWeightsFromDistributedReqInput,
+    SaveShardedModelReqInput,
+    SaveRemoteModelReqInput,
     ReleaseMemoryOccupationReqInput,
     ReleaseMemoryOccupationReqOutput,
     ResumeMemoryOccupationReqInput,
@@ -228,6 +232,12 @@ class Scheduler:
             (ReleaseMemoryOccupationReqInput, self.handle_release_memory),
             (ResumeMemoryOccupationReqInput, self.handle_resume_memory),
             (GetWeightsByNameReqInput, self.handle_get_weights_by_name),
+            (InitWeightsUpdateGroupReqInput,
+             self.handle_init_weights_update_group),
+            (UpdateWeightsFromDistributedReqInput,
+             self.handle_update_weights_from_distributed),
+            (SaveShardedModelReqInput, self.handle_save_sharded_model),
+            (SaveRemoteModelReqInput, self.handle_save_remote_model),
             (ProfileReq, self.handle_profile),
             (ExpertDistributionReq, self.handle_expert_distribution),
             (LoadLoRAAdapterReqInput, self.handle_load_lora),
@@ -473,6 +483,41 @@ class Scheduler:
                 value=self.model_runner.get_weights_by_name(m.name))
         except Exception as e:  # noqa: BLE001
             return GetWeightsByNameReqOutput(value=None)
+
+    def handle_init_weights_update_group(self, m):
+        from iaas_sglang_tpu.managers.io_struct import (
+            InitWeightsUpdateGroupReqOutput,
+        )
+
+        ok, msg = self.model_runner.init_weights_update_group(
+            m.master_address, m.master_port, m.group_name)
+        return InitWeightsUpdateGroupReqOutput(ok, msg)
+
+    def handle_update_weights_from_distributed(self, m):
+        from iaas_sglang_tpu.managers.io_struct import (
+            UpdateWeightsFromDistributedReqOutput,
+        )
+
+        ok, msg = self.model_runner.update_weights_from_distributed(
+            m.names, m.dtypes, m.shapes)
+        return UpdateWeightsFromDistributedReqOutput(ok, msg)
+
+    def handle_save_sharded_model(self, m):
+        from iaas_sglang_tpu.managers.io_struct import (
+            SaveShardedModelReqOutput,
+        )
+
+        ok, msg = self.model_runner.save_sharded_model(
+            m.path, m.max_shard_bytes)
+        return SaveShardedModelReqOutput(ok, msg)
+
+    def handle_save_remote_model(self, m):
+        from iaas_sglang_tpu.managers.io_struct import (
+            SaveRemoteModelReqOutput,
+        )
+
+        ok, msg = self.model_runner.save_remote_model(m.url)
+        return SaveRemoteModelReqOutput(ok, msg)
 
     # ---------------------------------------------------------- scheduling
 

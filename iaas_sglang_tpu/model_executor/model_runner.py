@@ -1227,6 +1227,126 @@ class ModelRunner:
             node = node[part]
         return np.asarray(node)
 
+    def init_weights_update_group(self, master_address: str,
+                                  master_port: int,
+                                  group_name: str = "") -> tuple[bool, str]:
+        """Connect a ZMQ PULL socket to an external trainer's weight
+        publisher — the TPU analog of the reference's NCCL update group
+        (model_runner.py:745): collectives are compiled into programs
+        here, so trainer->server weight sync rides plain TCP/DCN."""
+        try:
+            import zmq
+
+            if getattr(self, "_weight_group", None) is not None:
+                self._weight_group.close(0)
+            ctx = zmq.Context.instance()
+            sock = ctx.socket(zmq.PULL)
+            sock.connect(f"tcp://{master_address}:{master_port}")
+            self._weight_group = sock
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
+    def update_weights_from_distributed(self, names, dtypes=None,
+                                        shapes=None) -> tuple[bool, str]:
+        """Receive len(names) tensors from the update group (multipart
+        [name, dtype, shape-json, raw bytes]) and apply them in place
+        (model_runner.py:790 analog)."""
+        if getattr(self, "_weight_group", None) is None:
+            return False, "init_weights_update_group has not been called"
+        try:
+            import json as _json
+
+            pending = set(names)
+            updates = {}
+            while pending:
+                name_b, dt_b, shape_b, buf = \
+                    self._weight_group.recv_multipart()
+                name = name_b.decode()
+                arr = np.frombuffer(
+                    buf, dtype=np.dtype(dt_b.decode())
+                ).reshape(_json.loads(shape_b.decode()))
+                updates[name] = arr
+                pending.discard(name)
+            return self.update_weights_from_tensor(updates)
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
+    def _host_named_params(self):
+        """Flatten the live param tree to (name -> np.ndarray); quantized
+        weights emit '<name>::q' / '<name>::scale' entries."""
+        from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+        def walk(node, prefix):
+            if isinstance(node, QuantizedWeight):
+                yield prefix + "::q", np.asarray(node.q)
+                yield prefix + "::scale", np.asarray(node.scale)
+                if getattr(node, "zero_scale", None) is not None:
+                    yield prefix + "::zero_scale", np.asarray(node.zero_scale)
+                return
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    yield from walk(v, f"{prefix}.{k}" if prefix else k)
+                return
+            yield prefix, np.asarray(node)
+
+        yield from walk(self.params, "")
+
+    def save_sharded_model(self, path: str,
+                           max_shard_bytes: int = 2 << 30
+                           ) -> tuple[bool, str]:
+        """Write the served weights as flat safetensors shards +
+        index.json, reloadable with --load-format sharded_state
+        (the reference's save_sharded_model, scheduler.py:2213)."""
+        try:
+            import json as _json
+            import os
+
+            from safetensors.numpy import save_file
+
+            os.makedirs(path, exist_ok=True)
+            shard, shard_bytes, shard_id, index = {}, 0, 0, {}
+
+            def flush():
+                nonlocal shard, shard_bytes, shard_id
+                if not shard:
+                    return
+                fname = f"shard-{shard_id:05d}.safetensors"
+                save_file(shard, os.path.join(path, fname))
+                for k in shard:
+                    index[k] = fname
+                shard, shard_bytes = {}, 0
+                shard_id += 1
+
+            for name, arr in self._host_named_params():
+                if arr.dtype == np.dtype("bfloat16"):
+                    pass  # safetensors.numpy handles bf16 via ml_dtypes
+                shard[name] = np.ascontiguousarray(arr)
+                shard_bytes += arr.nbytes
+                if shard_bytes >= max_shard_bytes:
+                    flush()
+            flush()
+            with open(os.path.join(path, "sharded_state.index.json"),
+                      "w") as f:
+                _json.dump(index, f)
+            return True, f"saved {len(index)} tensors to {path}"
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
+    def save_remote_model(self, url: str) -> tuple[bool, str]:
+        """Persist the served weights through a connector URL
+        (file:// here; redis/s3 when their clients exist)."""
+        try:
+            from iaas_sglang_tpu.connector import create_remote_connector
+
+            conn = create_remote_connector(url)
+            n = conn.put_weights(
+                (name, np.ascontiguousarray(arr))
+                for name, arr in self._host_named_params())
+            return True, f"saved {n} tensors to {url}"
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
     def release_memory_occupation(self) -> None:
         """Free weights + KV HBM for RL colocation (the
         torch_memory_saver release analog — on TPU simply dropping the

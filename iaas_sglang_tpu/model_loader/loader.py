@@ -81,9 +81,66 @@ def load_params(
     specs = model.weight_specs()
     if load_format == "dummy":
         host = _dummy_host_params(specs, config, seed)
+    elif load_format == "sharded_state":
+        return _load_sharded_state(model, config, mesh_ctx)
     else:
         host = _load_host_params_safetensors(specs, config)
     return put_params(host, specs, mesh_ctx, quantization=quantization)
+
+
+def _load_sharded_state(model, config: ModelConfig,
+                        mesh_ctx: MeshContext) -> Dict[str, Any]:
+    """Reload flat shards written by ModelRunner.save_sharded_model —
+    already in OUR param layout (incl. '<name>::q'/'::scale' quantized
+    entries), so no HF-key repacking happens (the reference's
+    ShardedStateLoader, model_loader/loader.py:748)."""
+    from safetensors.numpy import load_file
+
+    from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+    files = sorted(glob.glob(
+        os.path.join(config.model_path, "shard-*.safetensors")))
+    if not files:
+        raise FileNotFoundError(
+            f"no shard-*.safetensors under {config.model_path}")
+    tensors: Dict[str, np.ndarray] = {}
+    for f in files:
+        tensors.update(load_file(f))
+
+    specs = model.weight_specs()
+    tree: Dict[str, Any] = {}
+    for name, spec in specs.items():
+        dims = ((None,) + tuple(spec.pspec)) if spec.stacked \
+            else tuple(spec.pspec)
+        sharding = mesh_ctx.sharding(*dims)
+        if name in tensors:
+            _set_nested(tree, name, jax.device_put(tensors[name], sharding))
+            continue
+        if f"{name}::q" in tensors:
+            q = tensors[f"{name}::q"]
+            s = tensors[f"{name}::scale"]
+            zs = tensors.get(f"{name}::zero_scale")
+            s_dims = tuple(None if s.shape[i] == 1 else d
+                           for i, d in enumerate(dims))
+            packed = q.shape[-2] * 2 == spec.shape[0]
+            _set_nested(tree, name, QuantizedWeight(
+                q=jax.device_put(q, sharding),
+                scale=jax.device_put(s, mesh_ctx.sharding(*s_dims)),
+                zero_scale=(jax.device_put(zs, mesh_ctx.sharding(*s_dims))
+                            if zs is not None else None),
+                packed=packed))
+            continue
+        if spec.optional:
+            n_stack = (len(spec.layer_map) if spec.layer_map is not None
+                       else spec.num_stack or config.num_layers)
+            shape = ((n_stack,) + tuple(spec.shape)) if spec.stacked \
+                else tuple(spec.shape)
+            fill = (np.ones if "norm" in name else np.zeros)(
+                shape, dtype=_np_dtype(config.dtype))
+            _set_nested(tree, name, jax.device_put(fill, sharding))
+            continue
+        raise KeyError(f"sharded state missing tensor {name!r}")
+    return tree
 
 
 def _quantize_host(arr: np.ndarray, spec: WeightSpec, method: str):
