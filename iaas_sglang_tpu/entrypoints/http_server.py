@@ -127,6 +127,60 @@ async def handle_get_model_info(request: web.Request) -> web.Response:
     })
 
 
+async def handle_weight_rpc(request: web.Request) -> web.Response:
+    """Weight-lifecycle RPCs (reference http_server.py:562-630):
+    update_weights_from_disk / init_weights_update_group /
+    update_weights_from_distributed / save_sharded_model /
+    save_remote_model / release+resume_memory_occupation."""
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers import io_struct as S
+
+    action = request.match_info["action"]
+    body = {}
+    try:
+        body = await request.json()
+    except Exception:
+        pass
+    table = {
+        "update_weights_from_disk": (
+            S.UpdateWeightFromDiskReqInput(
+                body.get("model_path", ""),
+                body.get("load_format", "auto")),
+            S.UpdateWeightFromDiskReqOutput),
+        "init_weights_update_group": (
+            S.InitWeightsUpdateGroupReqInput(
+                body.get("master_address", "127.0.0.1"),
+                int(body.get("master_port", 0)),
+                body.get("group_name", "weight_update_group")),
+            S.InitWeightsUpdateGroupReqOutput),
+        "update_weights_from_distributed": (
+            S.UpdateWeightsFromDistributedReqInput(
+                body.get("names", []), body.get("dtypes"),
+                body.get("shapes")),
+            S.UpdateWeightsFromDistributedReqOutput),
+        "save_sharded_model": (
+            S.SaveShardedModelReqInput(
+                body.get("path", ""),
+                int(body.get("max_shard_bytes", 2 << 30))),
+            S.SaveShardedModelReqOutput),
+        "save_remote_model": (
+            S.SaveRemoteModelReqInput(body.get("url", "")),
+            S.SaveRemoteModelReqOutput),
+        "release_memory_occupation": (
+            S.ReleaseMemoryOccupationReqInput(),
+            S.ReleaseMemoryOccupationReqOutput),
+        "resume_memory_occupation": (
+            S.ResumeMemoryOccupationReqInput(),
+            S.ResumeMemoryOccupationReqOutput),
+    }
+    req, resp_type = table[action]
+    out = await state.tokenizer_manager._rpc(req, resp_type)
+    return web.json_response({
+        "success": getattr(out, "success", True),
+        "message": getattr(out, "message", ""),
+    })
+
+
 async def handle_flush_cache(request: web.Request) -> web.Response:
     state: ServerState = request.app["state"]
     out = await state.tokenizer_manager.flush_cache()
@@ -512,6 +566,11 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post("/flush_cache", handle_flush_cache)
     app.router.add_post("/load_lora_adapter", handle_load_lora)
     app.router.add_post("/unload_lora_adapter", handle_unload_lora)
+    app.router.add_post(
+        "/{action:(update_weights_from_disk|init_weights_update_group|"
+        "update_weights_from_distributed|save_sharded_model|"
+        "save_remote_model|release_memory_occupation|"
+        "resume_memory_occupation)}", handle_weight_rpc)
     app.router.add_post("/start_profile", handle_start_profile)
     app.router.add_post(
         "/{action:(start|stop|dump)_expert_distribution}_record",

@@ -282,3 +282,23 @@ def test_dp_shortest_queue_server(tmp_path_factory):
         assert all(len(o["output_ids"]) == 4 for o in outs)
     finally:
         kill_server(proc)
+
+
+def test_weight_rpc_endpoints(server, tmp_path):
+    """save_sharded_model + release/resume memory over HTTP (the
+    reference's weight-lifecycle endpoints, http_server.py:562-630)."""
+    r = requests.post(f"{server}/save_sharded_model",
+                      json={"path": str(tmp_path)}, timeout=60)
+    assert r.status_code == 200 and r.json()["success"], r.text
+    import os
+    assert any(f.endswith(".safetensors") for f in os.listdir(tmp_path))
+    r = requests.post(f"{server}/release_memory_occupation", timeout=60)
+    assert r.json()["success"]
+    r = requests.post(f"{server}/resume_memory_occupation", timeout=120)
+    assert r.json()["success"]
+    # server still serves after resume
+    r = requests.post(f"{server}/generate", json={
+        "input_ids": [1, 2, 3],
+        "sampling_params": {"max_new_tokens": 2, "temperature": 0.0},
+    }, timeout=120)
+    assert r.status_code == 200
