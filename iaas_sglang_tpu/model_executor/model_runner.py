@@ -172,6 +172,7 @@ class ModelRunner:
                 seed=server_args.random_seed,
             )
         jax.block_until_ready(jax.tree.leaves(self.params)[0])
+        self._maybe_fuse_params()
 
         self.lora_manager = None
         if getattr(server_args, "enable_lora", False):
@@ -1180,6 +1181,21 @@ class ModelRunner:
 
     # ------------------------------------------------- weight lifecycle ops
 
+    def _maybe_fuse_params(self) -> None:
+        """Fuse q/k/v and gate/up QuantizedWeights into single GEMM
+        sources for single-shard quantized serving (decode is launch- and
+        small-N-bound; see llama_family.fuse_quantized_projections)."""
+        sa = self.server_args
+        if (not sa.quantization
+                or getattr(sa, "disable_quant_fusion", False)
+                or getattr(sa, "enable_lora", False)
+                or self.mesh_ctx.tp_size * self.mesh_ctx.dp_size != 1):
+            return
+        target = getattr(self.model, "lm", self.model)
+        if hasattr(target, "fuse_quantized_projections") \
+                and self.params is not None:
+            self.params = target.fuse_quantized_projections(self.params)
+
     def update_weights_from_disk(self, model_path: str,
                                  load_format: str = "auto") -> tuple[bool, str]:
         """Hot-reload weights (analog of model_runner.py:690
@@ -1196,6 +1212,7 @@ class ModelRunner:
                     seed=self.server_args.random_seed,
                 )
             self.params = new_params
+            self._maybe_fuse_params()
             jax.block_until_ready(jax.tree.leaves(self.params)[0])
             return True, "ok"
         except Exception as e:  # noqa: BLE001 — reported to the caller
@@ -1362,6 +1379,7 @@ class ModelRunner:
                 quantization=self.server_args.quantization,
                 seed=self.server_args.random_seed,
             )
+        self._maybe_fuse_params()
         self._init_kv_pool()
 
     # ------------------------------------------------ KV page host transfer

@@ -648,6 +648,57 @@ class LlamaFamilyForCausalLM:
                 jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
         return x
 
+    # ----------------------------------------------------- quant fusion
+
+    def fuse_quantized_projections(self, params: dict) -> dict:
+        """Single-shard quantized serving: concatenate q/k/v (and
+        gate/up) QuantizedWeights along the output axis so each decode
+        layer runs ONE fused dequant-GEMM instead of three (two) — kernel
+        launches and small-N grids dominate the weight-bound decode step.
+        Returns a new params dict; no-op when the projections are not
+        uniformly quantized (biases and LoRA are handled by the caller
+        gating). NOT valid under TP: the concat axis is the sharded one
+        and a plain split would mis-map GQA heads across ranks."""
+        from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+        lp = params.get("layers")
+        if not isinstance(lp, dict):
+            return params
+
+        def fuse(names):
+            ws = [lp.get(n) for n in names]
+            if not all(isinstance(w, QuantizedWeight) for w in ws):
+                return None
+            if len({w.packed for w in ws}) != 1 or \
+                    len({w.q.dtype for w in ws}) != 1 or \
+                    len({w.q.shape[:-1] for w in ws}) != 1:
+                return None
+            has_zs = [w.zero_scale is not None for w in ws]
+            if any(has_zs) and not all(has_zs):
+                return None
+            q = jnp.concatenate([w.q for w in ws], axis=-1)
+            s = jnp.concatenate([w.scale for w in ws], axis=-1)
+            zs = (jnp.concatenate([w.zero_scale for w in ws], axis=-1)
+                  if all(has_zs) else None)
+            return QuantizedWeight(q=q, scale=s, zero_scale=zs,
+                                   packed=ws[0].packed)
+
+        new_lp = dict(lp)
+        qkv = fuse(("wq", "wk", "wv"))
+        if qkv is not None:
+            new_lp["wqkv_fused"] = qkv
+            for n in ("wq", "wk", "wv"):
+                del new_lp[n]
+        if self.config.mlp_gated and self.config.hidden_act != "gegelu":
+            gu = fuse(("w_gate", "w_up"))
+            if gu is not None:
+                new_lp["w_gateup_fused"] = gu
+                for n in ("w_gate", "w_up"):
+                    del new_lp[n]
+        out = dict(params)
+        out["layers"] = new_lp
+        return out
+
     # ------------------------------------------------------------- forward
 
     def forward(
@@ -744,9 +795,19 @@ class LlamaFamilyForCausalLM:
                 h = norm_fn(hidden, lp, "input_norm")
             else:
                 h = hidden   # OLMo2: attention runs on the raw residual
-            q = qmatmul(h, lp["wq"])
-            k = qmatmul(h, lp["wk"])
-            v = qmatmul(h, lp["wv"])
+            if "wqkv_fused" in lp:
+                # single-shard quantized decode: one fused dequant-GEMM
+                # call instead of three (fuse_quantized_projections)
+                qkv = qmatmul(h, lp["wqkv_fused"])
+                NqD = c.num_heads * c.head_dim
+                NkD = c.num_kv_heads * c.head_dim
+                q = qkv[..., :NqD]
+                k = qkv[..., NqD:NqD + NkD]
+                v = qkv[..., NqD + NkD:]
+            else:
+                q = qmatmul(h, lp["wq"])
+                k = qmatmul(h, lp["wk"])
+                v = qmatmul(h, lp["wv"])
             if lora_onehot is not None:
                 dt = q.dtype
                 q = q + lora_delta(h, lp["lora_A_wq"], lp["lora_B_wq"]).astype(dt)
@@ -1048,8 +1109,14 @@ class LlamaFamilyForCausalLM:
                     if c.mlp_bias:
                         mlp = mlp + lp["b_fc2"]
                 else:
-                    gate = qmatmul(h2, lp["w_gate"])
-                    up = qmatmul(h2, lp["w_up"])
+                    if "w_gateup_fused" in lp:
+                        # single-shard quantized decode: one fused call
+                        gu = qmatmul(h2, lp["w_gateup_fused"])
+                        I2 = gu.shape[-1] // 2
+                        gate, up = gu[..., :I2], gu[..., I2:]
+                    else:
+                        gate = qmatmul(h2, lp["w_gate"])
+                        up = qmatmul(h2, lp["w_up"])
                     if lora_onehot is not None:
                         gate = gate + lora_delta(
                             h2, lp["lora_A_w_gate"], lp["lora_B_w_gate"]

@@ -171,6 +171,8 @@ class ServerArgs:
     watchdog_timeout: float = 300.0
     warmups: Optional[str] = None          # comma-separated registry names
     skip_server_warmup: bool = False
+    # quantized q/k/v + gate/up fused-GEMM params (single-shard only)
+    disable_quant_fusion: bool = False
 
     def __post_init__(self):
         if self.tokenizer_path is None:

@@ -248,3 +248,28 @@ def test_gptq_checkpoint_ingestion(tmp_path):
     load_hf_weights_into(runner2, hf_model)
     ref = RawDriver(runner2, sa2.page_size).prefill_logits(PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_quant_fusion_greedy_parity():
+    """Fused qkv/gate-up QuantizedWeights (single-shard decode fast path)
+    must decode token-for-token like the unfused params."""
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+    from tests.utils import TINY_LLAMA
+
+    def make(disable):
+        return Engine(ServerArgs(
+            model_path="test://tiny", load_format="dummy", dtype="float32",
+            quantization="int4", page_size=4, max_total_tokens=1024,
+            skip_tokenizer_init=True, random_seed=0,
+            disable_quant_fusion=disable), hf_config_override=TINY_LLAMA)
+
+    ids = list(range(3, 40))
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    fused = make(False)
+    assert "wqkv_fused" in fused.scheduler.model_runner.params["layers"]
+    a = fused.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    unfused = make(True)
+    assert "wq" in unfused.scheduler.model_runner.params["layers"]
+    b = unfused.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    assert a == b
