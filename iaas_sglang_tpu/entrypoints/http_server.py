@@ -127,6 +127,38 @@ async def handle_get_model_info(request: web.Request) -> web.Response:
     })
 
 
+async def handle_sagemaker_invocations(request: web.Request
+                                       ) -> web.StreamResponse:
+    """SageMaker surface: /ping (GET, health) + /invocations (POST, chat
+    completions) — reference http_server.py:810-826."""
+    return await handle_chat_completions(request)
+
+
+async def handle_vertex_generate(request: web.Request) -> web.Response:
+    """Vertex AI prediction surface (reference http_server.py:827):
+    {"instances": [{text|input_ids, image_data?}], "parameters": {...}}
+    -> {"predictions": [...]}"""
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    instances = body.get("instances") or []
+    if not instances:
+        return web.json_response([])
+    inputs = {}
+    for key in ("text", "input_ids"):
+        if instances[0].get(key) is not None:
+            inputs[key] = [inst.get(key) for inst in instances]
+            break
+    image_data = [inst.get("image_data") for inst in instances
+                  if inst.get("image_data") is not None] or None
+    gri = GenerateReqInput(image_data=image_data,
+                           **(body.get("parameters") or {}), **inputs)
+    tm = state.tokenizer_manager
+    outs = await asyncio.gather(*[
+        _collect_last(tm, g) for g in gri.normalize()
+    ])
+    return web.json_response({"predictions": outs})
+
+
 async def handle_weight_rpc(request: web.Request) -> web.Response:
     """Weight-lifecycle RPCs (reference http_server.py:562-630):
     update_weights_from_disk / init_weights_update_group /
@@ -558,6 +590,12 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     tm = TokenizerManager(server_args, port_args)
     app["state"] = ServerState(server_args, port_args, tm, procs)
     app.router.add_get("/health", handle_health)
+    app.router.add_get("/ping", handle_health)               # SageMaker
+    app.router.add_post("/invocations", handle_sagemaker_invocations)
+    import os as _os
+    app.router.add_post(_os.environ.get("AIP_PREDICT_ROUTE",
+                                        "/vertex_generate"),
+                        handle_vertex_generate)               # Vertex AI
     app.router.add_get("/health_generate", handle_health_generate)
     app.router.add_get("/get_server_info", handle_get_server_info)
     app.router.add_get("/get_model_info", handle_get_model_info)

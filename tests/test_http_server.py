@@ -302,3 +302,18 @@ def test_weight_rpc_endpoints(server, tmp_path):
         "sampling_params": {"max_new_tokens": 2, "temperature": 0.0},
     }, timeout=120)
     assert r.status_code == 200
+
+
+def test_sagemaker_and_vertex_endpoints(server):
+    """/ping + /vertex_generate cloud-platform surfaces
+    (reference http_server.py:810-852)."""
+    r = requests.get(f"{server}/ping", timeout=10)
+    assert r.status_code == 200
+    r = requests.post(f"{server}/vertex_generate", json={
+        "instances": [{"input_ids": [1, 2, 3]}, {"input_ids": [4, 5]}],
+        "parameters": {"sampling_params": {"max_new_tokens": 3,
+                                           "temperature": 0.0}},
+    }, timeout=120)
+    assert r.status_code == 200, r.text
+    preds = r.json()["predictions"]
+    assert len(preds) == 2 and len(preds[0]["output_ids"]) == 3
