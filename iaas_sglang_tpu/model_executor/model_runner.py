@@ -1194,7 +1194,18 @@ class ModelRunner:
         target = getattr(self.model, "lm", self.model)
         if hasattr(target, "fuse_quantized_projections") \
                 and self.params is not None:
-            self.params = target.fuse_quantized_projections(self.params)
+            # AOT-compile the concat program: runtime dispatch of GB-scale
+            # ops through the remote relay stalls (CLAUDE.md); donation
+            # keeps peak HBM at ~1x the projection weights
+            fn = jax.jit(target.fuse_quantized_projections,
+                         donate_argnums=(0,))
+            with self.mesh_ctx.mesh:
+                exe = fn.lower(jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(
+                        a.shape, a.dtype,
+                        sharding=getattr(a, "sharding", None)),
+                    self.params)).compile()
+                self.params = exe(self.params)
 
     def update_weights_from_disk(self, model_path: str,
                                  load_format: str = "auto") -> tuple[bool, str]:
