@@ -405,6 +405,15 @@ class Engine:
         out = self.scheduler.process_input(SaveRemoteModelReqInput(url))
         return out.success, out.message
 
+    def eplb_rebalance(self, num_redundant_experts: int = 0) -> tuple:
+        """Rebalance + live-apply expert placement from the recorded
+        distribution (reference eplb_manager + expert_location_updater)."""
+        from iaas_sglang_tpu.managers.io_struct import EplbRebalanceReqInput
+
+        out = self.scheduler.process_input(
+            EplbRebalanceReqInput(num_redundant_experts))
+        return out.success, out.message, out.balancedness
+
     def release_memory_occupation(self) -> None:
         from iaas_sglang_tpu.managers.io_struct import (
             ReleaseMemoryOccupationReqInput,

@@ -159,6 +159,24 @@ async def handle_vertex_generate(request: web.Request) -> web.Response:
     return web.json_response({"predictions": outs})
 
 
+async def handle_eplb_rebalance(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    from iaas_sglang_tpu.managers.io_struct import (EplbRebalanceReqInput,
+                                                    EplbRebalanceReqOutput)
+
+    body = {}
+    try:
+        body = await request.json()
+    except Exception:
+        pass
+    out = await state.tokenizer_manager._rpc(
+        EplbRebalanceReqInput(int(body.get("num_redundant_experts", 0))),
+        EplbRebalanceReqOutput)
+    return web.json_response({"success": out.success,
+                              "message": out.message,
+                              "balancedness": out.balancedness})
+
+
 async def handle_weight_rpc(request: web.Request) -> web.Response:
     """Weight-lifecycle RPCs (reference http_server.py:562-630):
     update_weights_from_disk / init_weights_update_group /
@@ -613,6 +631,7 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
     app.router.add_post(
         "/{action:(start|stop|dump)_expert_distribution}_record",
         handle_expert_distribution)
+    app.router.add_post("/eplb_rebalance", handle_eplb_rebalance)
     app.router.add_post("/stop_profile", handle_stop_profile)
     app.router.add_get("/disagg_wait/{rid}", handle_disagg_wait)
     app.router.add_get("/metrics", handle_metrics)

@@ -297,6 +297,21 @@ class SaveRemoteModelReqOutput:
 
 
 @dataclass
+class EplbRebalanceReqInput:
+    """Rebalance expert placement from the recorded distribution and apply
+    it live (reference eplb/eplb_manager.py + expert_location_updater)."""
+
+    num_redundant_experts: int = 0
+
+
+@dataclass
+class EplbRebalanceReqOutput:
+    success: bool
+    message: str = ""
+    balancedness: float = 0.0
+
+
+@dataclass
 class GetWeightsByNameReqInput:
     name: str
 

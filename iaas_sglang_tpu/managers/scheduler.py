@@ -33,6 +33,7 @@ from iaas_sglang_tpu.managers.io_struct import (
     GetInternalStateReqOutput,
     GetWeightsByNameReqInput,
     GetWeightsByNameReqOutput,
+    EplbRebalanceReqInput,
     InitWeightsUpdateGroupReqInput,
     UpdateWeightsFromDistributedReqInput,
     SaveShardedModelReqInput,
@@ -238,6 +239,7 @@ class Scheduler:
              self.handle_update_weights_from_distributed),
             (SaveShardedModelReqInput, self.handle_save_sharded_model),
             (SaveRemoteModelReqInput, self.handle_save_remote_model),
+            (EplbRebalanceReqInput, self.handle_eplb_rebalance),
             (ProfileReq, self.handle_profile),
             (ExpertDistributionReq, self.handle_expert_distribution),
             (LoadLoRAAdapterReqInput, self.handle_load_lora),
@@ -510,6 +512,29 @@ class Scheduler:
         ok, msg = self.model_runner.save_sharded_model(
             m.path, m.max_shard_bytes)
         return SaveShardedModelReqOutput(ok, msg)
+
+    def handle_eplb_rebalance(self, m: EplbRebalanceReqInput):
+        from iaas_sglang_tpu.eplb.eplb_algorithms import (balancedness,
+                                                          rebalance_experts)
+        from iaas_sglang_tpu.managers.io_struct import EplbRebalanceReqOutput
+
+        if self.expert_recorder is None:
+            return EplbRebalanceReqOutput(
+                False, "not a MoE model / recorder unavailable")
+        load = self.expert_recorder.snapshot().astype(np.float64)
+        if load.sum() == 0:
+            return EplbRebalanceReqOutput(
+                False, "no expert distribution recorded — POST "
+                "/start_expert_distribution_record and serve traffic first")
+        ranks = self.model_runner.mesh_ctx.tp_size
+        E = load.shape[1]
+        P = E + m.num_redundant_experts
+        P += (-P) % max(ranks, 1)
+        meta = rebalance_experts(load, P, max(ranks, 1))
+        ok, msg = self.model_runner.apply_expert_locations(
+            meta.physical_to_logical)
+        score = balancedness(load, meta) if ok else 0.0
+        return EplbRebalanceReqOutput(ok, msg, score)
 
     def handle_save_remote_model(self, m):
         from iaas_sglang_tpu.managers.io_struct import (

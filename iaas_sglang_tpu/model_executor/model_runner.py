@@ -1181,6 +1181,73 @@ class ModelRunner:
 
     # ------------------------------------------------- weight lifecycle ops
 
+    def apply_expert_locations(self, physical_to_logical: np.ndarray
+                               ) -> tuple[bool, str]:
+        """EPLB live relocation (reference eplb/expert_location_updater.py):
+        rebuild the expert stacks as PHYSICAL slots [Lm, P, ...] per the
+        rebalanced map (hot experts replicated, slots LPT-packed per rank)
+        and record the map+1/replica scale consumed by the routing remap.
+        Output-identical to logical dispatch; compiled step programs are
+        invalidated (param shapes may change)."""
+        try:
+            p2l = np.asarray(physical_to_logical, np.int32)   # [Lm, P]
+            grp = None
+            for name in ("layers", "moe"):
+                cand = self.params.get(name) if self.params else None
+                if isinstance(cand, dict) and "we_gate" in cand:
+                    grp = cand
+                    break
+            if grp is None:
+                return False, "model has no relocatable expert stacks"
+            Lm = jax.tree.leaves(grp["we_gate"])[0].shape[0]
+            if p2l.shape[0] != Lm:
+                return False, (f"map has {p2l.shape[0]} layers, "
+                               f"model has {Lm} MoE layers")
+            # compose with the current physical layout (re-application)
+            cur = grp.get("expert_phys_map")
+            if cur is not None:
+                cur = np.asarray(cur)
+                idx = np.zeros_like(p2l)
+                for l in range(Lm):
+                    first = {}
+                    for slot, e in enumerate(cur[l]):
+                        first.setdefault(int(e), slot)
+                    idx[l] = [first[int(e)] for e in p2l[l]]
+            else:
+                idx = p2l
+            counts = np.zeros_like(p2l, np.float32)
+            for l in range(Lm):
+                bc = np.bincount(p2l[l], minlength=p2l[l].max() + 1)
+                counts[l] = bc[p2l[l]]
+            scale = (1.0 / counts).astype(np.float32)
+
+            idx_j = jnp.asarray(idx)
+            stacks = {k: grp[k] for k in ("we_gate", "we_up", "we_down")}
+
+            def gather(tree):
+                return jax.tree.map(
+                    lambda a: jax.vmap(lambda x, i: x[i])(a, idx_j), tree)
+
+            fn = jax.jit(gather)
+            with self.mesh_ctx.mesh:
+                exe = fn.lower(jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                   sharding=a.sharding),
+                    stacks)).compile()
+                new_stacks = exe(stacks)
+            for k, v in new_stacks.items():
+                grp[k] = v
+            grp["expert_phys_map"] = jax.device_put(
+                jnp.asarray(p2l), self.mesh_ctx.sharding(None, None))
+            grp["expert_phys_scale"] = jax.device_put(
+                jnp.asarray(scale), self.mesh_ctx.sharding(None, None))
+            self._compiled.clear()   # param shapes changed
+            n_rep = int((counts > 1).sum())
+            return True, (f"relocated {p2l.shape[1]} physical slots over "
+                          f"{Lm} layers ({n_rep} replicated entries)")
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
     def _maybe_fuse_params(self) -> None:
         """Fuse q/k/v and gate/up QuantizedWeights into single GEMM
         sources for single-shard quantized serving (decode is launch- and

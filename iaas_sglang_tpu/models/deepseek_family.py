@@ -309,15 +309,22 @@ class DeepseekFamilyForCausalLM:
                 routed_scaling_factor=c.routed_scaling_factor,
             )
             combine = combine_weights(ids, w, c.num_experts)
+            if "expert_phys_map" in lp:
+                from iaas_sglang_tpu.ops.moe import remap_combine
+
+                mix = remap_combine(combine, lp["expert_phys_map"],
+                                    lp["expert_phys_scale"])
+            else:
+                mix = combine
             if self.moe_impl == "ep":
                 from iaas_sglang_tpu.ops.moe import moe_ep_mix
 
                 routed = moe_ep_mix(
-                    h2, combine, lp["we_gate"], lp["we_up"], lp["we_down"],
+                    h2, mix, lp["we_gate"], lp["we_up"], lp["we_down"],
                     mesh=self.mesh)
             else:
                 routed = dense_expert_mix(
-                    h2, combine, lp["we_gate"], lp["we_up"], lp["we_down"])
+                    h2, mix, lp["we_gate"], lp["we_up"], lp["we_down"])
             shared = jax.nn.silu(h2 @ lp["ws_gate"]) * (h2 @ lp["ws_up"])
             out = routed + (shared @ lp["ws_down"]).astype(routed.dtype)
             if _capture:

@@ -1031,6 +1031,8 @@ class LlamaFamilyForCausalLM:
                         impl=self.moe_impl,
                         mesh=self.mesh,
                         return_combine=cap,
+                        expert_map=mp.get("expert_phys_map"),
+                        expert_scale=mp.get("expert_phys_scale"),
                     )
 
                 def moe_mlp(x, mp, cap):

@@ -292,23 +292,39 @@ def moe_gmm(h: jnp.ndarray, w_router, we_gate, we_up, we_down,
     return out.astype(h.dtype)
 
 
+def remap_combine(combine: jnp.ndarray, expert_map: jnp.ndarray,
+                  expert_scale: jnp.ndarray) -> jnp.ndarray:
+    """EPLB live relocation (reference eplb/expert_location_updater.py):
+    combine [T, E_logical] -> [T, P] over PHYSICAL expert slots; slot p
+    serves logical expert expert_map[p] with weight split 1/replicas
+    (expert_scale) — mathematically identical output, balanced ranks."""
+    return (combine[:, expert_map]
+            * expert_scale[None].astype(combine.dtype))
+
+
 def moe_block(h, w_router, we_gate, we_up, we_down, *, top_k: int,
               renormalize: bool, impl: str, mesh=None,
-              return_combine: bool = False, capacity_factor: float = 2.0):
+              return_combine: bool = False, capacity_factor: float = 2.0,
+              expert_map=None, expert_scale=None):
     """When return_combine: also returns the dense combine matrix [T, E]
-    (nonzero = expert selected) — the EPLB expert-distribution tap."""
-    E = we_gate.shape[0]
-    if impl == "gmm" and not return_combine:
+    (nonzero = expert selected) — the EPLB expert-distribution tap.
+    expert_map/expert_scale: EPLB physical-slot relocation (the stacks are
+    then PHYSICAL [P, ...]; routing stays over logical experts)."""
+    E = w_router.shape[-1]       # logical experts (routing width)
+    remapped = expert_map is not None
+    if impl == "gmm" and not return_combine and not remapped:
         return moe_gmm(h, w_router, we_gate, we_up, we_down,
                        top_k, renormalize)
-    if impl == "ep_a2a" and not return_combine:
+    if impl == "ep_a2a" and not return_combine and not remapped:
         return moe_ep_a2a(h, None, we_gate, we_up, we_down, w_router,
                           top_k=top_k, renormalize=renormalize, mesh=mesh,
                           capacity_factor=capacity_factor)
     w, ids = route_topk(h @ w_router, top_k, renormalize)
     combine = combine_weights(ids, w, E)
+    mix = remap_combine(combine, expert_map, expert_scale) if remapped \
+        else combine
     if impl in ("ep", "ep_a2a"):
-        out = moe_ep_mix(h, combine, we_gate, we_up, we_down, mesh=mesh)
+        out = moe_ep_mix(h, mix, we_gate, we_up, we_down, mesh=mesh)
     else:
-        out = dense_expert_mix(h, combine, we_gate, we_up, we_down)
+        out = dense_expert_mix(h, mix, we_gate, we_up, we_down)
     return (out, combine) if return_combine else out

@@ -92,3 +92,50 @@ def test_device_side_capture_via_engine():
                              num_physical=8, num_ranks=2)
     assert meta.physical_to_logical.shape == (2, 8)
     eng.shutdown()
+
+
+def test_eplb_live_relocation_greedy_parity():
+    """eplb_rebalance applies the rebalanced physical layout LIVE
+    (replicated hot experts, routing remapped through
+    expert_phys_map/scale) — outputs must be token-for-token identical
+    before and after, including a composed re-application."""
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.managers.io_struct import ExpertDistributionReq
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    hf = dict(architectures=["MixtralForCausalLM"], model_type="mixtral",
+              num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+              rms_norm_eps=1e-6, rope_theta=10000.0,
+              max_position_embeddings=512, tie_word_embeddings=False,
+              num_local_experts=4, num_experts_per_tok=2)
+    eng = Engine(ServerArgs(
+        model_path="dummy://moe", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=4096, skip_tokenizer_init=True,
+        chunked_prefill_size=32, random_seed=0), hf_config_override=hf)
+    eng.scheduler.expert_capture_interval = 1
+    ids = list(range(3, 30))
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    eng.scheduler.process_input(ExpertDistributionReq("start"))
+    before = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    eng.scheduler.process_input(ExpertDistributionReq("stop"))
+
+    ok, msg, score = eng.eplb_rebalance(num_redundant_experts=2)
+    assert ok, msg
+    assert 0.0 < score <= 1.0
+    layers = eng.scheduler.model_runner.params["layers"]
+    assert layers["we_gate"].shape[1] == 6        # 4 logical + 2 replicas
+    eng.flush_cache()
+    after = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    assert after == before
+
+    # composed re-application back to a pure permutation layout
+    eng.scheduler.process_input(ExpertDistributionReq("start"))
+    eng.generate(input_ids=ids, sampling_params=sp)
+    eng.scheduler.process_input(ExpertDistributionReq("stop"))
+    ok2, msg2, _ = eng.eplb_rebalance(num_redundant_experts=0)
+    assert ok2, msg2
+    eng.flush_cache()
+    again = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    assert again == before
+    eng.shutdown()
