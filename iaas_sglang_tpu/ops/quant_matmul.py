@@ -80,14 +80,13 @@ def _int4_matmul_kernel(
     # dequantize + scale in VMEM, then ONE MXU dot per block: a python
     # loop of [T, G] x [G, NB] group-dots left the MXU latency-bound at
     # decode T (measured ~0.6 ms per call vs DMA time in the microseconds).
-    # The scale multiply runs in the COMPUTE dtype (bf16): the dequant is
-    # VPU-bound at decode shapes and the f32 expand halved its throughput;
-    # bf16 scale rounding (~0.4%) is far below the int4 quant error.
+    # Scales multiply in f32: a bf16 variant measured SLOWER on the
+    # 32-layer stack (17.3 vs 15.1 ms/step) — the VPU prefers f32 here.
     NB = w.shape[1]
-    w3 = w.reshape(nG, group, NB) * s[:, None, :].astype(x.dtype)
+    w3 = w.astype(jnp.float32).reshape(nG, group, NB) * s[:, None, :]
     if zs is not None:
-        w3 = w3 - zs[:, None, :].astype(x.dtype)
-    wf = w3.reshape(KB, NB)
+        w3 = w3 - zs[:, None, :]
+    wf = w3.reshape(KB, NB).astype(x.dtype)
     acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
         x, wf, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

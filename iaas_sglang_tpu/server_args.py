@@ -171,8 +171,9 @@ class ServerArgs:
     watchdog_timeout: float = 300.0
     warmups: Optional[str] = None          # comma-separated registry names
     skip_server_warmup: bool = False
-    # quantized q/k/v + gate/up fused-GEMM params (single-shard only)
-    disable_quant_fusion: bool = False
+    # quantized q/k/v + gate/up fused-GEMM params (single-shard only;
+    # opt-in — measured slightly slower than separate calls on v5e)
+    enable_quant_fusion: bool = False
 
     def __post_init__(self):
         if self.tokenizer_path is None:

@@ -262,7 +262,7 @@ def test_quant_fusion_greedy_parity():
             model_path="test://tiny", load_format="dummy", dtype="float32",
             quantization="int4", page_size=4, max_total_tokens=1024,
             skip_tokenizer_init=True, random_seed=0,
-            disable_quant_fusion=disable), hf_config_override=TINY_LLAMA)
+            enable_quant_fusion=not disable), hf_config_override=TINY_LLAMA)
 
     ids = list(range(3, 40))
     sp = {"max_new_tokens": 8, "temperature": 0.0}
