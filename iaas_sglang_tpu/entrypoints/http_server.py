@@ -462,16 +462,25 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     template_kwargs = {}
     if req.tools:
         template_kwargs["tools"] = [t.model_dump() for t in req.tools]
-    try:
-        prompt_ids = tm.tokenizer.apply_chat_template(
-            msgs, tokenize=True, add_generation_prompt=True,
-            **template_kwargs,
-        )
-    except Exception:
-        # template without tool support: fall back to plain messages
-        prompt_ids = tm.tokenizer.apply_chat_template(
-            msgs, tokenize=True, add_generation_prompt=True,
-        )
+    named = state.server_args.chat_template
+    if named or getattr(tm.tokenizer, "chat_template", None) is None:
+        # named registry template (--chat-template, or the tokenizer ships
+        # no jinja template; reference lang/chat_template.py)
+        from iaas_sglang_tpu.conversation import get_chat_template
+
+        tpl = get_chat_template(named or "chatml")
+        prompt_ids = tm.tokenizer.encode(tpl.render(msgs))
+    else:
+        try:
+            prompt_ids = tm.tokenizer.apply_chat_template(
+                msgs, tokenize=True, add_generation_prompt=True,
+                **template_kwargs,
+            )
+        except Exception:
+            # template without tool support: fall back to plain messages
+            prompt_ids = tm.tokenizer.apply_chat_template(
+                msgs, tokenize=True, add_generation_prompt=True,
+            )
     gri = GenerateReqInput(
         rid=uuid.uuid4().hex,
         input_ids=list(prompt_ids),

@@ -170,6 +170,7 @@ class ServerArgs:
     random_seed: Optional[int] = None
     watchdog_timeout: float = 300.0
     warmups: Optional[str] = None          # comma-separated registry names
+    chat_template: Optional[str] = None    # named template override
     skip_server_warmup: bool = False
     # quantized q/k/v + gate/up fused-GEMM params (single-shard only;
     # opt-in — measured slightly slower than separate calls on v5e)

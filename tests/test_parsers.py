@@ -95,3 +95,26 @@ def test_file_connector_roundtrip(tmp_path):
              **{"embed": np.ones((4, 4), np.float32)})
     names = dict(conn.weight_iterator())
     assert "embed" in names and names["embed"].shape == (4, 4)
+
+
+def test_chat_template_registry_renders():
+    """Named conversation templates (reference lang/chat_template.py)."""
+    from iaas_sglang_tpu.conversation import (chat_template_names,
+                                              get_chat_template)
+
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "bye"}]
+    for name in chat_template_names():
+        out = get_chat_template(name).render(msgs)
+        assert "hi" in out and "bye" in out
+    chatml = get_chat_template("chatml").render(msgs)
+    assert chatml.endswith("<|im_start|>assistant\n")
+    assert "<|im_start|>system\nbe brief<|im_end|>" in chatml
+    l3 = get_chat_template("llama-3").render(msgs[:2])
+    assert l3.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    # default system injected when absent
+    vic = get_chat_template("vicuna_v1.1").render(
+        [{"role": "user", "content": "q"}])
+    assert "curious user" in vic
