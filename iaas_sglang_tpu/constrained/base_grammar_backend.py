@@ -80,6 +80,69 @@ class RegexGrammar(BaseGrammarObject):
         return g
 
 
+class StructuralTagGrammar(BaseGrammarObject):
+    """Trigger-gated constrained generation (the reference's
+    structural_tag constraint, xgrammar_backend.py:45): generation is FREE
+    until the decoded text ends with a trigger string; then the matching
+    structure (begin tag + schema body + end tag, compiled as one token
+    FSM) is enforced, after which generation is free again. Repeatable."""
+
+    def __init__(self, fsm: TokenFSM, triggers: list[bytes]):
+        self.fsm = fsm
+        self.triggers = triggers
+        self._maxlen = max((len(t) for t in triggers), default=0) * 2
+        self._buf = b""
+        self.state: Optional[int] = None    # None = free mode
+
+    def accept_token(self, token_id: int) -> None:
+        vocab = self.fsm.vocab
+        bs = (vocab.token_bytes[token_id]
+              if token_id < len(vocab.token_bytes) else b"") or b""
+        if self.state is None:
+            self._buf = (self._buf + bs)[-self._maxlen:]
+            dfa = self.fsm.dfa
+            for t in self.triggers:
+                # a single token may carry the trigger plus extra bytes —
+                # step the DFA over whatever followed the trigger too
+                idx = self._buf.rfind(t)
+                if idx < 0:
+                    continue
+                st = dfa.step_bytes(dfa.start, self._buf[idx:])
+                if st != dfa.DEAD:
+                    self.state = st
+                    self._buf = b""
+                    break
+            return
+        _, nexts = self.fsm.allowed(self.state)
+        nxt = nexts.get(token_id)
+        if nxt is None:
+            nxt = self.fsm.dfa.step_bytes(self.state, bs) if bs \
+                else self.fsm.dfa.DEAD
+        if nxt == self.fsm.dfa.DEAD:
+            self.state = None           # fell out: back to free mode
+            return
+        self.state = nxt
+        if self.fsm.dfa.is_accepting(self.state):
+            # the union pattern ends exactly at a structure's end tag, so an
+            # accepting state with no outgoing token edges = structure done
+            # (fsm.allowed's mask would still flag eos — check edges instead)
+            _, nexts2 = self.fsm.allowed(self.state)
+            if not nexts2:
+                self.state = None       # structure complete -> free
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        if self.state is None:
+            return None                 # free mode: unconstrained
+        mask, _ = self.fsm.allowed(self.state)
+        return mask
+
+    def is_terminated(self) -> bool:
+        return False                    # termination is eos/max_new_tokens
+
+    def copy(self) -> "StructuralTagGrammar":
+        return StructuralTagGrammar(self.fsm, self.triggers)
+
+
 class BaseGrammarBackend:
     """Compiles and caches grammar automata keyed by (type, spec)."""
 
@@ -91,7 +154,11 @@ class BaseGrammarBackend:
 
     def get_grammar(self, *, regex: Optional[str] = None,
                     json_schema: Optional[str] = None,
-                    ebnf: Optional[str] = None) -> Optional[BaseGrammarObject]:
+                    ebnf: Optional[str] = None,
+                    structural_tag: Optional[str] = None,
+                    ) -> Optional[BaseGrammarObject]:
+        if structural_tag is not None:
+            return self._structural_tag_grammar(structural_tag)
         if json_schema is not None:
             key = ("json", json_schema)
             pattern = None
@@ -122,6 +189,54 @@ class BaseGrammarBackend:
             with self._lock:
                 self._cache[key] = fsm
         return RegexGrammar(fsm)
+
+    def _structural_tag_grammar(
+            self, spec: str) -> Optional[StructuralTagGrammar]:
+        """Compile a structural-tag spec: one union FSM over every
+        structure's begin+schema+end, entered whenever a trigger fires."""
+        import json
+        import re as _re
+
+        key = ("structural_tag", spec)
+        with self._lock:
+            fsm = self._cache.get(key)
+        if fsm is None:
+            try:
+                obj = json.loads(spec)
+                structs = obj["structures"]
+                alts = []
+                for s in structs:
+                    body = build_regex_from_schema(s["schema"]) \
+                        if s.get("schema") not in (None, "") else ""
+                    alts.append(_re.escape(s["begin"]) + body
+                                + _re.escape(s.get("end", "")))
+                pattern = "(?:" + "|".join(alts) + ")"
+                fsm = TokenFSM(RegexDFA(pattern), self.vocab)
+            except Exception as e:
+                logger.warning("structural_tag compile failed: %s", e)
+                return None
+            with self._lock:
+                self._cache[key] = fsm
+        try:
+            triggers = [t.encode("utf-8")
+                        for t in json.loads(spec).get("triggers", [])]
+        except Exception:
+            triggers = []
+        if not triggers:
+            # no triggers: every structure's begin is its own trigger
+            try:
+                triggers = [s["begin"].encode("utf-8")
+                            for s in json.loads(spec)["structures"]]
+            except Exception:
+                return None
+        # keep only triggers the union FSM can actually consume
+        live = [t for t in triggers
+                if fsm.dfa.step_bytes(fsm.dfa.start, t) != fsm.dfa.DEAD]
+        if not live:
+            logger.warning(
+                "structural_tag: no trigger is a prefix of any structure")
+            return None
+        return StructuralTagGrammar(fsm, live)
 
 
 def create_grammar_backend(tokenizer) -> Optional[BaseGrammarBackend]:

@@ -4,11 +4,38 @@ implemented surface: chat completions, completions, models)."""
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 from typing import Any, Dict, List, Optional, Union
 
 from pydantic import BaseModel, Field
+
+
+def structured_fields(response_format: Optional[Dict[str, Any]],
+                      regex: Optional[str] = None,
+                      ebnf: Optional[str] = None) -> dict:
+    """Map the OpenAI `response_format` object (+ sglang's regex/ebnf
+    extensions) onto internal sampling-param grammar fields (analog of
+    reference entrypoints/openai/serving_chat.py response_format handling)."""
+    out: Dict[str, Any] = {}
+    if regex:
+        out["regex"] = regex
+    if ebnf:
+        out["ebnf"] = ebnf
+    if response_format:
+        t = response_format.get("type")
+        if t == "json_object":
+            out["json_schema"] = '{"type": "object"}'
+        elif t == "json_schema":
+            js = response_format.get("json_schema") or {}
+            out["json_schema"] = json.dumps(js.get("schema", js))
+        elif t == "structural_tag":
+            out["structural_tag"] = json.dumps({
+                "structures": response_format.get("structures", []),
+                "triggers": response_format.get("triggers", []),
+            })
+    return out
 
 
 class UsageInfo(BaseModel):
@@ -71,6 +98,11 @@ class ChatCompletionRequest(BaseModel):
     separate_reasoning: bool = False
     reasoning_style: str = "qwen3"
     tool_call_format: str = "qwen25"
+    # structured output: OpenAI response_format (json_object / json_schema /
+    # structural_tag) + sglang's raw regex/ebnf extensions
+    response_format: Optional[Dict[str, Any]] = None
+    regex: Optional[str] = None
+    ebnf: Optional[str] = None
 
     def to_sampling_params(self) -> dict:
         return {
@@ -85,6 +117,7 @@ class ChatCompletionRequest(BaseModel):
             "repetition_penalty": self.repetition_penalty,
             "ignore_eos": self.ignore_eos,
             "skip_special_tokens": self.skip_special_tokens,
+            **structured_fields(self.response_format, self.regex, self.ebnf),
         }
 
 
@@ -139,9 +172,13 @@ class CompletionRequest(BaseModel):
     min_p: float = 0.0
     repetition_penalty: float = 1.0
     ignore_eos: bool = False
+    response_format: Optional[Dict[str, Any]] = None
+    regex: Optional[str] = None
+    ebnf: Optional[str] = None
+    json_schema: Optional[str] = None
 
     def to_sampling_params(self) -> dict:
-        return {
+        out = {
             "temperature": self.temperature,
             "top_p": self.top_p,
             "top_k": self.top_k,
@@ -152,7 +189,11 @@ class CompletionRequest(BaseModel):
             "frequency_penalty": self.frequency_penalty,
             "repetition_penalty": self.repetition_penalty,
             "ignore_eos": self.ignore_eos,
+            **structured_fields(self.response_format, self.regex, self.ebnf),
         }
+        if self.json_schema:
+            out["json_schema"] = self.json_schema
+        return out
 
 
 class CompletionResponseChoice(BaseModel):

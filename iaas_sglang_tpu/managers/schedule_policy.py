@@ -151,8 +151,10 @@ class PrefillAdder:
         if remaining <= 0:
             # fully cached prompt: still need one forward for the last
             # token's logits — back off one token and re-run it (the KV
-            # rewrite lands in the shared page with identical values)
-            req.fill_len = max(req.fill_len - 1, 0)
+            # rewrite lands in the shared page with identical values).
+            # A jump-requeued request can even match BEYOND extend_target
+            # (its whole prompt+jumped sequence is cached), so clamp first.
+            req.fill_len = max(min(req.fill_len, req.extend_target()) - 1, 0)
             remaining = req.extend_target() - req.fill_len
 
         # KV budget: this chunk + decode headroom estimate (+ encoder-KV

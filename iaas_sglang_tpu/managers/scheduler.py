@@ -278,10 +278,11 @@ class Scheduler:
         # clip generation to context
         sp = req.sampling_params
         sp.max_new_tokens = min(sp.max_new_tokens, ctx - req.prompt_len - 1)
-        if (sp.json_schema or sp.regex or sp.ebnf) \
+        if (sp.json_schema or sp.regex or sp.ebnf or sp.structural_tag) \
                 and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(
-                regex=sp.regex, json_schema=sp.json_schema, ebnf=sp.ebnf)
+                regex=sp.regex, json_schema=sp.json_schema, ebnf=sp.ebnf,
+                structural_tag=sp.structural_tag)
         req.logprob_start_len = m.logprob_start_len
         req.mm_items = m.mm_items or []
         if self.model_config.cross_attention_layers and req.mm_items:

@@ -32,6 +32,10 @@ class SamplingParams:
     json_schema: Optional[str] = None
     regex: Optional[str] = None
     ebnf: Optional[str] = None
+    # JSON spec {"structures": [{"begin","schema","end"}], "triggers": [...]}:
+    # free generation until a trigger string appears, then the matching
+    # begin+schema+end structure is enforced (repeatable)
+    structural_tag: Optional[str] = None
 
     def __post_init__(self):
         if self.stop is None:

@@ -183,6 +183,121 @@ def test_ebnf_constrained_generation(tmp_path_factory):
     assert out["text"] in ("aba", "bab"), out["text"]
 
 
+STAG = {
+    "structures": [{
+        "begin": "<f>",
+        "schema": {"type": "object", "properties": {"a": {"enum": [1, 2]}},
+                   "required": ["a"]},
+        "end": "</f>",
+    }],
+    "triggers": ["<f"],
+}
+
+
+def test_structural_tag_grammar_unit(tmp_path_factory):
+    """Free until trigger, constrained through the structure, free after."""
+    from transformers import AutoTokenizer
+
+    from iaas_sglang_tpu.constrained.base_grammar_backend import (
+        BaseGrammarBackend, StructuralTagGrammar)
+    from tests.server_utils import make_tiny_model_dir
+
+    d = make_tiny_model_dir(str(tmp_path_factory.mktemp("m") / "tok"))
+    tok = AutoTokenizer.from_pretrained(d)
+    be = BaseGrammarBackend(tok)
+    g = be.get_grammar(structural_tag=json.dumps(STAG))
+    assert isinstance(g, StructuralTagGrammar)
+
+    # free mode: unconstrained
+    for t in tok.encode("hello there ", add_special_tokens=False):
+        assert g.allowed_tokens() is None
+        g.accept_token(t)
+
+    # emit the trigger -> struct mode
+    for t in tok.encode("<f>", add_special_tokens=False):
+        g.accept_token(t)
+    assert g.allowed_tokens() is not None
+
+    # greedy-walk the mask to completion; collect the constrained bytes
+    emitted = b""
+    for _ in range(80):
+        mask = g.allowed_tokens()
+        if mask is None:
+            break  # structure complete, back to free
+        cand = [i for i in np.flatnonzero(mask)
+                if be.vocab.token_bytes[i]]
+        tid = int(cand[0])
+        emitted += be.vocab.token_bytes[tid]
+        g.accept_token(tid)
+    assert g.allowed_tokens() is None
+    m = re.fullmatch(r'\{"a":([12])\}</f>', emitted.decode())
+    assert m, emitted
+    assert not g.is_terminated()  # free mode continues until eos/max tokens
+
+
+def test_structural_tag_generation(tmp_path_factory):
+    """e2e: bias a single-token trigger so greedy decoding fires it, then
+    the structure must be enforced; text after `end` is free again."""
+    from iaas_sglang_tpu.constrained.token_fsm import TokenVocab
+
+    eng = _mk_text_engine(tmp_path_factory)
+    vocab = TokenVocab.get(eng.tokenizer)
+    # pick an alphabetic single token as the trigger (greedy + logit_bias
+    # will then emit it deterministically in free mode)
+    tid, trig = next(
+        (i, bs.decode()) for i, bs in enumerate(vocab.token_bytes)
+        if bs and bs.isalpha())
+    stag = {"structures": [{"begin": trig, "end": "</f>",
+                            "schema": STAG["structures"][0]["schema"]}],
+            "triggers": [trig]}
+    out = eng.generate(
+        prompt="call: ",
+        sampling_params={"max_new_tokens": 48, "temperature": 0.0,
+                         "ignore_eos": True, "logit_bias": {tid: 100.0},
+                         "structural_tag": json.dumps(stag)})
+    hits = re.findall(re.escape(trig) + r'\{"a":([12])\}</f>', out["text"])
+    assert hits, (trig, out["text"])
+
+
+def test_structural_tag_repeat_fully_cached(tmp_path_factory):
+    """Regression: a jump-requeued request whose whole prompt+jumped
+    sequence is already radix-cached used to admit with extend_len == 0
+    (prefix match beyond extend_target) and crash prepare_for_extend."""
+    from iaas_sglang_tpu.constrained.token_fsm import TokenVocab
+
+    eng = _mk_text_engine(tmp_path_factory)
+    vocab = TokenVocab.get(eng.tokenizer)
+    tid, trig = next(
+        (i, bs.decode()) for i, bs in enumerate(vocab.token_bytes)
+        if bs and bs.isalpha())
+    stag = {"structures": [{"begin": trig, "end": "</f>",
+                            "schema": STAG["structures"][0]["schema"]}],
+            "triggers": [trig]}
+    sp = {"max_new_tokens": 48, "temperature": 0.0, "ignore_eos": True,
+          "logit_bias": {tid: 100.0}, "structural_tag": json.dumps(stag)}
+    a = eng.generate(prompt="call: ", sampling_params=sp)
+    b = eng.generate(prompt="call: ", sampling_params=dict(sp))
+    assert a["text"] == b["text"]
+    eng.scheduler.check_memory_leak()
+
+
+def test_openai_response_format_mapping():
+    from iaas_sglang_tpu.entrypoints.openai.protocol import (
+        ChatCompletionRequest, structured_fields)
+
+    req = ChatCompletionRequest(
+        messages=[{"role": "user", "content": "hi"}],
+        response_format={"type": "json_schema",
+                         "json_schema": {"name": "x", "schema": SCHEMA}})
+    sp = req.to_sampling_params()
+    assert json.loads(sp["json_schema"]) == SCHEMA
+
+    sf = structured_fields({"type": "structural_tag", **STAG})
+    assert json.loads(sf["structural_tag"])["triggers"] == ["<f"]
+    assert structured_fields({"type": "json_object"})["json_schema"]
+    assert structured_fields(None, regex="a+") == {"regex": "a+"}
+
+
 def test_jump_forward_greedy_parity(tmp_path_factory):
     """Jump-forward must not change emitted tokens, only skip forwards."""
     regex = r"(abba|baab)(x+|y+)"
