@@ -143,6 +143,41 @@ class StructuralTagGrammar(BaseGrammarObject):
         return StructuralTagGrammar(self.fsm, self.triggers)
 
 
+class ReasonerGrammar(BaseGrammarObject):
+    """Delay a grammar until the reasoning section ends (the reference's
+    ReasonerGrammarObject, reasoner_grammar_backend.py:23, enabled by
+    --reasoning-parser): generation is unconstrained while the model is
+    inside its `<think>` block; once the end marker (e.g. "</think>")
+    appears in the decoded bytes, the inner grammar takes over."""
+
+    def __init__(self, inner: BaseGrammarObject, vocab: TokenVocab,
+                 think_end: bytes = b"</think>"):
+        self.inner = inner
+        self.vocab = vocab
+        self.think_end = think_end
+        self._buf = b""
+        self.thinking = True
+
+    def accept_token(self, token_id: int) -> None:
+        if self.thinking:
+            bs = (self.vocab.token_bytes[token_id]
+                  if token_id < len(self.vocab.token_bytes) else b"") or b""
+            self._buf = (self._buf + bs)[-2 * len(self.think_end):]
+            if self.think_end in self._buf:
+                self.thinking = False
+            return
+        self.inner.accept_token(token_id)
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        return None if self.thinking else self.inner.allowed_tokens()
+
+    def is_terminated(self) -> bool:
+        return (not self.thinking) and self.inner.is_terminated()
+
+    def copy(self) -> "ReasonerGrammar":
+        return ReasonerGrammar(self.inner.copy(), self.vocab, self.think_end)
+
+
 class BaseGrammarBackend:
     """Compiles and caches grammar automata keyed by (type, spec)."""
 

@@ -495,10 +495,12 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         fin = out["meta_info"]["finish_reason"]
         text = out["text"]
         reasoning = None
-        if req.separate_reasoning:
+        if req.separate_reasoning or state.server_args.reasoning_parser:
             from iaas_sglang_tpu.reasoning_parser import ReasoningParser
 
-            pr = ReasoningParser(req.reasoning_style).parse_non_stream(text)
+            style = (state.server_args.reasoning_parser
+                     or req.reasoning_style)
+            pr = ReasoningParser(style).parse_non_stream(text)
             reasoning, text = pr.reasoning_text or None, pr.normal_text
         tool_calls = None
         finish = map_finish_reason(fin)

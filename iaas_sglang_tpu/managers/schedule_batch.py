@@ -445,6 +445,7 @@ class ScheduleBatch:
             or r.sampling_params.presence_penalty != 0.0
             or r.sampling_params.repetition_penalty != 1.0
             or r.sampling_params.logit_bias
+            or r.sampling_params.custom_logit_processor
             or (len(r.output_ids) < r.sampling_params.min_new_tokens)
             for r in reqs
         )
@@ -464,12 +465,20 @@ class ScheduleBatch:
                 d.extend(r.eos_token_ids)
                 d.extend(sp.stop_token_ids or [])
             dis.append(d)
-            if sp.logit_bias:
-                bias_ids_l.append([int(t) for t in sp.logit_bias])
-                bias_vals_l.append([float(v) for v in sp.logit_bias.values()])
-            else:
-                bias_ids_l.append([])
-                bias_vals_l.append([])
+            bias: dict = ({int(t): float(v)
+                           for t, v in sp.logit_bias.items()}
+                          if sp.logit_bias else {})
+            if sp.custom_logit_processor:
+                from iaas_sglang_tpu.sampling.custom_logit_processor import (
+                    get_custom_logit_processor)
+
+                fn = get_custom_logit_processor(sp.custom_logit_processor)
+                if fn is not None:
+                    for t, v in fn(sp.custom_params or {},
+                                   r.output_ids).items():
+                        bias[int(t)] = bias.get(int(t), 0.0) + float(v)
+            bias_ids_l.append(list(bias.keys()))
+            bias_vals_l.append(list(bias.values()))
         K = max(max(len(d) for d in dis), 1)
         Kb = max(max(len(b) for b in bias_ids_l), 1)
         disallow = np.full((B, K), -1, dtype=np.int32)

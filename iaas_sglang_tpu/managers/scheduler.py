@@ -278,11 +278,37 @@ class Scheduler:
         # clip generation to context
         sp = req.sampling_params
         sp.max_new_tokens = min(sp.max_new_tokens, ctx - req.prompt_len - 1)
+        if sp.custom_logit_processor:
+            from iaas_sglang_tpu.sampling.custom_logit_processor import (
+                get_custom_logit_processor)
+
+            if not self.server_args.enable_custom_logit_processor:
+                req.finished_reason = FinishAbort(
+                    "custom_logit_processor requires "
+                    "--enable-custom-logit-processor")
+                self._emit_output([req])
+                return
+            if get_custom_logit_processor(sp.custom_logit_processor) is None:
+                req.finished_reason = FinishAbort(
+                    f"unknown custom_logit_processor "
+                    f"{sp.custom_logit_processor!r}")
+                self._emit_output([req])
+                return
         if (sp.json_schema or sp.regex or sp.ebnf or sp.structural_tag) \
                 and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(
                 regex=sp.regex, json_schema=sp.json_schema, ebnf=sp.ebnf,
                 structural_tag=sp.structural_tag)
+            if req.grammar is not None and self.server_args.reasoning_parser:
+                from iaas_sglang_tpu.constrained.base_grammar_backend import (
+                    ReasonerGrammar)
+                from iaas_sglang_tpu.reasoning_parser import ReasoningParser
+
+                end_tag = ReasoningParser.MARKS[
+                    self.server_args.reasoning_parser][1]
+                req.grammar = ReasonerGrammar(
+                    req.grammar, self.grammar_backend.vocab,
+                    end_tag.encode("utf-8"))
         req.logprob_start_len = m.logprob_start_len
         req.mm_items = m.mm_items or []
         if self.model_config.cross_attention_layers and req.mm_items:
@@ -626,6 +652,7 @@ class Scheduler:
                 and r.sampling_params.presence_penalty == 0.0
                 and r.sampling_params.repetition_penalty == 1.0
                 and not r.sampling_params.logit_bias
+                and not r.sampling_params.custom_logit_processor
                 for r in batch.reqs
             )
         )
@@ -648,6 +675,7 @@ class Scheduler:
                 and r.sampling_params.presence_penalty == 0.0
                 and r.sampling_params.repetition_penalty == 1.0
                 and not r.sampling_params.logit_bias
+                and not r.sampling_params.custom_logit_processor
                 and len(r.output_ids) >= r.sampling_params.min_new_tokens
                 for r in batch.reqs
             )

@@ -36,6 +36,10 @@ class SamplingParams:
     # free generation until a trigger string appears, then the matching
     # begin+schema+end structure is enforced (repeatable)
     structural_tag: Optional[str] = None
+    # named host-side sparse-bias processor (sampling/custom_logit_processor);
+    # requires --enable-custom-logit-processor
+    custom_logit_processor: Optional[str] = None
+    custom_params: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
         if self.stop is None:

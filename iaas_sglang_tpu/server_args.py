@@ -169,6 +169,13 @@ class ServerArgs:
     # Misc
     random_seed: Optional[int] = None
     watchdog_timeout: float = 300.0
+    # reasoning model (deepseek-r1 | qwen3 | kimi): grammar constraints are
+    # deferred until the think block closes (ReasonerGrammar), and the chat
+    # endpoint defaults its reasoning_style to this
+    reasoning_parser: Optional[str] = None
+    # allow sampling_params.custom_logit_processor (named host-side
+    # sparse-bias processors; reference --enable-custom-logit-processor)
+    enable_custom_logit_processor: bool = False
     warmups: Optional[str] = None          # comma-separated registry names
     chat_template: Optional[str] = None    # named template override
     skip_server_warmup: bool = False
@@ -189,6 +196,13 @@ class ServerArgs:
             self.attention_backend = "pallas" if self.device == "tpu" else "jnp"
         if self.page_size < 1:
             raise ValueError("page_size must be >= 1")
+        if self.reasoning_parser is not None:
+            from iaas_sglang_tpu.reasoning_parser import ReasoningParser
+
+            if self.reasoning_parser not in ReasoningParser.MARKS:
+                raise ValueError(
+                    f"unknown reasoning_parser {self.reasoning_parser!r}; "
+                    f"known: {sorted(ReasoningParser.MARKS)}")
         if self.pp_size > 1:
             if self.dp_size > 1 or self.ep_size > 1:
                 raise ValueError(

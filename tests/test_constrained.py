@@ -298,6 +298,49 @@ def test_openai_response_format_mapping():
     assert structured_fields(None, regex="a+") == {"regex": "a+"}
 
 
+def test_reasoner_grammar_unit(tmp_path_factory):
+    """Wrapper defers the inner grammar until </think> appears."""
+    from transformers import AutoTokenizer
+
+    from iaas_sglang_tpu.constrained.base_grammar_backend import (
+        BaseGrammarBackend, ReasonerGrammar)
+    from tests.server_utils import make_tiny_model_dir
+
+    d = make_tiny_model_dir(str(tmp_path_factory.mktemp("m") / "tok"))
+    tok = AutoTokenizer.from_pretrained(d)
+    be = BaseGrammarBackend(tok)
+    g = ReasonerGrammar(be.get_grammar(regex=r"[0-9]{3}"), be.vocab)
+
+    for t in tok.encode("let me think</think>", add_special_tokens=False):
+        assert g.allowed_tokens() is None      # free while thinking
+        assert not g.is_terminated()
+        g.accept_token(t)
+    mask = g.allowed_tokens()                  # now the regex applies
+    assert mask is not None
+    digits = tok.encode("427", add_special_tokens=False)
+    for t in digits:
+        assert g.allowed_tokens()[t]
+        g.accept_token(t)
+    # pattern complete: only eos remains allowed
+    final = g.allowed_tokens()
+    assert final[tok.eos_token_id] and final.sum() == 1
+
+
+def test_reasoner_grammar_defers_constraint(tmp_path_factory):
+    """With --reasoning-parser, a regex constraint does NOT bind while the
+    model never closes its think block; without it, the same request is
+    constrained from token one."""
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "regex": r"[0-9]{3}"}
+    plain = _mk_text_engine(tmp_path_factory)
+    out = plain.generate(prompt="n: ", sampling_params=dict(sp))
+    assert re.fullmatch(r"[0-9]{3}", out["text"]), out["text"]
+
+    eng = _mk_text_engine(tmp_path_factory, reasoning_parser="qwen3")
+    out = eng.generate(prompt="n: ", sampling_params=dict(sp))
+    # dummy weights never emit </think>: generation stays unconstrained
+    assert not re.fullmatch(r"[0-9]{3}", out["text"]), out["text"]
+
+
 def test_jump_forward_greedy_parity(tmp_path_factory):
     """Jump-forward must not change emitted tokens, only skip forwards."""
     regex = r"(abba|baab)(x+|y+)"

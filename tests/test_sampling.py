@@ -170,3 +170,56 @@ def test_input_token_logprobs_chunked_parity():
     import numpy as np
     np.testing.assert_allclose([v for v, _ in a], [v for v, _ in b],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_custom_logit_processor():
+    """Named host-side sparse-bias processors (the TPU answer to the
+    reference's --enable-custom-logit-processor + dill callables)."""
+    from iaas_sglang_tpu.sampling.custom_logit_processor import (
+        register_custom_logit_processor)
+
+    eng = make_engine(enable_custom_logit_processor=True)
+    ids = list(range(5, 17))
+    # built-in: boost a token so greedy always picks it
+    out = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 4, "temperature": 0.0,
+        "custom_logit_processor": "boost_tokens",
+        "custom_params": {"token_ids": [9], "bias": 1e9}})
+    assert out["output_ids"] == [9, 9, 9, 9]
+
+    # built-in: ban the baseline's first token
+    base = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 6, "temperature": 0.0})
+    banned = base["output_ids"][0]
+    out = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 6, "temperature": 0.0,
+        "custom_logit_processor": "disallow_tokens",
+        "custom_params": {"token_ids": [banned]}})
+    assert banned not in out["output_ids"]
+
+    # user-registered, history-dependent: alternate two tokens
+    register_custom_logit_processor(
+        "alternate_test",
+        lambda p, outs: {int(p["a"] if len(outs) % 2 == 0 else p["b"]): 1e9})
+    out = eng.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 4, "temperature": 0.0,
+        "custom_logit_processor": "alternate_test",
+        "custom_params": {"a": 3, "b": 5}})
+    assert out["output_ids"] == [3, 5, 3, 5]
+
+
+def test_custom_logit_processor_gating():
+    """Requests naming a processor abort unless the server opts in; unknown
+    names abort with a clear error."""
+    eng = make_engine()  # flag off
+    out = eng.generate(input_ids=list(range(8)), sampling_params={
+        "max_new_tokens": 4, "temperature": 0.0,
+        "custom_logit_processor": "boost_tokens",
+        "custom_params": {"token_ids": [3]}})
+    assert out["meta_info"]["finish_reason"]["type"] == "abort"
+
+    eng2 = make_engine(enable_custom_logit_processor=True)
+    out = eng2.generate(input_ids=list(range(8)), sampling_params={
+        "max_new_tokens": 4, "temperature": 0.0,
+        "custom_logit_processor": "no_such_processor"})
+    assert out["meta_info"]["finish_reason"]["type"] == "abort"
