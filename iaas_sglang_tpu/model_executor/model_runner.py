@@ -223,7 +223,17 @@ class ModelRunner:
         sa = self.server_args
         ps = self.page_size
         ne, ed = self.model.kv_entry_shape()
-        kv_bytes_per_token = c.num_layers * ne * ed * 2
+        kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        if sa.kv_cache_dtype in ("fp8_e4m3", "fp8"):
+            # FP8 KV cache (reference layers/quantization/fp8.py:1151 kv
+            # dtype): halves attention HBM traffic; direct e4m3 cast (range
+            # ±448 covers attention K/V), kernels upcast on read
+            kv_dtype = jnp.float8_e4m3fn
+        elif sa.kv_cache_dtype not in ("auto", "bf16", "bfloat16"):
+            raise ValueError(
+                f"unknown kv_cache_dtype {sa.kv_cache_dtype!r}")
+        kv_bytes_per_token = (c.num_layers * ne * ed
+                              * jnp.dtype(kv_dtype).itemsize)
 
         if sa.max_total_tokens is not None:
             total_tokens = sa.max_total_tokens
@@ -238,7 +248,6 @@ class ModelRunner:
         # +1 garbage page per layer (write sink for padding lanes)
         self.pages_per_layer = pages_per_layer
         self.num_usable_pages = pages_per_layer  # per attention rank
-        kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         if G > 1:
             # per-rank private page spaces, sharded over BOTH mesh axes:
             # zero KV duplication (the DP-attention memory win for MLA)
@@ -253,7 +262,7 @@ class ModelRunner:
         if sa.enable_double_sparsity:
             self._init_double_sparsity(shape, kv_dtype)
         self.max_pages_per_seq = cdiv(c.context_len, ps)
-        gb = np.prod(shape) * 2 / 1e9
+        gb = np.prod(shape) * jnp.dtype(kv_dtype).itemsize / 1e9
         logger.info(
             "KV pool: %d ranks x %d pages/layer x %d tokens/page x %d layers"
             " = %d tokens (%.2f GB)",
@@ -286,6 +295,9 @@ class ModelRunner:
         self.model.ds_channels = channels
         self.model.ds_heavy_tokens = sa.ds_heavy_token_num
         label_shape = kv_shape[:-2] + (Nk, r)
+        # label scores need more mantissa than e4m3: keep labels >= bf16
+        if kv_dtype == jnp.float8_e4m3fn:
+            kv_dtype = jnp.bfloat16
         labels = jax.device_put(
             jnp.zeros(label_shape, dtype=kv_dtype), self.mesh_ctx.replicated)
         self.kv_pages = (self.kv_pages, labels)

@@ -118,6 +118,9 @@ def _decode_kernel(
             for h in range(Nk):
                 k_h = flat2[:, (2 * h) * D : (2 * h + 1) * D]      # [CT, D]
                 v_h = flat2[:, (2 * h + 1) * D : (2 * h + 2) * D]  # [CT, D]
+                if k_h.dtype != q.dtype:   # fp8 KV: upcast for the MXU
+                    k_h = k_h.astype(q.dtype)
+                    v_h = v_h.astype(q.dtype)
                 q_h = q[h * G : (h + 1) * G]                # [G, D] static slice
                 scores = jax.lax.dot_general(
                     q_h, k_h,
@@ -218,6 +221,8 @@ def _mla_decode_kernel(
 
             wait_chunk(slot)
             kv = kv_buf[slot].reshape(CT, Dk)     # [CT, Dk]
+            if kv.dtype != q.dtype:               # fp8 KV: upcast for the MXU
+                kv = kv.astype(q.dtype)
 
             pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
             valid = pos < kv_len

@@ -149,6 +149,9 @@ def _extend_kernel(
             for h in range(Nk):
                 k_h = flat2[:, (2 * h) * D:(2 * h + 1) * D]      # [CT, D]
                 v_h = flat2[:, (2 * h + 1) * D:(2 * h + 2) * D]  # [CT, D]
+                if k_h.dtype != q.dtype:   # fp8 KV: upcast for the MXU
+                    k_h = k_h.astype(q.dtype)
+                    v_h = v_h.astype(q.dtype)
                 q_h = q[:, h * G:(h + 1) * G, :].reshape(BQ * G, D)
                 scores = jax.lax.dot_general(
                     q_h, k_h, (((1,), (1,)), ((), ())),
@@ -266,6 +269,8 @@ def _mla_extend_kernel(
 
             wait_chunk(slot)
             kv = kv_buf[slot].reshape(CT, Dk)
+            if kv.dtype != q.dtype:            # fp8 KV: upcast for the MXU
+                kv = kv.astype(q.dtype)
             key_pos = ci * CT + jax.lax.broadcasted_iota(
                 jnp.int32, (1, CT), 1)
             valid = (key_pos <= row_pos) & (key_pos < kv_len)

@@ -309,3 +309,64 @@ def test_jnp_chunked_window_mask_semantics():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("tkgs,skd->tkgd", p, np.asarray(v)).reshape(S, Nq, D)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_fp8_kv_interpret(shapes):
+    """FP8 KV pool: the kernel upcasts on read; result matches the jnp
+    reference over the same fp8 pool exactly-ish, and the bf16 pool
+    loosely (quantization error)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    kv8 = kv.astype(jnp.float8_e4m3fn)
+    B = 4
+    kv_lens_l = [7, 40, 96, 17]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_decode_attention(q, kv8, kv_lens, page_indices,
+                                     sm_scale=D ** -0.5)
+    ref8 = _jnp_paged_attention(q, kv8, kv_lens, page_indices, cu,
+                                jnp.int32(B), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref8, np.float32),
+        rtol=3e-2, atol=3e-2)
+    ref16 = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                                 jnp.int32(B), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref16, np.float32),
+        rtol=0.15, atol=0.05)
+
+
+def test_extend_kernel_fp8_kv_interpret(shapes):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.extend_attention import ragged_extend_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    kv8 = kv.astype(jnp.float8_e4m3fn)
+    B = 3
+    kv_lens_l = [24, 96, 40]
+    q_lens = [8, 16, 8]
+    T = sum(q_lens)
+    q = jnp.asarray(rng.standard_normal((T, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = ragged_extend_attention(q, kv8, kv_lens, page_indices, cu,
+                                      jnp.int32(B), sm_scale=D ** -0.5,
+                                      bq=32)
+    ref8 = _jnp_paged_attention(q, kv8, kv_lens, page_indices, cu,
+                                jnp.int32(B), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out[:T], np.float32), np.asarray(ref8[:T], np.float32),
+        rtol=3e-2, atol=3e-2)

@@ -273,3 +273,38 @@ def test_quant_fusion_greedy_parity():
     assert "wq" in unfused.scheduler.model_runner.params["layers"]
     b = unfused.generate(input_ids=ids, sampling_params=sp)["output_ids"]
     assert a == b
+
+
+def test_fp8_kv_cache_engine():
+    """kv_cache_dtype=fp8_e4m3: pool is e4m3, generation is deterministic
+    and close to the bf16-KV run (reference fp8.py:1151 KV dtype)."""
+    import jax.numpy as jnp
+
+    from tests.test_scheduler import make_engine
+
+    eng8 = make_engine(kv_cache_dtype="fp8_e4m3")
+    assert eng8.scheduler.model_runner.kv_pages.dtype == jnp.float8_e4m3fn
+    ids = list(range(3, 40))
+    sp = {"max_new_tokens": 12, "temperature": 0.0}
+    a = eng8.generate(input_ids=ids, sampling_params=dict(sp))["output_ids"]
+    b = eng8.generate(input_ids=list(range(50, 90)),
+                      sampling_params=dict(sp))["output_ids"]
+    a2 = eng8.generate(input_ids=ids, sampling_params=dict(sp))["output_ids"]
+    assert a == a2 and len(a) == 12 and len(b) == 12   # deterministic
+    eng8.scheduler.check_memory_leak()
+
+    # greedy tokens should largely agree with the full-precision pool on a
+    # tiny model (quantization may flip the odd pick near-ties)
+    eng = make_engine()
+    c = eng.generate(input_ids=ids, sampling_params=dict(sp))["output_ids"]
+    agree = sum(x == y for x, y in zip(a, c))
+    assert agree >= 8, (a, c)
+
+
+def test_fp8_kv_cache_bad_dtype_rejected():
+    import pytest as _pytest
+
+    from tests.test_scheduler import make_engine
+
+    with _pytest.raises(ValueError):
+        make_engine(kv_cache_dtype="int3")
