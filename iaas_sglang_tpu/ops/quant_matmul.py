@@ -64,6 +64,7 @@ def _int4_matmul_kernel(
     *,
     n_k: int,
     group: int,
+    scale_after_dot: bool = False,
 ):
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -72,25 +73,48 @@ def _int4_matmul_kernel(
     x = x_ref[...]                            # [T, KB]
     w = pltpu.bitcast(w_ref[...], jnp.int4).astype(x.dtype)  # [KB, NB]
     KB = w.shape[0]
+    T = x.shape[0]
     nG = KB // group
     g0 = pl.program_id(1) * nG
     s = s_ref[pl.ds(g0, nG)]                  # f32 [nG, NB]
     zs = zs_ref[pl.ds(g0, nG)] if zs_ref is not None else None
-
-    # dequantize + scale in VMEM, then ONE MXU dot per block: a python
-    # loop of [T, G] x [G, NB] group-dots left the MXU latency-bound at
-    # decode T (measured ~0.6 ms per call vs DMA time in the microseconds).
-    # Scales multiply in f32: a bf16 variant measured SLOWER on the
-    # 32-layer stack (17.3 vs 15.1 ms/step) — the VPU prefers f32 here.
     NB = w.shape[1]
-    w3 = w.astype(jnp.float32).reshape(nG, group, NB) * s[:, None, :]
-    if zs is not None:
-        w3 = w3 - zs[:, None, :]
-    wf = w3.reshape(KB, NB).astype(x.dtype)
-    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-        x, wf, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+
+    if scale_after_dot:
+        # feed UNSCALED weights to the MXU as ONE batched group-dot
+        # (batch dim 0 in BOTH operands — Mosaic's requirement), then
+        # scale the [nG, T, NB] partials: O(nG*T*NB) VPU work instead of
+        # the O(KB*NB) weight-side multiply. Zeros fold in via the
+        # row-sum identity dot(x, w - z) = dot(x, w) - rowsum(x) ⊗ z.
+        # MEASURED SLOWER at decode shapes (32-layer llama-8B bs=32 stack:
+        # 16.1 ms vs 15.1 ms weight-side) — the batched T=32 group-dots
+        # leave the MXU latency-bound, costing more than the saved VPU
+        # passes. Kept opt-in for A/B at larger T / future hardware.
+        xg = x.reshape(T, nG, group).transpose(1, 0, 2)   # [nG, T, group]
+        wg = w.reshape(nG, group, NB)                     # [nG, group, NB]
+        pg = jax.lax.dot_general(
+            xg, wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                 # f32 [nG, T, NB]
+        part = pg * s[:, None, :]
+        if zs is not None:
+            rs = jnp.sum(xg.astype(jnp.float32), axis=2, keepdims=True)
+            part = part - rs * zs[:, None, :]             # [nG,T,1]*[nG,1,NB]
+        acc_ref[...] = acc_ref[...] + jnp.sum(part, axis=0)
+    else:
+        # dequantize + scale in VMEM, then ONE MXU dot per block: a python
+        # loop of [T, G] x [G, NB] group-dots left the MXU latency-bound at
+        # decode T (measured ~0.6 ms per call vs DMA time in the
+        # microseconds). Scales multiply in f32: a bf16 variant measured
+        # SLOWER on the 32-layer stack (17.3 vs 15.1 ms/step).
+        w3 = w.astype(jnp.float32).reshape(nG, group, NB) * s[:, None, :]
+        if zs is not None:
+            w3 = w3 - zs[:, None, :]
+        wf = w3.reshape(KB, NB).astype(x.dtype)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            x, wf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(pl.program_id(1) == n_k - 1)
     def _done():
@@ -99,7 +123,8 @@ def _int4_matmul_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "block_n", "block_k", "interpret"),
+    static_argnames=("group", "block_n", "block_k", "interpret",
+                     "scale_after_dot"),
 )
 def int4_matmul(
     x: jnp.ndarray,          # [T, K] bf16/f32
@@ -111,6 +136,7 @@ def int4_matmul(
     block_n: int = 512,
     block_k: int = 2048,
     interpret: bool = False,
+    scale_after_dot: bool = False,
 ) -> jnp.ndarray:
     T, K = x.shape
     Kh, N = packed.shape
@@ -138,7 +164,7 @@ def int4_matmul(
     kernel = functools.partial(
         _int4_matmul_kernel if zero_scale is not None else
         functools.partial(_wrap_nozero, _int4_matmul_kernel),
-        n_k=n_k, group=g,
+        n_k=n_k, group=g, scale_after_dot=scale_after_dot,
     )
     return pl.pallas_call(
         kernel,

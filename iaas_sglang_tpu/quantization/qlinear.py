@@ -51,7 +51,7 @@ _INT4_IMPL = "xla"
 
 def set_int4_impl(impl: str) -> None:
     global _INT4_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("xla", "pallas", "pallas_sad")
     _INT4_IMPL = impl
 
 
@@ -154,10 +154,11 @@ def _qmatmul_packed(x: jnp.ndarray, w: QuantizedWeight, out_dtype):
     group = inn // g
     lead = x.shape[:-1]
     x2 = x.reshape(-1, inn)
-    if _INT4_IMPL == "pallas":
+    if _INT4_IMPL in ("pallas", "pallas_sad"):
         from iaas_sglang_tpu.ops.quant_matmul import int4_matmul
 
-        y = int4_matmul(x2, w.q, w.scale, w.zero_scale, group=group)
+        y = int4_matmul(x2, w.q, w.scale, w.zero_scale, group=group,
+                        scale_after_dot=(_INT4_IMPL == "pallas_sad"))
         return y.reshape(*lead, out).astype(out_dtype)
     from iaas_sglang_tpu.ops.quant_matmul import unpack_int4_ref
 
