@@ -113,8 +113,10 @@ def test_mla_decode_kernel_interpret(shapes):
         rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("sad", [False, True],
+                         ids=["weight_scale", "scale_after_dot"])
 @pytest.mark.parametrize("zeros", [False, True], ids=["sym", "awq_zeros"])
-def test_int4_matmul_kernel_interpret(zeros):
+def test_int4_matmul_kernel_interpret(zeros, sad):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
@@ -147,7 +149,7 @@ def test_int4_matmul_kernel_interpret(zeros):
         out = int4_matmul(
             x, packed, jnp.asarray(s),
             jnp.asarray(zs) if zeros else None,
-            group=G, block_n=128, block_k=1024)
+            group=G, block_n=128, block_k=1024, scale_after_dot=sad)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
 
 
