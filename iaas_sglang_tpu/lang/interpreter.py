@@ -40,6 +40,7 @@ class SglGen:
 class SglSelect:
     name: Optional[str]
     choices: List[str]
+    choices_method: Optional[str] = None  # lang/choices.py scoring method
 
 
 @dataclass
@@ -55,8 +56,11 @@ def gen(name: Optional[str] = None, *, max_tokens: int = 128,
                   regex, json_schema, ignore_eos)
 
 
-def select(name: Optional[str] = None, *, choices: List[str]) -> SglSelect:
-    return SglSelect(name, list(choices))
+def select(name: Optional[str] = None, *, choices: List[str],
+           choices_method: Optional[str] = None) -> SglSelect:
+    """choices_method: None (constrained generation, default) or one of
+    lang/choices.py CHOICES_SAMPLING_METHODS for likelihood scoring."""
+    return SglSelect(name, list(choices), choices_method)
 
 
 def _role(role: str):
@@ -84,6 +88,24 @@ class EngineBackend:
         out = self.engine.generate(prompt=prompt, sampling_params=sp)
         return out["text"]
 
+    def _prompt_logprobs(self, text: str) -> List[float]:
+        out = self.engine.generate(
+            prompt=text, sampling_params={"max_new_tokens": 0},
+            return_logprob=True, logprob_start_len=0)
+        return [lp for lp, _tok in out["meta_info"]["input_token_logprobs"]]
+
+    def score_choices(self, prompt: str, choices: List[str],
+                      unconditional: bool = False):
+        """Per-choice token logprobs via prompt-scoring requests
+        (max_new_tokens=0 + return_logprob; the radix cache dedups the
+        shared prompt across the per-choice scoring passes — the analog
+        of the reference RuntimeEndpoint.select logprob calls)."""
+        n_prompt = len(self._prompt_logprobs(prompt))
+        cond = [self._prompt_logprobs(prompt + c)[n_prompt:] for c in choices]
+        uncond = ([self._prompt_logprobs(c) or [0.0] for c in choices]
+                  if unconditional else None)
+        return cond, uncond
+
 
 class RuntimeEndpoint:
     """Runs programs against a live HTTP server
@@ -92,14 +114,30 @@ class RuntimeEndpoint:
     def __init__(self, base_url: str):
         self.base_url = base_url.rstrip("/")
 
-    def generate(self, prompt: str, sp: dict) -> str:
+    def _post(self, payload: dict) -> dict:
         import requests
 
-        r = requests.post(f"{self.base_url}/generate", json={
-            "text": prompt, "sampling_params": sp,
-        }, timeout=600)
+        r = requests.post(f"{self.base_url}/generate", json=payload,
+                          timeout=600)
         r.raise_for_status()
-        return r.json()["text"]
+        return r.json()
+
+    def generate(self, prompt: str, sp: dict) -> str:
+        return self._post({"text": prompt, "sampling_params": sp})["text"]
+
+    def _prompt_logprobs(self, text: str) -> List[float]:
+        out = self._post({
+            "text": text, "sampling_params": {"max_new_tokens": 0},
+            "return_logprob": True, "logprob_start_len": 0})
+        return [lp for lp, _tok in out["meta_info"]["input_token_logprobs"]]
+
+    def score_choices(self, prompt: str, choices: List[str],
+                      unconditional: bool = False):
+        n_prompt = len(self._prompt_logprobs(prompt))
+        cond = [self._prompt_logprobs(prompt + c)[n_prompt:] for c in choices]
+        uncond = ([self._prompt_logprobs(c) or [0.0] for c in choices]
+                  if unconditional else None)
+        return cond, uncond
 
 
 _default_backend: Optional[Any] = None
@@ -170,6 +208,19 @@ class ProgramState:
         self.text += out
 
     def _run_select(self, s: SglSelect) -> None:
+        if s.choices_method and hasattr(self.backend, "score_choices"):
+            from iaas_sglang_tpu.lang.choices import CHOICES_SAMPLING_METHODS
+
+            method = CHOICES_SAMPLING_METHODS[s.choices_method]
+            cond, uncond = self.backend.score_choices(
+                self.text, s.choices,
+                unconditional=method.requires_unconditional_logprobs)
+            decision = method(s.choices, cond, uncond)
+            if s.name:
+                self.vars[s.name] = decision.decision
+                self.vars[f"{s.name}__meta"] = decision.meta_info
+            self.text += decision.decision
+            return
         pattern = "(?:" + "|".join(re.escape(c) for c in s.choices) + ")"
         out = self.backend.generate(self.text, {
             "max_new_tokens": max(len(c) for c in s.choices) + 8,

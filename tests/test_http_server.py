@@ -317,3 +317,24 @@ def test_sagemaker_and_vertex_endpoints(server):
     assert r.status_code == 200, r.text
     preds = r.json()["predictions"]
     assert len(preds) == 2 and len(preds[0]["output_ids"]) == 3
+
+
+def test_lang_openai_backend_against_own_server(server):
+    """The DSL's OpenAI-compatible backend driving OUR /v1 surface
+    (reference lang/backend/openai.py against any OpenAI API)."""
+    import iaas_sglang_tpu.lang as sgl
+
+    be = sgl.OpenAIBackend(model="whatever", base_url=f"{server}/v1")
+
+    @sgl.function
+    def prog(s):
+        s += "Count: "
+        s += sgl.gen("out", max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    state = prog.run(backend=be)
+    assert len(state["out"]) > 0
+
+    be_chat = sgl.OpenAIBackend(model="whatever", base_url=f"{server}/v1",
+                                is_chat=True)
+    state = prog.run(backend=be_chat)
+    assert len(state["out"]) > 0

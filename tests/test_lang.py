@@ -112,3 +112,44 @@ def test_trace_program_and_prefix():
     assert prefix.endswith("assistant: ")
     # the prefix is exactly the text before the first generation
     assert trace.ops[0][1] == prefix
+
+
+def test_choices_methods_unit():
+    from iaas_sglang_tpu.lang import choices as ch
+
+    # token_length_normalized: mean logprob decides, not sum
+    d = ch.token_length_normalized(
+        ["a", "bb"], [[-1.0], [-0.6, -0.6]])
+    assert d.decision == "bb"
+    assert d.meta_info["normalized_prompt_logprobs"] == [-1.0, -0.6]
+
+    # greedy: longest argmax-prefix run wins even with worse mean
+    d = ch.greedy_token_selection(
+        ["a", "b"], [[-2.0], [-1.0]], top_logprob_matches=[1, 0])
+    assert d.decision == "a"
+    # degrades to normalized without argmax info
+    d = ch.greedy_token_selection(["a", "b"], [[-2.0], [-1.0]])
+    assert d.decision == "b"
+
+    # unconditional: corrects for a-priori likely strings
+    d = ch.unconditional_likelihood_normalized(
+        ["a", "b"], [[-1.0], [-1.5]],
+        unconditional_logprobs=[[-1.0], [-3.0]])
+    assert d.decision == "b"  # (−1−−1)=0 < (−1.5−−3)=1.5
+
+
+@pytest.mark.parametrize("method", [
+    "token_length_normalized", "greedy_token_selection",
+    "unconditional_likelihood_normalized"])
+def test_select_choices_methods_live(backend, method):
+    @sgl.function
+    def judge(s):
+        s += "Is the sky blue? "
+        s += sgl.select("verdict", choices=["yes", "no"],
+                        choices_method=method)
+
+    state = judge.run(backend=backend)
+    assert state["verdict"] in ("yes", "no")
+    meta = state.vars["verdict__meta"]
+    key = next(iter(meta))
+    assert len(meta[key]) == 2
