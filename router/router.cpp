@@ -12,6 +12,17 @@
 //                   (router.rs CacheAware with abs/rel thresholds)
 //   round_robin, random, power_of_two
 //
+// Extras mirroring the reference router's surface:
+//   /metrics                 -- Prometheus text exposition (prometheus.rs)
+//   --pd --prefill/--decode  -- PD pairing mode (pd_router.rs): inject
+//                               rid + disagg_decode_url, send to prefill,
+//                               await decode's /disagg_wait/{rid} on handoff
+//   --worker-list-file FILE  -- poll a file of worker URLs (one per line)
+//                               and add/remove workers to match — the
+//                               zero-Kubernetes analog of the reference's
+//                               pod-watch service discovery
+//                               (service_discovery.rs)
+//
 // Build: g++ -O2 -std=c++17 -pthread router.cpp -o sgl_tpu_router
 
 #include <arpa/inet.h>
@@ -127,6 +138,7 @@ struct Worker {
   int port;
   std::string url;
   std::atomic<int> load{0};
+  std::atomic<uint64_t> processed{0};
   std::atomic<bool> healthy{true};
   ApproxRadixTree tree;
 
@@ -139,6 +151,25 @@ static std::mutex g_workers_mu;
 static std::string g_policy = "cache_aware";
 static std::atomic<uint64_t> g_rr{0};
 static thread_local std::mt19937 g_rng{std::random_device{}()};
+
+// ---------------------------------------------------------------- metrics
+// Prometheus counters (reference sgl-router/src/prometheus.rs)
+
+static std::atomic<uint64_t> g_m_requests{0};
+static std::atomic<uint64_t> g_m_cache_hits{0};   // cache_aware prefix route
+static std::atomic<uint64_t> g_m_cache_misses{0}; // load-balanced fallback
+static std::atomic<uint64_t> g_m_retries{0};
+static std::atomic<uint64_t> g_m_errors{0};       // 503s returned
+static std::atomic<uint64_t> g_m_pd_handoffs{0};
+
+struct PdPair {
+  std::string prefill_url;
+  std::string decode_url;
+  std::string decode_ingest;  // transfer endpoint handed to the prefill side
+  std::atomic<int> load{0};
+};
+static bool g_pd_mode = false;
+static std::vector<std::shared_ptr<PdPair>> g_pd_pairs;
 
 // cache-aware thresholds (router.rs: match-rate threshold + balance check)
 static constexpr double kCacheThreshold = 0.3;
@@ -184,7 +215,10 @@ std::shared_ptr<Worker> pick_worker(const std::string& text) {
     }
     if (best_rate < kCacheThreshold) best = nullptr;
   }
-  if (!best) {
+  if (best) {
+    g_m_cache_hits++;
+  } else {
+    g_m_cache_misses++;
     for (auto& w : ws)
       if (!best || w->load.load() < best->load.load()) best = w;
   }
@@ -288,6 +322,167 @@ static std::string extract_text_field(const std::string& body) {
   return out;
 }
 
+// one-shot HTTP client: send request, read to EOF, split status/body
+// (upstreams get Connection: close so EOF delimits the response)
+struct HttpResponse {
+  int status = 0;
+  std::string head, body;
+};
+
+static bool split_url(const std::string& url, std::string& host, int& port) {
+  auto p = url.find("//");
+  if (p == std::string::npos) return false;
+  std::string hostport = url.substr(p + 2);
+  auto slash = hostport.find('/');
+  if (slash != std::string::npos) hostport = hostport.substr(0, slash);
+  auto colon = hostport.rfind(':');
+  if (colon == std::string::npos) return false;
+  host = hostport.substr(0, colon);
+  port = std::stoi(hostport.substr(colon + 1));
+  return true;
+}
+
+static bool http_call(const std::string& url, const std::string& method,
+                      const std::string& path, const std::string& body,
+                      HttpResponse& resp) {
+  std::string host;
+  int port;
+  if (!split_url(url, host, port)) return false;
+  int fd = connect_to(host, port);
+  if (fd < 0) return false;
+  std::ostringstream req;
+  req << method << " " << path << " HTTP/1.1\r\nHost: " << host
+      << "\r\nContent-Type: application/json\r\nContent-Length: "
+      << body.size() << "\r\nConnection: close\r\n\r\n" << body;
+  auto s = req.str();
+  send_all(fd, s.data(), s.size());
+  std::string buf;
+  char tmp[16384];
+  ssize_t n;
+  while ((n = recv(fd, tmp, sizeof(tmp), 0)) > 0) buf.append(tmp, n);
+  close(fd);
+  auto he = buf.find("\r\n\r\n");
+  if (he == std::string::npos) return false;
+  resp.head = buf.substr(0, he + 4);
+  resp.body = buf.substr(he + 4);
+  // HTTP/1.1 NNN ...
+  auto sp = resp.head.find(' ');
+  if (sp == std::string::npos) return false;
+  resp.status = std::atoi(resp.head.c_str() + sp + 1);
+  // de-chunk if needed (aiohttp may chunk JSON responses)
+  std::string lower;
+  for (char c : resp.head) lower += std::tolower(c);
+  if (lower.find("transfer-encoding: chunked") != std::string::npos) {
+    std::string out;
+    size_t i = 0;
+    while (i < resp.body.size()) {
+      auto eol = resp.body.find("\r\n", i);
+      if (eol == std::string::npos) break;
+      size_t len = std::stoul(resp.body.substr(i, eol - i), nullptr, 16);
+      if (len == 0) break;
+      out += resp.body.substr(eol + 2, len);
+      i = eol + 2 + len + 2;
+    }
+    resp.body = std::move(out);
+  }
+  return true;
+}
+
+static std::string random_hex32() {
+  static const char* hexd = "0123456789abcdef";
+  std::string s(32, '0');
+  for (auto& c : s) c = hexd[g_rng() & 15];
+  return s;
+}
+
+// PD pairing (pd_router.rs:23,210 dispatch-to-both): pick a pair, inject
+// rid + disagg_decode_url into the JSON body, run prefill, and on
+// disagg_handoff await the decode server's result for that rid.
+static void pd_proxy_generate(int client, std::string body) {
+  std::shared_ptr<PdPair> pair;
+  {
+    std::lock_guard<std::mutex> lk(g_workers_mu);
+    for (auto& p : g_pd_pairs)
+      if (!pair || p->load.load() < pair->load.load()) pair = p;
+  }
+  if (!pair) {
+    g_m_errors++;
+    send_simple(client, 503, "{\"error\":\"no PD pairs\"}");
+    return;
+  }
+  pair->load++;
+  std::string rid;
+  auto rp = body.find("\"rid\"");
+  if (rp != std::string::npos) {
+    auto q1 = body.find('"', body.find(':', rp));
+    auto q2 = body.find('"', q1 + 1);
+    rid = body.substr(q1 + 1, q2 - q1 - 1);
+  } else {
+    rid = random_hex32();
+  }
+  // inject rid + decode ingest endpoint right after the opening brace
+  auto brace = body.find('{');
+  std::string inject = "\"rid\":\"" + rid + "\",\"disagg_decode_url\":\"" +
+                       pair->decode_ingest + "\",";
+  if (rp != std::string::npos)
+    inject = "\"disagg_decode_url\":\"" + pair->decode_ingest + "\",";
+  body.insert(brace + 1, inject);
+
+  HttpResponse pre;
+  if (!http_call(pair->prefill_url, "POST", "/generate", body, pre)) {
+    pair->load--;
+    g_m_errors++;
+    send_simple(client, 503, "{\"error\":\"prefill unreachable\"}");
+    return;
+  }
+  if (pre.status != 200 ||
+      pre.body.find("\"disagg_handoff\"") == std::string::npos) {
+    // finished entirely at prefill (errors, 1-token generations)
+    pair->load--;
+    send_simple(client, pre.status, pre.body);
+    return;
+  }
+  g_m_pd_handoffs++;
+  HttpResponse dec;
+  if (!http_call(pair->decode_url, "GET", "/disagg_wait/" + rid, "", dec)) {
+    pair->load--;
+    g_m_errors++;
+    send_simple(client, 503, "{\"error\":\"decode unreachable\"}");
+    return;
+  }
+  pair->load--;
+  send_simple(client, dec.status, dec.body);
+}
+
+static std::string prometheus_metrics() {
+  std::ostringstream ss;
+  ss << "# TYPE sgl_router_requests_total counter\n"
+     << "sgl_router_requests_total " << g_m_requests.load() << "\n"
+     << "# TYPE sgl_router_cache_hits_total counter\n"
+     << "sgl_router_cache_hits_total " << g_m_cache_hits.load() << "\n"
+     << "# TYPE sgl_router_cache_misses_total counter\n"
+     << "sgl_router_cache_misses_total " << g_m_cache_misses.load() << "\n"
+     << "# TYPE sgl_router_retries_total counter\n"
+     << "sgl_router_retries_total " << g_m_retries.load() << "\n"
+     << "# TYPE sgl_router_errors_total counter\n"
+     << "sgl_router_errors_total " << g_m_errors.load() << "\n"
+     << "# TYPE sgl_router_pd_handoffs_total counter\n"
+     << "sgl_router_pd_handoffs_total " << g_m_pd_handoffs.load() << "\n";
+  ss << "# TYPE sgl_router_processed_requests_total counter\n";
+  ss << "# TYPE sgl_router_running_requests gauge\n";
+  ss << "# TYPE sgl_router_worker_healthy gauge\n";
+  std::lock_guard<std::mutex> lk(g_workers_mu);
+  for (auto& w : g_workers) {
+    ss << "sgl_router_processed_requests_total{worker=\"" << w->url << "\"} "
+       << w->processed.load() << "\n"
+       << "sgl_router_running_requests{worker=\"" << w->url << "\"} "
+       << w->load.load() << "\n"
+       << "sgl_router_worker_healthy{worker=\"" << w->url << "\"} "
+       << (w->healthy.load() ? 1 : 0) << "\n";
+  }
+  return ss.str();
+}
+
 static void proxy_request(int client, const std::string& head,
                           const std::string& body) {
   std::string text = extract_text_field(body);
@@ -299,12 +494,15 @@ static void proxy_request(int client, const std::string& head,
     up = connect_to(w->host, w->port);
     if (up >= 0) break;
     w->healthy = false;  // health loop may revive it later
+    g_m_retries++;
   }
   if (!w || up < 0) {
+    g_m_errors++;
     send_simple(client, 503, "{\"error\":\"no reachable workers\"}");
     return;
   }
   w->load++;
+  w->processed++;
   // rewrite: force upstream to close so we can stream until EOF
   std::string h = head;
   auto cpos = h.find("Connection:");
@@ -330,8 +528,19 @@ static void handle_conn(int client) {
     auto sp1 = head.find(' ');
     auto sp2 = head.find(' ', sp1 + 1);
     std::string path = head.substr(sp1 + 1, sp2 - sp1 - 1);
+    g_m_requests++;
     if (path == "/router_health") {
       send_simple(client, 200, "{\"status\":\"ok\"}");
+    } else if (path == "/metrics") {
+      std::string m = prometheus_metrics();
+      std::ostringstream ss;
+      ss << "HTTP/1.1 200 OK\r\nContent-Type: text/plain; version=0.0.4\r\n"
+         << "Content-Length: " << m.size() << "\r\nConnection: close\r\n\r\n"
+         << m;
+      auto s = ss.str();
+      send_all(client, s.data(), s.size());
+    } else if (g_pd_mode && path == "/generate") {
+      pd_proxy_generate(client, body);
     } else if (path == "/list_workers") {
       std::ostringstream ss;
       ss << "{\"workers\":[";
@@ -381,21 +590,86 @@ static void handle_conn(int client) {
   close(client);
 }
 
+static std::shared_ptr<Worker> make_worker(const std::string& url) {
+  std::string hostname;
+  int wport;
+  if (!split_url(url, hostname, wport)) return nullptr;
+  return std::make_shared<Worker>(hostname, wport, url);
+}
+
+// poll a newline-separated worker-URL file; reconcile adds/removals
+// (zero-K8s analog of service_discovery.rs pod watching)
+static void discovery_loop(const std::string& file) {
+  while (true) {
+    std::this_thread::sleep_for(std::chrono::seconds(2));
+    FILE* f = fopen(file.c_str(), "r");
+    if (!f) continue;
+    std::vector<std::string> urls;
+    char line[512];
+    while (fgets(line, sizeof(line), f)) {
+      std::string u(line);
+      while (!u.empty() && (u.back() == '\n' || u.back() == '\r' ||
+                            u.back() == ' '))
+        u.pop_back();
+      if (!u.empty()) urls.push_back(u);
+    }
+    fclose(f);
+    std::lock_guard<std::mutex> lk(g_workers_mu);
+    // removals
+    g_workers.erase(
+        std::remove_if(g_workers.begin(), g_workers.end(),
+                       [&](const std::shared_ptr<Worker>& w) {
+                         return std::find(urls.begin(), urls.end(), w->url) ==
+                                urls.end();
+                       }),
+        g_workers.end());
+    // additions
+    for (auto& u : urls) {
+      bool known = false;
+      for (auto& w : g_workers)
+        if (w->url == u) known = true;
+      if (!known) {
+        auto w = make_worker(u);
+        if (w) g_workers.push_back(std::move(w));
+      }
+    }
+  }
+}
+
 int main(int argc, char** argv) {
   std::string host = "0.0.0.0";
   int port = 30080;
+  std::string worker_list_file;
+  std::vector<std::string> pd_prefill, pd_decode;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a == "--port" && i + 1 < argc) port = std::stoi(argv[++i]);
     else if (a == "--host" && i + 1 < argc) host = argv[++i];
     else if (a == "--policy" && i + 1 < argc) g_policy = argv[++i];
+    else if (a == "--pd") g_pd_mode = true;
+    else if (a == "--prefill" && i + 1 < argc) pd_prefill.push_back(argv[++i]);
+    else if (a == "--decode" && i + 1 < argc) pd_decode.push_back(argv[++i]);
+    else if (a == "--worker-list-file" && i + 1 < argc)
+      worker_list_file = argv[++i];
     else if (a == "--worker" && i + 1 < argc) {
-      std::string url = argv[++i];
-      std::string hostport = url.substr(url.find("//") + 2);
-      auto colon = hostport.rfind(':');
-      g_workers.push_back(std::make_shared<Worker>(
-          hostport.substr(0, colon),
-          std::stoi(hostport.substr(colon + 1)), url));
+      auto w = make_worker(argv[++i]);
+      if (w) g_workers.push_back(std::move(w));
+    }
+  }
+  if (g_pd_mode) {
+    if (pd_prefill.empty() || pd_decode.empty()) {
+      std::cerr << "--pd requires --prefill URL and --decode URL@INGEST\n";
+      return 1;
+    }
+    size_t n = std::max(pd_prefill.size(), pd_decode.size());
+    for (size_t i = 0; i < n; i++) {
+      auto p = std::make_shared<PdPair>();
+      p->prefill_url = pd_prefill[i % pd_prefill.size()];
+      std::string d = pd_decode[i % pd_decode.size()];
+      auto at = d.find('@');
+      p->decode_url = d.substr(0, at);
+      p->decode_ingest = at == std::string::npos ? "" : d.substr(at + 1);
+      g_pd_pairs.push_back(std::move(p));
     }
   }
 
@@ -412,6 +686,8 @@ int main(int argc, char** argv) {
     return 1;
   }
   listen(srv, 512);
+  if (!worker_list_file.empty())
+    std::thread(discovery_loop, worker_list_file).detach();
   // background health probe: revive workers that come back
   std::thread([] {
     while (true) {

@@ -80,3 +80,71 @@ def test_router_many_requests_spread(cluster):
                                 "ignore_eos": True},
         }, timeout=300)
         assert r.status_code == 200
+
+
+def test_router_metrics_endpoint(cluster):
+    """Prometheus exposition (reference sgl-router/src/prometheus.rs)."""
+    base, _ = cluster
+    requests.post(f"{base}/generate", json={
+        "text": "metrics probe",
+        "sampling_params": {"max_new_tokens": 2, "temperature": 0.0,
+                            "ignore_eos": True}}, timeout=300)
+    m = requests.get(f"{base}/metrics", timeout=5)
+    assert m.ok and "text/plain" in m.headers["Content-Type"]
+    body = m.text
+    assert "sgl_router_requests_total" in body
+    assert "sgl_router_processed_requests_total{worker=" in body
+    assert "sgl_router_worker_healthy{worker=" in body
+    total = int([l for l in body.splitlines()
+                 if l.startswith("sgl_router_requests_total ")][0].split()[-1])
+    assert total >= 1
+
+
+def test_router_file_service_discovery(cluster, tmp_path):
+    """--worker-list-file polling add/remove (the zero-K8s analog of
+    service_discovery.rs)."""
+    import time
+
+    from iaas_sglang_tpu.router_launcher import launch_router
+
+    _, ports = cluster
+    urls = [f"http://127.0.0.1:{p}" for p in ports]
+    wl = tmp_path / "workers.txt"
+    wl.write_text(urls[0] + "\n")
+    rport = get_open_port()
+    router = launch_router(rport, [], worker_list_file=str(wl))
+    base = f"http://127.0.0.1:{rport}"
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            ws = requests.get(f"{base}/list_workers", timeout=5).json()["workers"]
+            if len(ws) == 1:
+                break
+            time.sleep(0.5)
+        assert [w["url"] for w in ws] == [urls[0]]
+        # add the second worker; poller must pick it up
+        wl.write_text(urls[0] + "\n" + urls[1] + "\n")
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            ws = requests.get(f"{base}/list_workers", timeout=5).json()["workers"]
+            if len(ws) == 2:
+                break
+            time.sleep(0.5)
+        assert len(ws) == 2
+        # remove the first; poller must drop it
+        wl.write_text(urls[1] + "\n")
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            ws = requests.get(f"{base}/list_workers", timeout=5).json()["workers"]
+            if len(ws) == 1:
+                break
+            time.sleep(0.5)
+        assert [w["url"] for w in ws] == [urls[1]]
+        # routed request still works through the discovered worker
+        r = requests.post(f"{base}/generate", json={
+            "text": "discovered", "sampling_params": {
+                "max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True}},
+            timeout=300)
+        assert r.status_code == 200
+    finally:
+        router.kill()
