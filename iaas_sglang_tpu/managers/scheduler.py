@@ -127,10 +127,17 @@ class Scheduler:
         elif server_args.enable_hierarchical_cache:
             from iaas_sglang_tpu.mem_cache.hiradix_cache import HiRadixCache
 
+            if server_args.hicache_size > 0:
+                page_bytes = self.model_runner.kv_page_bytes_all_layers()
+                host_pages = int(server_args.hicache_size * (1 << 30)
+                                 // max(page_bytes, 1))
+            else:
+                host_pages = int(
+                    server_args.hicache_ratio * self.allocator.num_pages)
             self.tree_caches = [HiRadixCache(
                 self.allocator, self.page_size, self.model_runner,
-                host_capacity_pages=int(
-                    server_args.hicache_ratio * self.allocator.num_pages))]
+                host_capacity_pages=host_pages,
+                write_policy=server_args.hicache_write_policy)]
         else:
             self.tree_caches = [
                 RadixCache(a, self.page_size,

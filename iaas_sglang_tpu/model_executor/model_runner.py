@@ -1483,6 +1483,16 @@ class ModelRunner:
         offs = (np.arange(L, dtype=np.int32) * (self.pages_per_layer + 1))
         return (offs[:, None] + pages[None, :]).reshape(-1)
 
+    def kv_page_bytes_all_layers(self) -> int:
+        """Host bytes one page costs across all layers (HiCache host-tier
+        sizing for --hicache-size)."""
+        shape = self.kv_pages.shape
+        # [..., L*(P+1), ps, ne, ed]: one page across layers
+        per_page = (self.model_config.num_layers
+                    * int(np.prod(shape[-3:]))
+                    * self.kv_pages.dtype.itemsize)
+        return per_page
+
     def gather_kv_pages(self, pages: np.ndarray) -> np.ndarray:
         """Fetch KV of the given pages (all layers) to host numpy —
         the HiCache write-back path (kvcacheio/transfer.cu analog)."""

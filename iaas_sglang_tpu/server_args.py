@@ -57,6 +57,10 @@ class ServerArgs:
     enable_hierarchical_cache: bool = False
     kv_events_endpoint: Optional[str] = None  # ZMQ PUB addr for cache events
     hicache_ratio: float = 2.0      # host tier capacity / device pool size
+    hicache_size: int = 0           # host tier GB; overrides ratio if set
+    # write_back | write_through | write_through_selective
+    # (reference cache_controller.py:170 write policies)
+    hicache_write_policy: str = "write_through_selective"
     enable_mixed_chunk: bool = False
     # grammar jump-forward: emit force-determined tokens without forwards
     # (token-level variant of the reference's jump-forward decoding)

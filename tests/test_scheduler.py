@@ -251,20 +251,21 @@ def test_kv_events_published():
     time.sleep(0.3)  # let SUB join
     eng.generate(input_ids=list(range(40)),
                  sampling_params={"max_new_tokens": 4, "temperature": 0.0})
+    from iaas_sglang_tpu.mem_cache.kv_events import BlockStored
+
+    def stored_tokens(evs):
+        return sum(len(e.token_ids) for e in evs if isinstance(e, BlockStored))
+
     events = []
     deadline = time.time() + 5
-    while time.time() < deadline:
+    while time.time() < deadline and stored_tokens(events) < 40:
         try:
             events.extend(sub.recv_pyobj(zmq.NOBLOCK))
         except zmq.Again:
-            if events:
-                break
             time.sleep(0.05)
-    from iaas_sglang_tpu.mem_cache.kv_events import BlockStored
-
     stored = [e for e in events if isinstance(e, BlockStored)]
     assert stored, "expected BlockStored events"
-    assert sum(len(e.token_ids) for e in stored) >= 40
+    assert stored_tokens(events) >= 40
 
 
 def test_sessions_multiturn():
@@ -326,4 +327,79 @@ def test_multi_step_decode_stop_token():
         "stop_token_ids": [stop_tok]})
     assert out["output_ids"][-1] == stop_tok
     assert len(out["output_ids"]) == 6
+    eng.scheduler.check_memory_leak()
+
+
+@pytest.mark.parametrize("policy", ["write_back", "write_through",
+                                    "write_through_selective"])
+def test_hicache_write_policies_parity(policy):
+    """All three HiCache write policies (cache_controller.py:194) must
+    serve identical tokens through evict->reload cycles."""
+    eng = make_engine(max_total_tokens=96, enable_hierarchical_cache=True,
+                      hicache_write_policy=policy, max_running_requests=4)
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    a = list(range(100, 148))
+    b = list(range(200, 248))
+    out_a1 = eng.generate(input_ids=a, sampling_params=sp)
+    for _ in range(2):
+        eng.generate(input_ids=b, sampling_params=sp)
+    out_a2 = eng.generate(input_ids=a, sampling_params=sp)
+    assert out_a1["output_ids"] == out_a2["output_ids"]
+    tc = eng.scheduler.tree_cache
+    assert tc.load_back_count > 0
+    assert 0 <= tc.host_pages_used <= tc.host_capacity_pages
+    fresh = make_engine().generate(input_ids=a, sampling_params=sp)
+    assert fresh["output_ids"] == out_a1["output_ids"]
+    eng.scheduler.check_memory_leak()
+
+
+def test_hicache_write_through_backs_up_on_insert():
+    """write_through: nodes get a host backup at insert time, so eviction
+    is a free drop (no gather) and the host copy survives load-back."""
+    eng = make_engine(max_total_tokens=256, enable_hierarchical_cache=True,
+                      hicache_write_policy="write_through")
+    sp = {"max_new_tokens": 4, "temperature": 0.0}
+    eng.generate(input_ids=list(range(100, 132)), sampling_params=sp)
+    tc = eng.scheduler.tree_cache
+    backed = [n for n in tc._collect_all_nodes()
+              if getattr(n, "host_data", None) is not None]
+    assert backed, "write_through must back up inserted nodes"
+    assert tc.host_pages_used > 0
+
+
+def test_hicache_selective_backs_up_on_hit():
+    """write_through_selective: no backup on first insert; a re-hit
+    crosses the threshold and triggers the backup."""
+    eng = make_engine(max_total_tokens=256, enable_hierarchical_cache=True,
+                      hicache_write_policy="write_through_selective")
+    sp = {"max_new_tokens": 4, "temperature": 0.0}
+    prompt = list(range(300, 332))
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    tc = eng.scheduler.tree_cache
+    assert tc.host_pages_used == 0, "cold nodes must not be backed up"
+    # two more hits on the same prefix crosses backup_threshold=2
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    assert tc.host_pages_used > 0, "hot nodes must be backed up"
+
+
+def test_hicache_split_preserves_backup():
+    """Splitting a backed-up node must split its host data so both halves
+    reload correctly after eviction."""
+    eng = make_engine(max_total_tokens=96, enable_hierarchical_cache=True,
+                      hicache_write_policy="write_through",
+                      max_running_requests=4)
+    sp = {"max_new_tokens": 5, "temperature": 0.0}
+    a = list(range(400, 448))              # 48 tokens, backed up at insert
+    out_a = eng.generate(input_ids=a, sampling_params=sp)
+    # shares the first 24 tokens -> splits the backed-up node
+    c = a[:24] + list(range(600, 624))
+    eng.generate(input_ids=c, sampling_params=sp)
+    # pressure both out of the device pool, then re-match
+    for _ in range(2):
+        eng.generate(input_ids=list(range(700, 748)), sampling_params=sp)
+    out_a2 = eng.generate(input_ids=a, sampling_params=sp)
+    assert out_a2["output_ids"] == out_a["output_ids"]
+    fresh = make_engine().generate(input_ids=a, sampling_params=sp)
+    assert fresh["output_ids"] == out_a["output_ids"]
     eng.scheduler.check_memory_leak()
