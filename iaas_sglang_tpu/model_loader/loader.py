@@ -83,8 +83,24 @@ def load_params(
         host = _dummy_host_params(specs, config, seed)
     elif load_format == "sharded_state":
         return _load_sharded_state(model, config, mesh_ctx)
+    elif load_format == "remote":
+        return _load_remote(model, config, mesh_ctx)
+    elif load_format == "gguf":
+        host = _load_host_params_gguf(specs, config)
+    elif load_format == "bitsandbytes":
+        raise NotImplementedError(
+            "load_format=bitsandbytes needs the bitsandbytes package "
+            "(absent in this image); export the checkpoint to safetensors "
+            "or use --quantization int4 on a bf16 checkpoint instead")
     else:
-        host = _load_host_params_safetensors(specs, config)
+        # "auto"/"safetensors"; a directory holding only *.gguf files
+        # routes to the gguf reader (reference loader.py:1224 GGUF path)
+        if not glob.glob(os.path.join(config.model_path, "*.safetensors")) \
+                and (config.model_path.endswith(".gguf")
+                     or glob.glob(os.path.join(config.model_path, "*.gguf"))):
+            host = _load_host_params_gguf(specs, config)
+        else:
+            host = _load_host_params_safetensors(specs, config)
     return put_params(host, specs, mesh_ctx, quantization=quantization)
 
 
@@ -96,8 +112,6 @@ def _load_sharded_state(model, config: ModelConfig,
     ShardedStateLoader, model_loader/loader.py:748)."""
     from safetensors.numpy import load_file
 
-    from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
-
     files = sorted(glob.glob(
         os.path.join(config.model_path, "shard-*.safetensors")))
     if not files:
@@ -106,6 +120,29 @@ def _load_sharded_state(model, config: ModelConfig,
     tensors: Dict[str, np.ndarray] = {}
     for f in files:
         tensors.update(load_file(f))
+    return _tree_from_flat_tensors(model, config, mesh_ctx, tensors)
+
+
+def _load_remote(model, config: ModelConfig,
+                 mesh_ctx: MeshContext) -> Dict[str, Any]:
+    """load_format=remote: stream tensors from a connector URL
+    (file:// / redis:// / s3://, reference RemoteModelLoader,
+    model_loader/loader.py:1329). Tensors are in OUR flat param layout —
+    the save_remote_model round-trip partner."""
+    from iaas_sglang_tpu.connector import create_remote_connector
+
+    conn = create_remote_connector(config.model_path)
+    tensors = {name: arr for name, arr in conn.weight_iterator()}
+    if not tensors:
+        raise FileNotFoundError(
+            f"connector {config.model_path!r} holds no weights")
+    return _tree_from_flat_tensors(model, config, mesh_ctx, tensors)
+
+
+def _tree_from_flat_tensors(model, config: ModelConfig,
+                            mesh_ctx: MeshContext,
+                            tensors: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
 
     specs = model.weight_specs()
     tree: Dict[str, Any] = {}
@@ -261,6 +298,39 @@ def _load_host_params_safetensors(
         return _assemble(specs, config, getter)
     finally:
         del handles
+
+
+def _load_host_params_gguf(
+    specs: Dict[str, WeightSpec], config: ModelConfig
+) -> Dict[str, np.ndarray]:
+    """GGUF checkpoint -> HF-keyed tensors -> normal spec assembly
+    (F32/F16/BF16/Q8_0 encodings; model_loader/gguf.py)."""
+    from iaas_sglang_tpu.model_loader.gguf import gguf_to_hf_tensors, read_gguf
+
+    if config.model_path.endswith(".gguf"):
+        files = [config.model_path]
+    else:
+        files = sorted(glob.glob(os.path.join(config.model_path, "*.gguf")))
+    if not files:
+        raise FileNotFoundError(f"no *.gguf under {config.model_path}")
+    hf_tensors: Dict[str, np.ndarray] = {}
+    for f in files:
+        meta, tensors = read_gguf(f)
+        hf_tensors.update(gguf_to_hf_tensors(
+            meta, tensors,
+            num_heads=config.hf_config.get("num_attention_heads"),
+            num_kv_heads=config.hf_config.get("num_key_value_heads")))
+    if "lm_head.weight" not in hf_tensors \
+            and "model.embed_tokens.weight" in hf_tensors:
+        # tied embeddings: llama.cpp omits output.weight
+        hf_tensors["lm_head.weight"] = hf_tensors["model.embed_tokens.weight"]
+
+    def getter(key: str) -> np.ndarray:
+        if key not in hf_tensors:
+            raise KeyError(f"gguf checkpoint missing tensor {key!r}")
+        return hf_tensors[key]
+
+    return _assemble(specs, config, getter)
 
 
 def _assemble_quant_one(getter, prefix: str, K: int, N: int, method: str):
