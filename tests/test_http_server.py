@@ -338,3 +338,21 @@ def test_lang_openai_backend_against_own_server(server):
                                 is_chat=True)
     state = prog.run(backend=be_chat)
     assert len(state["out"]) > 0
+
+
+def test_bench_one_batch_server_harness(server):
+    """bench_one_batch_server against a live server (reference
+    python/sglang/bench_one_batch_server.py)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "iaas_sglang_tpu.bench_one_batch_server",
+         "--base-url", server, "--batch-size", "2", "--input-len", "16",
+         "--output-len", "4", "--skip-warmup"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "PYTHONPATH": "."})
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["batch_size"] == 2 and res["output_len"] == 4
+    assert res["latency_s"] > 0 and res["output_throughput_tok_s"] >= 0
