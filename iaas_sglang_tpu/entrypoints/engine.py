@@ -429,4 +429,8 @@ class Engine:
         self.scheduler.process_input(ResumeMemoryOccupationReqInput())
 
     def shutdown(self) -> None:
-        pass  # embedded mode holds no extra processes
+        # embedded mode holds no extra processes; multihost drivers tell
+        # the follower hosts to exit their replay loops
+        sd = getattr(self.scheduler.model_runner, "shutdown", None)
+        if sd is not None:
+            sd()

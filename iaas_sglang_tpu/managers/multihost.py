@@ -1,0 +1,136 @@
+"""Multi-host serving: rank-0 driver runner + follower replay loop.
+
+The single-controller scheduler (node 0) owns all scheduling state; every
+other host runs `run_follower`, which replays the identical sequence of
+device-program launches so the SPMD programs (jit over the global
+{dp, tp[, ep]} mesh) execute in lockstep across hosts. This replaces the
+reference's per-rank scheduler processes + NCCL broadcast of
+ModelWorkerBatch (srt/managers/scheduler.py:958 recv_requests TP fan-out;
+SURVEY §7 phase 6: "multi-host launch, rank-0 ZMQ fan-out").
+
+What crosses DCN per step is only the HostBatch metadata (a few KB);
+weights and KV pages never move — they are born sharded over the global
+mesh and XLA's compiled collectives carry activations over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from iaas_sglang_tpu.model_executor.model_runner import HostBatch, ModelRunner
+from iaas_sglang_tpu.parallel.dist import (
+    FanoutChannel,
+    FollowerChannel,
+    init_distributed,
+)
+from iaas_sglang_tpu.utils import logger
+
+
+def _wire_hb(hb: HostBatch) -> HostBatch:
+    """Copy of a HostBatch with device-array fields stripped (outputs and
+    chained tokens are process-local; followers recompute their own)."""
+    clean = dataclasses.replace(
+        hb,
+        device_tokens=None,
+        device_logits=None,
+        device_logprobs=(None, None, None),
+        multi_tokens=None,
+        hidden_states=None,
+        verify_hidden=None,
+        all_hidden=None,
+        prompt_logprobs=None,
+    )
+    assert clean.input_ids is not None, (
+        "multihost: cross-dispatch device-token chaining must be disabled "
+        "(the follower cannot see the driver's device arrays)")
+    return clean
+
+
+class MultiHostDriverRunner(ModelRunner):
+    """Node-0 ModelRunner: broadcasts every device-program entry point to
+    the follower hosts before executing it locally."""
+
+    def __init__(self, server_args, model_config, mesh_ctx=None):
+        init_distributed(server_args)
+        # build the runner FIRST: weight/KV creation is collective across
+        # processes (the follower builds its runner concurrently); only
+        # then open the command fan-out and barrier on follower readiness
+        super().__init__(server_args, model_config, mesh_ctx)
+        self._fanout = FanoutChannel(server_args)
+
+    # -- every method that launches device programs mirrors to followers --
+
+    def forward(self, hb: HostBatch, fetch: bool = True):
+        self._fanout.send("forward", _wire_hb(hb))
+        return super().forward(hb, fetch)
+
+    def forward_all_logits(self, hb: HostBatch):
+        self._fanout.send("forward_all_logits", _wire_hb(hb))
+        return super().forward_all_logits(hb)
+
+    def apply_kv_moves(self, src, dst):
+        self._fanout.send("apply_kv_moves", (src, dst))
+        return super().apply_kv_moves(src, dst)
+
+    def flush_kv(self):
+        self._fanout.send("flush_kv", None)
+        return super().flush_kv()
+
+    def update_weights_from_disk(self, model_path, load_format="auto"):
+        self._fanout.send("update_weights_from_disk",
+                          (model_path, load_format))
+        return super().update_weights_from_disk(model_path, load_format)
+
+    def release_memory_occupation(self):
+        self._fanout.send("release_memory_occupation", None)
+        return super().release_memory_occupation()
+
+    def resume_memory_occupation(self):
+        self._fanout.send("resume_memory_occupation", None)
+        return super().resume_memory_occupation()
+
+    def shutdown(self):
+        self._fanout.close()
+
+
+def run_follower(server_args, model_config=None) -> None:
+    """Follower-host main loop (node_rank > 0): build the identical
+    ModelRunner over the global mesh, then replay broadcast commands until
+    shutdown. Launch via `python -m iaas_sglang_tpu.launch_server
+    --nnodes N --node-rank r --dist-init-addr host:port ...`."""
+    init_distributed(server_args)
+    if model_config is None:
+        from iaas_sglang_tpu.configs.model_config import ModelConfig
+
+        model_config = ModelConfig.from_path(
+            server_args.model_path,
+            context_length=server_args.context_length,
+            dtype=server_args.dtype,
+        )
+    runner = ModelRunner(server_args, model_config)
+    chan = FollowerChannel(server_args)
+    logger.info("multihost follower %d: ready", server_args.node_rank)
+    while True:
+        cmd, payload = chan.recv()
+        if cmd == "shutdown":
+            logger.info("multihost follower: shutdown")
+            return
+        elif cmd == "forward":
+            runner.forward(payload, fetch=False)
+        elif cmd == "forward_all_logits":
+            runner.forward_all_logits(payload)
+        elif cmd == "apply_kv_moves":
+            runner.apply_kv_moves(*payload)
+        elif cmd == "flush_kv":
+            runner.flush_kv()
+        elif cmd == "update_weights_from_disk":
+            runner.update_weights_from_disk(*payload)
+        elif cmd == "release_memory_occupation":
+            runner.release_memory_occupation()
+        elif cmd == "resume_memory_occupation":
+            runner.resume_memory_occupation()
+        else:
+            raise RuntimeError(f"multihost follower: unknown command {cmd}")

@@ -102,6 +102,18 @@ class Scheduler:
                 )
 
                 model_runner = PPModelRunner(server_args, model_config)
+            elif server_args.nnodes > 1:
+                # node-0 driver: every device launch fans out to the
+                # follower hosts first (managers/multihost.py)
+                from iaas_sglang_tpu.managers.multihost import (
+                    MultiHostDriverRunner,
+                )
+
+                assert server_args.node_rank == 0, \
+                    "the scheduler runs on node 0 only; other nodes run " \
+                    "multihost.run_follower"
+                model_runner = MultiHostDriverRunner(
+                    server_args, model_config)
             else:
                 model_runner = ModelRunner(server_args, model_config)
         self.model_runner = model_runner
@@ -1376,6 +1388,10 @@ class Scheduler:
         request needs host-visible tokens before sampling (penalties)."""
         return (
             self.enable_overlap
+            # multihost: chained launches hand DEVICE token arrays across
+            # dispatches; followers can't see them, so every launch must
+            # carry host input_ids (in-program multi-step still applies)
+            and self.server_args.nnodes == 1
             and ib.mode.is_decode()
             and bool(ib.reqs)
             and not self.waiting_queue

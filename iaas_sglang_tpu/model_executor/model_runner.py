@@ -115,6 +115,16 @@ class ModelRunner:
                  mesh_ctx: Optional[MeshContext] = None):
         self.server_args = server_args
         self.model_config = model_config
+        # multi-host: node 0 drives, other processes replay in SPMD
+        # lockstep (managers/multihost.py); everything device-side is a
+        # global-mesh program, so the runner only needs to (a) pin program
+        # outputs replicated so any process can materialize them, and
+        # (b) commit host inputs as global replicated arrays.
+        self.multihost = server_args.nnodes > 1
+        if self.multihost:
+            from iaas_sglang_tpu.parallel.dist import init_distributed
+
+            init_distributed(server_args)
         self.mesh_ctx = mesh_ctx or make_mesh(server_args.tp_size, server_args.dp_size)
         self.page_size = server_args.page_size
         self.attn_backend = server_args.attention_backend
@@ -256,9 +266,16 @@ class ModelRunner:
         else:
             shape = (c.num_layers * (pages_per_layer + 1), ps, ne, ed)
             sharding = self.mesh_ctx.sharding(*self.model.kv_shard_dims())
-        self.kv_pages = jax.device_put(
-            jnp.zeros(shape, dtype=kv_dtype), sharding
-        )
+        if self.multihost:
+            # born-sharded allocation: no single process can hold (or
+            # device_put from) the full pod-scale pool
+            self.kv_pages = jax.jit(
+                lambda: jnp.zeros(shape, dtype=kv_dtype),
+                out_shardings=sharding)()
+        else:
+            self.kv_pages = jax.device_put(
+                jnp.zeros(shape, dtype=kv_dtype), sharding
+            )
         if sa.enable_double_sparsity:
             self._init_double_sparsity(shape, kv_dtype)
         self.max_pages_per_seq = cdiv(c.context_len, ps)
@@ -479,6 +496,27 @@ class ModelRunner:
                 jnp.arange(n_steps, dtype=jnp.int32))
             return toks.T, last, kv_pages     # [B, N], [B]
 
+        if self.multihost:
+            # pin every non-KV output replicated: any process (driver or
+            # follower) must be able to np.asarray() results from its own
+            # local shards without cross-host fetches
+            rep = self.mesh_ctx.replicated
+            wsc = functools.partial(
+                jax.tree.map,
+                lambda x: jax.lax.with_sharding_constraint(x, rep))
+            inner_step, inner_multi = step, multi_step
+
+            def step(params, kv_pages, fb, meta, pen, gmask, lora, *s):
+                out = inner_step(params, kv_pages, fb, meta, pen, gmask,
+                                 lora, *s)
+                return wsc(out[:-1]) + (out[-1],)
+
+            def multi_step(params, kv_pages, fb, meta, n_steps,
+                           sampling_mode):
+                toks, last, kv = inner_multi(params, kv_pages, fb, meta,
+                                             n_steps, sampling_mode)
+                return wsc(toks), wsc(last), kv
+
         self._multi_fn = jax.jit(
             multi_step, donate_argnums=(1,), static_argnums=(4, 5))
 
@@ -515,8 +553,14 @@ class ModelRunner:
             # host array would pin SingleDeviceSharding(device 0) against
             # the mesh-sharded weights
             rep = self.mesh_ctx.replicated
-            put = lambda x: (jax.device_put(x, rep)
-                             if isinstance(x, jax.Array) else x)
+            if self.multihost:
+                # commit host metadata as global replicated arrays (every
+                # process holds an identical copy of the broadcast batch)
+                put = lambda x: (jax.device_put(np.asarray(x), rep)
+                                 if hasattr(x, "shape") else x)
+            else:
+                put = lambda x: (jax.device_put(x, rep)
+                                 if isinstance(x, jax.Array) else x)
             fb, meta, pen, gmask = jax.tree.map(put, (fb, meta, pen, gmask))
         lora = None
         if hb.lora_ids is not None and self.lora_manager is not None:
@@ -567,8 +611,12 @@ class ModelRunner:
             "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
         if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
             rep = self.mesh_ctx.replicated
-            put = lambda x: (jax.device_put(x, rep)
-                             if isinstance(x, jax.Array) else x)
+            if self.multihost:
+                put = lambda x: (jax.device_put(np.asarray(x), rep)
+                                 if hasattr(x, "shape") else x)
+            else:
+                put = lambda x: (jax.device_put(x, rep)
+                                 if isinstance(x, jax.Array) else x)
             fb, meta = jax.tree.map(put, (fb, meta))
         key = ("multi", hb.multi_steps, sampling_mode,
                str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),

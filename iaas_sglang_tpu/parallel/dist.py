@@ -1,0 +1,147 @@
+"""Multi-host runtime: JAX distributed init + rank-0 control-plane fan-out.
+
+TPU re-design of the reference's multi-node launch
+(srt/server_args.py:127-128 nnodes/dist_init_addr,
+srt/distributed/parallel_state.py:1126 init_distributed_environment):
+on GPU every rank runs a full scheduler and NCCL carries tensors between
+them; on TPU the pod is ONE logical device mesh, so the scheduler runs
+only on node 0 (single controller) and the other hosts run follower
+processes that replay the exact same device-program launches in SPMD
+lockstep. Only tiny host metadata (the HostBatch) crosses DCN — over a
+ZMQ PUB/SUB fan-out, the analog of the reference's TP-rank-0 broadcast
+(scheduler.py:958 / shm_broadcast.py MessageQueue).
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+
+from iaas_sglang_tpu.utils import logger
+
+_INITIALIZED = False
+
+
+def init_distributed(server_args) -> None:
+    """jax.distributed.initialize across nnodes hosts (idempotent).
+
+    dist_init_addr is the node-0 coordinator 'host:port'; every process —
+    driver and followers — calls this before touching jax.devices() so the
+    runtime sees the global device set (ICI + DCN topology)."""
+    global _INITIALIZED
+    if _INITIALIZED or server_args.nnodes <= 1:
+        return
+    addr = server_args.dist_init_addr
+    assert addr, "--dist-init-addr is required when --nnodes > 1"
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=server_args.nnodes,
+        process_id=server_args.node_rank,
+    )
+    _INITIALIZED = True
+    logger.info(
+        "jax.distributed up: process %d/%d, %d global / %d local devices",
+        server_args.node_rank, server_args.nnodes,
+        len(jax.devices()), jax.local_device_count(),
+    )
+
+
+def _fanout_endpoints(server_args) -> Tuple[str, str, str, str]:
+    """(pub_bind, pub_connect, ready_bind, ready_connect) derived from
+    dist_init_addr: port+1 carries the command broadcast, port+2 the
+    follower ready/ack channel."""
+    host, port = server_args.dist_init_addr.rsplit(":", 1)
+    p = int(port)
+    return (
+        f"tcp://*:{p + 1}",
+        f"tcp://{host}:{p + 1}",
+        f"tcp://*:{p + 2}",
+        f"tcp://{host}:{p + 2}",
+    )
+
+
+class FanoutChannel:
+    """Node-0 side: broadcast (seq, cmd, payload) to all follower hosts.
+
+    PUB/SUB is lossy only before subscription, so startup does an explicit
+    barrier: every follower pushes a ready token on a side PULL socket
+    before the first command is published."""
+
+    def __init__(self, server_args):
+        import zmq
+
+        self.n_followers = server_args.nnodes - 1
+        self.seq = 0
+        ctx = zmq.Context.instance()
+        pub_bind, _, ready_bind, _ = _fanout_endpoints(server_args)
+        self.pub = ctx.socket(zmq.PUB)
+        self.pub.setsockopt(zmq.SNDHWM, 0)  # never drop commands
+        self.pub.bind(pub_bind)
+        ready = ctx.socket(zmq.PULL)
+        ready.bind(ready_bind)
+        # subscription sync: publish seq-0 pings until every follower has
+        # RECEIVED one and acked — proves its SUB pipe is live, so seq>=1
+        # commands cannot be lost to the PUB/SUB slow-joiner race
+        deadline = time.time() + server_args.multihost_timeout
+        got = 0
+        while got < self.n_followers:
+            self.pub.send(pickle.dumps((0, "sync", None)))
+            if ready.poll(200) == 0:
+                assert time.time() < deadline, (
+                    f"multihost fan-out: only {got}/{self.n_followers} "
+                    "followers reported ready")
+                continue
+            ready.recv()
+            got += 1
+        ready.close()
+        logger.info("multihost fan-out: %d followers ready", got)
+
+    def send(self, cmd: str, payload: Any = None) -> None:
+        self.seq += 1
+        self.pub.send(pickle.dumps((self.seq, cmd, payload),
+                                   protocol=pickle.HIGHEST_PROTOCOL))
+
+    def close(self) -> None:
+        try:
+            self.send("shutdown")
+            self.pub.close()
+        except Exception:
+            pass
+
+
+class FollowerChannel:
+    """Follower side: subscribe to the rank-0 command stream."""
+
+    def __init__(self, server_args):
+        import zmq
+
+        ctx = zmq.Context.instance()
+        _, pub_connect, _, ready_connect = _fanout_endpoints(server_args)
+        self.sub = ctx.socket(zmq.SUB)
+        self.sub.setsockopt(zmq.RCVHWM, 0)
+        self.sub.connect(pub_connect)
+        self.sub.setsockopt_string(zmq.SUBSCRIBE, "")
+        # wait for the driver's seq-0 sync ping (proves the SUB pipe is
+        # live end-to-end), then ack on the ready channel
+        seq, cmd, _ = pickle.loads(self.sub.recv())
+        assert seq == 0 and cmd == "sync", (seq, cmd)
+        push = ctx.socket(zmq.PUSH)
+        push.connect(ready_connect)
+        push.send(b"ready")
+        push.close()
+        self.expect_seq = 1
+
+    def recv(self) -> Tuple[str, Any]:
+        while True:
+            seq, cmd, payload = pickle.loads(self.sub.recv())
+            if seq == 0:      # residual sync pings from the startup barrier
+                continue
+            break
+        assert seq == self.expect_seq, (
+            f"multihost fan-out lost a command: got seq {seq}, "
+            f"expected {self.expect_seq}")
+        self.expect_seq += 1
+        return cmd, payload

@@ -106,9 +106,16 @@ class ServerArgs:
     # reference's ForwardMode.IDLE lockstep batches (single controller: one
     # program covers all ranks, idle ranks are just padding).
     enable_dp_attention: bool = False
+    # Multi-host serving (reference server_args.py:127-128 nnodes /
+    # dist_init_addr): node 0 runs the single-controller scheduler and
+    # fans each device-program launch out over ZMQ; nodes 1..n-1 run
+    # follower replay loops (managers/multihost.py). dist_init_addr is the
+    # jax.distributed coordinator 'host:port'; ports +1/+2 carry the
+    # command broadcast / ready barrier.
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None
+    multihost_timeout: float = 600.0  # follower ready-barrier seconds
 
     # Compile buckets (TPU analog of cuda-graph batch sizes)
     decode_bs_buckets: Optional[List[int]] = None
@@ -229,6 +236,20 @@ class ServerArgs:
                 raise ValueError(
                     "enable_double_sparsity composes only with the plain "
                     "decode path in this round")
+        if self.nnodes > 1:
+            if not self.dist_init_addr:
+                raise ValueError("--dist-init-addr is required with --nnodes")
+            if not (0 <= self.node_rank < self.nnodes):
+                raise ValueError("node_rank must be in [0, nnodes)")
+            if (self.pp_size > 1 or self.enable_lora
+                    or self.speculative_algorithm
+                    or self.enable_hierarchical_cache
+                    or self.enable_dp_attention
+                    or self.disaggregation_mode != "none"):
+                raise ValueError(
+                    "nnodes > 1 composes with tp/dp/ep GSPMD sharding; "
+                    "pp / LoRA / speculative / hicache / dp-attention / "
+                    "disaggregation land in a later round")
         if self.enable_dp_attention:
             if self.enable_hierarchical_cache:
                 raise ValueError(
