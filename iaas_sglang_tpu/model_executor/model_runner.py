@@ -125,7 +125,15 @@ class ModelRunner:
             from iaas_sglang_tpu.parallel.dist import init_distributed
 
             init_distributed(server_args)
-        self.mesh_ctx = mesh_ctx or make_mesh(server_args.tp_size, server_args.dp_size)
+        # dedicated ep mesh axis when ep_size exceeds tp_size (pod-scale
+        # MoE: experts over the ("ep","tp") super-axis, ep rides DCN)
+        ep_factor = 1
+        if server_args.ep_size > server_args.tp_size:
+            assert server_args.ep_size % server_args.tp_size == 0, \
+                "ep_size must be a multiple of tp_size"
+            ep_factor = server_args.ep_size // server_args.tp_size
+        self.mesh_ctx = mesh_ctx or make_mesh(
+            server_args.tp_size, server_args.dp_size, ep_factor)
         self.page_size = server_args.page_size
         self.attn_backend = server_args.attention_backend
         # DP attention: G = dp*tp attention ranks, each owning a private
@@ -151,8 +159,9 @@ class ModelRunner:
             n_dev = self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
             on_tpu = _jax.devices()[0].platform != "cpu"
             if server_args.ep_size > 1:
-                assert server_args.ep_size == self.mesh_ctx.tp_size, \
-                    "ep_size must equal tp_size (EP rides the tp axis)"
+                assert server_args.ep_size == self.mesh_ctx.ep_size, \
+                    "ep_size must equal tp_size (EP over the tp axis) or " \
+                    "a multiple of it (dedicated ep mesh axis)"
                 assert model_config.num_experts % server_args.ep_size == 0
                 # mixed dense/MoE stacks branch with lax.cond inside the
                 # layer scan; shard_map collectives can't live in a cond
@@ -160,11 +169,15 @@ class ModelRunner:
                 assert model_config.moe_layer_mask is None, \
                     "EP not yet supported for mixed dense/MoE models"
                 # a2a token dispatch: standard top-k routers only (the
-                # DeepSeek grouped router keeps the psum-combine EP path)
+                # DeepSeek grouped router keeps the psum-combine EP path);
+                # over a dedicated ep axis the psum-combine path is used
+                # (all_to_all wants a single mesh axis)
                 a2a = (server_args.moe_a2a_backend
+                       and self.mesh_ctx.ep_factor == 1
                        and model_config.model_type
                        not in ("deepseek_v2", "deepseek_v3"))
                 self.model.moe_impl = "ep_a2a" if a2a else "ep"
+                self.model.moe_axis = self.mesh_ctx.moe_axis
             else:
                 self.model.moe_impl = "gmm" if (on_tpu and n_dev == 1) \
                     else "dense"

@@ -60,7 +60,7 @@ class PPModelRunner(ModelRunner):
         # (GSPMD inserts the in-stage collectives), and activations hop
         # between sub-meshes by resharding device_put
         self.stage_meshes = [
-            make_mesh(tp, 1, devices[s * tp:(s + 1) * tp]) for s in range(S)
+            make_mesh(tp, 1, devices=devices[s * tp:(s + 1) * tp]) for s in range(S)
         ]
         self.mesh_ctx = self.stage_meshes[0]
         self.stage_devices = [devices[s * tp] for s in range(S)]

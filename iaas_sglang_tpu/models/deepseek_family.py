@@ -62,6 +62,7 @@ class DeepseekFamilyForCausalLM:
         # Zero channels are dot-product-neutral, so q is padded identically.
         self.kv_entry_dim = -(-(c.kv_lora_rank + self.rope_dim) // 128) * 128
         self.moe_impl = "dense"
+        self.moe_axis = "tp"  # "ep","tp" super-axis under a dedicated ep mesh
         self.mesh = None
         # layer split: [0, fk) dense MLP, [fk, L) MoE
         self.fk = c.first_k_dense_replace if c.is_moe else c.num_layers
@@ -145,8 +146,9 @@ class DeepseekFamilyForCausalLM:
             nm_stack = dict(stacked=True, num_stack=self.n_moe_layers,
                             layer_offset=self.fk)
             ep = self.moe_impl == "ep"
-            pg = ("tp", None, None) if ep else (None, None, "tp")
-            pd = ("tp", None, None) if ep else (None, "tp", None)
+            ax = getattr(self, "moe_axis", "tp")
+            pg = (ax, None, None) if ep else (None, None, "tp")
+            pd = (ax, None, None) if ep else (None, "tp", None)
             s["moe.w_router"] = WeightSpec(
                 (H, E), (None, None), "model.layers.{l}.mlp.gate.weight",
                 transpose=True, **nm_stack)
@@ -321,7 +323,7 @@ class DeepseekFamilyForCausalLM:
 
                 routed = moe_ep_mix(
                     h2, mix, lp["we_gate"], lp["we_up"], lp["we_down"],
-                    mesh=self.mesh)
+                    mesh=self.mesh, axis=self.moe_axis)
             else:
                 routed = dense_expert_mix(
                     h2, mix, lp["we_gate"], lp["we_up"], lp["we_down"])

@@ -156,6 +156,7 @@ class LlamaFamilyForCausalLM:
         # set by the runner: "dense" (GSPMD-shardable), "gmm" (megablox)
         # or "ep"/"ep_a2a" (shard_map expert parallel); mesh set alongside
         self.moe_impl = "dense"
+        self.moe_axis = "tp"  # "ep","tp" super-axis under a dedicated ep mesh
         self.mesh = None
         # two-batch overlap (reference srt/two_batch_overlap.py:218): split
         # the MoE block into two independent half-batches INSIDE the
@@ -378,8 +379,9 @@ class LlamaFamilyForCausalLM:
             # [E*I, H] (DbrxExpertGLU w1/v1/w2); w2 is applied untransposed
             E, Im = c.num_experts, c.moe_intermediate_size
             ep = self.moe_impl in ("ep", "ep_a2a")
-            pg = ("tp", None, None) if ep else (None, None, "tp")
-            pd = ("tp", None, None) if ep else (None, "tp", None)
+            ax = getattr(self, "moe_axis", "tp")
+            pg = (ax, None, None) if ep else (None, None, "tp")
+            pd = (ax, None, None) if ep else (None, "tp", None)
 
             def _expand(transpose_last):
                 def f(t):
@@ -405,8 +407,9 @@ class LlamaFamilyForCausalLM:
             # EP shards the expert dim; TP (dense dispatch) shards the
             # expert intermediate dim
             ep = self.moe_impl in ("ep", "ep_a2a")
-            pg = ("tp", None, None) if ep else (None, None, "tp")
-            pd = ("tp", None, None) if ep else (None, "tp", None)
+            ax = getattr(self, "moe_axis", "tp")
+            pg = (ax, None, None) if ep else (None, None, "tp")
+            pd = (ax, None, None) if ep else (None, "tp", None)
             # mixed dense/MoE stacks go in their own param groups so each
             # stacks only over its own layers (see __init__ slot tables)
             mixed = c.moe_layer_mask is not None
@@ -1030,6 +1033,7 @@ class LlamaFamilyForCausalLM:
                         renormalize=c.norm_topk_prob,
                         impl=self.moe_impl,
                         mesh=self.mesh,
+                        axis=self.moe_axis,
                         return_combine=cap,
                         expert_map=mp.get("expert_phys_map"),
                         expert_scale=mp.get("expert_phys_scale"),

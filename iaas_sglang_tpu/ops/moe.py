@@ -154,11 +154,12 @@ def deepseek_route(
 
 
 def moe_ep_mix(h: jnp.ndarray, combine: jnp.ndarray,
-               we_gate, we_up, we_down, *, mesh, axis: str = "tp"
+               we_gate, we_up, we_down, *, mesh, axis="tp"
                ) -> jnp.ndarray:
-    """Expert-parallel dispatch: experts sharded over the mesh axis, the
+    """Expert-parallel dispatch: experts sharded over the mesh axis (a
+    name, or the ("ep","tp") super-axis of a dedicated-ep mesh), the
     (replicated) activations processed against each shard's LOCAL experts
-    only, partial outputs combined with one psum over ICI.
+    only, partial outputs combined with one psum over ICI/DCN.
 
     This is the TPU re-design of the reference's EPMoE grouped-GEMM +
     all-to-all dispatcher (srt/layers/moe/ep_moe/layer.py:148,
@@ -303,7 +304,7 @@ def remap_combine(combine: jnp.ndarray, expert_map: jnp.ndarray,
 
 
 def moe_block(h, w_router, we_gate, we_up, we_down, *, top_k: int,
-              renormalize: bool, impl: str, mesh=None,
+              renormalize: bool, impl: str, mesh=None, axis="tp",
               return_combine: bool = False, capacity_factor: float = 2.0,
               expert_map=None, expert_scale=None):
     """When return_combine: also returns the dense combine matrix [T, E]
@@ -316,15 +317,19 @@ def moe_block(h, w_router, we_gate, we_up, we_down, *, top_k: int,
         return moe_gmm(h, w_router, we_gate, we_up, we_down,
                        top_k, renormalize)
     if impl == "ep_a2a" and not return_combine and not remapped:
+        assert isinstance(axis, str), \
+            "a2a dispatch needs a single mesh axis; dedicated-ep meshes " \
+            "use the psum-combine EP path"
         return moe_ep_a2a(h, None, we_gate, we_up, we_down, w_router,
                           top_k=top_k, renormalize=renormalize, mesh=mesh,
-                          capacity_factor=capacity_factor)
+                          axis=axis, capacity_factor=capacity_factor)
     w, ids = route_topk(h @ w_router, top_k, renormalize)
     combine = combine_weights(ids, w, E)
     mix = remap_combine(combine, expert_map, expert_scale) if remapped \
         else combine
     if impl in ("ep", "ep_a2a"):
-        out = moe_ep_mix(h, mix, we_gate, we_up, we_down, mesh=mesh)
+        out = moe_ep_mix(h, mix, we_gate, we_up, we_down, mesh=mesh,
+                         axis=axis)
     else:
         out = dense_expert_mix(h, mix, we_gate, we_up, we_down)
     return (out, combine) if return_combine else out
