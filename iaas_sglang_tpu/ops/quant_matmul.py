@@ -183,3 +183,139 @@ def int4_matmul(
 
 def _wrap_nozero(kernel, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
     return kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref, **kw)
+
+
+# --------------------------------------------------------------------------
+# Hand-pipelined DMA variant — the production decode path.
+#
+# Round-2 measured ladder on v5e (gate proj [32,4096]x[4096,14336], 32-layer
+# slope-timed stack, scripts/microbench_int4_variants.py):
+#   DMA-only sweep                 575 GB/s
+#   auto-BlockSpec fused kernel    258 GB/s   (the r1 kernel above)
+#   auto-BlockSpec, compute only   281 GB/s   (const weight block!)
+#   manual DMA, BK=2048 BN=512     278 GB/s
+#   manual DMA, BK=4096 BN=1024    687 GB/s   <- this kernel
+# The auto pipeline's per-block VMEM copies serialize against the dequant;
+# explicitly double-buffering 2 MB packed chunks into VMEM scratch while
+# the previous chunk dequantizes+dots hides the whole convert under the
+# DMA stream (84% of the 819 GB/s roofline). Reference bar:
+# sgl-kernel csrc/gemm/awq_kernel.cu at memory roofline.
+# --------------------------------------------------------------------------
+
+
+def _int4_dma_kernel(x_ref, w_hbm, s_hbm, zs_hbm, o_ref,
+                     wbuf, sems, sbuf, zbuf, ssem,
+                     *, n_k, BK, BN, group, has_zero):
+    j = pl.program_id(0)
+    nG = BK // group
+
+    def dma(k, slot):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(k * (BK // 2), BK // 2), pl.ds(j * BN, BN)],
+            wbuf.at[slot], sems.at[slot])
+
+    sdma = pltpu.make_async_copy(
+        s_hbm.at[:, pl.ds(j * BN, BN)], sbuf, ssem.at[0])
+    sdma.start()
+    if has_zero:
+        zdma = pltpu.make_async_copy(
+            zs_hbm.at[:, pl.ds(j * BN, BN)], zbuf, ssem.at[1])
+        zdma.start()
+    dma(0, 0).start()
+    sdma.wait()
+    if has_zero:
+        zdma.wait()
+
+    def body(k, acc):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_k)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        dma(k, slot).wait()
+        w4 = pltpu.bitcast(wbuf[slot], jnp.int4)        # [BK, BN]
+        s = sbuf[pl.ds(k * nG, nG)]                     # f32 [nG, BN]
+        w3 = w4.astype(jnp.float32).reshape(nG, group, BN) * s[:, None, :]
+        if has_zero:
+            w3 = w3 - zbuf[pl.ds(k * nG, nG)][:, None, :]
+        wf = w3.reshape(BK, BN).astype(x_ref.dtype)
+        xk = x_ref[:, pl.ds(k * BK, BK)]
+        return acc + jax.lax.dot_general(
+            xk, wf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, n_k, body, jnp.zeros(o_ref.shape, jnp.float32))
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _pick_block(dim: int, cap: int, step: int) -> int:
+    """Largest multiple of `step` that divides `dim`, capped at `cap`
+    (dim is known to be a multiple of step)."""
+    best = step
+    m = cap // step
+    while m >= 1:
+        if dim % (m * step) == 0:
+            best = m * step
+            break
+        m -= 1
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "block_n", "block_k", "interpret"))
+def int4_matmul_dma(
+    x: jnp.ndarray,          # [T, K] bf16/f32
+    packed: jnp.ndarray,     # [K/2, N] int8 (row-pair nibbles, signed)
+    scale: jnp.ndarray,      # [K/G, N] f32
+    zero_scale: Optional[jnp.ndarray] = None,  # [K/G, N] f32 (zero-8)*scale
+    *,
+    group: int = GROUP,
+    block_n: int = 1024,
+    block_k: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, K = x.shape
+    Kh, N = packed.shape
+    assert Kh * 2 == K, (x.shape, packed.shape)
+    g = group if K % group == 0 else K
+    # scale slices need 8-sublane-aligned offsets: BK multiple of 8 groups
+    BK = _pick_block(K, min(block_k, K), g * 8) if K % (g * 8) == 0 else K
+    BN = _pick_block(N, min(block_n, N), 128) if N % 128 == 0 else N
+    n_k = K // BK
+    has_zero = zero_scale is not None
+    kernel = functools.partial(
+        _int4_dma_kernel, n_k=n_k, BK=BK, BN=BN, group=g, has_zero=has_zero)
+    args = [x, packed, scale]
+    in_specs = [
+        pl.BlockSpec((T, K), lambda j: (0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if has_zero:
+        args.append(zero_scale)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        kern = kernel
+    else:
+        kern = lambda x_r, w_r, s_r, o_r, *sc: kernel(
+            x_r, w_r, s_r, None, o_r, *sc)
+    return pl.pallas_call(
+        kern,
+        grid=(N // BN,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, BN), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, BK // 2, BN), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((K // g, BN), jnp.float32),
+            pltpu.VMEM((K // g, BN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)

@@ -153,6 +153,46 @@ def test_int4_matmul_kernel_interpret(zeros, sad):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("kn", [(2048, 256), (1536, 128), (2048, 384)],
+                         ids=["even", "kfull", "nfull"])
+@pytest.mark.parametrize("zeros", [False, True], ids=["sym", "awq_zeros"])
+def test_int4_matmul_dma_kernel_interpret(zeros, kn):
+    """The hand-pipelined DMA dequant-GEMM (production decode path) must
+    match the dequantized reference, including the double-buffered K
+    chunking, ragged block picks, and the AWQ zero table."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        int4_matmul_dma, pack_int4)
+
+    rng = np.random.default_rng(2)
+    K, N = kn
+    T, G = 16, 128
+    s = (rng.random((K // G, N)).astype(np.float32) + 0.5) * 0.02
+    if zeros:
+        q_u = rng.integers(0, 16, size=(K, N)).astype(np.int8)
+        z = rng.integers(0, 16, size=(K // G, N)).astype(np.int8)
+        q = q_u - 8
+        zs = (z.astype(np.float32) - 8.0) * s
+        wd = (q_u.astype(np.float32) - np.repeat(z, G, axis=0)) \
+            * np.repeat(s, G, axis=0)
+    else:
+        q = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+        zs = None
+        wd = q.astype(np.float32) * np.repeat(s, G, axis=0)
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+    packed = jnp.asarray(pack_int4(q))
+    ref = np.asarray(x) @ wd
+
+    with pltpu.force_tpu_interpret_mode():
+        out = int4_matmul_dma(
+            x, packed, jnp.asarray(s),
+            jnp.asarray(zs) if zeros else None,
+            group=G, block_n=128, block_k=1024)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
 def test_mla_extend_kernel_interpret(shapes):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
