@@ -1094,6 +1094,14 @@ class ModelConfig:
                 raise ValueError("GPTQ desc_act checkpoints not supported")
             mc.ckpt_quant_method = qc["quant_method"]
             mc.ckpt_quant_group = qc.get("group_size", 128)
+        elif (qc.get("quant_method") == "fp8"
+              and qc.get("weight_block_size")):
+            # DeepSeek-V3 blockwise FP8 (reference fp8.py:1151
+            # weight_scale_inv): fp8 weights + [128,128] dequant blocks
+            if list(qc["weight_block_size"]) != [128, 128]:
+                raise ValueError(
+                    "only [128, 128] fp8 weight_block_size is supported")
+            mc.ckpt_quant_method = "fp8_block"
         mc.context_len = context_length or _probe_context_len(hf)
         if dtype != "auto":
             mc.dtype = dtype

@@ -36,6 +36,8 @@ def _torch_to_numpy(t) -> np.ndarray:
 
     if t.dtype == torch.bfloat16:
         return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    if t.dtype == getattr(torch, "float8_e4m3fn", None):
+        return t.view(torch.uint8).numpy().view(ml_dtypes.float8_e4m3fn)
     return t.numpy()
 
 
@@ -48,6 +50,15 @@ class HostQuant:
     packed: np.ndarray       # int8 [(L,) K/2, N]
     scale: np.ndarray        # f32  [(L,) K/G, N]
     zero_scale: np.ndarray   # f32  [(L,) K/G, N]
+
+
+@dataclasses.dataclass
+class HostBlockFP8:
+    """A blockwise-FP8 checkpoint weight (DeepSeek-V3 format: fp8 tensor +
+    128x128 `weight_scale_inv` dequant scales, reference
+    layers/quantization/fp8.py:1151)."""
+    q: np.ndarray            # fp8_e4m3 [(L,) K, N]
+    scale: np.ndarray        # f32 [(L,) ceil(K/128), ceil(N/128)]
 
 
 def _set_nested(tree: Dict[str, Any], path: str, value) -> None:
@@ -215,6 +226,15 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
                 zero_scale=jax.device_put(hq.zero_scale, sharding),
                 packed=True))
             continue
+        if isinstance(host.get(name), HostBlockFP8):
+            # DeepSeek-V3-style blockwise FP8 checkpoint: fp8 weight +
+            # 128x128 weight_scale_inv blocks (tiny — keep replicated)
+            hq = host[name]
+            _set_nested(tree, name, QuantizedWeight(
+                q=jax.device_put(hq.q, sharding),
+                scale=jax.device_put(hq.scale, mesh_ctx.replicated),
+                block=True))
+            continue
         if quantization and spec.quantizable:
             q_np, s_np, target_dtype = _quantize_host(host[name], spec, quantization)
             # int4 note: this jax version cannot pass native jnp.int4 arrays
@@ -228,10 +248,14 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
                 None if s_np.shape[i] == 1 else d
                 for i, d in enumerate(dims)
             )
-            s_dev = jax.device_put(s_np, mesh_ctx.sharding(*s_dims))
+            block = quantization.startswith("fp8_block")
+            s_dev = jax.device_put(
+                s_np, mesh_ctx.replicated if block
+                else mesh_ctx.sharding(*s_dims))
             packed = quantization.startswith("int4")
             _set_nested(tree, name,
-                        QuantizedWeight(q=q_dev, scale=s_dev, packed=packed))
+                        QuantizedWeight(q=q_dev, scale=s_dev, packed=packed,
+                                        block=block))
         else:
             arr = jax.device_put(host[name], sharding)
             _set_nested(tree, name, arr)
@@ -389,9 +413,21 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
         cands = key.split("|")
         for cand in cands:
             try:
-                return raw_getter(cand)
+                t = raw_getter(cand)
             except KeyError:
                 continue
+            if (t.dtype == ml_dtypes.float8_e4m3fn
+                    and key.endswith(".weight")
+                    and config.ckpt_quant_method == "fp8_block"):
+                # fp8 tensor reached a spec that keeps full precision
+                # (expert stacks, shared experts): dequantize with its
+                # weight_scale_inv blocks at load
+                s = raw_getter(cand[: -len(".weight")]
+                               + ".weight_scale_inv").astype(np.float32)
+                R, C = t.shape
+                se = np.repeat(np.repeat(s, 128, 0)[:R], 128, 1)[:, :C]
+                return t.astype(np.float32) * se
+            return t
         raise KeyError(f"checkpoint missing tensor (tried {cands})")
 
     for name, spec in specs.items():
@@ -404,6 +440,50 @@ def _assemble(specs: Dict[str, WeightSpec], config: ModelConfig,
             raise NotImplementedError(
                 "AWQ/GPTQ checkpoints with fused-source projections "
                 "(phi3/glm/gpt2) are not supported yet")
+        if (config.ckpt_quant_method == "fp8_block" and spec.quantizable
+                and spec.hf_key.endswith(".weight")):
+            # DeepSeek-V3 blockwise FP8 checkpoint: fp8 `weight` [out,in]
+            # + f32 `weight_scale_inv` [ceil(out/128), ceil(in/128)]
+            # (reference fp8.py:1151 / fp8_kernel.py); transpose both into
+            # our [in, out] convention — dequant w = q * scale[block]
+            prefix_t = spec.hf_key[: -len(".weight")]
+
+            def _one_fp8(hf_l_prefix):
+                # raw_getter: bypass the dequantizing getter wrapper —
+                # this path keeps the fp8 bytes + block scales as-is
+                qw = raw_getter(hf_l_prefix + ".weight")
+                sc = raw_getter(hf_l_prefix + ".weight_scale_inv")
+                if not spec.transpose:
+                    raise NotImplementedError(
+                        "fp8_block ingestion expects transposed (torch "
+                        f"[out,in]) projections; spec {name} is not")
+                return (np.ascontiguousarray(qw.T),
+                        np.ascontiguousarray(sc.T.astype(np.float32)))
+
+            if spec.stacked:
+                n_stack = (len(spec.layer_map) if spec.layer_map is not None
+                           else spec.num_stack or config.num_layers)
+                qs, ss = [], []
+                for l in range(n_stack):
+                    hf_l = (spec.layer_map[l] if spec.layer_map is not None
+                            else l + spec.layer_offset)
+                    if spec.num_experts:
+                        eq, es = [], []
+                        for e in range(spec.num_experts):
+                            q_, s_ = _one_fp8(
+                                prefix_t.format(l=hf_l, e=e))
+                            eq.append(q_)
+                            es.append(s_)
+                        qs.append(np.stack(eq))
+                        ss.append(np.stack(es))
+                    else:
+                        q_, s_ = _one_fp8(prefix_t.format(l=hf_l))
+                        qs.append(q_)
+                        ss.append(s_)
+                out[name] = HostBlockFP8(np.stack(qs), np.stack(ss))
+            else:
+                out[name] = HostBlockFP8(*_one_fp8(prefix_t))
+            continue
         if (config.ckpt_quant_method in ("awq", "gptq") and spec.quantizable
                 and spec.hf_key.endswith(".weight")):
             prefix_t = spec.hf_key[: -len(".weight")]

@@ -29,12 +29,17 @@ GROUP = 128
 @struct.dataclass
 class QuantizedWeight:
     q: jnp.ndarray        # [in, out] int8/fp8 | [in/2, out] packed nibbles
-    scale: jnp.ndarray    # [in/G, out] f32   (fp8: [1, out])
+    scale: jnp.ndarray    # [in/G, out] f32   (fp8: [1, out];
+    #                       blockwise fp8: [ceil(in/128), ceil(out/128)])
     # packed weights live in the SIGNED nibble domain; asymmetric (AWQ)
     # zeros are pre-multiplied into a (zero-8)*scale f32 table so
     # dequant(q_unsigned) = (q_u - z)*s == q_signed*s - zero_scale
     zero_scale: Optional[jnp.ndarray] = None  # [in/G, out] f32 | None
     packed: bool = struct.field(pytree_node=False, default=False)
+    # blockwise (128x128) FP8 scales — the DeepSeek-V3 checkpoint scheme
+    # (reference layers/quantization/fp8.py:1151 weight_scale_inv +
+    # fp8_kernel.py DeepGEMM blockwise path): dequant w = q * scale[block]
+    block: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -51,7 +56,10 @@ _INT4_IMPL = "xla"
 
 def set_int4_impl(impl: str) -> None:
     global _INT4_IMPL
-    assert impl in ("xla", "pallas", "pallas_sad")
+    # "pallas": hand-pipelined DMA dequant-GEMM (687 GB/s on v5e, see
+    # ops/quant_matmul.py); "pallas_grid"/"pallas_sad": the r1 auto-
+    # BlockSpec kernels kept for A/B; "xla": GSPMD-shardable fallback
+    assert impl in ("xla", "pallas", "pallas_grid", "pallas_sad")
     _INT4_IMPL = impl
 
 
@@ -78,6 +86,27 @@ def quantize_weight(w: np.ndarray, method: str):
     if method in ("int8", "w8a16"):
         q, s = _np_group_quantize(w, 8)
         return q.astype(np.int8), s.astype(np.float32), jnp.int8
+    if method in ("fp8_block", "fp8_blockwise"):
+        # per-(128, 128)-block scales: the on-the-fly analog of the
+        # DeepSeek-V3 FP8 checkpoint format (weight_scale_inv semantics:
+        # dequant w = q * scale)
+        import ml_dtypes
+
+        w32 = w.astype(np.float32)
+        K, N = w32.shape
+        B = 128
+        gi, go = -(-K // B), -(-N // B)
+        wp = np.zeros((gi * B, go * B), np.float32)
+        wp[:K, :N] = w32
+        blocks = wp.reshape(gi, B, go, B)
+        absmax = np.abs(blocks).max(axis=(1, 3))              # [gi, go]
+        scale = np.where(absmax == 0, 1.0, absmax / 448.0)
+        q = (blocks / scale[:, None, :, None]).reshape(gi * B, go * B)
+        return (
+            q[:K, :N].astype(ml_dtypes.float8_e4m3fn),
+            scale.astype(np.float32),
+            jnp.float8_e4m3fn,
+        )
     if method == "fp8":
         # per-output-channel scale, e4m3 storage
         w32 = w.astype(np.float32)
@@ -94,7 +123,21 @@ def quantize_weight(w: np.ndarray, method: str):
     raise ValueError(f"unknown quantization {method!r}")
 
 
+def _expand_block_scale(scale: jnp.ndarray, K: int, N: int,
+                        block: int = 128) -> jnp.ndarray:
+    """[ceil(K/block), ceil(N/block)] block scales -> [K, N] elementwise
+    multipliers (ragged trailing blocks via repeat + crop). The block edge
+    is the scheme constant (128), NOT shape-derived — a ragged dim would
+    otherwise mis-size every block."""
+    return jnp.repeat(
+        jnp.repeat(scale, block, axis=0)[:K], block, axis=1)[:, :N]
+
+
 def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if qw.block:
+        K, N = qw.q.shape
+        se = _expand_block_scale(qw.scale, K, N)
+        return (qw.q.astype(jnp.float32) * se).astype(dtype)
     if qw.packed:
         from iaas_sglang_tpu.ops.quant_matmul import unpack_int4_ref
 
@@ -123,6 +166,18 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     out_dtype = out_dtype or x.dtype
     if w.packed:
         return _qmatmul_packed(x, w, out_dtype)
+    if w.block:
+        # blockwise (128x128) FP8: expand block scales and let XLA fuse
+        # convert+scale into the dot — HBM weight reads stay 1 byte/elem
+        # (reference fp8_kernel.py w8a8_block_fp8_matmul)
+        K, N = w.q.shape
+        se = _expand_block_scale(w.scale, K, N)
+        wf = (w.q.astype(jnp.float32) * se).astype(x.dtype)
+        y = jax.lax.dot_general(
+            x, wf, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(out_dtype)
     inn, out = w.q.shape
     g = w.scale.shape[0]
     if g == 1 or w.q.dtype == jnp.float8_e4m3fn:
@@ -154,7 +209,12 @@ def _qmatmul_packed(x: jnp.ndarray, w: QuantizedWeight, out_dtype):
     group = inn // g
     lead = x.shape[:-1]
     x2 = x.reshape(-1, inn)
-    if _INT4_IMPL in ("pallas", "pallas_sad"):
+    if _INT4_IMPL == "pallas":
+        from iaas_sglang_tpu.ops.quant_matmul import int4_matmul_dma
+
+        y = int4_matmul_dma(x2, w.q, w.scale, w.zero_scale, group=group)
+        return y.reshape(*lead, out).astype(out_dtype)
+    if _INT4_IMPL in ("pallas_grid", "pallas_sad"):
         from iaas_sglang_tpu.ops.quant_matmul import int4_matmul
 
         y = int4_matmul(x2, w.q, w.scale, w.zero_scale, group=group,
