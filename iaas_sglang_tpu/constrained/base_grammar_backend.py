@@ -194,6 +194,7 @@ class BaseGrammarBackend:
                     ) -> Optional[BaseGrammarObject]:
         if structural_tag is not None:
             return self._structural_tag_grammar(structural_tag)
+        pushdown_src = None        # GBNF text -> pushdown engine
         if json_schema is not None:
             key = ("json", json_schema)
             pattern = None
@@ -207,23 +208,60 @@ class BaseGrammarBackend:
             try:
                 pattern = ebnf_to_regex(ebnf)
             except ValueError as e:
-                logger.warning("EBNF compile failed: %s", e)
-                return None
+                if "recursive" in str(e):
+                    # recursive grammar: the pushdown engine handles full
+                    # CFGs (reference xgrammar_backend.py:45 capability)
+                    pattern, pushdown_src = None, ebnf
+                else:
+                    logger.warning("EBNF compile failed: %s", e)
+                    return None
         else:
             return None
         with self._lock:
             fsm = self._cache.get(key)
         if fsm is None:
-            if pattern is None:
-                pattern = build_regex_from_schema(json_schema)
+            if pattern is None and pushdown_src is None:
+                import json as _json
+
+                from iaas_sglang_tpu.constrained.json_schema import (
+                    build_ebnf_from_schema,
+                )
+
+                try:
+                    parsed = _json.loads(json_schema) \
+                        if isinstance(json_schema, str) else json_schema
+                except Exception:
+                    parsed = None
+                if parsed in (True, {}, None):
+                    # unconstrained value: unbounded nesting -> pushdown
+                    pushdown_src = build_ebnf_from_schema(parsed or {})
+                else:
+                    try:
+                        pattern = build_regex_from_schema(json_schema)
+                    except RecursionError:
+                        # recursive $refs -> pushdown
+                        pushdown_src = build_ebnf_from_schema(parsed)
             try:
-                fsm = TokenFSM(RegexDFA(pattern), self.vocab)
+                if pushdown_src is not None:
+                    from iaas_sglang_tpu.constrained.pushdown import (
+                        PushdownAutomaton,
+                        PushdownTokenMask,
+                    )
+
+                    fsm = PushdownTokenMask(
+                        PushdownAutomaton(pushdown_src), self.vocab)
+                else:
+                    fsm = TokenFSM(RegexDFA(pattern), self.vocab)
             except Exception as e:
                 logger.warning("grammar compile failed: %s", e)
                 return None
             with self._lock:
                 self._cache[key] = fsm
-        return RegexGrammar(fsm)
+        if isinstance(fsm, TokenFSM):
+            return RegexGrammar(fsm)
+        from iaas_sglang_tpu.constrained.pushdown import PushdownGrammar
+
+        return PushdownGrammar(fsm)
 
     def _structural_tag_grammar(
             self, spec: str) -> Optional[StructuralTagGrammar]:

@@ -133,3 +133,144 @@ def _any_value(depth: int) -> str:
         obj = r"\{" + f"(?:{STRING_RE}:{val}(?:,{STRING_RE}:{val})*)?" + r"\}"
         val = f"(?:{scalar}|{arr}|{obj})"
     return val
+
+
+# ---------------------------------------------------------------- EBNF path
+# Recursive schemas ($ref cycles, unconstrained any-value of unbounded
+# depth) cannot become a finite regex; they compile to a GBNF grammar for
+# the pushdown engine instead (reference: xgrammar's
+# json_schema-to-grammar compiler). Canonical compact whitespace, same as
+# the regex path.
+
+_EBNF_BASE = {
+    "jstring": '"\\"" jstrchar* "\\""',
+    "jstrchar": '[^"\\\\\\x00-\\x1f] | "\\\\" jescape',
+    "jescape": '["\\\\/bfnrt] | "u" jhex jhex jhex jhex',
+    "jhex": "[0-9a-fA-F]",
+    "jint": '"-"? ("0" | [1-9] [0-9]*)',
+    "jnumber": '"-"? ("0" | [1-9] [0-9]*) ("." [0-9]+)? '
+               '([eE] [+-]? [0-9]+)?',
+    "jbool": '"true" | "false"',
+    "jnull": '"null"',
+    "jvalue": 'jstring | jnumber | jbool | jnull | jobject | jarray',
+    "jobject": '"{" (jstring ":" jvalue ("," jstring ":" jvalue)*)? "}"',
+    "jarray": '"[" (jvalue ("," jvalue)*)? "]"',
+}
+
+
+def _gbnf_lit(value: Any) -> str:
+    text = json.dumps(value)
+    return '"' + text.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def build_ebnf_from_schema(schema: Any, root: str = "root") -> str:
+    """JSON schema -> GBNF rules (handles recursion via named rules)."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    defs = schema.get("$defs", {}) if isinstance(schema, dict) else {}
+    rules: Dict[str, str] = {}
+    used_base: set = set()
+    in_progress: Dict[int, str] = {}
+    counter = [0]
+
+    def base(name: str) -> str:
+        used_base.add(name)
+        return name
+
+    def conv(s: Any) -> str:
+        if s is True or s == {} or s is None:
+            base("jvalue")
+            for dep in _EBNF_BASE:
+                used_base.add(dep)
+            return "jvalue"
+        if "$ref" in s:
+            dname = s["$ref"].split("/")[-1]
+            rname = f"def-{dname}"
+            if rname not in rules and id(defs[dname]) not in in_progress:
+                in_progress[id(defs[dname])] = rname
+                rules[rname] = "jnull"          # placeholder for recursion
+                rules[rname] = conv(defs[dname])
+            return rname
+        if "const" in s:
+            return _gbnf_lit(s["const"])
+        if "enum" in s:
+            return ("(" + " | ".join(_gbnf_lit(v) for v in s["enum"])
+                    + ")")
+        if "anyOf" in s or "oneOf" in s:
+            opts = s.get("anyOf", s.get("oneOf"))
+            return "(" + " | ".join(conv(o) for o in opts) + ")"
+        t = s.get("type")
+        if isinstance(t, list):
+            return ("(" + " | ".join(conv({**s, "type": tt}) for tt in t)
+                    + ")")
+        if t == "object" or (t is None and "properties" in s):
+            props = s.get("properties", {})
+            required = set(s.get("required", list(props.keys())))
+            if not props:
+                if s.get("additionalProperties") is False:
+                    return '"{}"'
+                return base("jobject")
+            parts = []
+            for pname, sub in props.items():
+                piece = f'{_gbnf_lit(pname)} ":" {conv(sub)}'
+                parts.append((piece, pname in required))
+            opt_count = sum(1 for _, r in parts if not r)
+            if opt_count == 0 or opt_count > 4:
+                # all-required (same fallback as the regex path when the
+                # optional-subset enumeration would explode)
+                body = ' "," '.join(p for p, _ in parts)
+                return f'"{{" {body} "}}"'
+            from itertools import product
+
+            alts = []
+            for mask in product([True, False], repeat=opt_count):
+                it = iter(mask)
+                chosen = [p for p, r in parts if r or next(it)]
+                alts.append(' "," '.join(chosen) if chosen else '""')
+            body = "(" + " | ".join(dict.fromkeys(alts)) + ")"
+            return f'"{{" {body} "}}"'
+        if t == "array":
+            item = conv(s.get("items", {}) or True)
+            lo = s.get("minItems", 0)
+            hi = s.get("maxItems")
+            if hi is None:
+                inner = (f"({item} (\",\" {item})*)?" if lo == 0
+                         else f"{item} (\",\" {item})*" if lo == 1
+                         else f"{item}" + f" (\",\" {item})" + "{"
+                         + str(lo - 1) + ",}")
+            else:
+                if lo == 0:
+                    inner = (f"({item} (\",\" {item})" + "{0,"
+                             + str(max(hi - 1, 0)) + "})?")
+                else:
+                    inner = (f"{item} (\",\" {item})" + "{" + str(lo - 1)
+                             + "," + str(hi - 1) + "}")
+            return f'"[" {inner} "]"'
+        if t == "string":
+            for dep in ("jstring", "jstrchar", "jescape", "jhex"):
+                used_base.add(dep)
+            return "jstring"
+        if t == "integer":
+            return base("jint")
+        if t == "number":
+            return base("jnumber")
+        if t == "boolean":
+            return base("jbool")
+        if t == "null":
+            return base("jnull")
+        for dep in _EBNF_BASE:
+            used_base.add(dep)
+        return "jvalue"
+
+    rules[root] = conv(schema)
+    if "jvalue" in used_base or "jobject" in used_base \
+            or "jarray" in used_base:
+        used_base.update(_EBNF_BASE)
+    lines = [f"{root} ::= {rules[root]}"]
+    for name, body in rules.items():
+        if name != root:
+            lines.append(f"{name} ::= {body}")
+    for name in _EBNF_BASE:
+        if name in used_base:
+            lines.append(f"{name} ::= {_EBNF_BASE[name]}")
+    return "\n".join(lines)
