@@ -677,12 +677,19 @@ class Scheduler:
         )
 
     def _multi_eligible(self, batch: ScheduleBatch) -> bool:
-        """Multi-step decode: N chained iterations per dispatch. Excluded:
-        grammar (per-token mask updates), penalties (host-side history),
-        logprobs (per-step fetch) — same restrictions as the reference's
-        multi-step/overlap fast paths."""
+        """Multi-step decode: N chained iterations per dispatch.
+
+        Penalties and logit bias now RIDE THE CHAIN — the count state is
+        carried and updated on device inside the multi-step program
+        (model_runner multi_step), so penalty batches keep the overlap
+        win. Still excluded: grammar (masks come from the host automaton
+        per sampled token), logprobs (per-step fetch), custom logit
+        processors (arbitrary host python), and requests whose
+        min_new_tokens boundary falls INSIDE the chain window (the EOS
+        disallow mask would have to flip mid-chain)."""
+        n = self.multi_steps
         return (
-            self.multi_steps > 1
+            n > 1
             and self.attn_dp == 1
             and self.model_config.mrope_section is None
             and batch.mode.is_decode()
@@ -690,12 +697,10 @@ class Scheduler:
                 r.grammar is None
                 and not r.return_logprob
                 and not r.token_ids_logprob
-                and r.sampling_params.frequency_penalty == 0.0
-                and r.sampling_params.presence_penalty == 0.0
-                and r.sampling_params.repetition_penalty == 1.0
-                and not r.sampling_params.logit_bias
                 and not r.sampling_params.custom_logit_processor
-                and len(r.output_ids) >= r.sampling_params.min_new_tokens
+                and (len(r.output_ids) >= r.sampling_params.min_new_tokens
+                     or len(r.output_ids) + n
+                     <= r.sampling_params.min_new_tokens)
                 for r in batch.reqs
             )
         )

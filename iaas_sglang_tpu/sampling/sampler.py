@@ -20,18 +20,30 @@ from iaas_sglang_tpu.model_executor.forward_batch import (
 NEG_INF = -1e30
 
 
-def apply_penalties(logits: jnp.ndarray, pen: PenaltyMetadata) -> jnp.ndarray:
-    """Frequency / presence / repetition penalties + disallow mask + logit
-    bias (analog of sampling/penaltylib/orchestrator.py + Sampler's logit
-    bias application). Applied to OUTPUT tokens (vLLM/sglang convention)."""
-    B, V = logits.shape
-    L = pen.output_ids.shape[1]
+def output_token_counts(pen: PenaltyMetadata, V: int) -> jnp.ndarray:
+    """f32[B, V] per-token output counts from the padded history (the
+    penalty state; multi-step decode carries and updates this on device)."""
+    B = pen.output_ids.shape[0]
     valid = pen.output_ids >= 0                         # [B, L]
     safe_ids = jnp.where(valid, pen.output_ids, 0)
     ones = valid.astype(jnp.float32)
     counts = jnp.zeros((B, V), jnp.float32)
-    counts = jax.vmap(lambda c, i, o: c.at[i].add(o))(counts, safe_ids, ones)
-    # the scatter above may hit token 0 from padding lanes with add(0): fine
+    # the scatter may hit token 0 from padding lanes with add(0): fine
+    return jax.vmap(lambda c, i, o: c.at[i].add(o))(counts, safe_ids, ones)
+
+
+def apply_penalties(logits: jnp.ndarray, pen: PenaltyMetadata) -> jnp.ndarray:
+    """Frequency / presence / repetition penalties + disallow mask + logit
+    bias (analog of sampling/penaltylib/orchestrator.py + Sampler's logit
+    bias application). Applied to OUTPUT tokens (vLLM/sglang convention)."""
+    return apply_penalties_with_counts(
+        logits, pen, output_token_counts(pen, logits.shape[1]))
+
+
+def apply_penalties_with_counts(logits: jnp.ndarray, pen: PenaltyMetadata,
+                                counts: jnp.ndarray) -> jnp.ndarray:
+    """Penalty application against an explicit count state [B, V]."""
+    B, V = logits.shape
     logits = logits - pen.frequency_penalties[:, None] * counts
     logits = logits - pen.presence_penalties[:, None] * (counts > 0)
     rep = pen.repetition_penalties[:, None]

