@@ -178,6 +178,9 @@ class Scheduler:
 
         self.kv_sender = KVSender(server_args.disaggregation_transfer_backend)
         self.kv_receiver = None  # server mode binds the ingest socket
+        # streamed-transfer assembly: rid -> [header, pages, chunks seen]
+        self._disagg_pending: dict = {}
+        self._disagg_dropped: set = set()
 
         self.spec_algorithm = server_args.speculative_algorithm
         self.spec_k = server_args.speculative_num_draft_tokens
@@ -1265,16 +1268,18 @@ class Scheduler:
         )
 
         pages = req.page_table_np()[: cdiv_pages(req.fill_len, self.page_size)]
-        kv_data = self.model_runner.gather_kv_pages(pages)
         payload = KVTransferPayload(
             rid=req.rid, input_ids=list(req.input_ids),
             output_ids=list(req.output_ids), fill_len=req.fill_len,
-            kv_data=kv_data, sampling_params=req.sampling_params,
+            sampling_params=req.sampling_params,
             stream=req.stream,
         )
         from iaas_sglang_tpu.disaggregation.conn import KVPoll as _KVPoll
 
-        poll = self.kv_sender.send(req.disagg_decode_url, payload)
+        # streamed: header + bounded page chunks, gather of chunk i+1
+        # overlapped with the send of chunk i (mooncake conn.py:884 analog)
+        poll = self.kv_sender.send_request(
+            req.disagg_decode_url, payload, pages, self.model_runner)
         if poll == _KVPoll.Success:
             req.finished_reason = DisaggHandoff()
         else:
@@ -1284,19 +1289,31 @@ class Scheduler:
         self._emit_output([req])
 
     def poll_disagg_ingest(self) -> bool:
-        """Decode side: adopt handed-off requests
-        (disaggregation/decode.py DecodePreallocQueue analog)."""
+        """Decode side: adopt handed-off requests. Streamed transfers
+        (header + KV page chunks) preallocate on the header and scatter
+        chunks as they arrive BETWEEN decode steps — the
+        DecodePreallocQueue / DecodeTransferQueue analog
+        (disaggregation/decode.py:131,523)."""
         if self.kv_receiver is None:
             return False
+        from iaas_sglang_tpu.disaggregation.conn import KVChunk
+
         got = False
         while True:
-            payload = self.kv_receiver.poll()
-            if payload is None:
+            msg = self.kv_receiver.poll()
+            if msg is None:
                 return got
             got = True
-            self._adopt_disagg_request(payload)
+            if isinstance(msg, KVChunk):
+                self._ingest_disagg_chunk(msg)
+            elif msg.n_chunks > 0:
+                self._prealloc_disagg_request(msg)
+            else:
+                self._adopt_disagg_request(msg)
 
-    def _adopt_disagg_request(self, payload) -> None:
+    def _prealloc_disagg_request(self, payload) -> None:
+        """Header of a streamed transfer: allocate the pages now; the
+        request enters the running batch once every chunk has landed."""
         from iaas_sglang_tpu.utils import cdiv
 
         n_pages = cdiv(payload.fill_len, self.page_size)
@@ -1305,10 +1322,43 @@ class Scheduler:
             self.tree_cache.evict(n_pages - self.allocator.free_pages)
             pages = self.allocator.alloc(n_pages)
         if pages is None:
-            logger.warning("disagg ingest: no KV pages for %s", payload.rid)
+            logger.warning("disagg prealloc: no KV pages for %s",
+                           payload.rid)
+            self._disagg_dropped.add(payload.rid)
             return
-        if payload.kv_data is not None:
-            self.model_runner.scatter_kv_pages(pages, payload.kv_data)
+        self._disagg_pending[payload.rid] = [payload, pages, 0]
+
+    def _ingest_disagg_chunk(self, chunk) -> None:
+        if chunk.rid in self._disagg_dropped:
+            return  # per-request failure containment (KVPoll.Failed analog)
+        entry = self._disagg_pending.get(chunk.rid)
+        if entry is None:
+            logger.warning("disagg chunk for unknown rid %s", chunk.rid)
+            return
+        payload, pages, received = entry
+        cp = payload.chunk_pages
+        page_slice = pages[chunk.idx * cp : chunk.idx * cp + cp]
+        self.model_runner.scatter_kv_pages(page_slice, chunk.data)
+        entry[2] = received + 1
+        if entry[2] == payload.n_chunks:
+            del self._disagg_pending[chunk.rid]
+            self._adopt_disagg_request(payload, pages=pages)
+
+    def _adopt_disagg_request(self, payload, pages=None) -> None:
+        from iaas_sglang_tpu.utils import cdiv
+
+        if pages is None:
+            n_pages = cdiv(payload.fill_len, self.page_size)
+            pages = self.allocator.alloc(n_pages)
+            if pages is None:
+                self.tree_cache.evict(n_pages - self.allocator.free_pages)
+                pages = self.allocator.alloc(n_pages)
+            if pages is None:
+                logger.warning("disagg ingest: no KV pages for %s",
+                               payload.rid)
+                return
+            if payload.kv_data is not None:   # legacy single-blob transfer
+                self.model_runner.scatter_kv_pages(pages, payload.kv_data)
         req = Req(
             payload.rid, None, payload.input_ids, payload.sampling_params,
             stream=payload.stream, eos_token_ids=self.eos_token_ids,
