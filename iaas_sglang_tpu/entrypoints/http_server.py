@@ -414,6 +414,11 @@ async def handle_metrics(request: web.Request) -> web.Response:
             num_waiting_reqs=internal.get("waiting", 0),
             token_usage=1.0 - internal.get("free_pages", 0) / total,
             num_retracted_reqs=internal.get("retracted", 0),
+            cache_hit_rate=internal.get("cache_hit_rate", 0.0),
+            spec_accept_length=internal.get("spec_accept_length", 0.0),
+            num_grammar_reqs=internal.get("num_grammar_reqs", 0),
+            num_disagg_pending_reqs=internal.get(
+                "num_disagg_pending_reqs", 0),
         ))
     except Exception as e:
         logger.warning("metrics scrape: scheduler state unavailable: %s", e)

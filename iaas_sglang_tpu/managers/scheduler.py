@@ -225,6 +225,9 @@ class Scheduler:
         self._watchdog_last = time.monotonic()
         self.num_generated_tokens = 0
         self.num_retracted = 0
+        # cumulative radix-cache hit accounting (metrics cache_hit_rate)
+        self.total_prompt_tokens = 0
+        self.total_cached_tokens = 0
         self.step_count = 0
         self.last_decode_log = time.monotonic()
 
@@ -420,6 +423,13 @@ class Scheduler:
             "spec_accept_length": (
                 self.spec_emitted / self.spec_steps
                 if self.spec_steps else 0.0),
+            "cache_hit_rate": (
+                self.total_cached_tokens / self.total_prompt_tokens
+                if self.total_prompt_tokens else 0.0),
+            "num_grammar_reqs": sum(
+                1 for r in (self.running_batch.reqs + self.waiting_queue)
+                if r.grammar is not None),
+            "num_disagg_pending_reqs": len(self._disagg_pending),
         })
 
     def handle_load_lora(self, m: LoadLoRAAdapterReqInput):
@@ -1381,6 +1391,11 @@ class Scheduler:
                 (r.stream and len(r.output_ids) > r.sent_tokens)]
         if not reqs:
             return
+        for r in reqs:
+            if r.is_finished() and not getattr(r, "_metered", False):
+                r._metered = True
+                self.total_prompt_tokens += r.prompt_len
+                self.total_cached_tokens += r.cache_hit_tokens
         out = BatchTokenIDOut(
             rids=[r.rid for r in reqs],
             decode_ids=[list(r.output_ids) for r in reqs],

@@ -72,7 +72,10 @@ class TokenizerManager:
             )
 
             self.metrics = TokenizerMetricsCollector(
-                labels={"model_name": server_args.served_model_name})
+                labels={"model_name": server_args.served_model_name},
+                ttft_buckets=server_args.bucket_time_to_first_token,
+                itl_buckets=server_args.bucket_inter_token_latency,
+                e2e_buckets=server_args.bucket_e2e_request_latency)
 
     def start(self) -> None:
         if self._handle_task is None:

@@ -26,6 +26,14 @@ class SchedulerStats:
     num_retracted_reqs: int = 0
     num_used_pages: int = 0
     num_total_pages: int = 0
+    # speculative decoding: mean accepted tokens per draft step
+    # (reference collector.py:208 spec_accept_length)
+    spec_accept_length: float = 0.0
+    # grammar-constrained requests currently scheduled (the reference's
+    # grammar-queue gauge; compiles here are synchronous at admission)
+    num_grammar_reqs: int = 0
+    # PD disaggregation: streamed transfers awaiting chunks (decode side)
+    num_disagg_pending_reqs: int = 0
 
 
 class SchedulerMetricsCollector:
@@ -49,17 +57,31 @@ class SchedulerMetricsCollector:
             "sglang_tpu:gen_throughput", "decode tokens/s")
         self.num_retracted_reqs = mk(
             "sglang_tpu:num_retracted_reqs", "retracted request count")
+        self.spec_accept_length = mk(
+            "sglang_tpu:spec_accept_length",
+            "mean accepted tokens per speculative draft step")
+        self.num_grammar_reqs = mk(
+            "sglang_tpu:num_grammar_reqs",
+            "grammar-constrained requests currently scheduled")
+        self.num_disagg_pending_reqs = mk(
+            "sglang_tpu:num_disagg_pending_reqs",
+            "PD streamed transfers awaiting KV chunks")
 
     def log_stats(self, stats: SchedulerStats) -> None:
         for f in ("num_running_reqs", "num_waiting_reqs", "token_usage",
-                  "cache_hit_rate", "gen_throughput", "num_retracted_reqs"):
+                  "cache_hit_rate", "gen_throughput", "num_retracted_reqs",
+                  "spec_accept_length", "num_grammar_reqs",
+                  "num_disagg_pending_reqs"):
             g = getattr(self, f)
             v = getattr(stats, f)
             (g.labels(**self.labels) if self.labels else g).set(v)
 
 
 class TokenizerMetricsCollector:
-    def __init__(self, labels: Optional[Dict[str, str]] = None):
+    def __init__(self, labels: Optional[Dict[str, str]] = None,
+                 ttft_buckets=None, itl_buckets=None, e2e_buckets=None):
+        """Histogram bucket edges are configurable (reference
+        server_args.py:105-112 --bucket-time-to-first-token etc.)."""
         from prometheus_client import Counter, Histogram
 
         self.labels = labels or {}
@@ -80,13 +102,13 @@ class TokenizerMetricsCollector:
             "sglang_tpu:num_requests_total", "total finished requests")
         self.histogram_time_to_first_token = hist(
             "sglang_tpu:time_to_first_token_seconds", "TTFT",
-            [0.05, 0.1, 0.25, 0.5, 1, 2, 5, 10, 20, 60])
+            ttft_buckets or [0.05, 0.1, 0.25, 0.5, 1, 2, 5, 10, 20, 60])
         self.histogram_inter_token_latency = hist(
             "sglang_tpu:inter_token_latency_seconds", "ITL",
-            [0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.25, 1])
+            itl_buckets or [0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.25, 1])
         self.histogram_e2e_request_latency = hist(
             "sglang_tpu:e2e_request_latency_seconds", "end-to-end latency",
-            [0.1, 0.25, 0.5, 1, 2, 5, 10, 30, 60, 120])
+            e2e_buckets or [0.1, 0.25, 0.5, 1, 2, 5, 10, 30, 60, 120])
 
     def _obs(self, metric, value):
         (metric.labels(**self.labels) if self.labels else metric).observe(value)

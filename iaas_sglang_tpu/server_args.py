@@ -176,6 +176,10 @@ class ServerArgs:
     log_requests: bool = False
     decode_log_interval: int = 40
     enable_metrics: bool = False
+    # Prometheus histogram bucket edges (reference server_args.py:105-112)
+    bucket_time_to_first_token: Optional[List[float]] = None
+    bucket_inter_token_latency: Optional[List[float]] = None
+    bucket_e2e_request_latency: Optional[List[float]] = None
 
     # Misc
     random_seed: Optional[int] = None
@@ -277,6 +281,9 @@ class ServerArgs:
                 parser.add_argument(name, action="store_true", default=default)
             elif "List[int]" in str(ftype):
                 parser.add_argument(name, type=int, nargs="+", default=default)
+            elif "List[float]" in str(ftype):
+                parser.add_argument(name, type=float, nargs="+",
+                                    default=default)
             elif "int" in str(ftype):
                 parser.add_argument(name, type=int, default=default)
             elif "float" in str(ftype):
