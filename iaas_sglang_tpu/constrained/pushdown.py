@@ -165,9 +165,13 @@ class _BodyParser:
     # NFA fragments are DAG-shaped graphs; "copy" re-parses would be
     # complex — instead remember the source span and rebuild
     def parse_atom(self) -> _Frag:
-        self._atom_start = self.i
+        # the start offset must be a LOCAL: groups recurse back into
+        # parse_atom for their inner atoms, and an instance attribute would
+        # be clobbered — _copy would then re-parse only the tail of the
+        # group (e.g. ("," item){0,1} losing its comma)
+        start = self.i
         f = self._parse_atom_inner()
-        self._last_span = (self._atom_start, self.i)
+        self._last_span = (start, self.i)
         return f
 
     def _copy(self, frag: _Frag) -> _Frag:

@@ -183,6 +183,28 @@ def test_recursive_ebnf_generation(text_engine):
         ")", "") == "x", t
 
 
+def test_bounded_array_commas():
+    """Regression: {m,n} repetition on a GROUP must keep the group's full
+    span — ("," item){0,1} once lost its comma to a clobbered atom-start
+    offset, accepting [x x] and rejecting [x,x]."""
+    from iaas_sglang_tpu.constrained.json_schema import (
+        build_ebnf_from_schema,
+    )
+
+    g = build_ebnf_from_schema(
+        {"type": "array", "maxItems": 3, "minItems": 1,
+         "items": {"enum": [1, 2]}})
+    assert pda_match(g, "[1,2,1]")
+    assert pda_match(g, "[2]")
+    assert not pda_match(g, "[1 2]")
+    assert not pda_match(g, "[1,2,1,2]")
+    assert not pda_match(g, "[]")
+    assert not pda_match(g, "[12]")
+    g2 = 'root ::= ("a" | "b" "c"){2,3}'
+    assert pda_match(g2, "bcbca") and pda_match(g2, "aa")
+    assert not pda_match(g2, "a") and not pda_match(g2, "aaaa")
+
+
 def test_recursive_json_schema_generation(text_engine):
     schema = json.dumps({
         "$defs": {
@@ -200,10 +222,28 @@ def test_recursive_json_schema_generation(text_engine):
     })
     out = text_engine.generate(
         prompt="tree: ",
-        sampling_params={"max_new_tokens": 120, "temperature": 1.0,
+        sampling_params={"max_new_tokens": 400, "temperature": 1.0,
                          "json_schema": schema},
     )
-    parsed = json.loads(out["text"])
+    try:
+        parsed = json.loads(out["text"])
+    except json.JSONDecodeError:
+        # an unbounded-depth recursive schema can legitimately hit the
+        # token budget mid-tree; the grammar guarantee is then that every
+        # emitted byte is a valid PREFIX of the language
+        fin = out["meta_info"]["finish_reason"] or {}
+        assert fin.get("type") == "length", (fin, out["text"])
+        from iaas_sglang_tpu.constrained.json_schema import (
+            build_ebnf_from_schema,
+        )
+
+        g = build_ebnf_from_schema(json.loads(schema))
+        pda = PushdownAutomaton(g)
+        cfg = pda.start_config
+        for b in out["text"].encode():
+            cfg = pda.step_byte(cfg, b)
+            assert cfg, out["text"]
+        return
 
     def check(n):
         assert n["v"] in (1, 2)
