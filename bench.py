@@ -68,10 +68,11 @@ def main():
         # T=512 extend: the remote compiler handles it in ~10 min, while a
         # T=2048 ragged-attention program runs past 85 min (empirical)
         chunked_prefill_size=512,
-        # 16 chained decode iterations per dispatch: the remote-execution
+        # 32 chained decode iterations per dispatch: the remote-execution
         # relay costs ~24 ms per dispatch+fetch round-trip, which would cap
         # B=32 single-step decode at ~1300 tok/s regardless of compute
-        decode_steps_per_dispatch=16,
+        # (and still ~8% overhead at 16 steps once the step itself is fast)
+        decode_steps_per_dispatch=32,
         skip_tokenizer_init=True, random_seed=0,
     )
     eng = Engine(sa, hf_config_override=hf)
@@ -89,19 +90,49 @@ def main():
     eng.generate(input_ids=prompts, sampling_params=short)
     eng.flush_cache()
 
-    # decode-only timing (the metric; the reference's bench_one_batch
-    # reports prefill and decode separately): subtract a prefill-dominated
-    # short run from the full run
+    # full run, driven step-by-step so each request's first-token arrival
+    # is timestamped. Phase split (the reference's bench_one_batch reports
+    # prefill and decode separately): the prefill phase ends when the LAST
+    # request gets its first token; decode throughput counts only tokens
+    # generated after that instant — exact, no short-run subtraction (which
+    # over-credits trimmed chain steps).
+    from iaas_sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+
+    def n_out():
+        return sum(len(st.get("output_ids", ()))
+                   for st in eng._outputs.values())
+
+    eng._outputs.clear()
+    rids = []
     t0 = time.perf_counter()
-    eng.generate(input_ids=prompts, sampling_params=short)
-    dt_short = time.perf_counter() - t0
-    eng.flush_cache()
-    t0 = time.perf_counter()
-    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    for i, ids in enumerate(prompts):
+        rid = f"bench-{i}"
+        eng.scheduler.process_input(TokenizedGenerateReqInput(
+            rid=rid, input_text=None, input_ids=ids,
+            sampling_params=SamplingParams.from_dict(sp), stream=False))
+        rids.append(rid)
+    ttft = {}
+    decode_t0 = decode_base = None
+    while any(eng._outputs.get(r, {}).get("finished") is None for r in rids):
+        if not eng.scheduler.step() and not eng.scheduler.has_work():
+            raise RuntimeError("scheduler stalled")
+        now = time.perf_counter()
+        for r in rids:
+            if r not in ttft and eng._outputs.get(r, {}).get("output_ids"):
+                ttft[r] = now - t0
+        if decode_t0 is None and len(ttft) == B:
+            decode_t0, decode_base = now, n_out()
+    eng.scheduler.drain()
     dt_full = time.perf_counter() - t0
-    total_out = sum(len(o["output_ids"]) for o in outs)
-    decode_toks = total_out - 2 * B
-    toks_per_s = decode_toks / max(dt_full - dt_short, 1e-9)
+    outs = [eng._finalize(r) for r in rids]
+    decode_toks = sum(len(o["output_ids"]) for o in outs) - decode_base
+    toks_per_s = decode_toks / max(dt_full - (decode_t0 - t0), 1e-9)
+    ttfts = sorted(ttft.values())
+    p50_ttft = ttfts[len(ttfts) // 2]
+    # all B prefills are done once the last request has its first token
+    prefill_span = max(ttfts)
+    prefill_tok_s = B * IN_LEN / prefill_span
 
     # HBM-bandwidth decode roofline for this config on one v5e chip:
     # each decode step reads all weights once + the batch's KV once.
@@ -129,6 +160,9 @@ def main():
         "value": round(toks_per_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline_toks, 4),
+        "prefill_tok_s": round(prefill_tok_s, 1),
+        "p50_ttft_ms": round(p50_ttft * 1000, 1),
+        "max_ttft_ms": round(prefill_span * 1000, 1),
     }))
 
 

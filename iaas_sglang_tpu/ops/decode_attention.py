@@ -9,11 +9,21 @@ token per sequence attends over that sequence's paged KV:
     kv_lens      i32[B]
     page_indices i32[B, MP]
 
-Design: grid over sequences; each program streams its sequence's KV pages
-HBM -> VMEM with double-buffered async DMAs (CHUNK_PAGES pages per step)
-and runs GQA flash-attention accumulation in fp32 on the fly. Decode is
+Design: grid over sequences; one GLOBAL double-buffered DMA pipeline runs
+across grid steps (scratch persists on the sequential TPU grid): while
+sequence s computes, the first chunk of sequence s+1 is already in flight,
+so the only pipeline fill/drain is at the batch boundary instead of per
+sequence. Page-granular DMA guards skip pages beyond ceil(kv_len/ps) and
+chunks before the sliding-window start. Compute is head-packed: queries are
+zero-padded into the flat [2*Nk*D] lane layout of the KV buffer so scores
+for ALL kv heads are ONE [Nq, 2NkD]x[2NkD, CT] MXU dot and PV is ONE
+[Nq, CT]x[CT, 2NkD] dot with accumulation kept in the flat lane space; the
+per-head [G, D] views are extracted once at the end. Decode is
 HBM-bandwidth bound — the kernel's job is to keep the DMA engine saturated
-while the VPU/MXU hides under it.
+while the VPU/MXU hides under it. (The first-cut kernel — per-sequence
+double buffering + per-head small dots — measured 220 GB/s on the 32-layer
+bs=32 stack; this layout removes the per-sequence DMA drain and ~8x of the
+per-chunk op dispatches.)
 """
 
 from __future__ import annotations
@@ -42,10 +52,13 @@ def _decode_kernel(
     # outputs
     o_ref,             # [1, Nq, D]        (VMEM block)
     # scratch
-    kv_buf,            # [2, CP, ps, 2Nk, D] VMEM
-    sems,              # DMA sems (2, CP)
+    kv_buf,            # [NBUF, CP, ps, 2Nk, D] VMEM (persists across grid)
+    sems,              # DMA sems (NBUF, CP)
+    pipe_ref,          # i32[2] SMEM: [global chunk counter, prefetched seq]
     *,
     num_kv_heads: int,
+    num_seqs: int,
+    num_bufs: int,
     chunk_pages: int,
     page_size: int,
     max_pages: int,
@@ -54,110 +67,181 @@ def _decode_kernel(
     win_chunked: bool = False,
 ):
     s = pl.program_id(0)
+    B = num_seqs
+    NBUF = num_bufs
     CP = chunk_pages
     CT = CP * page_size  # tokens per chunk
+    Nk = num_kv_heads
 
-    kv_len = kv_lens_ref[s]
-    n_chunks = pl.cdiv(kv_len, CT)
+    def first_chunk(kvl):
+        """Index of the first chunk holding any in-window position."""
+        win = window_ref[0]
+        if win_chunked:
+            # Llama-4 chunked local attention: the query at kv_len-1 only
+            # sees keys from its own attention chunk
+            start = ((kvl - 1) // jnp.maximum(win, 1)) * jnp.maximum(win, 1)
+        else:
+            start = kvl - win
+        start = jnp.where(win < 0, 0, jnp.maximum(start, 0))
+        return start // CT
 
-    # padding rows arrive with kv_len == 0: no DMAs, output zeros
-    @pl.when(n_chunks > 0)
-    def _run():
+    def start_chunk(s2, ci, slot):
+        """DMA chunk ci of sequence s2; pages past ceil(kv_len/ps) skipped."""
+        npg = pl.cdiv(kv_lens_ref[s2], page_size)
+        for j in range(CP):
+            idx = ci * CP + j
 
-        def start_chunk(ci, slot):
-            for j in range(CP):
-                pidx = jnp.minimum(ci * CP + j, max_pages - 1)
-                page = page_indices_ref[s, pidx]
+            @pl.when(idx < npg)
+            def _():
+                page = page_indices_ref[s2, jnp.minimum(idx, max_pages - 1)]
                 pltpu.make_async_copy(
                     kv_hbm_ref.at[page],
                     kv_buf.at[slot, j],
                     sems.at[slot, j],
                 ).start()
 
-        def wait_chunk(slot):
-            for j in range(CP):
+    def wait_chunk(s2, ci, slot):
+        npg = pl.cdiv(kv_lens_ref[s2], page_size)
+        for j in range(CP):
+
+            @pl.when(ci * CP + j < npg)
+            def _():
                 pltpu.make_async_copy(
                     kv_hbm_ref.at[0],  # shape-only; sem carries identity
                     kv_buf.at[slot, j],
                     sems.at[slot, j],
                 ).wait()
 
-        start_chunk(0, 0)
+    @pl.when(s == 0)
+    def _boot():
+        pipe_ref[0] = 0   # global chunk counter: slot = gc % NBUF
+        pipe_ref[1] = -1  # highest seq whose first chunk has been prefetched
+        # zero the staging buffer once: pages skipped by the npg guard are
+        # then benign zeros (never uninitialized bits) — their positions are
+        # masked to -inf, and 0-valued V rows contribute exactly 0 to the
+        # flat PV dot (NaN garbage would poison it: 0 * NaN = NaN)
+        for n in range(NBUF):
+            for j in range(CP):
+                kv_buf[n, j] = jnp.zeros_like(kv_buf[n, j])
 
-        Nk = num_kv_heads
+    kv_len = kv_lens_ref[s]
+    n_chunks = pl.cdiv(kv_len, CT)
+
+    @pl.when(n_chunks > 0)
+    def _run():
+        # predecessor could not prefetch us (s == 0, or s-1 was a pad row
+        # that itself needed fixing up): start our first chunk now
+        @pl.when(pipe_ref[1] < s)
+        def _():
+            start_chunk(s, first_chunk(kv_len), jax.lax.rem(pipe_ref[0], NBUF))
+            pipe_ref[1] = s
+
         q = q_ref[0]                          # [Nq, D] bf16 (MXU-native)
         Nq, D = q.shape
         G = Nq // Nk
+        W = 2 * Nk * D
+
+        # zero-pad q into the flat KV lane layout: row i (query head i) gets
+        # q[i] at the K-lane block of its kv head, so ONE dot against the
+        # flat [CT, W] buffer yields scores for every head at once
+        row = jax.lax.broadcasted_iota(jnp.int32, (Nq, 1), 0)
+        pieces = []
+        for h in range(Nk):
+            mask = (row >= h * G) & (row < (h + 1) * G)
+            pieces.append(jnp.where(mask, q, 0))     # K block of head h
+            pieces.append(jnp.zeros_like(q))         # V block of head h
+        q_pad = jnp.concatenate(pieces, axis=1)      # [Nq, W]
+
+        c0 = first_chunk(kv_len)
 
         def body(ci, carry):
-            ms, ls, accs = carry  # tuples of per-head [G,1],[G,1],[G,D] fp32
-            slot = jax.lax.rem(ci, 2)
+            m, l, acc = carry       # [Nq,1], [Nq,1] f32; acc [Nq, W] f32
+            gc = pipe_ref[0]
+            slot = jax.lax.rem(gc, NBUF)
+            wait_chunk(s, ci, slot)
+
+            # keep the DMA engine busy: queue the next work item — our next
+            # chunk, or the first chunk of the next live sequence
+            nslot = jax.lax.rem(gc + 1, NBUF)
 
             @pl.when(ci + 1 < n_chunks)
             def _():
-                start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+                start_chunk(s, ci + 1, nslot)
 
-            wait_chunk(slot)
-            buf = kv_buf[slot]                 # [CP, ps, 2Nk, D]
-            # lane-dim head slicing: offsets are 128-aligned so each per-head
-            # K/V view is a cheap register slice (measured 1.8x faster than
-            # sublane-strided [CT, Nk, 2, D] slicing on v5e)
-            flat2 = buf.reshape(CT, 2 * Nk * D)
+            @pl.when((ci + 1 >= n_chunks) & (s + 1 < B))
+            def _():
+                nxt = jnp.minimum(s + 1, B - 1)
+
+                @pl.when(kv_lens_ref[nxt] > 0)
+                def _():
+                    start_chunk(nxt, first_chunk(kv_lens_ref[nxt]), nslot)
+                    pipe_ref[1] = nxt
+
+            pipe_ref[0] = gc + 1
+
+            flat2 = kv_buf[slot].reshape(CT, W)
+            if flat2.dtype != q.dtype:   # fp8 KV: upcast for the MXU
+                flat2 = flat2.astype(q.dtype)
 
             pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
             valid = pos < kv_len
             win = window_ref[0]
             if win_chunked:
-                # Llama-4 chunked local attention: the single query sits
-                # at position kv_len-1; keys from its chunk only
                 valid &= (win < 0) | (pos >= ((kv_len - 1) // win) * win)
             else:
                 valid &= (win < 0) | (pos > kv_len - 1 - win)
 
-            new_ms, new_ls, new_accs = [], [], []
-            for h in range(Nk):
-                k_h = flat2[:, (2 * h) * D : (2 * h + 1) * D]      # [CT, D]
-                v_h = flat2[:, (2 * h + 1) * D : (2 * h + 2) * D]  # [CT, D]
-                if k_h.dtype != q.dtype:   # fp8 KV: upcast for the MXU
-                    k_h = k_h.astype(q.dtype)
-                    v_h = v_h.astype(q.dtype)
-                q_h = q[h * G : (h + 1) * G]                # [G, D] static slice
-                scores = jax.lax.dot_general(
-                    q_h, k_h,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * sm_scale                                # f32 [G, CT]
-                if logit_softcap:
-                    scores = logit_softcap * jnp.tanh(scores / logit_softcap)
-                scores = jnp.where(valid, scores, -jnp.inf)
+            scores = jax.lax.dot_general(
+                q_pad, flat2,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                                # f32 [Nq, CT]
+            if logit_softcap:
+                scores = logit_softcap * jnp.tanh(scores / logit_softcap)
+            scores = jnp.where(valid, scores, -jnp.inf)
 
-                m_c = jnp.max(scores, axis=-1, keepdims=True)
-                m_n = jnp.maximum(ms[h], m_c)
-                alpha = jnp.exp(ms[h] - m_n)
-                p = jnp.exp(scores - m_n)                   # f32 [G, CT]
-                l_n = alpha * ls[h] + jnp.sum(p, axis=-1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(v_h.dtype), v_h,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                           # f32 [G, D]
-                new_ms.append(m_n)
-                new_ls.append(l_n)
-                new_accs.append(alpha * accs[h] + pv)
-            return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+            m_c = jnp.max(scores, axis=-1, keepdims=True)
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)
+            p = jnp.exp(scores - m_n)                   # f32 [Nq, CT]
+            l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            # PV in the flat lane space: row i of p @ flat2 holds its head's
+            # V product at the V-lane block (K-block lanes carry p@K garbage
+            # that the final extraction never reads)
+            pv = jax.lax.dot_general(
+                p.astype(flat2.dtype), flat2,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # f32 [Nq, W]
+            return m_n, l_n, alpha * acc + pv
 
-        m0 = tuple(jnp.full((G, 1), -jnp.inf, jnp.float32) for _ in range(Nk))
-        l0 = tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(Nk))
-        acc0 = tuple(jnp.zeros((G, D), jnp.float32) for _ in range(Nk))
-        ms, ls, accs = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((Nq, 1), jnp.float32)
+        acc0 = jnp.zeros((Nq, W), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
+        acc = acc / jnp.maximum(l, 1e-30)
         out = jnp.concatenate(
-            [accs[h] / jnp.maximum(ls[h], 1e-30) for h in range(Nk)], axis=0
+            [acc[h * G:(h + 1) * G, (2 * h + 1) * D:(2 * h + 2) * D]
+             for h in range(Nk)],
+            axis=0,
         )
         o_ref[0] = out.astype(o_ref.dtype)
 
     @pl.when(n_chunks == 0)
     def _pad():
         o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        # pad row: if nothing is in flight for our successor, bootstrap it so
+        # runs of pad rows don't stall the pipeline
+        @pl.when(s + 1 < B)
+        def _():
+            nxt = jnp.minimum(s + 1, B - 1)
+
+            @pl.when((pipe_ref[1] < nxt) & (kv_lens_ref[nxt] > 0))
+            def _():
+                start_chunk(nxt, first_chunk(kv_lens_ref[nxt]),
+                            jax.lax.rem(pipe_ref[0], NBUF))
+                pipe_ref[1] = nxt
 
 
 def _mla_decode_kernel(
@@ -171,9 +255,12 @@ def _mla_decode_kernel(
     # outputs
     o_ref,             # [1, Nq, v_dim]    (VMEM block)
     # scratch
-    kv_buf,            # [2, CP, ps, Dk] VMEM
+    kv_buf,            # [NBUF, CP, ps, Dk] VMEM (persists across grid)
     sems,
+    pipe_ref,          # i32[2] SMEM: [global chunk counter, prefetched seq]
     *,
+    num_seqs: int,
+    num_bufs: int,
     chunk_pages: int,
     page_size: int,
     max_pages: int,
@@ -183,43 +270,79 @@ def _mla_decode_kernel(
     """MLA decode: MQA over one shared latent KV entry per token
     (absorbed-query formulation; V = entry[:, :v_dim]). All heads hit the
     same K chunk, so each chunk is ONE [Nq, CT] matmul + ONE [Nq, v_dim]
-    matmul — the MXU shape the 128-head DeepSeek geometry wants."""
+    matmul — the MXU shape the 128-head DeepSeek geometry wants. Same
+    global cross-sequence DMA pipeline as _decode_kernel."""
     s = pl.program_id(0)
+    B = num_seqs
+    NBUF = num_bufs
     CP = chunk_pages
     CT = CP * page_size
+
+    def start_chunk(s2, ci, slot):
+        npg = pl.cdiv(kv_lens_ref[s2], page_size)
+        for j in range(CP):
+            idx = ci * CP + j
+
+            @pl.when(idx < npg)
+            def _():
+                page = page_indices_ref[s2, jnp.minimum(idx, max_pages - 1)]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
+
+    def wait_chunk(s2, ci, slot):
+        npg = pl.cdiv(kv_lens_ref[s2], page_size)
+        for j in range(CP):
+
+            @pl.when(ci * CP + j < npg)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
+
+    @pl.when(s == 0)
+    def _boot():
+        pipe_ref[0] = 0
+        pipe_ref[1] = -1
+        for n in range(NBUF):
+            for j in range(CP):
+                kv_buf[n, j] = jnp.zeros_like(kv_buf[n, j])
 
     kv_len = kv_lens_ref[s]
     n_chunks = pl.cdiv(kv_len, CT)
 
     @pl.when(n_chunks > 0)
     def _run():
-        def start_chunk(ci, slot):
-            for j in range(CP):
-                pidx = jnp.minimum(ci * CP + j, max_pages - 1)
-                page = page_indices_ref[s, pidx]
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
-                ).start()
+        @pl.when(pipe_ref[1] < s)
+        def _():
+            start_chunk(s, 0, jax.lax.rem(pipe_ref[0], NBUF))
+            pipe_ref[1] = s
 
-        def wait_chunk(slot):
-            for j in range(CP):
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[0], kv_buf.at[slot, j], sems.at[slot, j]
-                ).wait()
-
-        start_chunk(0, 0)
         q = q_ref[0]                              # [Nq, Dk]
         Nq, Dk = q.shape
 
         def body(ci, carry):
             m, l, acc = carry                     # [Nq,1], [Nq,1], [Nq,v_dim]
-            slot = jax.lax.rem(ci, 2)
+            gc = pipe_ref[0]
+            slot = jax.lax.rem(gc, NBUF)
+            wait_chunk(s, ci, slot)
+
+            nslot = jax.lax.rem(gc + 1, NBUF)
 
             @pl.when(ci + 1 < n_chunks)
             def _():
-                start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+                start_chunk(s, ci + 1, nslot)
 
-            wait_chunk(slot)
+            @pl.when((ci + 1 >= n_chunks) & (s + 1 < B))
+            def _():
+                nxt = jnp.minimum(s + 1, B - 1)
+
+                @pl.when(kv_lens_ref[nxt] > 0)
+                def _():
+                    start_chunk(nxt, 0, nslot)
+                    pipe_ref[1] = nxt
+
+            pipe_ref[0] = gc + 1
             kv = kv_buf[slot].reshape(CT, Dk)     # [CT, Dk]
             if kv.dtype != q.dtype:               # fp8 KV: upcast for the MXU
                 kv = kv.astype(q.dtype)
@@ -256,10 +379,20 @@ def _mla_decode_kernel(
     def _pad():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
+        @pl.when(s + 1 < B)
+        def _():
+            nxt = jnp.minimum(s + 1, B - 1)
+
+            @pl.when((pipe_ref[1] < nxt) & (kv_lens_ref[nxt] > 0))
+            def _():
+                start_chunk(nxt, 0, jax.lax.rem(pipe_ref[0], NBUF))
+                pipe_ref[1] = nxt
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "v_dim", "chunk_pages", "interpret"),
+    static_argnames=("sm_scale", "v_dim", "chunk_pages", "num_bufs",
+                     "interpret"),
 )
 def mla_paged_decode_attention(
     q: jnp.ndarray,             # [B, Nq, Dk]
@@ -270,6 +403,7 @@ def mla_paged_decode_attention(
     sm_scale: float,
     v_dim: int,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    num_bufs: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, Dk = q.shape
@@ -289,12 +423,15 @@ def mla_paged_decode_attention(
         out_specs=pl.BlockSpec((1, Nq, v_dim), lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CP, ps, Dk), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, CP)),
+            pltpu.VMEM((num_bufs, CP, ps, Dk), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((num_bufs, CP)),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _mla_decode_kernel,
+        num_seqs=B,
+        num_bufs=num_bufs,
         chunk_pages=CP,
         page_size=ps,
         max_pages=MP,
@@ -315,7 +452,7 @@ def mla_paged_decode_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "chunk_pages",
-                     "window_chunked"),
+                     "window_chunked", "num_bufs"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, Nq, D]
@@ -328,6 +465,7 @@ def paged_decode_attention(
     logit_softcap: Optional[float] = None,
     window_chunked: bool = False,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    num_bufs: int = 2,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
@@ -348,13 +486,16 @@ def paged_decode_attention(
         out_specs=pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CP, ps, NK2, D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, CP)),
+            pltpu.VMEM((num_bufs, CP, ps, NK2, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((num_bufs, CP)),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _decode_kernel,
         num_kv_heads=Nk,
+        num_seqs=B,
+        num_bufs=num_bufs,
         chunk_pages=CP,
         page_size=ps,
         max_pages=MP,

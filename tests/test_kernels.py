@@ -57,6 +57,67 @@ def test_decode_kernel_interpret(shapes):
         rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("cp,nb", [(2, 2), (2, 3), (1, 4)])
+def test_decode_kernel_pipeline_variants_interpret(shapes, cp, nb):
+    """The global DMA pipeline under stress: multi-chunk sequences, pad
+    rows interleaved mid-batch (DP-attention IDLE shape), tiny chunks and
+    deeper buffering — all must match the jnp reference exactly."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    B = 6
+    kv_lens_l = [0, 97, 0, 128, 3, 33]   # leading + interleaved pad rows
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_decode_attention(q, kv, kv_lens, page_indices,
+                                     sm_scale=D ** -0.5,
+                                     chunk_pages=cp, num_bufs=nb)
+    ref = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
+        rtol=3e-2, atol=3e-2)
+    assert not np.asarray(out, np.float32)[~nz].any()
+
+
+def test_decode_kernel_sliding_window_chunk_skip_interpret(shapes):
+    """Sliding window with the first in-window chunk past chunk 0: the
+    kernel's fori_loop starts at c0 and must still match the reference."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    B = 3
+    kv_lens_l = [120, 128, 40]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    # window 24 << kv_len, chunk = 2 pages = 32 tokens -> c0 > 0
+    W = jnp.int32(24)
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_decode_attention(q, kv, kv_lens, page_indices,
+                                     sliding_window=W, sm_scale=D ** -0.5,
+                                     chunk_pages=2)
+    ref = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                               jnp.int32(B), sliding_window=W,
+                               sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
 def test_extend_kernel_interpret(shapes):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -110,6 +171,37 @@ def test_mla_decode_kernel_interpret(shapes):
                               sm_scale=Dk ** -0.5, v_dim=v_dim)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_mla_decode_kernel_pipeline_interpret(shapes):
+    """MLA pipeline stress: pad rows mid-batch + multi-chunk + NBUF=3."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import mla_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import mla_paged_decode_attention
+
+    rng, Nq, _, _, ps, MP, NPg, _ = shapes
+    Dk, v_dim = 192, 128
+    kv = jnp.asarray(
+        rng.standard_normal((NPg, ps, 1, Dk), dtype=np.float32),
+        dtype=jnp.bfloat16) * 0.3
+    B = 6
+    kv_lens_l = [0, 97, 0, 128, 3, 33]
+    q = jnp.asarray(rng.standard_normal((B, Nq, Dk), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = mla_paged_decode_attention(
+            q, kv, kv_lens, page_indices, sm_scale=Dk ** -0.5, v_dim=v_dim,
+            chunk_pages=2, num_bufs=3)
+    ref = mla_paged_attention(q, kv, kv_lens, page_indices, cu, jnp.int32(B),
+                              sm_scale=Dk ** -0.5, v_dim=v_dim)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
         rtol=3e-2, atol=3e-2)
 
 
