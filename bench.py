@@ -99,18 +99,17 @@ def main():
     from iaas_sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
     from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
 
-    def n_out():
-        return sum(len(st.get("output_ids", ()))
-                   for st in eng._outputs.values())
-
     eng._outputs.clear()
-    rids = []
+    rids, reqs = [], []
     t0 = time.perf_counter()
     for i, ids in enumerate(prompts):
         rid = f"bench-{i}"
-        eng.scheduler.process_input(TokenizedGenerateReqInput(
+        # first-token times must come from the scheduler's Req objects:
+        # with stream=False the engine output store is only written at
+        # finish, which would collapse every TTFT onto the last step
+        reqs.append(eng.scheduler.process_input(TokenizedGenerateReqInput(
             rid=rid, input_text=None, input_ids=ids,
-            sampling_params=SamplingParams.from_dict(sp), stream=False))
+            sampling_params=SamplingParams.from_dict(sp), stream=False)))
         rids.append(rid)
     ttft = {}
     decode_t0 = decode_base = None
@@ -118,15 +117,17 @@ def main():
         if not eng.scheduler.step() and not eng.scheduler.has_work():
             raise RuntimeError("scheduler stalled")
         now = time.perf_counter()
-        for r in rids:
-            if r not in ttft and eng._outputs.get(r, {}).get("output_ids"):
-                ttft[r] = now - t0
+        for r in reqs:
+            if r.rid not in ttft and r.output_ids:
+                ttft[r.rid] = now - t0
         if decode_t0 is None and len(ttft) == B:
-            decode_t0, decode_base = now, n_out()
+            decode_t0 = now
+            decode_base = sum(len(r.output_ids) for r in reqs)
     eng.scheduler.drain()
     dt_full = time.perf_counter() - t0
     outs = [eng._finalize(r) for r in rids]
     decode_toks = sum(len(o["output_ids"]) for o in outs) - decode_base
+    assert decode_toks > 0, "phase split failed (no pure-decode tokens)"
     toks_per_s = decode_toks / max(dt_full - (decode_t0 - t0), 1e-9)
     ttfts = sorted(ttft.values())
     p50_ttft = ttfts[len(ttfts) // 2]

@@ -346,6 +346,7 @@ class Scheduler:
         if m.lora_path and self.model_runner.lora_manager is not None:
             req.lora_slot = self.model_runner.lora_manager.slot_of(m.lora_path)
         self.waiting_queue.append(req)
+        return req
 
     def handle_embedding_request(self, m: TokenizedEmbeddingReqInput) -> None:
         from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
