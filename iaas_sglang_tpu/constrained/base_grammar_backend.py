@@ -178,6 +178,23 @@ class ReasonerGrammar(BaseGrammarObject):
         return ReasonerGrammar(self.inner.copy(), self.vocab, self.think_end)
 
 
+class GrammarFuture:
+    """Handle for an in-flight grammar compile (analog of the reference's
+    future-based async compile cache, base_grammar_backend.py:111 +
+    scheduler grammar queue, scheduler.py:444-451,1176-1207): the scheduler
+    parks the request in its grammar queue and polls `done()` each
+    iteration, so a slow-compiling schema never stalls running decodes."""
+
+    def __init__(self, future):
+        self._future = future
+
+    def done(self) -> bool:
+        return self._future.done()
+
+    def result(self) -> Optional[BaseGrammarObject]:
+        return self._future.result()
+
+
 class BaseGrammarBackend:
     """Compiles and caches grammar automata keyed by (type, spec)."""
 
@@ -186,6 +203,51 @@ class BaseGrammarBackend:
         self.vocab = TokenVocab.get(tokenizer)
         self._cache: Dict[Tuple[str, str], TokenFSM] = {}
         self._lock = threading.Lock()
+        self._executor = None            # lazy compile worker
+        self._pending: Dict[Tuple[str, str], object] = {}
+
+    def _cache_key(self, *, regex=None, json_schema=None, ebnf=None,
+                   structural_tag=None):
+        if structural_tag is not None:
+            return ("structural_tag", structural_tag)
+        if json_schema is not None:
+            return ("json", json_schema)
+        if regex is not None:
+            return ("regex", regex)
+        if ebnf is not None:
+            return ("ebnf", ebnf)
+        return None
+
+    def get_grammar_async(self, **specs):
+        """Non-blocking grammar lookup: a ready BaseGrammarObject (or None)
+        on cache hit / trivial spec, else a GrammarFuture compiled in a
+        worker thread. Concurrent requests for the same key share one
+        compile."""
+        key = self._cache_key(**specs)
+        if key is None:
+            return None
+        with self._lock:
+            hit = key in self._cache
+        if hit:
+            return self.get_grammar(**specs)    # cheap wrap of cached fsm
+        import concurrent.futures
+
+        with self._lock:
+            fut = self._pending.get(key)
+            if fut is None:
+                if self._executor is None:
+                    self._executor = concurrent.futures.ThreadPoolExecutor(
+                        max_workers=2, thread_name_prefix="grammar-compile")
+                fut = self._executor.submit(self._compile_entry, key, specs)
+                self._pending[key] = fut
+        return GrammarFuture(fut)
+
+    def _compile_entry(self, key, specs):
+        try:
+            return self.get_grammar(**specs)
+        finally:
+            with self._lock:
+                self._pending.pop(key, None)
 
     def get_grammar(self, *, regex: Optional[str] = None,
                     json_schema: Optional[str] = None,

@@ -170,6 +170,12 @@ class Engine:
         ):
             progressed = self.scheduler.step()
             if not progressed and self.scheduler.has_work():
+                if self.scheduler.grammar_queue:
+                    # grammars compiling in the worker thread; poll again
+                    import time as _time
+
+                    _time.sleep(0.002)
+                    continue
                 raise RuntimeError("scheduler stalled with pending work")
             if not progressed and not self.scheduler.has_work():
                 missing = [r for r in rids

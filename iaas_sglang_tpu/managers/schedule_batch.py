@@ -101,6 +101,8 @@ class Req:
         self.finished_reason: Optional[FinishReason] = None
         self.cleaned = False         # cache_finished_req has run
         self.grammar = None          # BaseGrammarObject when constrained
+        self.grammar_future = None   # in-flight async grammar compile
+        self.grammar_queue_time = 0.0
         self.is_embedding = False    # prefill-only pooled-hidden request
         self.disagg_decode_url = None  # PD: hand off after prefill
         self.lora_slot = 0           # multi-LoRA adapter slot (0 = none)

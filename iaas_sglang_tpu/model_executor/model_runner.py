@@ -103,6 +103,7 @@ class HostBatch:
     # set by the runner for the scheduler
     num_valid: int = 0              # real (unpadded) sequence count
     device_tokens: Any = None       # jnp i32[Bmax] sampled tokens (padded)
+    sample_meta: Any = None         # padded SamplingMetadata (defer_sample)
     device_logits: Any = None       # jnp f32[Bmax, V] last-token logits
     device_logprobs: Any = (None, None, None)
     token_logprobs: Any = None      # np f32[B] chosen-token logprobs
@@ -452,7 +453,16 @@ class ModelRunner:
                 logits = apply_penalties(logits, pen)
             if grammar_mask is not None:
                 logits = apply_grammar_mask(logits, grammar_mask)
-            if sampling_mode == "greedy":
+            if sampling_mode == "defer":
+                # split-program decode (grammar overlap): this program stops
+                # at the logits; a separate tiny sample program applies the
+                # host-shipped vocab mask + penalties and samples — the TPU
+                # analog of the reference's sampling_info_done event
+                # (tp_worker_overlap_thread.py:45-53): the model forward of
+                # step N overlaps the host walking the automaton with step
+                # N-1's token and shipping step N's mask.
+                tokens = jnp.zeros(logits.shape[0], jnp.int32)
+            elif sampling_mode == "greedy":
                 # all-greedy batch: argmax only — drops the [B, V] sort +
                 # per-row RNG from the program (faster decode AND much
                 # faster remote compile)
@@ -550,6 +560,28 @@ class ModelRunner:
         self._multi_fn = jax.jit(
             multi_step, donate_argnums=(1,), static_argnums=(5, 6))
 
+        def sample_step(logits, meta: SamplingMetadata, pen, grammar_mask,
+                        logprob_top_k: int, sampling_mode: str):
+            """Standalone sampling program over a deferred step's device
+            logits (split-program grammar overlap; the mask/penalties are
+            host inputs shipped AFTER the forward was launched)."""
+            if pen is not None:
+                logits = apply_penalties(logits, pen)
+            if grammar_mask is not None:
+                logits = apply_grammar_mask(logits, grammar_mask)
+            if sampling_mode == "greedy":
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                tokens = sample_tokens(logits, meta)
+            if logprob_top_k >= 0:
+                lp, topv, topi = compute_logprobs(
+                    logits, tokens, logprob_top_k)
+            else:
+                lp = topv = topi = None
+            return tokens, lp, topv, topi
+
+        self._sample_fn = jax.jit(sample_step, static_argnums=(4, 5))
+
         self._all_logits_fn = jax.jit(
             lambda params, kv_pages, fb: (
                 lambda hk: (model.compute_logits(params, hk[0]), hk[1])
@@ -562,21 +594,32 @@ class ModelRunner:
 
     # ------------------------------------------------------------- forward
 
-    def forward(self, hb: HostBatch, fetch: bool = True) -> Optional[np.ndarray]:
+    def forward(self, hb: HostBatch, fetch: bool = True,
+                defer_sample: bool = False) -> Optional[np.ndarray]:
         """Launch one padded step. With fetch=True (sync mode) returns the
         sampled token per sequence i32[B]; with fetch=False the launch
         returns immediately (async dispatch) and the scheduler reads
         hb.device_tokens later — the overlap path
         (tp_worker_overlap_thread.py:53 analog, no thread needed: XLA's
-        async dispatch is the background worker)."""
+        async dispatch is the background worker).
+
+        defer_sample=True launches a logits-only program (no penalties, no
+        grammar mask, no sampling); call `sample_deferred` afterwards to
+        sample with host state computed WHILE the forward runs."""
         if hb.multi_steps > 1:
             return self._forward_multi(hb)
         fb, meta, B = self._pad_to_device(hb)
         hb.num_valid = B
-        pen = self._pad_penalties(hb, meta.temperatures.shape[0])
-        attn_mode = "decode" if hb.mode.is_decode() else "extend"
-        logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
-        gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
+        if defer_sample:
+            pen = gmask = None
+            attn_mode = "decode" if hb.mode.is_decode() else "extend"
+            logprob_top_k = -1
+            sampling_mode = "defer"
+        else:
+            pen = self._pad_penalties(hb, meta.temperatures.shape[0])
+            attn_mode = "decode" if hb.mode.is_decode() else "extend"
+            logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
+            gmask = self._pad_grammar(hb, meta.temperatures.shape[0])
         if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
             # batch metadata must be mesh-committed (replicated): the AOT
             # lowering pins each argument's sharding, and an uncommitted
@@ -595,8 +638,9 @@ class ModelRunner:
         lora = None
         if hb.lora_ids is not None and self.lora_manager is not None:
             lora = self.lora_manager.device_params()
-        sampling_mode = (
-            "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
+        if not defer_sample:
+            sampling_mode = (
+                "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
         hidden_tap = ("verify" if (hb.verify_k > 0 and hb.return_verify_hidden)
                       else "all" if hb.return_all_hidden else "none")
         with self.mesh_ctx.mesh:
@@ -612,9 +656,12 @@ class ModelRunner:
             hb.prompt_logprobs = (plp_np[hb.tok_of_req]
                                   if hb.tok_of_req is not None
                                   else plp_np[: len(hb.positions)])
-        hb.device_tokens = tokens
+        hb.device_tokens = None if defer_sample else tokens
         hb.device_logits = logits
         hb.device_logprobs = (lp, topv, topi)
+        if defer_sample:
+            hb.sample_meta = meta   # padded device meta, reused by the
+            #                         deferred sample program (same step ids)
         if hid is not None:
             if hidden_tap == "verify":
                 hb.verify_hidden = np.asarray(hid)[:B]
@@ -692,6 +739,34 @@ class ModelRunner:
                 hb.top_logprob_vals = take(topv)
                 hb.top_logprob_ids = take(topi)
         return take(hb.device_tokens)
+
+    def sample_deferred(self, hb: HostBatch) -> None:
+        """Run the standalone sample program over a deferred step's device
+        logits. hb.grammar_masks / hb.penalty_arrays must hold the CURRENT
+        host state (computed after the forward was launched — this call is
+        the mask-ship half of the split-program grammar overlap). Sets
+        hb.device_tokens (+ logprobs) like a normal forward launch."""
+        assert hb.device_logits is not None and hb.sample_meta is not None
+        meta = hb.sample_meta
+        B_pad = meta.temperatures.shape[0]
+        pen = self._pad_penalties(hb, B_pad)
+        gmask = self._pad_grammar(hb, B_pad)
+        logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
+        sampling_mode = (
+            "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
+        if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
+            rep = self.mesh_ctx.replicated
+            put = lambda x: (jax.device_put(x, rep)
+                             if isinstance(x, jax.Array) else x)
+            pen, gmask = jax.tree.map(put, (pen, gmask))
+        key = ("sample", logprob_top_k, sampling_mode,
+               str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                                (hb.device_logits, meta, pen, gmask))))
+        tokens, lp, topv, topi = self._aot_call(
+            key, self._sample_fn, (hb.device_logits, meta, pen, gmask),
+            statics=(logprob_top_k, sampling_mode))
+        hb.device_tokens = tokens
+        hb.device_logprobs = (lp, topv, topi)
 
     def _get_compiled(self, fb, meta, pen, gmask, lora, attn_mode,
                       logprob_top_k, return_hidden, verify_k,

@@ -184,6 +184,10 @@ class ServerArgs:
     # Misc
     random_seed: Optional[int] = None
     watchdog_timeout: float = 300.0
+    # async grammar compiles park requests in a grammar queue; a request
+    # whose automaton is still compiling after this many seconds is aborted
+    # (reference scheduler.py:1952-2016 move_ready_grammar_requests)
+    grammar_compile_timeout: float = 30.0
     # reasoning model (deepseek-r1 | qwen3 | kimi): grammar constraints are
     # deferred until the think block closes (ReasonerGrammar), and the chat
     # endpoint defaults its reasoning_style to this

@@ -71,8 +71,8 @@ def main():
           [round(t * 1000, 1) for t in times])
     chains = [t for t in times if t > 0.05]  # chains dwarf bookkeeping steps
     if len(chains) > 2:
-        # drop the first (cold) chain; steady chains / 32 steps
-        steady = sorted(chains)[: max(1, len(chains) - 1)]
+        # drop the first (cold) chain chronologically; steady chains / 32
+        steady = sorted(chains[1:])
         per = np.mean(steady[-3:]) / 32
         print(f"steady chain: {np.mean(steady[-3:])*1000:.1f} ms "
               f"-> {per*1000:.2f} ms/step at B={B}, L={L}")
