@@ -114,9 +114,17 @@ def run_follower(server_args, model_config=None) -> None:
     chan = FollowerChannel(server_args)
     logger.info("multihost follower %d: ready", server_args.node_rank)
     while True:
-        cmd, payload = chan.recv()
+        try:
+            cmd, payload = chan.recv()
+        except TimeoutError as e:
+            # driver death detection (VERDICT r2 weak #7): do not strand
+            # this host in a blocking recv / hung collective forever
+            logger.error("multihost follower: %s", e)
+            chan.close()
+            raise SystemExit(18)
         if cmd == "shutdown":
             logger.info("multihost follower: shutdown")
+            chan.close()
             return
         elif cmd == "forward":
             runner.forward(payload, fetch=False)

@@ -5,12 +5,16 @@ Modes (argv[1]):
   ref            single process, 8 local devices, tp=4 x dp=2 mesh
   0 / 1          node_rank under nnodes=2, 4 local devices each (same
                  8-device global mesh, now spanning two processes)
+  L0 / L1        liveness pair: L0 = driver that idles after init (writes
+                 "ready" to outfile), L1 = follower; used by the
+                 kill-one-assert-other-dies tests
 
-argv: mode coordinator_port outfile
+argv: mode coordinator_port outfile [decode_steps_per_dispatch]
 """
 
 import json
 import sys
+import time
 
 
 TINY = dict(
@@ -31,6 +35,10 @@ SAMPLING = {"temperature": 0.0, "max_new_tokens": 12, "ignore_eos": True}
 
 def main() -> None:
     mode, port, outfile = sys.argv[1], sys.argv[2], sys.argv[3]
+    steps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    liveness = mode.startswith("L")
+    if liveness:
+        mode = mode[1:]
     from iaas_sglang_tpu.server_args import ServerArgs
 
     kwargs = dict(
@@ -38,12 +46,12 @@ def main() -> None:
         skip_tokenizer_init=True, random_seed=0, page_size=16,
         max_total_tokens=4096, max_running_requests=8,
         max_prefill_tokens=256, chunked_prefill_size=256,
-        tp_size=4, dp_size=2, decode_steps_per_dispatch=1,
+        tp_size=4, dp_size=2, decode_steps_per_dispatch=steps,
     )
     if mode != "ref":
         kwargs.update(nnodes=2, node_rank=int(mode),
                       dist_init_addr=f"127.0.0.1:{port}",
-                      multihost_timeout=120.0)
+                      multihost_timeout=3.0 if liveness else 120.0)
 
     if mode == "1":
         from iaas_sglang_tpu.configs.model_config import ModelConfig
@@ -57,6 +65,13 @@ def main() -> None:
     from iaas_sglang_tpu.entrypoints.engine import Engine
 
     eng = Engine(ServerArgs(**kwargs), hf_config_override=TINY)
+    if liveness:
+        # idle driver: heartbeats only; the monitor must kill us when the
+        # follower dies (exit 17). Write a ready marker for the test.
+        with open(outfile, "w") as f:
+            f.write("ready")
+        time.sleep(60)
+        sys.exit(0)
     outs = eng.generate(
         input_ids=PROMPTS, sampling_params=[dict(SAMPLING)] * len(PROMPTS))
     with open(outfile, "w") as f:
