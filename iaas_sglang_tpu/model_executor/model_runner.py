@@ -143,6 +143,8 @@ class ModelRunner:
             self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
             if server_args.enable_dp_attention else 1)
 
+        if server_args.quantize_lm_head and server_args.quantization:
+            model_config.quantize_lm_head = True
         model_cls = resolve_model_cls(model_config)
         self.model = model_cls(model_config)
         self.model.mesh = self.mesh_ctx.mesh

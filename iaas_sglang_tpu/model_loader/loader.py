@@ -10,6 +10,7 @@ with its NamedSharding so the transfer itself performs the TP partition.
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -91,6 +92,11 @@ def load_params(
 ) -> Dict[str, Any]:
     specs = model.weight_specs()
     if load_format == "dummy":
+        return _dummy_device_params(
+            specs, config, mesh_ctx, quantization, seed)
+    if load_format == "dummy_host":
+        # legacy host-side generator (streams weights through the relay;
+        # kept for A/B against the on-device path)
         host = _dummy_host_params(specs, config, seed)
     elif load_format == "sharded_state":
         return _load_sharded_state(model, config, mesh_ctx)
@@ -259,6 +265,101 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
         else:
             arr = jax.device_put(host[name], sharding)
             _set_nested(tree, name, arr)
+    return tree
+
+
+def _dummy_device_params(specs: Dict[str, WeightSpec], config: ModelConfig,
+                         mesh_ctx: MeshContext, quantization: str | None,
+                         seed: int) -> Dict[str, Any]:
+    """Dummy weights generated ON DEVICE (jit'd counter-based PRNG +
+    on-device quantization): no host->device weight stream at all. Through
+    the remote relay the old host path took ~15 min for an 8B model; this
+    path is a few compiled programs. Values are key-deterministic and
+    sharding-invariant (threefry), so multihost processes and differently
+    meshed runs generate identical weights; quantized tensors are the
+    on-device quantization of the SAME normal draw the bf16 path yields,
+    preserving quant-fidelity (INT4 vs BF16 greedy-agreement) semantics."""
+    import zlib
+
+    from iaas_sglang_tpu.quantization.qlinear import (
+        QuantizedWeight,
+        quantize_weight_jnp,
+    )
+
+    dt = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    tree: Dict[str, Any] = {}
+    for name, spec in specs.items():
+        n_stack = (len(spec.layer_map) if spec.layer_map is not None
+                   else spec.num_stack or config.num_layers)
+        stacked_shape = ((n_stack,) + tuple(spec.shape)) if spec.stacked \
+            else tuple(spec.shape)
+        dims = spec.pspec
+        if spec.stacked:
+            dims = (None,) + tuple(dims)
+        sharding = mesh_ctx.sharding(*dims)
+        key = jax.random.key(
+            (seed ^ zlib.crc32(name.encode())) & 0x7FFFFFFF)
+        if spec.force_dtype is not None:
+            fdt = jnp.dtype(spec.force_dtype)
+            arr = jax.jit(lambda sh=stacked_shape, d=fdt: jnp.zeros(sh, d),
+                          out_shardings=sharding)()
+            _set_nested(tree, name, arr)
+            continue
+        if "norm" in name:
+            arr = jax.jit(lambda sh=stacked_shape, d=dt: jnp.ones(sh, d),
+                          out_shardings=sharding)()
+            _set_nested(tree, name, arr)
+            continue
+        # normal draw, sliced over leading (layer/expert) dims so the f32
+        # transient stays one [in, out] slice; the quantized path draws
+        # the SAME values as the bf16 path and quantizes the dt-rounded
+        # weights (matching the host generator's semantics)
+        lead = stacked_shape[:-2] if len(stacked_shape) > 2 else ()
+        slice_shape = stacked_shape[len(lead):]
+
+        def draw_one(kk, sh=slice_shape, d=dt):
+            w = jax.random.normal(kk, sh, jnp.float32) * 0.02
+            return w.astype(d)
+
+        def mapped(one_fn, k, n_out=1):
+            if not lead:
+                return one_fn(k)
+            keys = jax.random.split(k, int(np.prod(lead)))
+            out = jax.lax.map(one_fn, keys)
+            reshape = lambda a: a.reshape(lead + a.shape[1:])
+            return (jax.tree.map(reshape, out) if n_out > 1
+                    else reshape(out))
+
+        # the key is a jit ARGUMENT, never a closed-over constant: a
+        # constant key lets the (remote) compiler constant-fold the whole
+        # threefry draw at compile time — measured 180 s in the compiler
+        # for the [128k, 4096] embedding
+        if quantization and spec.quantizable:
+            qz = functools.partial(quantize_weight_jnp, method=quantization)
+
+            def gen_q(k):
+                return mapped(
+                    lambda kk: qz(draw_one(kk).astype(jnp.float32)),
+                    k, n_out=2)
+
+            block = quantization.startswith("fp8_block")
+            # scale shards like the weight except size-1/block dims
+            q_abs = jax.eval_shape(gen_q, key)
+            s_dims = tuple(
+                None if q_abs[1].shape[i] == 1 else d
+                for i, d in enumerate(dims)
+            )
+            s_sharding = (mesh_ctx.replicated if block
+                          else mesh_ctx.sharding(*s_dims))
+            q_dev, s_dev = jax.jit(
+                gen_q, out_shardings=(sharding, s_sharding))(key)
+            _set_nested(tree, name, QuantizedWeight(
+                q=q_dev, scale=s_dev,
+                packed=quantization.startswith("int4"), block=block))
+            continue
+        arr = jax.jit(lambda k: mapped(draw_one, k),
+                      out_shardings=sharding)(key)
+        _set_nested(tree, name, arr)
     return tree
 
 

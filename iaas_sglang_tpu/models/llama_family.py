@@ -622,7 +622,11 @@ class LlamaFamilyForCausalLM:
                     return t / np.maximum(n, 1e-12)
             s["lm_head"] = WeightSpec(
                 (H, V), (None, "tp"), head_key, transpose=True,
-                hf_pre=head_pre)
+                hf_pre=head_pre,
+                # --quantize-lm-head: the bf16 head is ~1.3 ms of a 8B
+                # decode step (1 GB read); INT4 cuts it ~4x. Opt-in — AWQ
+                # checkpoints conventionally keep the head high-precision
+                quantizable=getattr(c, "quantize_lm_head", False))
             if c.lm_head_bias:
                 s["lm_head_bias"] = WeightSpec(
                     (V,), ("tp",), "lm_head.bias")
@@ -794,6 +798,15 @@ class LlamaFamilyForCausalLM:
         def layer_body(carry, xs):
             hidden, kv = carry
             lp, layer_idx, global_idx = xs
+            if quant_stacked:
+                # stacked quantized weights stay OUT of the scan xs (their
+                # dynamic-slice would materialize an HBM copy per layer —
+                # see QuantLayerRef); qmatmul indexes the stack in-kernel
+                from iaas_sglang_tpu.quantization.qlinear import (
+                    QuantLayerRef)
+
+                lp = {**lp, **{k: QuantLayerRef(qw, layer_idx)
+                               for k, qw in quant_stacked.items()}}
             if c.input_norms:
                 h = norm_fn(hidden, lp, "input_norm")
             else:
@@ -1164,6 +1177,15 @@ class LlamaFamilyForCausalLM:
             for t, A in lora["A"].items():
                 layer_params[f"lora_A_{t}"] = A
                 layer_params[f"lora_B_{t}"] = lora["B"][t]
+        # stacked quantized weights bypass the scan xs (QuantLayerRef —
+        # avoids the per-layer dynamic-slice HBM copy of the packed stack)
+        from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+        quant_stacked = {}
+        if scan_layers:
+            for k in list(layer_params):
+                if isinstance(layer_params[k], QuantizedWeight):
+                    quant_stacked[k] = layer_params.pop(k)
         layer_ids = jnp.arange(L, dtype=jnp.int32)
         global_ids = layer_ids + layer_offset
         aux = None
@@ -1228,9 +1250,10 @@ class LlamaFamilyForCausalLM:
         runner; analog of layers/logits_processor.py:196)."""
         if self.config.tie_word_embeddings or "lm_head" not in params:
             w = params["embed"].T  # [H, V] (tied, or head-less classifier)
+            logits = (hidden @ w).astype(jnp.float32)
         else:
-            w = params["lm_head"]
-        logits = (hidden @ w).astype(jnp.float32)
+            logits = qmatmul(hidden, params["lm_head"],
+                             out_dtype=jnp.float32)
         if "lm_head_bias" in params:
             logits = logits + params["lm_head_bias"].astype(jnp.float32)
         if self.config.logits_scale != 1.0:

@@ -66,6 +66,12 @@ def _decode_kernel(
     logit_softcap: Optional[float],
     win_chunked: bool = False,
 ):
+    # NOTE on num_bufs: the pipeline issues exactly ONE chunk ahead of the
+    # wait (slot (gc+1)%NBUF), so NBUF is the buffer-ROTATION depth, not a
+    # prefetch depth — NBUF>2 only cycles idle VMEM and cannot deepen the
+    # pipeline (the r2 "NBUF=4 regresses" A/B measured exactly that
+    # rotation cost). Fixed double-buffering (2) is the operating point;
+    # the knob stays for interpret-mode correctness coverage.
     s = pl.program_id(0)
     B = num_seqs
     NBUF = num_bufs

@@ -204,41 +204,87 @@ def _wrap_nozero(kernel, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
 
 
 def _int4_dma_kernel(x_ref, w_hbm, s_hbm, zs_hbm, o_ref,
-                     wbuf, sems, sbuf, zbuf, ssem,
-                     *, n_k, BK, BN, group, has_zero):
+                     wbuf, wsem, sbuf, ssem, zbuf, zsem, pipe,
+                     *, n_k, n_j, BK, BN, group, has_zero, layer_ref=None):
+    """Globally pipelined dequant-GEMM: ONE double-buffered DMA stream
+    runs across ALL grid steps (scratch persists on the sequential TPU
+    grid) — while chunk (j, k) dequantizes+dots, chunk (j, k+1) (or the
+    next column block's first chunk) is already in flight, so the HBM
+    stream never drains at block boundaries. Without this the per-block
+    DMA -> dequant -> dot sequence is fully serialized (measured ~300
+    GB/s in-model vs the 819 GB/s roofline). Same design as the decode
+    attention kernel's cross-sequence pipeline.
+
+    layer_ref: optional SMEM scalar — weights carry a leading stacked
+    layer dim [L, K/2, N] and the kernel reads the indexed layer directly
+    from HBM. This is the scan-over-stacked-layers fix: slicing the stack
+    OUTSIDE the kernel makes XLA materialize a full HBM->HBM copy of
+    every layer's weights per step (a custom-call operand cannot alias a
+    dynamic-slice), which the r2 xprof trace showed was ~40% of the whole
+    decode step (~0.31 ms/layer/step at llama-8B geometry)."""
     j = pl.program_id(0)
     nG = BK // group
 
-    def dma(k, slot):
-        return pltpu.make_async_copy(
-            w_hbm.at[pl.ds(k * (BK // 2), BK // 2), pl.ds(j * BN, BN)],
-            wbuf.at[slot], sems.at[slot])
+    if layer_ref is not None:
+        li = layer_ref[0]
+        w_l = w_hbm.at[li]
+        s_l = s_hbm.at[li]
+        zs_l = zs_hbm.at[li] if has_zero else None
+    else:
+        w_l, s_l, zs_l = w_hbm, s_hbm, zs_hbm
 
-    sdma = pltpu.make_async_copy(
-        s_hbm.at[:, pl.ds(j * BN, BN)], sbuf, ssem.at[0])
-    sdma.start()
+    def w_copy(jj, k, slot):
+        return pltpu.make_async_copy(
+            w_l.at[pl.ds(k * (BK // 2), BK // 2), pl.ds(jj * BN, BN)],
+            wbuf.at[slot], wsem.at[slot])
+
+    def s_copy(jj, slot):
+        return pltpu.make_async_copy(
+            s_l.at[:, pl.ds(jj * BN, BN)], sbuf.at[slot], ssem.at[slot])
+
+    def z_copy(jj, slot):
+        return pltpu.make_async_copy(
+            zs_l.at[:, pl.ds(jj * BN, BN)], zbuf.at[slot], zsem.at[slot])
+
+    def start_block(jj, slot):
+        """First weight chunk + scale tables of column block jj."""
+        s_copy(jj, jax.lax.rem(jj, 2)).start()
+        if has_zero:
+            z_copy(jj, jax.lax.rem(jj, 2)).start()
+        w_copy(jj, 0, slot).start()
+
+    @pl.when(j == 0)
+    def _boot():
+        pipe[0] = 0
+        start_block(0, 0)
+
+    jslot = jax.lax.rem(j, 2)
+    s_copy(j, jslot).wait()
     if has_zero:
-        zdma = pltpu.make_async_copy(
-            zs_hbm.at[:, pl.ds(j * BN, BN)], zbuf, ssem.at[1])
-        zdma.start()
-    dma(0, 0).start()
-    sdma.wait()
-    if has_zero:
-        zdma.wait()
+        z_copy(j, jslot).wait()
 
     def body(k, acc):
-        slot = jax.lax.rem(k, 2)
+        gc = pipe[0]
+        slot = jax.lax.rem(gc, 2)
+        nslot = jax.lax.rem(gc + 1, 2)
 
+        # keep the DMA engine busy: queue the next chunk (ours, or the
+        # next column block's first) BEFORE waiting on the current one
         @pl.when(k + 1 < n_k)
         def _():
-            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+            w_copy(j, k + 1, nslot).start()
 
-        dma(k, slot).wait()
+        @pl.when((k + 1 >= n_k) & (j + 1 < n_j))
+        def _():
+            start_block(j + 1, nslot)
+
+        w_copy(j, k, slot).wait()
+        pipe[0] = gc + 1
         w4 = pltpu.bitcast(wbuf[slot], jnp.int4)        # [BK, BN]
-        s = sbuf[pl.ds(k * nG, nG)]                     # f32 [nG, BN]
+        s = sbuf[jslot, pl.ds(k * nG, nG)]              # f32 [nG, BN]
         w3 = w4.astype(jnp.float32).reshape(nG, group, BN) * s[:, None, :]
         if has_zero:
-            w3 = w3 - zbuf[pl.ds(k * nG, nG)][:, None, :]
+            w3 = w3 - zbuf[jslot, pl.ds(k * nG, nG)][:, None, :]
         wf = w3.reshape(BK, BN).astype(x_ref.dtype)
         xk = x_ref[:, pl.ds(k * BK, BK)]
         return acc + jax.lax.dot_general(
@@ -286,7 +332,8 @@ def int4_matmul_dma(
     n_k = K // BK
     has_zero = zero_scale is not None
     kernel = functools.partial(
-        _int4_dma_kernel, n_k=n_k, BK=BK, BN=BN, group=g, has_zero=has_zero)
+        _int4_dma_kernel, n_k=n_k, n_j=N // BN, BK=BK, BN=BN, group=g,
+        has_zero=has_zero)
     args = [x, packed, scale]
     in_specs = [
         pl.BlockSpec((T, K), lambda j: (0, 0)),
@@ -306,13 +353,85 @@ def int4_matmul_dma(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((T, BN), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, BK // 2, BN), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((K // g, BN), jnp.float32),
-            pltpu.VMEM((K // g, BN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_dma_scratch(BK, BN, K, g),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _dma_scratch(BK, BN, K, g):
+    return [
+        pltpu.VMEM((2, BK // 2, BN), jnp.int8),       # wbuf
+        pltpu.SemaphoreType.DMA((2,)),                # wsem
+        pltpu.VMEM((2, K // g, BN), jnp.float32),     # sbuf
+        pltpu.SemaphoreType.DMA((2,)),                # ssem
+        pltpu.VMEM((2, K // g, BN), jnp.float32),     # zbuf
+        pltpu.SemaphoreType.DMA((2,)),                # zsem
+        pltpu.SMEM((1,), jnp.int32),                  # global chunk counter
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "block_n", "block_k", "interpret"))
+def int4_matmul_dma_stacked(
+    x: jnp.ndarray,          # [T, K] bf16/f32
+    packed: jnp.ndarray,     # [L, K/2, N] int8 — FULL layer stack
+    scale: jnp.ndarray,      # [L, K/G, N] f32
+    zero_scale: Optional[jnp.ndarray],   # [L, K/G, N] f32 | None
+    layer: jnp.ndarray,      # i32[] traced layer index (scan carry)
+    *,
+    group: int = GROUP,
+    block_n: int = 1024,
+    block_k: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int4_matmul_dma over ONE layer of a stacked weight array, indexed
+    INSIDE the kernel (scalar-prefetch layer id -> HBM source offset).
+    Used by the per-layer lax.scan: no per-layer weight copy, no extra
+    HBM traffic — the kernel reads the live layer's nibbles directly."""
+    T, K = x.shape
+    L, Kh, N = packed.shape
+    assert Kh * 2 == K, (x.shape, packed.shape)
+    g = group if K % group == 0 else K
+    BK = _pick_block(K, min(block_k, K), g * 8) if K % (g * 8) == 0 else K
+    BN = _pick_block(N, min(block_n, N), 128) if N % 128 == 0 else N
+    n_k = K // BK
+    has_zero = zero_scale is not None
+    kernel = functools.partial(
+        _int4_dma_kernel, n_k=n_k, n_j=N // BN, BK=BK, BN=BN, group=g,
+        has_zero=has_zero)
+
+    def kern(layer_r, x_r, w_r, s_r, *rest):
+        if has_zero:
+            zs_r, o_r, *scratch = rest
+        else:
+            zs_r, (o_r, *scratch) = None, rest
+        return kernel(x_r, w_r, s_r, zs_r, o_r, *scratch,
+                      layer_ref=layer_r)
+
+    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale]
+    in_specs = [
+        pl.BlockSpec((T, K), lambda j, *_: (0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if has_zero:
+        args.append(zero_scale)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // BN,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, BN), lambda j, *_: (0, j)),
+        scratch_shapes=_dma_scratch(BK, BN, K, g),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024,

@@ -98,8 +98,11 @@ class FanoutChannel:
         self._hb_pull.bind(ready_bind)
         # subscription sync: publish seq-0 pings until every follower has
         # RECEIVED one and acked — proves its SUB pipe is live, so seq>=1
-        # commands cannot be lost to the PUB/SUB slow-joiner race
-        deadline = time.time() + self.timeout
+        # commands cannot be lost to the PUB/SUB slow-joiner race.
+        # Startup gets its own floor: it includes the follower's runner
+        # build/compiles, while multihost_timeout is the STEADY-STATE
+        # liveness bound and may be much tighter.
+        deadline = time.time() + max(self.timeout, 120.0)
         got = 0
         while got < self.n_followers:
             self.pub.send(pickle.dumps((0, "sync", None)))
@@ -184,11 +187,12 @@ class FollowerChannel:
         self.sub.connect(pub_connect)
         self.sub.setsockopt_string(zmq.SUBSCRIBE, "")
         # wait for the driver's seq-0 sync ping (proves the SUB pipe is
-        # live end-to-end), then ack on the ready channel
-        if self.sub.poll(int(self.timeout * 1000)) == 0:
+        # live end-to-end), then ack on the ready channel; startup floor
+        # as in FanoutChannel (driver-side compiles may precede the ping)
+        if self.sub.poll(int(max(self.timeout, 120.0) * 1000)) == 0:
             raise TimeoutError(
                 "multihost follower: no driver sync ping within "
-                f"{self.timeout:.0f}s")
+                f"{max(self.timeout, 120.0):.0f}s")
         seq, cmd, _ = pickle.loads(self.sub.recv())
         assert seq == 0 and cmd == "sync", (seq, cmd)
         self._push = ctx.socket(zmq.PUSH)

@@ -76,6 +76,49 @@ def _np_group_quantize(w: np.ndarray, bits: int):
     return q.reshape(inn, out), scale[:, 0, :]
 
 
+def quantize_weight_jnp(w: jnp.ndarray, method: str):
+    """Device-side analog of quantize_weight -> (q, scale), same shapes,
+    dtypes and value semantics. Used by the on-device dummy-weight
+    generator (model_loader): quantizing on device keeps the whole dummy
+    load free of host->device weight streaming (the remote relay made
+    that stream a 15-minute tax per bench run)."""
+    inn, out = w.shape
+    w = w.astype(jnp.float32)
+    if method in ("int4", "int4_awq", "int8", "w8a16"):
+        bits = 4 if method.startswith("int4") else 8
+        group = GROUP if inn % GROUP == 0 else inn
+        qmax = 2 ** (bits - 1) - 1
+        wg = w.reshape(inn // group, group, out)
+        absmax = jnp.abs(wg).max(axis=1, keepdims=True)
+        scale = absmax / qmax
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.rint(wg / scale), -qmax - 1, qmax)
+        q = q.astype(jnp.int32).reshape(inn, out)
+        s = scale[:, 0, :].astype(jnp.float32)
+        if bits == 8:
+            return q.astype(jnp.int8), s
+        lo = q[0::2] & 0xF
+        hi = q[1::2] & 0xF
+        b = (hi << 4) | lo                     # [0, 255]
+        b = ((b ^ 0x80) - 0x80)                # sign-extend into int8 range
+        return b.astype(jnp.int8), s
+    if method in ("fp8_block", "fp8_blockwise"):
+        B = 128
+        gi, go = -(-inn // B), -(-out // B)
+        wp = jnp.zeros((gi * B, go * B), jnp.float32).at[:inn, :out].set(w)
+        blocks = wp.reshape(gi, B, go, B)
+        absmax = jnp.abs(blocks).max(axis=(1, 3))
+        scale = jnp.where(absmax == 0, 1.0, absmax / 448.0)
+        q = (blocks / scale[:, None, :, None]).reshape(gi * B, go * B)
+        return (q[:inn, :out].astype(jnp.float8_e4m3fn),
+                scale.astype(jnp.float32))
+    if method == "fp8":
+        absmax = jnp.abs(w).max(axis=0, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / 448.0)
+        return (w / scale).astype(jnp.float8_e4m3fn), scale
+    raise ValueError(f"unknown quantization {method!r}")
+
+
 def quantize_weight(w: np.ndarray, method: str):
     """Host-side quantization -> (q_np, scale_np, target_dtype)."""
     if method in ("int4", "int4_awq"):
@@ -156,13 +199,55 @@ def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (wf * qw.scale[:, None, :]).reshape(inn, out).astype(dtype)
 
 
+class QuantLayerRef:
+    """One layer's view of a layer-STACKED QuantizedWeight, resolved
+    lazily at matmul time. The per-layer lax.scan must NOT slice stacked
+    quantized weights in its xs: a Pallas custom-call operand cannot
+    alias a dynamic-slice, so XLA materializes a full HBM->HBM copy of
+    every layer's weights each step (measured ~0.31 ms/layer/step at
+    llama-8B INT4 geometry — ~40% of the whole decode step). The Pallas
+    path instead passes the FULL stack + the traced layer index into the
+    kernel (int4_matmul_dma_stacked); non-Pallas paths fall back to the
+    dynamic-slice."""
+
+    __slots__ = ("qw", "idx")
+
+    def __init__(self, qw: "QuantizedWeight", idx):
+        self.qw = qw
+        self.idx = idx
+
+    def sliced(self) -> "QuantizedWeight":
+        return jax.tree.map(lambda a: a[self.idx], self.qw)
+
+    @property
+    def shape(self):
+        return self.qw.shape[1:]
+
+
 def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     """x @ w where w is a plain array or a QuantizedWeight.
 
     Grouped formulation keeps the dequant inside the dot fusion so HBM
     traffic stays at the narrow-dtype size."""
+    if isinstance(w, QuantLayerRef):
+        if w.qw.packed and _INT4_IMPL == "pallas":
+            from iaas_sglang_tpu.ops.quant_matmul import (
+                int4_matmul_dma_stacked,
+            )
+
+            out_dtype = out_dtype or x.dtype
+            qw = w.qw
+            inn = qw.q.shape[1] * 2
+            group = inn // qw.scale.shape[1]
+            lead = x.shape[:-1]
+            y = int4_matmul_dma_stacked(
+                x.reshape(-1, inn), qw.q, qw.scale, qw.zero_scale,
+                w.idx, group=group)
+            return y.reshape(*lead, qw.q.shape[2]).astype(out_dtype)
+        return qmatmul(x, w.sliced(), out_dtype)
     if not isinstance(w, QuantizedWeight):
-        return x @ w
+        y = x @ w
+        return y.astype(out_dtype) if out_dtype is not None else y
     out_dtype = out_dtype or x.dtype
     if w.packed:
         return _qmatmul_packed(x, w, out_dtype)

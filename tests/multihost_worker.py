@@ -42,7 +42,9 @@ def main() -> None:
     from iaas_sglang_tpu.server_args import ServerArgs
 
     kwargs = dict(
-        model_path="graft://tiny-mh", load_format="dummy",
+        # f32: greedy parity across process topologies must not hinge on
+        # bf16 argmax ties (cross-process gloo reductions reorder sums)
+        model_path="graft://tiny-mh", load_format="dummy", dtype="float32",
         skip_tokenizer_init=True, random_seed=0, page_size=16,
         max_total_tokens=4096, max_running_requests=8,
         max_prefill_tokens=256, chunked_prefill_size=256,

@@ -504,3 +504,44 @@ def test_extend_kernel_fp8_kv_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out[:T], np.float32), np.asarray(ref8[:T], np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("zeros", [False, True])
+def test_int4_matmul_dma_stacked_interpret(zeros):
+    """The stacked-layer DMA kernel (scan path: layer indexed INSIDE the
+    kernel, no per-layer HBM weight copy) must match per-layer dequant
+    references for every layer index."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        int4_matmul_dma_stacked, pack_int4)
+
+    rng = np.random.default_rng(5)
+    L, K, N = 3, 1024, 256
+    T, G = 8, 128
+    s = (rng.random((L, K // G, N)).astype(np.float32) + 0.5) * 0.02
+    if zeros:
+        q_u = rng.integers(0, 16, size=(L, K, N)).astype(np.int8)
+        z = rng.integers(0, 16, size=(L, K // G, N)).astype(np.int8)
+        q = q_u - 8
+        zs = (z.astype(np.float32) - 8.0) * s
+        wd = (q_u.astype(np.float32) - np.repeat(z, G, axis=1)) \
+            * np.repeat(s, G, axis=1)
+    else:
+        q = rng.integers(-8, 8, size=(L, K, N)).astype(np.int8)
+        zs = None
+        wd = q.astype(np.float32) * np.repeat(s, G, axis=1)
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+    packed = jnp.asarray(np.stack([pack_int4(q[l]) for l in range(L)]))
+
+    for l in range(L):
+        ref = np.asarray(x) @ wd[l]
+        with pltpu.force_tpu_interpret_mode():
+            out = int4_matmul_dma_stacked(
+                x, packed, jnp.asarray(s),
+                jnp.asarray(zs) if zeros else None,
+                jnp.int32(l), group=G, block_n=128, block_k=512)
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=2e-2, atol=2e-2), l
+

