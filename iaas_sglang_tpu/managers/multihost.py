@@ -38,6 +38,7 @@ def _wire_hb(hb: HostBatch) -> HostBatch:
         device_logits=None,
         device_logprobs=(None, None, None),
         multi_tokens=None,
+        _device_multi=None,
         hidden_states=None,
         verify_hidden=None,
         all_hidden=None,

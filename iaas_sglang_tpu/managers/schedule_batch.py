@@ -404,29 +404,47 @@ class ScheduleBatch:
             hb.device_tokens = chain_from.device_tokens
         return hb
 
-    def prepare_for_decode_multi(self, n_steps: int) -> Optional[HostBatch]:
+    def prepare_for_decode_multi(self, n_steps: int,
+                                 chain_from: Optional[HostBatch] = None
+                                 ) -> Optional[HostBatch]:
         """Decode HostBatch covering n_steps chained device iterations
         (ModelRunner multi_step): pages are pre-allocated through
         fill + n_steps; KV slots per step are computed in-program from the
         page table. Returns None when page allocation fails (caller falls
-        back to single-step decode + retraction)."""
+        back to single-step decode + retraction).
+
+        chain_from: the previous (still in-flight) multi-step HostBatch
+        over the SAME request list — its on-device LAST sampled token
+        becomes this chain's step-0 input with no host roundtrip (the
+        cross-dispatch generalization of single-step chaining: the host
+        fetches and processes chain N's 32 tokens while chain N+1 runs).
+        All host metadata derives from fill_len + pending_steps, which is
+        token-value independent."""
         ps = self.page_size
         B = len(self.reqs)
+
+        def eff_fill(r: Req) -> int:
+            return r.fill_len + r.pending_steps
+
         if not self._alloc_growth({
-            id(r): max(cdiv(r.fill_len + n_steps, ps)
+            id(r): max(cdiv(eff_fill(r) + n_steps, ps)
                        - len(r.page_table_np()), 0)
             for r in self.reqs
         }):
             return None
 
-        ids = np.asarray([r.output_ids[-1] for r in self.reqs],
-                         dtype=np.int32)
-        positions = np.asarray([r.fill_len for r in self.reqs],
+        if chain_from is None:
+            assert all(r.pending_steps == 0 for r in self.reqs)
+            ids = np.asarray([r.output_ids[-1] for r in self.reqs],
+                             dtype=np.int32)
+        else:
+            ids = None
+        positions = np.asarray([eff_fill(r) for r in self.reqs],
                                dtype=np.int32)
         slots = np.zeros(B, dtype=np.int32)  # recomputed per step in-program
         page_tables, seq_lens = [], []
         for r in self.reqs:
-            f = r.fill_len
+            f = eff_fill(r)
             table = r.page_table_np()
             page_tables.append(table[: cdiv(f + n_steps, ps)])
             seq_lens.append(f + 1)
@@ -436,6 +454,8 @@ class ScheduleBatch:
             np.ones(B, dtype=np.int32),
         )
         hb.multi_steps = n_steps
+        if chain_from is not None:
+            hb.device_tokens = chain_from.device_tokens
         return hb
 
     def _build_penalty_arrays(self):

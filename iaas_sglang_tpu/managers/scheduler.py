@@ -178,6 +178,11 @@ class Scheduler:
         # computed from the PREVIOUS step's token (VERDICT r2 missing #1)
         self._gchain: Optional[tuple] = None
         self._gchain_steps = 0   # chained grammar steps (observability/tests)
+        # in-flight multi-step decode chain (batch, HostBatch): fetched and
+        # processed while the NEXT chained multi-step dispatch runs
+        self._minflight: Optional[tuple] = None
+        self._mchain_steps = 0   # chained multi-step dispatches (tests)
+        self._pchain_steps = 0   # pipelined prefill dispatches (tests)
         self.enable_overlap = (not server_args.disable_overlap_schedule
                                and not server_args.speculative_algorithm)
         # PD disaggregation (disaggregation/conn.py)
@@ -781,15 +786,71 @@ class Scheduler:
         if hb is None:
             return False  # page pressure: single-step path retracts
         self._attach_encoder(batch, hb)
-        toks = self.model_runner.forward(hb)   # np [B, N]
-        self.process_multi_result(batch, toks)
+        self.model_runner.forward(hb, fetch=False)   # launch only
+        for r in batch.reqs:
+            r.pending_steps += self.multi_steps
+        batch.last_hb = hb
+        self._minflight = (batch, hb)
+        return True
+
+    def _can_chain_multi(self, mb: ScheduleBatch) -> bool:
+        """Chain the NEXT multi-step dispatch on the in-flight chain's
+        device tokens (fetch + host processing of chain N then overlap
+        chain N+1's execution — without this the ~3 relay RTTs between
+        chains cost ~2 ms/token-step at N=32). Penalties are excluded:
+        their device count state does not carry across dispatches."""
+        return (
+            self.enable_overlap
+            and self.server_args.nnodes == 1
+            and not self.waiting_queue
+            and self.chunked_req is None
+            and bool(mb.reqs)
+            and all(not r.is_finished() and not getattr(r, "cleaned", False)
+                    for r in mb.reqs)
+            and getattr(mb, "last_hb", None) is not None
+            and mb.last_hb.penalty_arrays is None
+            # chain N+1 must be able to emit at least one useful token:
+            # past every request's max_new_tokens it would be pure waste
+            # (and can cross a page-bucket boundary -> a pointless fresh
+            # compile mid-decode)
+            and any(len(r.output_ids) + r.pending_steps
+                    < r.sampling_params.max_new_tokens for r in mb.reqs)
+            and self._multi_eligible(mb)
+        )
+
+    def _step_multi_chain(self) -> bool:
+        mb, mhb = self._minflight
+        self._minflight = None
+        self._watchdog_last = time.monotonic()
+        self._watchdog_busy = True
+        launched = None
+        if self._can_chain_multi(mb):
+            nb = ScheduleBatch(
+                list(mb.reqs), ForwardMode.DECODE,
+                self.allocators, self.tree_caches, self.page_size,
+            )
+            hb2 = nb.prepare_for_decode_multi(
+                self.multi_steps, chain_from=mhb)
+            if hb2 is not None and hb2.penalty_arrays is None:
+                self._attach_encoder(nb, hb2)
+                self.model_runner.forward(hb2, fetch=False)
+                for r in nb.reqs:
+                    r.pending_steps += self.multi_steps
+                nb.last_hb = hb2
+                launched = (nb, hb2)
+                self._mchain_steps += 1
+        toks = self.model_runner.fetch_multi(mhb)
+        self.process_multi_result(mb, toks)
+        self._minflight = launched
+        self._watchdog_busy = False
         return True
 
     def process_multi_result(self, batch: ScheduleBatch,
                              toks: np.ndarray) -> None:
         finished: List[Req] = []
         for i, req in enumerate(batch.reqs):
-            if req.is_finished():
+            req.pending_steps = max(0, req.pending_steps - toks.shape[1])
+            if req.is_finished() or getattr(req, "cleaned", False):
                 continue
             sp = req.sampling_params
             room = sp.max_new_tokens - len(req.output_ids)
@@ -1625,6 +1686,8 @@ class Scheduler:
         token ids for this, tp_worker_overlap_thread.py:53; JAX async
         dispatch + device-token chaining gives it directly)."""
         self._poll_grammar_queue()
+        if self._minflight is not None:
+            return self._step_multi_chain()
         if self._gchain is not None:
             return self._step_grammar_chain()
         if self._inflight is not None:
@@ -1653,6 +1716,30 @@ class Scheduler:
                 if nxt is not None:
                     self._gchain = nxt
                     self._process_inflight()
+                    return True
+            elif (ib.mode.is_extend()
+                  and self.enable_overlap
+                  and self.server_args.nnodes == 1
+                  and self.chunked_req is None
+                  and self.eagle is None
+                  # disjointness MUST hold before the batch is built: the
+                  # PrefillAdder mutates per-request state (extend_len,
+                  # prefix match) that would go stale if the request also
+                  # sits in the in-flight batch (jump-forward backfills
+                  # re-queue a request whose previous extend is in flight)
+                  and not any(id(r) in {id(q) for q in ib.reqs}
+                              for r in self.waiting_queue)):
+                # prefill pipelining: consecutive prefill batches hold
+                # DISJOINT requests and prompt tokens are host-known — so
+                # chunk k+1 launches BEFORE chunk k is fetched, hiding
+                # the per-chunk dispatch+fetch RTTs under device time
+                # (the TTFT analog of decode chaining)
+                nb = self.get_new_batch_prefill()
+                if nb is not None:
+                    _, hb2 = self.run_batch(nb, fetch=False)
+                    self._pchain_steps += 1
+                    self._process_inflight()
+                    self._inflight = (nb, hb2)
                     return True
             self._process_inflight()
 
@@ -1683,6 +1770,11 @@ class Scheduler:
 
     def drain(self) -> None:
         """Fetch+process any in-flight speculative step (idle cleanup)."""
+        while self._minflight is not None:
+            mb, mhb = self._minflight
+            self._minflight = None
+            toks = self.model_runner.fetch_multi(mhb)
+            self.process_multi_result(mb, toks)
         while self._gchain is not None:
             batch, fwd_hb = self._gchain
             self._gchain = None
@@ -1699,6 +1791,7 @@ class Scheduler:
             self.waiting_queue or self.running_batch.reqs
             or self.chunked_req or self._inflight is not None
             or self._gchain is not None or self.grammar_queue
+            or self._minflight is not None
         )
 
     def start_watchdog(self) -> None:

@@ -85,6 +85,7 @@ class HostBatch:
     # (amortizes host->device dispatch latency; the relay RTT is ~24 ms)
     multi_steps: int = 1
     multi_tokens: Any = None        # np i32[B, N] all sampled tokens
+    _device_multi: Any = None       # jnp i32[B_pad, N] (pre-fetch handle)
     # DP attention: per-seq attention-rank assignment (None = off)
     dp_ranks: Any = None            # np i32[B] | None
     # multimodal rows for THIS chunk (scheduler attaches; runner pads)
@@ -609,7 +610,7 @@ class ModelRunner:
         grammar mask, no sampling); call `sample_deferred` afterwards to
         sample with host state computed WHILE the forward runs."""
         if hb.multi_steps > 1:
-            return self._forward_multi(hb)
+            return self._forward_multi(hb, fetch=fetch)
         fb, meta, B = self._pad_to_device(hb)
         hb.num_valid = B
         if defer_sample:
@@ -681,7 +682,8 @@ class ModelRunner:
             return None
         return self.fetch_tokens(hb)
 
-    def _forward_multi(self, hb: HostBatch) -> np.ndarray:
+    def _forward_multi(self, hb: HostBatch,
+                       fetch: bool = True) -> Optional[np.ndarray]:
         assert self.attn_dp == 1, \
             "multi-step decode is gated off under DP attention"
         fb, meta, B = self._pad_to_device(hb)
@@ -724,8 +726,15 @@ class ModelRunner:
                     __import__("time").perf_counter() - t0)
             toks, last, self.kv_pages = exe(
                 self.params, self.kv_pages, fb, meta, pen)
-        hb.device_tokens = last
-        hb.multi_tokens = np.asarray(toks)[:B]        # [B, N]
+        hb.device_tokens = last           # [B_pad] — next chain's input
+        hb._device_multi = toks           # [B_pad, N] device handle
+        if not fetch:
+            return None                   # fetch_multi() materializes later
+        return self.fetch_multi(hb)
+
+    def fetch_multi(self, hb: HostBatch) -> np.ndarray:
+        """Materialize a launched multi-step chain's sampled tokens."""
+        hb.multi_tokens = np.asarray(hb._device_multi)[: hb.num_valid]
         return hb.multi_tokens
 
     def fetch_tokens(self, hb: HostBatch) -> np.ndarray:

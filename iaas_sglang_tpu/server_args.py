@@ -202,9 +202,11 @@ class ServerArgs:
     warmups: Optional[str] = None          # comma-separated registry names
     chat_template: Optional[str] = None    # named template override
     skip_server_warmup: bool = False
-    # quantized q/k/v + gate/up fused-GEMM params (single-shard only;
-    # opt-in — measured slightly slower than separate calls on v5e)
-    enable_quant_fusion: bool = False
+    # quantized q/k/v + gate/up fused-GEMM params (single-shard only).
+    # Default ON since r3: with the globally-pipelined DMA kernel the
+    # fused stacks WIN (one pipelined call amortizes the small-N wq/wk/wv
+    # launches; r2's "slightly slower" verdict predates the pipeline)
+    enable_quant_fusion: bool = True
 
     def __post_init__(self):
         if self.tokenizer_path is None:

@@ -83,6 +83,8 @@ def main():
     from iaas_sglang_tpu.model_executor.model_runner import ModelRunner
     from iaas_sglang_tpu.server_args import ServerArgs
 
+    import sys
+
     cfg = ModelConfig.from_hf(HF, model_path="probe://chain")
     sa = ServerArgs(
         model_path="probe://chain", load_format="dummy", dtype="bfloat16",
@@ -90,7 +92,10 @@ def main():
         max_total_tokens=B * 256 + 256, mem_fraction_static=0.85,
         max_running_requests=B, max_prefill_tokens=B * 128,
         skip_tokenizer_init=True, random_seed=0,
+        enable_quant_fusion="--fuse" in sys.argv,
+        quantize_lm_head="--qhead" in sys.argv,
     )
+    print("flags:", sys.argv[1:], flush=True)
     runner = ModelRunner(sa, cfg)
 
     t8 = time_chain(runner, sa, 8)

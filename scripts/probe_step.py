@@ -16,12 +16,14 @@ import numpy as np
 
 
 def main():
+    import sys
+
     from iaas_sglang_tpu.entrypoints.engine import Engine
     from iaas_sglang_tpu.server_args import ServerArgs
     from iaas_sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
     from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
 
-    L = 8
+    L = 32 if "--full" in sys.argv else 8
     hf = dict(
         architectures=["LlamaForCausalLM"], model_type="llama",
         num_hidden_layers=L, hidden_size=4096,
@@ -30,7 +32,7 @@ def main():
         rms_norm_eps=1e-5, rope_theta=500000.0,
         max_position_embeddings=8192, tie_word_embeddings=False,
     )
-    B, IN_LEN, OUT_LEN = 32, 128, 96
+    B, IN_LEN, OUT_LEN = 32, 128, (128 if "--out128" in sys.argv else 96)
     sa = ServerArgs(
         model_path="probe://llama8L-int4", load_format="dummy",
         dtype="bfloat16", page_size=16, quantization="int4",
@@ -38,8 +40,10 @@ def main():
         mem_fraction_static=0.85, max_running_requests=B,
         max_prefill_tokens=B * IN_LEN, chunked_prefill_size=512,
         decode_steps_per_dispatch=32,
+        disable_overlap_schedule="--no-overlap" in sys.argv,
         skip_tokenizer_init=True, random_seed=0,
     )
+    print("argv:", sys.argv[1:], "L:", L, flush=True)
     eng = Engine(sa, hf_config_override=hf)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(1, 128255, size=IN_LEN).tolist()

@@ -16,7 +16,11 @@ def make_engine(**kw):
         model_path="test://tiny", load_format="dummy", dtype="float32",
         page_size=4, max_total_tokens=512, device="cpu",
         max_running_requests=8, max_prefill_tokens=128,
-        chunked_prefill_size=32, skip_tokenizer_init=True, random_seed=0,
+        chunked_prefill_size=32, skip_tokenizer_init=True,
+        # seed 1: seed 0's on-device dummy weights make the 2-layer tiny
+        # model emit one repeated token, which breaks "use the k-th output
+        # as a stop token" style probes (greedy degeneracy, not a bug)
+        random_seed=1,
     )
     defaults.update(kw)
     sa = ServerArgs(**defaults)
@@ -461,3 +465,45 @@ def test_hicache_split_preserves_backup():
     fresh = make_engine().generate(input_ids=a, sampling_params=sp)
     assert fresh["output_ids"] == out_a["output_ids"]
     eng.scheduler.check_memory_leak()
+
+
+def test_multi_step_cross_dispatch_chaining_parity():
+    """Chained multi-step dispatches (chain N+1 launched on chain N's
+    device tokens while the host processes chain N) must be token-exact
+    vs the unchained multi path and the single-step path, and must
+    actually engage."""
+    eng_c = make_engine(decode_steps_per_dispatch=4)
+    eng_n = make_engine(decode_steps_per_dispatch=4,
+                        disable_overlap_schedule=True)
+    eng_1 = make_engine()
+    prompts = [list(range(10)), list(range(40, 70)), [5, 6] * 8]
+    sp = {"max_new_tokens": 17, "temperature": 0.0, "ignore_eos": True}
+    outs_c = eng_c.generate(input_ids=prompts, sampling_params=sp)
+    outs_n = eng_n.generate(input_ids=prompts, sampling_params=sp)
+    outs_1 = eng_1.generate(input_ids=prompts, sampling_params=sp)
+    for a, b, c in zip(outs_c, outs_n, outs_1):
+        assert a["output_ids"] == b["output_ids"] == c["output_ids"]
+    assert eng_c.scheduler._mchain_steps >= 2, \
+        eng_c.scheduler._mchain_steps
+    assert eng_n.scheduler._mchain_steps == 0
+    eng_c.scheduler.check_memory_leak()
+
+
+def test_prefill_pipelining_parity():
+    """Pipelined prefill (chunk k+1 launched before chunk k is fetched)
+    must be token-exact vs the unpipelined path and must engage when
+    multiple prefill batches queue up."""
+    # prompts divide the chunk budget exactly: a chunk-carry (chunked_req)
+    # disables pipelining (its next chunk shares the in-flight request)
+    eng_p = make_engine(max_prefill_tokens=24, chunked_prefill_size=24)
+    eng_s = make_engine(max_prefill_tokens=24, chunked_prefill_size=24,
+                        disable_overlap_schedule=True)
+    prompts = [list(range(i * 4, i * 4 + 12)) for i in range(6)]
+    sp = {"max_new_tokens": 9, "temperature": 0.0, "ignore_eos": True}
+    outs_p = eng_p.generate(input_ids=prompts, sampling_params=sp)
+    outs_s = eng_s.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_p, outs_s):
+        assert a["output_ids"] == b["output_ids"]
+    assert eng_p.scheduler._pchain_steps > 0
+    assert eng_s.scheduler._pchain_steps == 0
+    eng_p.scheduler.check_memory_leak()
