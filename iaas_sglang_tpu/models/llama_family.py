@@ -677,8 +677,13 @@ class LlamaFamilyForCausalLM:
             if not all(isinstance(w, QuantizedWeight) for w in ws):
                 return None
             if len({w.packed for w in ws}) != 1 or \
+                    len({w.block for w in ws}) != 1 or \
                     len({w.q.dtype for w in ws}) != 1 or \
                     len({w.q.shape[:-1] for w in ws}) != 1:
+                return None
+            if ws[0].block and any(w.q.shape[-1] % 128 for w in ws):
+                # blockwise scales concat along columns only when every
+                # piece is 128-column aligned (block boundaries preserved)
                 return None
             has_zs = [w.zero_scale is not None for w in ws]
             if any(has_zs) and not all(has_zs):
@@ -688,7 +693,7 @@ class LlamaFamilyForCausalLM:
             zs = (jnp.concatenate([w.zero_scale for w in ws], axis=-1)
                   if all(has_zs) else None)
             return QuantizedWeight(q=q, scale=s, zero_scale=zs,
-                                   packed=ws[0].packed)
+                                   packed=ws[0].packed, block=ws[0].block)
 
         new_lp = dict(lp)
         qkv = fuse(("wq", "wk", "wv"))

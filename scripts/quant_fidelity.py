@@ -60,10 +60,9 @@ def run(quant):
         return_logprob=True,
     )
     toks = [o["output_ids"] for o in outs]
-    lps = [[t[0] for t in (o.get("meta_info", {}) or {}).get(
-        "output_token_logprobs", [])] or
-        [t[0] for t in o.get("output_token_logprobs", [])]
-        for o in outs]
+    # output_token_logprobs: flat list of chosen-token logprob floats
+    lps = [list(o["meta_info"].get("output_token_logprobs", []))
+           for o in outs]
     eng.shutdown()
     del eng
     import gc
@@ -73,12 +72,12 @@ def run(quant):
     return toks, lps
 
 
-def main():
-    t_bf, lp_bf = run(None)
-    t_i4, lp_i4 = run("int4")
+def compare(name, ref, test):
+    t_bf, lp_bf = ref
+    t_q, lp_q = test
     agree = total = 0
     first_div = []
-    for a, b in zip(t_bf, t_i4):
+    for a, b in zip(t_bf, t_q):
         n = min(len(a), len(b))
         div = next((i for i in range(n) if a[i] != b[i]), n)
         first_div.append(div)
@@ -87,18 +86,24 @@ def main():
         agree += div
         total += n
     dlp = []
-    for s, (a, b) in enumerate(zip(lp_bf, lp_i4)):
+    for s, (a, b) in enumerate(zip(lp_bf, lp_q)):
         # chosen-token logprob drift is only comparable while the two
         # sequences are still token-identical
         for i in range(min(len(a), len(b), first_div[s])):
             dlp.append(abs(a[i] - b[i]))
     print(json.dumps({
-        "metric": "int4_vs_bf16_greedy_agreement_llama3_12L",
+        "metric": f"{name}_vs_bf16_greedy_agreement_llama3_12L",
         "agreement": round(agree / max(total, 1), 4),
         "mean_first_divergence_step": round(float(np.mean(first_div)), 1),
         "out_len": OUT_LEN, "batch": B,
         "mean_abs_dlogprob": round(float(np.mean(dlp)), 4) if dlp else None,
-    }))
+    }), flush=True)
+
+
+def main():
+    ref = run(None)
+    compare("int4", ref, run("int4"))
+    compare("fp8_block", ref, run("fp8_block"))
 
 
 if __name__ == "__main__":

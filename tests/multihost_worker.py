@@ -8,6 +8,8 @@ Modes (argv[1]):
   L0 / L1        liveness pair: L0 = driver that idles after init (writes
                  "ready" to outfile), L1 = follower; used by the
                  kill-one-assert-other-dies tests
+  Eref / E0 / E1 expert-parallel MoE composition: tiny Mixtral with
+                 experts sharded over the tp axis (ep_size=4)
 
 argv: mode coordinator_port outfile [decode_steps_per_dispatch]
 """
@@ -25,6 +27,14 @@ TINY = dict(
     tie_word_embeddings=False,
 )
 
+TINY_MOE = dict(
+    architectures=["MixtralForCausalLM"], model_type="mixtral",
+    num_hidden_layers=2, hidden_size=256, num_attention_heads=8,
+    num_key_value_heads=4, intermediate_size=256, vocab_size=1024,
+    rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=1024,
+    tie_word_embeddings=False, num_local_experts=4, num_experts_per_tok=2,
+)
+
 PROMPTS = [
     list(range(3, 19)),
     [9, 8, 7, 6, 5],
@@ -37,10 +47,12 @@ def main() -> None:
     mode, port, outfile = sys.argv[1], sys.argv[2], sys.argv[3]
     steps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     liveness = mode.startswith("L")
-    if liveness:
+    ep = mode.startswith("E")
+    if liveness or ep:
         mode = mode[1:]
     from iaas_sglang_tpu.server_args import ServerArgs
 
+    hf = TINY_MOE if ep else TINY
     kwargs = dict(
         # f32: greedy parity across process topologies must not hinge on
         # bf16 argmax ties (cross-process gloo reductions reorder sums)
@@ -49,6 +61,7 @@ def main() -> None:
         max_total_tokens=4096, max_running_requests=8,
         max_prefill_tokens=256, chunked_prefill_size=256,
         tp_size=4, dp_size=2, decode_steps_per_dispatch=steps,
+        ep_size=4 if ep else 1,
     )
     if mode != "ref":
         kwargs.update(nnodes=2, node_rank=int(mode),
@@ -61,12 +74,12 @@ def main() -> None:
 
         sa = ServerArgs(**kwargs)
         run_follower(
-            sa, ModelConfig.from_hf(TINY, model_path=sa.model_path))
+            sa, ModelConfig.from_hf(hf, model_path=sa.model_path))
         return
 
     from iaas_sglang_tpu.entrypoints.engine import Engine
 
-    eng = Engine(ServerArgs(**kwargs), hf_config_override=TINY)
+    eng = Engine(ServerArgs(**kwargs), hf_config_override=hf)
     if liveness:
         # idle driver: heartbeats only; the monitor must kill us when the
         # follower dies (exit 17). Write a ready marker for the test.

@@ -185,3 +185,29 @@ def test_driver_death_kills_follower(tmp_path):
             if p.poll() is None:
                 p.kill()
                 p.wait(timeout=10)
+
+
+def test_two_process_ep_moe_parity(tmp_path):
+    """Multihost x expert-parallel MoE composition (VERDICT r2 next #7):
+    a tiny Mixtral with experts sharded over the tp axis must produce the
+    same greedy tokens under nnodes=2 as single-process."""
+    ref_out = str(tmp_path / "ref.json")
+    mh_out = str(tmp_path / "mh.json")
+
+    p = _run("Eref", 0, ref_out, n_local=8)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, f"reference run failed:\n{out[-4000:]}"
+
+    port = _free_port()
+    follower = _run("E1", port, "/dev/null", n_local=4)
+    driver = _run("E0", port, mh_out, n_local=4)
+    dout, _ = driver.communicate(timeout=600)
+    fout, _ = follower.communicate(timeout=120)
+    assert driver.returncode == 0, f"driver failed:\n{dout[-4000:]}"
+    assert follower.returncode == 0, f"follower failed:\n{fout[-4000:]}"
+
+    with open(ref_out) as f:
+        ref = json.load(f)
+    with open(mh_out) as f:
+        mh = json.load(f)
+    assert ref == mh, f"multihost EP divergence:\nref {ref}\nmh  {mh}"
