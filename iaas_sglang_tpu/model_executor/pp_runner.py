@@ -94,7 +94,9 @@ class PPModelRunner(ModelRunner):
         sa, c = self.server_args, self.model_config
         specs = self.model.weight_specs()
         if sa.load_format == "dummy":
-            host = model_loader._dummy_host_params(
+            # device-generator values (matches ModelRunner's dummy load,
+            # so PP-vs-single-runner greedy parity holds)
+            host = model_loader.dummy_host_params_device_gen(
                 specs, c, sa.random_seed or 0)
         else:
             host = model_loader._load_host_params_safetensors(specs, c)

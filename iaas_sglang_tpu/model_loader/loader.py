@@ -363,6 +363,26 @@ def _dummy_device_params(specs: Dict[str, WeightSpec], config: ModelConfig,
     return tree
 
 
+def dummy_host_params_device_gen(specs: Dict[str, WeightSpec],
+                                 config: ModelConfig,
+                                 seed: int) -> Dict[str, np.ndarray]:
+    """Flat numpy dummy params drawn by the ON-DEVICE generator, so a
+    consumer that slices/places its own shards (the PP runner's per-stage
+    split) sees the SAME values as ModelRunner's dummy load — PP-vs-
+    single-runner greedy parity depends on it."""
+    from iaas_sglang_tpu.parallel.mesh import make_mesh
+
+    tree = _dummy_device_params(specs, config, make_mesh(1, 1), None, seed)
+
+    def get(name):
+        cur = tree
+        for part in name.split("."):
+            cur = cur[part]
+        return cur
+
+    return {name: np.asarray(get(name)) for name in specs}
+
+
 def _dummy_host_params(specs: Dict[str, WeightSpec], config: ModelConfig,
                        seed: int) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)

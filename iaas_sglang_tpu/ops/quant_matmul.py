@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128
 
+# dequant arithmetic inside the DMA kernels: "f32" converts nibbles to
+# f32, scales in f32, casts to bf16 (3 VPU passes; r1/r2 winner); "bf16"
+# converts directly to bf16 and scales with bf16 scales (2 passes —
+# re-A/B'd per kernel generation since the pipeline rework changed what
+# the dequant overlaps with). Env override for probing.
+_DEQUANT_MODE = __import__("os").environ.get("IAAS_INT4_DEQUANT", "f32")
+
 
 def pack_int4(q: np.ndarray) -> np.ndarray:
     """Host-side nibble packing, row-pair layout. q: int8 [K, N], values in
@@ -282,10 +289,17 @@ def _int4_dma_kernel(x_ref, w_hbm, s_hbm, zs_hbm, o_ref,
         pipe[0] = gc + 1
         w4 = pltpu.bitcast(wbuf[slot], jnp.int4)        # [BK, BN]
         s = sbuf[jslot, pl.ds(k * nG, nG)]              # f32 [nG, BN]
-        w3 = w4.astype(jnp.float32).reshape(nG, group, BN) * s[:, None, :]
-        if has_zero:
-            w3 = w3 - zbuf[jslot, pl.ds(k * nG, nG)][:, None, :]
-        wf = w3.reshape(BK, BN).astype(x_ref.dtype)
+        if _DEQUANT_MODE == "bf16" and x_ref.dtype == jnp.bfloat16 \
+                and not has_zero:
+            w3 = (w4.astype(jnp.bfloat16).reshape(nG, group, BN)
+                  * s.astype(jnp.bfloat16)[:, None, :])
+            wf = w3.reshape(BK, BN)
+        else:
+            w3 = (w4.astype(jnp.float32).reshape(nG, group, BN)
+                  * s[:, None, :])
+            if has_zero:
+                w3 = w3 - zbuf[jslot, pl.ds(k * nG, nG)][:, None, :]
+            wf = w3.reshape(BK, BN).astype(x_ref.dtype)
         xk = x_ref[:, pl.ds(k * BK, BK)]
         return acc + jax.lax.dot_general(
             xk, wf, (((1,), (0,)), ((), ())),
