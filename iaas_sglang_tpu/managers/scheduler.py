@@ -755,14 +755,17 @@ class Scheduler:
     def _multi_eligible(self, batch: ScheduleBatch) -> bool:
         """Multi-step decode: N chained iterations per dispatch.
 
-        Penalties and logit bias now RIDE THE CHAIN — the count state is
+        Penalties and logit bias RIDE THE CHAIN — the count state is
         carried and updated on device inside the multi-step program
         (model_runner multi_step), so penalty batches keep the overlap
-        win. Still excluded: grammar (masks come from the host automaton
-        per sampled token), logprobs (per-step fetch), custom logit
-        processors (arbitrary host python), and requests whose
-        min_new_tokens boundary falls INSIDE the chain window (the EOS
-        disallow mask would have to flip mid-chain)."""
+        win. Logprob requests ride too: the chain emits per-step
+        chosen-token logprobs (+top-k tables) in its scan outputs — one
+        fetch per N tokens. Still excluded: grammar (masks come from the
+        host automaton per sampled token; served by the split
+        fwd/sample chain instead), token_ids_logprob (needs full logits
+        rows), custom logit processors (arbitrary host python), and
+        requests whose min_new_tokens boundary falls INSIDE the chain
+        window (the EOS disallow mask would have to flip mid-chain)."""
         n = self.multi_steps
         return (
             n > 1
@@ -771,7 +774,6 @@ class Scheduler:
             and batch.mode.is_decode()
             and all(
                 r.grammar is None
-                and not r.return_logprob
                 and not r.token_ids_logprob
                 and not r.sampling_params.custom_logit_processor
                 and (len(r.output_ids) >= r.sampling_params.min_new_tokens
@@ -848,6 +850,10 @@ class Scheduler:
     def process_multi_result(self, batch: ScheduleBatch,
                              toks: np.ndarray) -> None:
         finished: List[Req] = []
+        hb = getattr(batch, "last_hb", None)
+        lp = hb.token_logprobs if hb is not None else None       # [B, N]
+        topv = hb.top_logprob_vals if hb is not None else None   # [B, N, K]
+        topi = hb.top_logprob_ids if hb is not None else None
         for i, req in enumerate(batch.reqs):
             req.pending_steps = max(0, req.pending_steps - toks.shape[1])
             if req.is_finished() or getattr(req, "cleaned", False):
@@ -858,6 +864,13 @@ class Scheduler:
                 req.output_ids.append(int(toks[i, j]))
                 req.fill_len += 1
                 self.num_generated_tokens += 1
+                if req.return_logprob and lp is not None:
+                    req.output_token_logprobs.append(float(lp[i, j]))
+                    if topv is not None and req.top_logprobs_num > 0:
+                        k = req.top_logprobs_num
+                        req.output_top_logprobs.append([
+                            [float(v), int(t)] for v, t in zip(
+                                topv[i, j][:k], topi[i, j][:k])])
                 req.check_finished(self.tokenizer)
                 if req.is_finished():
                     break

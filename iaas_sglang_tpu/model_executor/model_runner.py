@@ -490,7 +490,7 @@ class ModelRunner:
 
         def multi_step(params, kv_pages, fb: ForwardBatch,
                        meta: SamplingMetadata, pen, n_steps: int,
-                       sampling_mode: str):
+                       sampling_mode: str, logprob_top_k: int = -1):
             """N chained decode iterations in one program: the sampled token
             of step i is step i+1's input ON DEVICE (lax.scan), and KV slots
             are recomputed from the page table each step. One dispatch + one
@@ -530,14 +530,30 @@ class ModelRunner:
                 if pen is not None:
                     counts = counts.at[
                         jnp.arange(tok2.shape[0]), tok2].add(1.0)
-                return (tok2, kv, counts), tok2
+                if logprob_top_k >= 0:
+                    # logprob requests ride the chain: per-step chosen-token
+                    # logprob (+ top-k table) accumulates in the scan ys —
+                    # one fetch per N tokens instead of per-dispatch decode
+                    lp, topv, topi = compute_logprobs(
+                        logits, tok2, logprob_top_k)
+                    ys = (tok2, lp, topv, topi)
+                else:
+                    ys = tok2
+                return (tok2, kv, counts), ys
 
             counts0 = (output_token_counts(pen, vocab_size)
                        if pen is not None else jnp.zeros((), jnp.float32))
-            (last, kv_pages, _), toks = jax.lax.scan(
+            (last, kv_pages, _), ys = jax.lax.scan(
                 body, (fb.input_ids, kv_pages, counts0),
                 jnp.arange(n_steps, dtype=jnp.int32))
-            return toks.T, last, kv_pages     # [B, N], [B]
+            if logprob_top_k >= 0:
+                toks, lp, topv, topi = ys
+                lps = (lp.T, None if topv is None else topv.swapaxes(0, 1),
+                       None if topi is None else topi.swapaxes(0, 1))
+            else:
+                toks = ys
+                lps = (None, None, None)
+            return toks.T, last, kv_pages, lps   # [B, N], [B], ..., ([B,N],...)
 
         if self.multihost:
             # pin every non-KV output replicated: any process (driver or
@@ -555,13 +571,14 @@ class ModelRunner:
                 return wsc(out[:-1]) + (out[-1],)
 
             def multi_step(params, kv_pages, fb, meta, pen, n_steps,
-                           sampling_mode):
-                toks, last, kv = inner_multi(params, kv_pages, fb, meta,
-                                             pen, n_steps, sampling_mode)
-                return wsc(toks), wsc(last), kv
+                           sampling_mode, logprob_top_k=-1):
+                toks, last, kv, lps = inner_multi(
+                    params, kv_pages, fb, meta, pen, n_steps,
+                    sampling_mode, logprob_top_k)
+                return wsc(toks), wsc(last), kv, wsc(lps)
 
         self._multi_fn = jax.jit(
-            multi_step, donate_argnums=(1,), static_argnums=(5, 6))
+            multi_step, donate_argnums=(1,), static_argnums=(5, 6, 7))
 
         def sample_step(logits, meta: SamplingMetadata, pen, grammar_mask,
                         logprob_top_k: int, sampling_mode: str):
@@ -700,7 +717,8 @@ class ModelRunner:
                 put = lambda x: (jax.device_put(x, rep)
                                  if isinstance(x, jax.Array) else x)
             fb, meta, pen = jax.tree.map(put, (fb, meta, pen))
-        key = ("multi", hb.multi_steps, sampling_mode,
+        logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
+        key = ("multi", hb.multi_steps, sampling_mode, logprob_top_k,
                str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
                                 (fb, meta, pen))))
         exe = self._compiled.get(key)
@@ -718,23 +736,33 @@ class ModelRunner:
                 abs_args = jax.tree.map(
                     absify, (self.params, self.kv_pages, fb, meta, pen))
                 exe = self._multi_fn.lower(
-                    *abs_args, hb.multi_steps, sampling_mode).compile()
+                    *abs_args, hb.multi_steps, sampling_mode,
+                    logprob_top_k).compile()
                 self._compiled[key] = exe
                 logger.info(
                     "compiled multi-step decode (B=%s N=%d) in %.1fs",
                     meta.temperatures.shape[0], hb.multi_steps,
                     __import__("time").perf_counter() - t0)
-            toks, last, self.kv_pages = exe(
+            toks, last, self.kv_pages, lps = exe(
                 self.params, self.kv_pages, fb, meta, pen)
         hb.device_tokens = last           # [B_pad] — next chain's input
         hb._device_multi = toks           # [B_pad, N] device handle
+        hb.device_logprobs = lps          # ([B_pad,N], [B_pad,N,K]x2)|Nones
         if not fetch:
             return None                   # fetch_multi() materializes later
         return self.fetch_multi(hb)
 
     def fetch_multi(self, hb: HostBatch) -> np.ndarray:
-        """Materialize a launched multi-step chain's sampled tokens."""
-        hb.multi_tokens = np.asarray(hb._device_multi)[: hb.num_valid]
+        """Materialize a launched multi-step chain's sampled tokens (and,
+        for logprob requests, the per-step logprob tables)."""
+        B = hb.num_valid
+        hb.multi_tokens = np.asarray(hb._device_multi)[:B]
+        lp, topv, topi = hb.device_logprobs
+        if lp is not None:
+            hb.token_logprobs = np.asarray(lp)[:B]          # [B, N]
+            if topv is not None:
+                hb.top_logprob_vals = np.asarray(topv)[:B]  # [B, N, K]
+                hb.top_logprob_ids = np.asarray(topi)[:B]
         return hb.multi_tokens
 
     def fetch_tokens(self, hb: HostBatch) -> np.ndarray:

@@ -65,6 +65,7 @@ def _decode_kernel(
     sm_scale: float,
     logit_softcap: Optional[float],
     win_chunked: bool = False,
+    compute: str = "packed",   # "packed" (one wide dot) | "perhead"
 ):
     # NOTE on num_bufs: the pipeline issues exactly ONE chunk ahead of the
     # wait (slot (gc+1)%NBUF), so NBUF is the buffer-ROTATION depth, not a
@@ -147,21 +148,23 @@ def _decode_kernel(
         G = Nq // Nk
         W = 2 * Nk * D
 
-        # zero-pad q into the flat KV lane layout: row i (query head i) gets
-        # q[i] at the K-lane block of its kv head, so ONE dot against the
-        # flat [CT, W] buffer yields scores for every head at once
-        row = jax.lax.broadcasted_iota(jnp.int32, (Nq, 1), 0)
-        pieces = []
-        for h in range(Nk):
-            mask = (row >= h * G) & (row < (h + 1) * G)
-            pieces.append(jnp.where(mask, q, 0))     # K block of head h
-            pieces.append(jnp.zeros_like(q))         # V block of head h
-        q_pad = jnp.concatenate(pieces, axis=1)      # [Nq, W]
+        if compute == "packed":
+            # zero-pad q into the flat KV lane layout: row i (query head
+            # i) gets q[i] at the K-lane block of its kv head, so ONE dot
+            # against the flat [CT, W] buffer yields scores for every
+            # head at once
+            row = jax.lax.broadcasted_iota(jnp.int32, (Nq, 1), 0)
+            pieces = []
+            for h in range(Nk):
+                mask = (row >= h * G) & (row < (h + 1) * G)
+                pieces.append(jnp.where(mask, q, 0))     # K block of head h
+                pieces.append(jnp.zeros_like(q))         # V block of head h
+            q_pad = jnp.concatenate(pieces, axis=1)      # [Nq, W]
 
         c0 = first_chunk(kv_len)
 
         def body(ci, carry):
-            m, l, acc = carry       # [Nq,1], [Nq,1] f32; acc [Nq, W] f32
+            m, l, acc = carry       # [Nq,1], [Nq,1] f32; acc f32
             gc = pipe_ref[0]
             slot = jax.lax.rem(gc, NBUF)
             wait_chunk(s, ci, slot)
@@ -197,11 +200,26 @@ def _decode_kernel(
             else:
                 valid &= (win < 0) | (pos > kv_len - 1 - win)
 
-            scores = jax.lax.dot_general(
-                q_pad, flat2,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                                # f32 [Nq, CT]
+            if compute == "perhead":
+                # per-kv-head dots on static lane slices of the SAME
+                # interleaved buffer: no q zero-padding, contraction D
+                # instead of W — removes the Nk-fold MXU redundancy of the
+                # packed dot at short contexts (where the kernel is
+                # MXU-bound, not DMA-bound)
+                scores_l = []
+                for h in range(Nk):
+                    k_h = flat2[:, (2 * h) * D:(2 * h + 1) * D]  # [CT, D]
+                    q_h = q[h * G:(h + 1) * G, :]                # [G, D]
+                    scores_l.append(jax.lax.dot_general(
+                        q_h, k_h, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                scores = jnp.concatenate(scores_l, 0) * sm_scale  # [Nq, CT]
+            else:
+                scores = jax.lax.dot_general(
+                    q_pad, flat2,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale                                # f32 [Nq, CT]
             if logit_softcap:
                 scores = logit_softcap * jnp.tanh(scores / logit_softcap)
             scores = jnp.where(valid, scores, -jnp.inf)
@@ -211,26 +229,41 @@ def _decode_kernel(
             alpha = jnp.exp(m - m_n)
             p = jnp.exp(scores - m_n)                   # f32 [Nq, CT]
             l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            # PV in the flat lane space: row i of p @ flat2 holds its head's
-            # V product at the V-lane block (K-block lanes carry p@K garbage
-            # that the final extraction never reads)
-            pv = jax.lax.dot_general(
-                p.astype(flat2.dtype), flat2,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # f32 [Nq, W]
+            if compute == "perhead":
+                pv_l = []
+                for h in range(Nk):
+                    v_h = flat2[:, (2 * h + 1) * D:(2 * h + 2) * D]
+                    p_h = p[h * G:(h + 1) * G, :]
+                    pv_l.append(jax.lax.dot_general(
+                        p_h.astype(v_h.dtype), v_h,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                pv = jnp.concatenate(pv_l, 0)           # f32 [Nq, D]
+            else:
+                # PV in the flat lane space: row i of p @ flat2 holds its
+                # head's V product at the V-lane block (K-block lanes carry
+                # p@K garbage that the final extraction never reads)
+                pv = jax.lax.dot_general(
+                    p.astype(flat2.dtype), flat2,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # f32 [Nq, W]
             return m_n, l_n, alpha * acc + pv
 
         m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((Nq, 1), jnp.float32)
-        acc0 = jnp.zeros((Nq, W), jnp.float32)
+        acc_w = D if compute == "perhead" else W
+        acc0 = jnp.zeros((Nq, acc_w), jnp.float32)
         m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
         acc = acc / jnp.maximum(l, 1e-30)
-        out = jnp.concatenate(
-            [acc[h * G:(h + 1) * G, (2 * h + 1) * D:(2 * h + 2) * D]
-             for h in range(Nk)],
-            axis=0,
-        )
+        if compute == "perhead":
+            out = acc                                   # already [Nq, D]
+        else:
+            out = jnp.concatenate(
+                [acc[h * G:(h + 1) * G, (2 * h + 1) * D:(2 * h + 2) * D]
+                 for h in range(Nk)],
+                axis=0,
+            )
         o_ref[0] = out.astype(o_ref.dtype)
 
     @pl.when(n_chunks == 0)
@@ -458,7 +491,7 @@ def mla_paged_decode_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "chunk_pages",
-                     "window_chunked", "num_bufs"),
+                     "window_chunked", "num_bufs", "compute"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, Nq, D]
@@ -472,6 +505,7 @@ def paged_decode_attention(
     window_chunked: bool = False,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     num_bufs: int = 2,
+    compute: str = "packed",
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
@@ -508,6 +542,7 @@ def paged_decode_attention(
         sm_scale=sm_scale,
         logit_softcap=logit_softcap,
         win_chunked=window_chunked,
+        compute=compute,
     )
     return pl.pallas_call(
         kernel,

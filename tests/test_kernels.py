@@ -545,3 +545,35 @@ def test_int4_matmul_dma_stacked_interpret(zeros):
         np.testing.assert_allclose(
             np.asarray(out), ref, rtol=2e-2, atol=2e-2), l
 
+
+
+@pytest.mark.parametrize("shapes", [0], indirect=False)
+def test_decode_kernel_perhead_interpret(shapes):
+    """The per-head compute variant must match the packed dot + jnp ref."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng = np.random.default_rng(11)
+    Nq, Nk, D, ps, MP, NPg = 8, 4, 128, 4, 8, 40
+    kv = jnp.asarray(rng.standard_normal((NPg, ps, 2 * Nk, D),
+                                         dtype=np.float32) * 0.3,
+                     jnp.bfloat16)
+    B = 5
+    kv_lens_l = [0, 17, 3, 32, 9]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_decode_attention(q, kv, kv_lens, page_indices,
+                                     sm_scale=D ** -0.5, chunk_pages=2,
+                                     compute="perhead")
+    ref = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
+        rtol=3e-2, atol=3e-2)

@@ -507,3 +507,24 @@ def test_prefill_pipelining_parity():
     assert eng_p.scheduler._pchain_steps > 0
     assert eng_s.scheduler._pchain_steps == 0
     eng_p.scheduler.check_memory_leak()
+
+
+def test_multi_step_logprobs_parity():
+    """Logprob requests ride the multi-step chain (per-step logprobs in
+    the scan outputs): values must match the single-step path."""
+    eng_m = make_engine(decode_steps_per_dispatch=4)
+    eng_1 = make_engine()
+    sp = {"max_new_tokens": 11, "temperature": 0.0, "ignore_eos": True}
+    o_m = eng_m.generate(input_ids=list(range(12)), sampling_params=sp,
+                         return_logprob=True, top_logprobs_num=3)
+    o_1 = eng_1.generate(input_ids=list(range(12)), sampling_params=sp,
+                         return_logprob=True, top_logprobs_num=3)
+    assert o_m["output_ids"] == o_1["output_ids"]
+    lp_m = o_m["meta_info"]["output_token_logprobs"]
+    lp_1 = o_1["meta_info"]["output_token_logprobs"]
+    assert len(lp_m) == len(lp_1) == 11
+    np.testing.assert_allclose(lp_m, lp_1, rtol=1e-4, atol=1e-5)
+    t_m = o_m["meta_info"]["output_top_logprobs"]
+    t_1 = o_1["meta_info"]["output_top_logprobs"]
+    assert [[t for _, t in row] for row in t_m] == \
+        [[t for _, t in row] for row in t_1]
