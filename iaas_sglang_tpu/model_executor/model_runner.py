@@ -149,13 +149,15 @@ class ModelRunner:
         model_cls = resolve_model_cls(model_config)
         self.model = model_cls(model_config)
         self.model.mesh = self.mesh_ctx.mesh
-        if server_args.quantization and str(server_args.quantization).startswith("int4"):
+        if server_args.quantization:
             from iaas_sglang_tpu.quantization.qlinear import set_int4_impl
 
             on_tpu = jax.devices()[0].platform != "cpu"
             n_dev = self.mesh_ctx.tp_size * self.mesh_ctx.dp_size
-            # fused Pallas dequant-GEMM on a single shard; XLA unpack path
-            # under GSPMD (pallas_call is opaque to the partitioner)
+            # fused Pallas dequant-GEMM on a single shard (int4 nibbles,
+            # int8 and fp8 all ride the same pipelined DMA kernel); XLA
+            # dequant path under GSPMD (pallas_call is opaque to the
+            # partitioner)
             set_int4_impl("pallas" if (on_tpu and n_dev == 1) else "xla")
         if getattr(model_config, "num_experts", 0):
             import jax as _jax
@@ -199,6 +201,7 @@ class ModelRunner:
                 seed=server_args.random_seed,
             )
         jax.block_until_ready(jax.tree.leaves(self.params)[0])
+        self._maybe_expand_block_scales()
         self._maybe_fuse_params()
 
         self.lora_manager = None
@@ -1453,6 +1456,70 @@ class ModelRunner:
         except Exception as e:  # noqa: BLE001
             return False, repr(e)
 
+    def _maybe_expand_block_scales(self) -> None:
+        """Single-shard Pallas serving of FP8 checkpoints on chips WITHOUT
+        native fp8 compute (v5e):
+
+        1. blockwise (128x128) weight_scale_inv tables expand column-wise
+           to group form [.., K/128, N] (exact — block scales are constant
+           within each 128-column group);
+        2. the fp8 payload RECODES to INT8 with per-128-group scales
+           (measured: the VPU fp8->f32 upcast caps the 8-bit dequant-GEMM
+           stack at 77 GB/s, while the same kernel with int8 runs at
+           702 GB/s of the 819 roofline; the extra requantization rounds
+           at ~0.4% relative, far under fp8's own ~3% grid). Disable with
+           --no-fp8-recode-int8 to keep the raw fp8 payload.
+
+        The XLA path (GSPMD multi-shard / CPU) keeps raw fp8 either way."""
+        from iaas_sglang_tpu.quantization.qlinear import (
+            QuantizedWeight,
+            quantize_weight_jnp,
+        )
+        import iaas_sglang_tpu.quantization.qlinear as _ql
+
+        sa = self.server_args
+        if (not sa.quantization
+                or _ql._INT4_IMPL != "pallas"
+                or not str(sa.quantization).startswith("fp8")):
+            return
+
+        def one(qw):
+            if not isinstance(qw, QuantizedWeight) \
+                    or qw.q.dtype != jnp.float8_e4m3fn:
+                return qw
+            N = qw.q.shape[-1]
+            K = qw.q.shape[-2]
+
+            def fix(q, s):
+                if qw.block:
+                    s = jnp.repeat(s, 128, axis=-1)[..., :N]
+                if not sa.fp8_recode_int8:
+                    return q, s
+                gi = s.shape[-2]
+
+                def requant(qs):
+                    ql, sl = qs
+                    w = ql.astype(jnp.float32) \
+                        * jnp.repeat(sl, K // gi, axis=-2)
+                    return quantize_weight_jnp(w, "int8")
+
+                if q.ndim == 2:
+                    return requant((q, s))
+                lead = q.shape[:-2]
+                q2, s2 = jax.lax.map(
+                    requant, (q.reshape((-1,) + q.shape[-2:]),
+                              s.reshape((-1,) + s.shape[-2:])))
+                return (q2.reshape(lead + q2.shape[1:]),
+                        s2.reshape(lead + s2.shape[1:]))
+
+            q2, s2 = jax.jit(fix)(qw.q, qw.scale)
+            return QuantizedWeight(q=q2, scale=s2, block=False)
+
+        self.params = jax.tree.map(
+            one, self.params,
+            is_leaf=lambda x: isinstance(x, QuantizedWeight))
+        jax.block_until_ready(jax.tree.leaves(self.params)[0])
+
     def _maybe_fuse_params(self) -> None:
         """Fuse q/k/v and gate/up QuantizedWeights into single GEMM
         sources for single-shard quantized serving (decode is launch- and
@@ -1498,6 +1565,7 @@ class ModelRunner:
                     seed=self.server_args.random_seed,
                 )
             self.params = new_params
+            self._maybe_expand_block_scales()
             self._maybe_fuse_params()
             jax.block_until_ready(jax.tree.leaves(self.params)[0])
             return True, "ok"

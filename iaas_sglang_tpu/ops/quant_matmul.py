@@ -212,7 +212,8 @@ def _wrap_nozero(kernel, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
 
 def _int4_dma_kernel(x_ref, w_hbm, s_hbm, zs_hbm, o_ref,
                      wbuf, wsem, sbuf, ssem, zbuf, zsem, pipe,
-                     *, n_k, n_j, BK, BN, group, has_zero, layer_ref=None):
+                     *, n_k, n_j, BK, BN, group, has_zero, layer_ref=None,
+                     eight_bit=False):
     """Globally pipelined dequant-GEMM: ONE double-buffered DMA stream
     runs across ALL grid steps (scratch persists on the sequential TPU
     grid) — while chunk (j, k) dequantizes+dots, chunk (j, k+1) (or the
@@ -240,9 +241,11 @@ def _int4_dma_kernel(x_ref, w_hbm, s_hbm, zs_hbm, o_ref,
     else:
         w_l, s_l, zs_l = w_hbm, s_hbm, zs_hbm
 
+    wrows = BK if eight_bit else BK // 2   # HBM rows per K-chunk
+
     def w_copy(jj, k, slot):
         return pltpu.make_async_copy(
-            w_l.at[pl.ds(k * (BK // 2), BK // 2), pl.ds(jj * BN, BN)],
+            w_l.at[pl.ds(k * wrows, wrows), pl.ds(jj * BN, BN)],
             wbuf.at[slot], wsem.at[slot])
 
     def s_copy(jj, slot):
@@ -287,7 +290,10 @@ def _int4_dma_kernel(x_ref, w_hbm, s_hbm, zs_hbm, o_ref,
 
         w_copy(j, k, slot).wait()
         pipe[0] = gc + 1
-        w4 = pltpu.bitcast(wbuf[slot], jnp.int4)        # [BK, BN]
+        if wbuf.dtype == jnp.int8 and not eight_bit:
+            w4 = pltpu.bitcast(wbuf[slot], jnp.int4)    # [BK, BN] nibbles
+        else:
+            w4 = wbuf[slot]                             # int8 / fp8 direct
         s = sbuf[jslot, pl.ds(k * nG, nG)]              # f32 [nG, BN]
         if _DEQUANT_MODE == "bf16" and x_ref.dtype == jnp.bfloat16 \
                 and not has_zero:
@@ -376,9 +382,9 @@ def int4_matmul_dma(
     )(*args)
 
 
-def _dma_scratch(BK, BN, K, g):
+def _dma_scratch(BK, BN, K, g, w_dtype=jnp.int8, eight_bit=False):
     return [
-        pltpu.VMEM((2, BK // 2, BN), jnp.int8),       # wbuf
+        pltpu.VMEM((2, BK if eight_bit else BK // 2, BN), w_dtype),  # wbuf
         pltpu.SemaphoreType.DMA((2,)),                # wsem
         pltpu.VMEM((2, K // g, BN), jnp.float32),     # sbuf
         pltpu.SemaphoreType.DMA((2,)),                # ssem
@@ -386,6 +392,108 @@ def _dma_scratch(BK, BN, K, g):
         pltpu.SemaphoreType.DMA((2,)),                # zsem
         pltpu.SMEM((1,), jnp.int32),                  # global chunk counter
     ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "block_n", "block_k", "interpret"))
+def q8_matmul_dma(
+    x: jnp.ndarray,          # [T, K] bf16/f32
+    w: jnp.ndarray,          # [K, N] int8 | float8_e4m3fn
+    scale: jnp.ndarray,      # [K/G, N] f32 (dequant = w * scale)
+    *,
+    group: int = GROUP,
+    block_n: int = 1024,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """8-bit (INT8 / FP8-e4m3) fused dequant-GEMM on the same globally
+    pipelined DMA kernel as INT4: weights stream from HBM at 1 byte/elem
+    and upcast+scale in VMEM. The XLA fallback materializes a bf16 copy
+    of every weight (>=3x HBM traffic) and, inside a layer scan, an extra
+    dynamic-slice copy — this kernel is the reference's fp8/int8 GEMM
+    answer (sgl-kernel csrc/gemm/) for the TPU. Blockwise (128x128) FP8
+    checkpoints pre-expand weight_scale_inv along N to [K/128, N] at load
+    (exact: block scales are constant within each 128-column group)."""
+    T, K = x.shape
+    Kw, N = w.shape
+    assert Kw == K, (x.shape, w.shape)
+    g = group if K % group == 0 else K
+    BK = _pick_block(K, min(block_k, K), g * 8) if K % (g * 8) == 0 else K
+    BN = _pick_block(N, min(block_n, N), 128) if N % 128 == 0 else N
+    kernel = functools.partial(
+        _int4_dma_kernel, n_k=K // BK, n_j=N // BN, BK=BK, BN=BN, group=g,
+        has_zero=False, eight_bit=True)
+    kern = lambda x_r, w_r, s_r, o_r, *sc: kernel(
+        x_r, w_r, s_r, None, o_r, *sc)
+    return pl.pallas_call(
+        kern,
+        grid=(N // BN,),
+        in_specs=[
+            pl.BlockSpec((T, K), lambda j: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((T, BN), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
+        scratch_shapes=_dma_scratch(BK, BN, K, g, w.dtype, eight_bit=True),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, w, scale)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "block_n", "block_k", "interpret"))
+def q8_matmul_dma_stacked(
+    x: jnp.ndarray,          # [T, K]
+    w: jnp.ndarray,          # [L, K, N] int8 | float8_e4m3fn
+    scale: jnp.ndarray,      # [L, K/G, N] f32
+    layer: jnp.ndarray,      # i32[] traced layer index
+    *,
+    group: int = GROUP,
+    block_n: int = 1024,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q8_matmul_dma over one layer of a stacked weight array, indexed
+    INSIDE the kernel (no per-layer HBM copy — see QuantLayerRef)."""
+    T, K = x.shape
+    L, Kw, N = w.shape
+    assert Kw == K, (x.shape, w.shape)
+    g = group if K % group == 0 else K
+    BK = _pick_block(K, min(block_k, K), g * 8) if K % (g * 8) == 0 else K
+    BN = _pick_block(N, min(block_n, N), 128) if N % 128 == 0 else N
+    kernel = functools.partial(
+        _int4_dma_kernel, n_k=K // BK, n_j=N // BN, BK=BK, BN=BN, group=g,
+        has_zero=False, eight_bit=True)
+
+    def kern(layer_r, x_r, w_r, s_r, o_r, *scratch):
+        return kernel(x_r, w_r, s_r, None, o_r, *scratch,
+                      layer_ref=layer_r)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // BN,),
+        in_specs=[
+            pl.BlockSpec((T, K), lambda j, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((T, BN), lambda j, *_: (0, j)),
+        scratch_shapes=_dma_scratch(BK, BN, K, g, w.dtype, eight_bit=True),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w, scale)
 
 
 @functools.partial(

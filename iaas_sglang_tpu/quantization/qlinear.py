@@ -199,6 +199,25 @@ def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (wf * qw.scale[:, None, :]).reshape(inn, out).astype(dtype)
 
 
+def _q8_pallas_ok(qw: "QuantizedWeight") -> bool:
+    """8-bit weights the pipelined DMA kernel serves: int8/fp8, symmetric
+    (no zero table), group or per-channel scales (block scales must be
+    pre-expanded to group form first — ModelRunner does so at load)."""
+    return (_INT4_IMPL == "pallas"
+            and not qw.packed and not qw.block and qw.zero_scale is None
+            and qw.q.dtype in (jnp.int8, jnp.float8_e4m3fn))
+
+
+def _q8_group_scale(scale: jnp.ndarray, inn: int):
+    """Normalize a scale table to >=8 groups for the kernel's 8-sublane
+    slicing (per-tensor/per-channel [.., 1, N] scales tile to 8 rows)."""
+    if scale.shape[-2] == 1:
+        reps = [1] * scale.ndim
+        reps[-2] = 8
+        return jnp.tile(scale, reps), inn // 8
+    return scale, inn // scale.shape[-2]
+
+
 class QuantLayerRef:
     """One layer's view of a layer-STACKED QuantizedWeight, resolved
     lazily at matmul time. The per-layer lax.scan must NOT slice stacked
@@ -244,6 +263,19 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
                 x.reshape(-1, inn), qw.q, qw.scale, qw.zero_scale,
                 w.idx, group=group)
             return y.reshape(*lead, qw.q.shape[2]).astype(out_dtype)
+        if _q8_pallas_ok(w.qw) and w.qw.q.ndim == 3:
+            from iaas_sglang_tpu.ops.quant_matmul import (
+                q8_matmul_dma_stacked,
+            )
+
+            out_dtype = out_dtype or x.dtype
+            qw = w.qw
+            inn = qw.q.shape[1]
+            s, group = _q8_group_scale(qw.scale, inn)
+            lead = x.shape[:-1]
+            y = q8_matmul_dma_stacked(
+                x.reshape(-1, inn), qw.q, s, w.idx, group=group)
+            return y.reshape(*lead, qw.q.shape[2]).astype(out_dtype)
         return qmatmul(x, w.sliced(), out_dtype)
     if not isinstance(w, QuantizedWeight):
         y = x @ w
@@ -263,6 +295,13 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
         return y.astype(out_dtype)
+    if _q8_pallas_ok(w) and w.q.ndim == 2:
+        from iaas_sglang_tpu.ops.quant_matmul import q8_matmul_dma
+
+        s, group = _q8_group_scale(w.scale, w.q.shape[0])
+        lead = x.shape[:-1]
+        y = q8_matmul_dma(x.reshape(-1, w.q.shape[0]), w.q, s, group=group)
+        return y.reshape(*lead, w.q.shape[1]).astype(out_dtype)
     inn, out = w.q.shape
     g = w.scale.shape[0]
     if g == 1 or w.q.dtype == jnp.float8_e4m3fn:

@@ -35,6 +35,12 @@ class ServerArgs:
     # decode step; INT4 cuts it ~4x; opt-in — AWQ convention keeps heads
     # high-precision). No effect on tied-embedding models.
     quantize_lm_head: bool = False
+    # v5e has no native fp8 compute: serving fp8/fp8_block checkpoints
+    # single-shard recodes the fp8 payload to INT8 group-128 scales at
+    # load (same 1 byte/weight; the fp8->f32 VPU upcast capped the GEMM
+    # stack at 77 GB/s vs int8's 702; requantization adds ~0.4% relative
+    # rounding under fp8's own ~3% grid). Set False to keep raw fp8.
+    fp8_recode_int8: bool = True
     served_model_name: Optional[str] = None
     revision: Optional[str] = None
     skip_tokenizer_init: bool = False

@@ -85,10 +85,11 @@ def main():
 
     import sys
 
-    cfg = ModelConfig.from_hf(HF, model_path="probe://chain")
+    quant = "fp8_block" if "--fp8" in sys.argv else "int4"
+    cfg = ModelConfig.from_hf(HF, model_path=f"probe://chain-{quant}")
     sa = ServerArgs(
-        model_path="probe://chain", load_format="dummy", dtype="bfloat16",
-        page_size=16, quantization="int4",
+        model_path=f"probe://chain-{quant}", load_format="dummy",
+        dtype="bfloat16", page_size=16, quantization=quant,
         max_total_tokens=B * 256 + 256, mem_fraction_static=0.85,
         max_running_requests=B, max_prefill_tokens=B * 128,
         skip_tokenizer_init=True, random_seed=0,

@@ -577,3 +577,41 @@ def test_decode_kernel_perhead_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
         rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "fp8"])
+def test_q8_matmul_dma_interpret(dtype):
+    """8-bit (int8/fp8) pipelined dequant-GEMM vs dequantized reference,
+    plain and stacked."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        q8_matmul_dma, q8_matmul_dma_stacked)
+
+    rng = np.random.default_rng(9)
+    L, K, N, T, G = 3, 1024, 256, 8, 128
+    if dtype == "int8":
+        q = rng.integers(-127, 128, size=(L, K, N)).astype(np.int8)
+        qf = q.astype(np.float32)
+    else:
+        raw = (rng.standard_normal((L, K, N)) * 4).astype(np.float32)
+        q = raw.astype(ml_dtypes.float8_e4m3fn)
+        qf = q.astype(np.float32)
+    s = (rng.random((L, K // G, N)).astype(np.float32) + 0.5) * 0.02
+    wd = qf * np.repeat(s, G, axis=1)
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = q8_matmul_dma(x, jnp.asarray(q[0]), jnp.asarray(s[0]),
+                            group=G, block_n=128, block_k=512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ wd[0],
+                               rtol=2e-2, atol=2e-2)
+    for l in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            out = q8_matmul_dma_stacked(
+                x, jnp.asarray(q), jnp.asarray(s), jnp.int32(l),
+                group=G, block_n=128, block_k=512)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ wd[l],
+                                   rtol=2e-2, atol=2e-2)

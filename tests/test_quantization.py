@@ -324,3 +324,49 @@ def test_quantize_lm_head_generation():
     assert isinstance(r_q.params.get("lm_head"), QuantizedWeight)
     out = RawDriver(r_q, sa_q.page_size).generate_greedy(PROMPT, 8)
     assert len(out) == 8 and len(base) == 8
+
+
+def test_fp8_recode_int8_semantics():
+    """v5e fp8 serving recodes fp8 payloads to int8 group scales at load
+    (no native fp8 compute). The recoded weights must dequantize to the
+    same values within int8 rounding, and generation must keep working
+    through the (CPU) fallback path."""
+    import jax.numpy as jnp
+
+    import iaas_sglang_tpu.quantization.qlinear as ql
+    from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+    r, _, sa = make_runner(QTINY, quantization="fp8_block")
+    lp = r.params["layers"]
+    some = next(v for v in lp.values()
+                if isinstance(v, QuantizedWeight))
+    assert some.q.dtype == jnp.float8_e4m3fn and some.block
+
+    def deq(qw):
+        s = qw.scale
+        if qw.block:
+            s = np.repeat(np.asarray(s), 128, axis=-1)[..., :qw.q.shape[-1]]
+        K = qw.q.shape[-2]
+        gi = np.asarray(s).shape[-2]
+        return (np.asarray(qw.q, np.float32)
+                * np.repeat(np.asarray(s), K // gi, axis=-2))
+
+    before = {k: deq(v) for k, v in lp.items()
+              if isinstance(v, QuantizedWeight)}
+
+    old = ql._INT4_IMPL
+    try:
+        ql._INT4_IMPL = "pallas"     # recode is gated to the pallas impl
+        r._maybe_expand_block_scales()
+    finally:
+        ql._INT4_IMPL = old
+    lp2 = r.params["layers"]
+    for k, ref in before.items():
+        qw = lp2[k]
+        assert qw.q.dtype == jnp.int8 and not qw.block, k
+        got = deq(qw)
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / denom < 0.01, k
+
+    out = RawDriver(r, sa.page_size).generate_greedy(PROMPT, 6)
+    assert len(out) == 6
