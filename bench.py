@@ -30,10 +30,17 @@ import numpy as np
 
 
 def main():
+    import sys
+
     import jax
 
     from iaas_sglang_tpu.entrypoints.engine import Engine
     from iaas_sglang_tpu.server_args import ServerArgs
+
+    # default = the BASELINE north-star INT4 config (what the driver
+    # records); `python bench.py fp8_block` measures config 3 (FP8 W8,
+    # recoded to int8 on v5e) for manual publication
+    quant = sys.argv[1] if len(sys.argv) > 1 else "int4"
 
     NUM_LAYERS = 32
     HIDDEN = 4096
@@ -57,8 +64,8 @@ def main():
     OUT_LEN = 128
 
     sa = ServerArgs(
-        model_path="bench://llama3-8b-int4", load_format="dummy",
-        dtype="bfloat16", page_size=16, quantization="int4",
+        model_path=f"bench://llama3-8b-{quant}", load_format="dummy",
+        dtype="bfloat16", page_size=16, quantization=quant,
         # the run needs B*(IN+OUT) + warmup tokens of KV; keep the pool
         # small to leave activation headroom next to ~4.8 GB of weights
         max_total_tokens=int(1.5 * B * (IN_LEN + OUT_LEN)),
@@ -145,8 +152,10 @@ def main():
         + HIDDEN * N_KV * HEAD_DIM * 2               # wk, wv
         + 3 * HIDDEN * INTER                         # gate/up/down
     )
+    wbytes = quant_params // 2 if quant.startswith("int4") \
+        else quant_params                            # 8-bit: 1 byte/weight
     param_bytes = (
-        quant_params // 2                            # packed nibbles
+        wbytes
         + quant_params // 128 * 4                    # group scales
         + VOCAB * HIDDEN * 2                         # lm_head bf16
         + NUM_LAYERS * 2 * HIDDEN * 2                # norms bf16
@@ -157,7 +166,7 @@ def main():
     roofline_toks = B / step_time_roofline
 
     print(json.dumps({
-        "metric": "decode_throughput_llama3_8b_32L_int4_bs32",
+        "metric": f"decode_throughput_llama3_8b_32L_{quant}_bs32",
         "value": round(toks_per_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline_toks, 4),
