@@ -456,6 +456,17 @@ class ScheduleBatch:
         hb.multi_steps = n_steps
         if chain_from is not None:
             hb.device_tokens = chain_from.device_tokens
+            # penalty count state rides on device across chains
+            hb.chain_counts = chain_from._device_counts
+        if any(r.token_ids_logprob for r in self.reqs):
+            J = max((len(r.token_ids_logprob or []) for r in self.reqs),
+                    default=1)
+            J = max(8, 1 << (max(J, 1) - 1).bit_length())
+            arr = np.full((B, J), -1, np.int32)
+            for i, r in enumerate(self.reqs):
+                if r.token_ids_logprob:
+                    arr[i, : len(r.token_ids_logprob)] = r.token_ids_logprob
+            hb.lp_token_ids = arr
         return hb
 
     def _build_penalty_arrays(self):
@@ -468,7 +479,10 @@ class ScheduleBatch:
             or r.sampling_params.repetition_penalty != 1.0
             or r.sampling_params.logit_bias
             or r.sampling_params.custom_logit_processor
-            or (len(r.output_ids) < r.sampling_params.min_new_tokens)
+            # effective length includes in-flight chain tokens: a chained
+            # dispatch is built while pending_steps tokens are on device
+            or (len(r.output_ids) + r.pending_steps
+                < r.sampling_params.min_new_tokens)
             for r in reqs
         )
         if not need:
@@ -479,13 +493,20 @@ class ScheduleBatch:
         dis: List[List[int]] = []
         bias_ids_l: List[List[int]] = []
         bias_vals_l: List[List[float]] = []
+        min_rem = np.zeros(B, dtype=np.int32)
         for i, r in enumerate(reqs):
             out_ids[i, : len(r.output_ids)] = r.output_ids
             sp = r.sampling_params
             d: List[int] = []
-            if len(r.output_ids) < sp.min_new_tokens:
+            if sp.min_new_tokens > 0:
+                # ids are filled whenever min_new_tokens is set; the mask
+                # deactivates IN-PROGRAM once the per-dispatch step count
+                # reaches min_remaining (multi-step chains cross the
+                # boundary without a host round trip)
                 d.extend(r.eos_token_ids)
                 d.extend(sp.stop_token_ids or [])
+                min_rem[i] = max(0, sp.min_new_tokens
+                                 - len(r.output_ids) - r.pending_steps)
             dis.append(d)
             bias: dict = ({int(t): float(v)
                            for t, v in sp.logit_bias.items()}
@@ -521,6 +542,7 @@ class ScheduleBatch:
             "disallow_ids": disallow,
             "bias_ids": bias_ids,
             "bias_values": bias_vals,
+            "min_remaining": min_rem,
         }
 
     def _build_grammar_masks(self):

@@ -757,28 +757,23 @@ class Scheduler:
 
         Penalties and logit bias RIDE THE CHAIN — the count state is
         carried and updated on device inside the multi-step program
-        (model_runner multi_step), so penalty batches keep the overlap
-        win. Logprob requests ride too: the chain emits per-step
-        chosen-token logprobs (+top-k tables) in its scan outputs — one
-        fetch per N tokens. Still excluded: grammar (masks come from the
-        host automaton per sampled token; served by the split
-        fwd/sample chain instead), token_ids_logprob (needs full logits
-        rows), custom logit processors (arbitrary host python), and
-        requests whose min_new_tokens boundary falls INSIDE the chain
-        window (the EOS disallow mask would have to flip mid-chain)."""
-        n = self.multi_steps
+        (model_runner multi_step) and handed to the NEXT chained dispatch
+        as a device array, so penalty batches keep the overlap win across
+        dispatches too. Logprob requests ride (per-step chosen logprobs +
+        top-k tables in the scan ys), token_ids_logprob rides (static id
+        gather from each step's log-softmax), and min_new_tokens
+        boundaries flip in-program (pen.min_remaining vs the step
+        counter). Still excluded: grammar (masks come from the host
+        automaton per sampled token; served by the split fwd/sample chain
+        instead) and custom logit processors (arbitrary host python)."""
         return (
-            n > 1
+            self.multi_steps > 1
             and self.attn_dp == 1
             and self.model_config.mrope_section is None
             and batch.mode.is_decode()
             and all(
                 r.grammar is None
-                and not r.token_ids_logprob
                 and not r.sampling_params.custom_logit_processor
-                and (len(r.output_ids) >= r.sampling_params.min_new_tokens
-                     or len(r.output_ids) + n
-                     <= r.sampling_params.min_new_tokens)
                 for r in batch.reqs
             )
         )
@@ -795,22 +790,50 @@ class Scheduler:
         self._minflight = (batch, hb)
         return True
 
+    def _prefill_blocked(self) -> bool:
+        """True when no waiting request could be admitted right now (KV
+        budget or request-slot exhaustion): the decode chain may then keep
+        the device busy without delaying an admissible prefill (VERDICT
+        r3 #3 — previously any non-empty waiting queue broke the chain,
+        making the published decode rate a closed-batch best case)."""
+        if self.chunked_req is not None:
+            return False
+        if not self.waiting_queue:
+            return True
+        if (len(self.running_batch.reqs)
+                >= self.server_args.max_running_requests):
+            return True
+        ps = self.page_size
+        for req in list(self.waiting_queue)[:8]:
+            est_dec = min(req.sampling_params.max_new_tokens, 256)
+            fresh = (req.fill_len == 0
+                     and not getattr(req, "lora_slot", 0)
+                     and not getattr(req, "no_chunk", 0)
+                     and not getattr(req, "radix_bypass", 0))
+            for rank in range(len(self.allocators)):
+                avail = (self.allocators[rank].free_tokens()
+                         + self.tree_caches[rank].evictable_pages() * ps)
+                hit = (self.tree_caches[rank].match_prefix(
+                    req.fill_ids()).prefix_len if fresh else 0)
+                est = (req.extend_target() - max(req.fill_len, hit)
+                       + est_dec)
+                if est <= avail:
+                    return False
+        return True
+
     def _can_chain_multi(self, mb: ScheduleBatch) -> bool:
         """Chain the NEXT multi-step dispatch on the in-flight chain's
         device tokens (fetch + host processing of chain N then overlap
         chain N+1's execution — without this the ~3 relay RTTs between
-        chains cost ~2 ms/token-step at N=32). Penalties are excluded:
-        their device count state does not carry across dispatches."""
+        chains cost ~2 ms/token-step at N=32)."""
         return (
             self.enable_overlap
             and self.server_args.nnodes == 1
-            and not self.waiting_queue
-            and self.chunked_req is None
+            and self._prefill_blocked()
             and bool(mb.reqs)
             and all(not r.is_finished() and not getattr(r, "cleaned", False)
                     for r in mb.reqs)
             and getattr(mb, "last_hb", None) is not None
-            and mb.last_hb.penalty_arrays is None
             # chain N+1 must be able to emit at least one useful token:
             # past every request's max_new_tokens it would be pure waste
             # (and can cross a page-bucket boundary -> a pointless fresh
@@ -833,7 +856,14 @@ class Scheduler:
             )
             hb2 = nb.prepare_for_decode_multi(
                 self.multi_steps, chain_from=mhb)
-            if hb2 is not None and hb2.penalty_arrays is None:
+            if hb2 is not None and hb2.penalty_arrays is not None \
+                    and mhb._device_counts is None:
+                # a penalty batch can only chain on a device count state;
+                # chain N ran penalty-free (e.g. min_new just activated —
+                # cannot happen for static penalties) so fall back to a
+                # fresh dispatch after processing
+                hb2 = None
+            if hb2 is not None:
                 self._attach_encoder(nb, hb2)
                 self.model_runner.forward(hb2, fetch=False)
                 for r in nb.reqs:
@@ -854,6 +884,7 @@ class Scheduler:
         lp = hb.token_logprobs if hb is not None else None       # [B, N]
         topv = hb.top_logprob_vals if hb is not None else None   # [B, N, K]
         topi = hb.top_logprob_ids if hb is not None else None
+        idv = hb.token_ids_logprob_vals if hb is not None else None
         for i, req in enumerate(batch.reqs):
             req.pending_steps = max(0, req.pending_steps - toks.shape[1])
             if req.is_finished() or getattr(req, "cleaned", False):
@@ -871,6 +902,10 @@ class Scheduler:
                         req.output_top_logprobs.append([
                             [float(v), int(t)] for v, t in zip(
                                 topv[i, j][:k], topi[i, j][:k])])
+                if req.token_ids_logprob and idv is not None:
+                    req.output_token_ids_logprobs.append(
+                        [[float(idv[i, j, t_ix]), int(t)]
+                         for t_ix, t in enumerate(req.token_ids_logprob)])
                 req.check_finished(self.tokenizer)
                 if req.is_finished():
                     break

@@ -92,3 +92,7 @@ class PenaltyMetadata:
     disallow_ids: jnp.ndarray   # i32[Bmax, K] tokens masked to -inf, -1 padded
     bias_ids: jnp.ndarray       # i32[Bmax, Kb] logit-bias tokens, -1 padded
     bias_values: jnp.ndarray    # f32[Bmax, Kb]
+    # steps (from this dispatch) during which disallow_ids stay masked:
+    # min_new_tokens boundaries flip IN-PROGRAM at step == min_remaining,
+    # so chains spanning the boundary stay eligible (VERDICT r3 #4)
+    min_remaining: jnp.ndarray = None  # i32[Bmax]

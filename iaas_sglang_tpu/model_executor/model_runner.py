@@ -86,6 +86,18 @@ class HostBatch:
     multi_steps: int = 1
     multi_tokens: Any = None        # np i32[B, N] all sampled tokens
     _device_multi: Any = None       # jnp i32[B_pad, N] (pre-fetch handle)
+    # cross-dispatch penalty state: the multi-step program outputs its
+    # final on-device output-token counts f32[B_pad, V]; a chained
+    # dispatch feeds them back as its step-0 state, so penalty batches
+    # keep the chain (VERDICT r3 #4 — reference penaltylib orchestrator
+    # keeps penalized decode at full overlap rate)
+    chain_counts: Any = None        # jnp f32[B_pad, V] input (from prev)
+    _device_counts: Any = None      # jnp f32[B_pad, V] output handle
+    # token_ids_logprob riding the chain: static per-request id lists
+    # gathered from each step's log-softmax in-program
+    lp_token_ids: Any = None        # np i32[B, J] (-1 padded) | None
+    _device_idlp: Any = None        # jnp f32[B_pad, N, J] handle
+    token_ids_logprob_vals: Any = None  # np f32[B, N, J]
     # DP attention: per-seq attention-rank assignment (None = off)
     dp_ranks: Any = None            # np i32[B] | None
     # multimodal rows for THIS chunk (scheduler attaches; runner pads)
@@ -492,8 +504,9 @@ class ModelRunner:
         ps = self.page_size
 
         def multi_step(params, kv_pages, fb: ForwardBatch,
-                       meta: SamplingMetadata, pen, n_steps: int,
-                       sampling_mode: str, logprob_top_k: int = -1):
+                       meta: SamplingMetadata, pen, counts_in, lp_ids,
+                       n_steps: int, sampling_mode: str,
+                       logprob_top_k: int = -1):
             """N chained decode iterations in one program: the sampled token
             of step i is step i+1's input ON DEVICE (lax.scan), and KV slots
             are recomputed from the page table each step. One dispatch + one
@@ -524,7 +537,8 @@ class ModelRunner:
                 logits = model.compute_logits(
                     params, hidden[fb.last_token_idx])
                 if pen is not None:
-                    logits = apply_penalties_with_counts(logits, pen, counts)
+                    logits = apply_penalties_with_counts(
+                        logits, pen, counts, step=i)
                 if sampling_mode == "greedy":
                     tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 else:
@@ -533,30 +547,46 @@ class ModelRunner:
                 if pen is not None:
                     counts = counts.at[
                         jnp.arange(tok2.shape[0]), tok2].add(1.0)
+                ys = [tok2]
                 if logprob_top_k >= 0:
                     # logprob requests ride the chain: per-step chosen-token
                     # logprob (+ top-k table) accumulates in the scan ys —
                     # one fetch per N tokens instead of per-dispatch decode
                     lp, topv, topi = compute_logprobs(
                         logits, tok2, logprob_top_k)
-                    ys = (tok2, lp, topv, topi)
-                else:
-                    ys = tok2
-                return (tok2, kv, counts), ys
+                    ys += [lp, topv, topi]
+                if lp_ids is not None:
+                    # token_ids_logprob: fixed per-request id gather from
+                    # this step's log-softmax (ids are static, so the
+                    # whole request rides the chain — VERDICT r3 #4)
+                    lsm = jax.nn.log_softmax(logits, axis=-1)
+                    safe = jnp.where(lp_ids >= 0, lp_ids, 0)
+                    ys.append(jnp.take_along_axis(lsm, safe, axis=1))
+                return (tok2, kv, counts), tuple(ys)
 
-            counts0 = (output_token_counts(pen, vocab_size)
-                       if pen is not None else jnp.zeros((), jnp.float32))
-            (last, kv_pages, _), ys = jax.lax.scan(
+            if counts_in is not None:
+                counts0 = counts_in   # chained dispatch: device state from
+                #                       the previous chain (host is stale)
+            elif pen is not None:
+                counts0 = output_token_counts(pen, vocab_size)
+            else:
+                counts0 = jnp.zeros((), jnp.float32)
+            (last, kv_pages, counts_f), ys = jax.lax.scan(
                 body, (fb.input_ids, kv_pages, counts0),
                 jnp.arange(n_steps, dtype=jnp.int32))
+            ys = list(ys)
+            toks = ys.pop(0)
             if logprob_top_k >= 0:
-                toks, lp, topv, topi = ys
+                lp, topv, topi = ys[:3]
+                ys = ys[3:]
                 lps = (lp.T, None if topv is None else topv.swapaxes(0, 1),
                        None if topi is None else topi.swapaxes(0, 1))
             else:
-                toks = ys
                 lps = (None, None, None)
-            return toks.T, last, kv_pages, lps   # [B, N], [B], ..., ([B,N],...)
+            idlp = ys.pop(0).swapaxes(0, 1) if lp_ids is not None else None
+            counts_out = counts_f if pen is not None else None
+            # [B, N], [B], kv, ([B,N],...), f32[B,V]|None, f32[B,N,J]|None
+            return toks.T, last, kv_pages, lps, counts_out, idlp
 
         if self.multihost:
             # pin every non-KV output replicated: any process (driver or
@@ -573,15 +603,17 @@ class ModelRunner:
                                  lora, *s)
                 return wsc(out[:-1]) + (out[-1],)
 
-            def multi_step(params, kv_pages, fb, meta, pen, n_steps,
-                           sampling_mode, logprob_top_k=-1):
-                toks, last, kv, lps = inner_multi(
-                    params, kv_pages, fb, meta, pen, n_steps,
-                    sampling_mode, logprob_top_k)
-                return wsc(toks), wsc(last), kv, wsc(lps)
+            def multi_step(params, kv_pages, fb, meta, pen, counts_in,
+                           lp_ids, n_steps, sampling_mode,
+                           logprob_top_k=-1):
+                toks, last, kv, lps, cts, idlp = inner_multi(
+                    params, kv_pages, fb, meta, pen, counts_in, lp_ids,
+                    n_steps, sampling_mode, logprob_top_k)
+                return (wsc(toks), wsc(last), kv, wsc(lps), wsc(cts),
+                        wsc(idlp))
 
         self._multi_fn = jax.jit(
-            multi_step, donate_argnums=(1,), static_argnums=(5, 6, 7))
+            multi_step, donate_argnums=(1,), static_argnums=(7, 8, 9))
 
         def sample_step(logits, meta: SamplingMetadata, pen, grammar_mask,
                         logprob_top_k: int, sampling_mode: str):
@@ -708,7 +740,21 @@ class ModelRunner:
             "multi-step decode is gated off under DP attention"
         fb, meta, B = self._pad_to_device(hb)
         hb.num_valid = B
-        pen = self._pad_penalties(hb, meta.temperatures.shape[0])
+        B_pad = meta.temperatures.shape[0]
+        pen = self._pad_penalties(hb, B_pad)
+        counts_in = hb.chain_counts if pen is not None else None
+        if counts_in is not None:
+            # chained penalty dispatch: the device count state replaces
+            # pen.output_ids (which is host-stale by pending_steps) — pin
+            # its shape so every chain hits the same compiled program
+            pen = pen.replace(
+                output_ids=jnp.full((B_pad, 8), -1, jnp.int32))
+        lp_ids = None
+        if hb.lp_token_ids is not None:
+            J = hb.lp_token_ids.shape[1]
+            lp_pad = np.full((B_pad, J), -1, np.int32)
+            lp_pad[: hb.lp_token_ids.shape[0]] = hb.lp_token_ids
+            lp_ids = jnp.asarray(lp_pad)
         sampling_mode = (
             "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
         if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
@@ -719,11 +765,12 @@ class ModelRunner:
             else:
                 put = lambda x: (jax.device_put(x, rep)
                                  if isinstance(x, jax.Array) else x)
-            fb, meta, pen = jax.tree.map(put, (fb, meta, pen))
+            fb, meta, pen, lp_ids = jax.tree.map(
+                put, (fb, meta, pen, lp_ids))
         logprob_top_k = hb.top_logprobs_num if hb.return_logprob else -1
         key = ("multi", hb.multi_steps, sampling_mode, logprob_top_k,
                str(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
-                                (fb, meta, pen))))
+                                (fb, meta, pen, counts_in, lp_ids))))
         exe = self._compiled.get(key)
         with self.mesh_ctx.mesh:
             if exe is None:
@@ -737,20 +784,24 @@ class ModelRunner:
                     return x
 
                 abs_args = jax.tree.map(
-                    absify, (self.params, self.kv_pages, fb, meta, pen))
+                    absify, (self.params, self.kv_pages, fb, meta, pen,
+                             counts_in, lp_ids))
                 exe = self._multi_fn.lower(
                     *abs_args, hb.multi_steps, sampling_mode,
                     logprob_top_k).compile()
                 self._compiled[key] = exe
                 logger.info(
                     "compiled multi-step decode (B=%s N=%d) in %.1fs",
-                    meta.temperatures.shape[0], hb.multi_steps,
+                    B_pad, hb.multi_steps,
                     __import__("time").perf_counter() - t0)
-            toks, last, self.kv_pages, lps = exe(
-                self.params, self.kv_pages, fb, meta, pen)
+            toks, last, self.kv_pages, lps, cts, idlp = exe(
+                self.params, self.kv_pages, fb, meta, pen, counts_in,
+                lp_ids)
         hb.device_tokens = last           # [B_pad] — next chain's input
         hb._device_multi = toks           # [B_pad, N] device handle
         hb.device_logprobs = lps          # ([B_pad,N], [B_pad,N,K]x2)|Nones
+        hb._device_counts = cts           # f32[B_pad, V] | None
+        hb._device_idlp = idlp            # f32[B_pad, N, J] | None
         if not fetch:
             return None                   # fetch_multi() materializes later
         return self.fetch_multi(hb)
@@ -766,6 +817,8 @@ class ModelRunner:
             if topv is not None:
                 hb.top_logprob_vals = np.asarray(topv)[:B]  # [B, N, K]
                 hb.top_logprob_ids = np.asarray(topi)[:B]
+        if hb._device_idlp is not None:
+            hb.token_ids_logprob_vals = np.asarray(hb._device_idlp)[:B]
         return hb.multi_tokens
 
     def fetch_tokens(self, hb: HostBatch) -> np.ndarray:
@@ -924,6 +977,10 @@ class ModelRunner:
             bias_ids=jnp.asarray(pad2(pa["bias_ids"], B_pad, max(Kb, 8), -1)),
             bias_values=jnp.asarray(
                 pad2(pa["bias_values"], B_pad, max(Kb, 8), 0.0)),
+            min_remaining=jnp.asarray(
+                pad1(pa.get("min_remaining",
+                            np.zeros(len(pa["frequency_penalties"]),
+                                     np.int32)), B_pad, 0)),
         )
 
     def forward_all_logits(self, hb: HostBatch) -> np.ndarray:

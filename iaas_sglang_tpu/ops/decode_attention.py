@@ -65,7 +65,8 @@ def _decode_kernel(
     sm_scale: float,
     logit_softcap: Optional[float],
     win_chunked: bool = False,
-    compute: str = "packed",   # "packed" (one wide dot) | "perhead"
+    compute: str = "packed",   # "packed" | "perhead" | "split" | "split_t"
+    interpret: bool = False,
 ):
     # NOTE on num_bufs: the pipeline issues exactly ONE chunk ahead of the
     # wait (slot (gc+1)%NBUF), so NBUF is the buffer-ROTATION depth, not a
@@ -160,6 +161,43 @@ def _decode_kernel(
                 pieces.append(jnp.where(mask, q, 0))     # K block of head h
                 pieces.append(jnp.zeros_like(q))         # V block of head h
             q_pad = jnp.concatenate(pieces, axis=1)      # [Nq, W]
+        elif compute == "split":
+            # K-only lane layout [Nq, Nk*D]: half the packed dot width —
+            # the K/V halves are deinterleaved in-register per chunk via
+            # the u32 bitcast trick (see _deinterleave), so the score dot
+            # contracts NkD instead of 2NkD and PV produces NkD lanes
+            row = jax.lax.broadcasted_iota(jnp.int32, (Nq, 1), 0)
+            q_pad = jnp.concatenate(
+                [jnp.where((row >= h * G) & (row < (h + 1) * G), q, 0)
+                 for h in range(Nk)], axis=1)            # [Nq, NkD]
+        elif compute == "split_t":
+            # transposed formulation: scores_t [CT, Nq] puts the long dim
+            # (tokens) on MXU rows — M=CT instead of M=Nq=32, so short-
+            # context chunks stop wasting 3/4 of the systolic rows
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, Nq), 1)
+            qT = q.astype(jnp.float32).T.astype(q.dtype)  # [D, Nq]
+            q_padT = jnp.concatenate(
+                [jnp.where((col >= h * G) & (col < (h + 1) * G), qT, 0)
+                 for h in range(Nk)], axis=0)            # [NkD, Nq]
+
+        def _deinterleave(slot):
+            """K/V halves of the interleaved chunk buffer as two
+            [CT, Nk*D] arrays. TPU path: bitcast the [CT*2Nk, D] bf16
+            row view to u32 (adjacent K/V rows share a 32-bit word —
+            K in the low half), shift/mask to split, then fold the head
+            rows into lanes. Same trick as jax's ragged_paged_attention
+            strided_load_kv (kernel.py:361-393)."""
+            if interpret:
+                f3 = kv_buf[slot].reshape(CT, 2 * Nk, D)
+                kf = f3[:, 0::2, :].reshape(CT, Nk * D)
+                vf = f3[:, 1::2, :].reshape(CT, Nk * D)
+                return kf, vf
+            kvr = kv_buf.at[slot].reshape(CT * 2 * Nk, D)
+            b = kvr.bitcast(jnp.uint32)[...]             # [CT*Nk, D]
+            kf = pltpu.bitcast(b << 16, jnp.float32).astype(jnp.bfloat16)
+            vf = pltpu.bitcast(b & jnp.uint32(0xFFFF0000),
+                               jnp.float32).astype(jnp.bfloat16)
+            return kf.reshape(CT, Nk * D), vf.reshape(CT, Nk * D)
 
         c0 = first_chunk(kv_len)
 
@@ -187,6 +225,62 @@ def _decode_kernel(
                     pipe_ref[1] = nxt
 
             pipe_ref[0] = gc + 1
+
+            if compute in ("split", "split_t"):
+                kr, vr = _deinterleave(slot)             # [CT, NkD] x2
+                if kr.dtype != q.dtype:
+                    kr = kr.astype(q.dtype)
+                    vr = vr.astype(q.dtype)
+                win = window_ref[0]
+                if compute == "split":
+                    pos = ci * CT + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, CT), 1)
+                else:
+                    pos = ci * CT + jax.lax.broadcasted_iota(
+                        jnp.int32, (CT, 1), 0)
+                valid = pos < kv_len
+                if win_chunked:
+                    valid &= (win < 0) | (
+                        pos >= ((kv_len - 1) // win) * win)
+                else:
+                    valid &= (win < 0) | (pos > kv_len - 1 - win)
+                if compute == "split":
+                    scores = jax.lax.dot_general(
+                        q_pad, kr, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * sm_scale                         # f32 [Nq, CT]
+                    if logit_softcap:
+                        scores = logit_softcap * jnp.tanh(
+                            scores / logit_softcap)
+                    scores = jnp.where(valid, scores, -jnp.inf)
+                    m_c = jnp.max(scores, axis=-1, keepdims=True)
+                    m_n = jnp.maximum(m, m_c)
+                    alpha = jnp.exp(m - m_n)
+                    p = jnp.exp(scores - m_n)
+                    l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(vr.dtype), vr, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # f32 [Nq, NkD]
+                else:
+                    scores = jax.lax.dot_general(
+                        kr, q_padT, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * sm_scale                         # f32 [CT, Nq]
+                    if logit_softcap:
+                        scores = logit_softcap * jnp.tanh(
+                            scores / logit_softcap)
+                    scores = jnp.where(valid, scores, -jnp.inf)
+                    m_c = jnp.max(scores, axis=0, keepdims=True)
+                    m_n = jnp.maximum(m, m_c)            # [1, Nq]
+                    alpha = jnp.exp(m - m_n)
+                    p = jnp.exp(scores - m_n)            # [CT, Nq]
+                    l_n = alpha * l + jnp.sum(p, axis=0, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        vr, p.astype(vr.dtype), (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # f32 [NkD, Nq]
+                return m_n, l_n, alpha * acc + pv
 
             flat2 = kv_buf[slot].reshape(CT, W)
             if flat2.dtype != q.dtype:   # fp8 KV: upcast for the MXU
@@ -250,14 +344,28 @@ def _decode_kernel(
                 )                                       # f32 [Nq, W]
             return m_n, l_n, alpha * acc + pv
 
-        m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((Nq, 1), jnp.float32)
-        acc_w = D if compute == "perhead" else W
-        acc0 = jnp.zeros((Nq, acc_w), jnp.float32)
+        if compute == "split_t":
+            m0 = jnp.full((1, Nq), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((1, Nq), jnp.float32)
+            acc0 = jnp.zeros((Nk * D, Nq), jnp.float32)
+        else:
+            m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((Nq, 1), jnp.float32)
+            acc_w = {"perhead": D, "split": Nk * D}.get(compute, W)
+            acc0 = jnp.zeros((Nq, acc_w), jnp.float32)
         m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
         acc = acc / jnp.maximum(l, 1e-30)
         if compute == "perhead":
             out = acc                                   # already [Nq, D]
+        elif compute == "split":
+            out = jnp.concatenate(
+                [acc[h * G:(h + 1) * G, h * D:(h + 1) * D]
+                 for h in range(Nk)], axis=0)
+        elif compute == "split_t":
+            accT = acc.T                                # [Nq, NkD] once/seq
+            out = jnp.concatenate(
+                [accT[h * G:(h + 1) * G, h * D:(h + 1) * D]
+                 for h in range(Nk)], axis=0)
         else:
             out = jnp.concatenate(
                 [acc[h * G:(h + 1) * G, (2 * h + 1) * D:(2 * h + 2) * D]
@@ -491,7 +599,7 @@ def mla_paged_decode_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "chunk_pages",
-                     "window_chunked", "num_bufs", "compute"),
+                     "window_chunked", "num_bufs", "compute", "interpret"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, Nq, D]
@@ -506,12 +614,18 @@ def paged_decode_attention(
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     num_bufs: int = 2,
     compute: str = "packed",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
     NP, ps, NK2, _ = kv_pages.shape
     Nk = NK2 // 2
     MP = page_indices.shape[1]
     CP = min(chunk_pages, MP)
+    if compute in ("split", "split_t") and kv_pages.dtype != jnp.bfloat16 \
+            and not interpret:
+        # the u32 deinterleave trick is bf16-specific; fp8 KV keeps the
+        # packed path (upcast dominates there anyway — PARITY.md)
+        compute = "packed"
     window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
         else jnp.asarray(sliding_window, jnp.int32).reshape(1)
 
@@ -543,6 +657,7 @@ def paged_decode_attention(
         logit_softcap=logit_softcap,
         win_chunked=window_chunked,
         compute=compute,
+        interpret=interpret,
     )
     return pl.pallas_call(
         kernel,
@@ -551,4 +666,5 @@ def paged_decode_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(kv_lens, page_indices, window, q, kv_pages)

@@ -53,6 +53,10 @@ class QuantizedWeight:
 # GSPMD-shardable) or "pallas" (fused dequant-GEMM kernel, single-shard TPU).
 _INT4_IMPL = "xla"
 
+# integer-dot W4A8 at decode shapes (per-token int8 activation quant +
+# native int8 MXU dots; IAAS_W4A8=0 reverts to the f32 dequant chain)
+_W4A8 = __import__("os").environ.get("IAAS_W4A8", "1") != "0"
+
 
 def set_int4_impl(impl: str) -> None:
     global _INT4_IMPL
@@ -251,7 +255,10 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     if isinstance(w, QuantLayerRef):
         if w.qw.packed and _INT4_IMPL == "pallas":
             from iaas_sglang_tpu.ops.quant_matmul import (
+                W4A8_MAX_T,
                 int4_matmul_dma_stacked,
+                q_matmul_dma_stacked_a8,
+                quantize_act_int8,
             )
 
             out_dtype = out_dtype or x.dtype
@@ -259,9 +266,17 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
             inn = qw.q.shape[1] * 2
             group = inn // qw.scale.shape[1]
             lead = x.shape[:-1]
-            y = int4_matmul_dma_stacked(
-                x.reshape(-1, inn), qw.q, qw.scale, qw.zero_scale,
-                w.idx, group=group)
+            x2 = x.reshape(-1, inn)
+            if x2.shape[0] <= W4A8_MAX_T and _W4A8:
+                # decode shapes: integer-dot W4A8 (658 vs 539 GB/s, r4)
+                xq, xs, rs = quantize_act_int8(x2, group)
+                y = q_matmul_dma_stacked_a8(
+                    xq, xs, rs, qw.q, qw.scale, qw.zero_scale,
+                    w.idx, group=group)
+            else:
+                y = int4_matmul_dma_stacked(
+                    x2, qw.q, qw.scale, qw.zero_scale,
+                    w.idx, group=group)
             return y.reshape(*lead, qw.q.shape[2]).astype(out_dtype)
         if _q8_pallas_ok(w.qw) and w.qw.q.ndim == 3:
             from iaas_sglang_tpu.ops.quant_matmul import (

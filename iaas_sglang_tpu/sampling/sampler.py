@@ -41,8 +41,14 @@ def apply_penalties(logits: jnp.ndarray, pen: PenaltyMetadata) -> jnp.ndarray:
 
 
 def apply_penalties_with_counts(logits: jnp.ndarray, pen: PenaltyMetadata,
-                                counts: jnp.ndarray) -> jnp.ndarray:
-    """Penalty application against an explicit count state [B, V]."""
+                                counts: jnp.ndarray,
+                                step=0) -> jnp.ndarray:
+    """Penalty application against an explicit count state [B, V].
+
+    `step` (static or traced i32): decode steps already taken THIS
+    dispatch — the min_new_tokens disallow mask stays active only while
+    step < pen.min_remaining, so a chain can cross the boundary
+    in-program (no host-side mask flip needed mid-chain)."""
     B, V = logits.shape
     logits = logits - pen.frequency_penalties[:, None] * counts
     logits = logits - pen.presence_penalties[:, None] * (counts > 0)
@@ -62,6 +68,8 @@ def apply_penalties_with_counts(logits: jnp.ndarray, pen: PenaltyMetadata,
     logits = logits + bias
     # hard-disallowed tokens (min_new_tokens EOS masking etc.)
     dis_valid = pen.disallow_ids >= 0
+    if pen.min_remaining is not None:
+        dis_valid &= (pen.min_remaining > step)[:, None]
     dis_safe = jnp.where(dis_valid, pen.disallow_ids, 0)
     mask = jnp.zeros((B, V), jnp.bool_)
     mask = jax.vmap(lambda m, i, o: m.at[i].set(o))(mask, dis_safe, dis_valid)

@@ -1,0 +1,488 @@
+"""Round-4 GEMM probe: contiguous-tile DMA + integer-dot W8A8/W4A8.
+
+VERDICT r3 #2: the 8-bit dequant-GEMM stack runs 702 GB/s and INT4
+535-560 of the 819 GB/s roofline. Two hypotheses probed here on the real
+chip (llama-8B gate-proj shape [32,4096]x[4096,14336], 32-layer stacks,
+layer indexed INSIDE the kernel per the r3 lesson, slope-timed):
+
+  1. DMA ceiling: the weight chunks are strided [BK, BN] windows of a
+     [K, N] array -> each DMA row is only BN bytes (1-2 KB) with a long
+     stride. Pre-tiling the weights at load into [nj, nk, BK, BN] makes
+     every chunk ONE fully contiguous 1-4 MB transfer.
+  2. Dequant convert: replacing convert+scale+bf16-dot with a native
+     int8 x int8 -> int32 MXU dot (per-token activation quant, scales
+     applied ONCE to the [T, BN] int32 accumulator) deletes the VPU
+     convert from the critical path entirely (reference: sgl-kernel
+     csrc/gemm/int8_gemm_kernel.cu, w8a8_int8.py).
+
+Variants (all stacked L=32, in-kernel layer indexing):
+  q8_base      current production q8_matmul_dma_stacked (f32 dequant)
+  q8_tiled     same dequant math, contiguous-tile DMA
+  w8a8_tiled   int8 activations, int8 MXU dot, per-channel scale, tiles
+  w8a8_strided int8 dot on the STRIDED layout (isolates dot vs DMA win)
+  dma_tiled    tiled copy-only ceiling
+  int4_base    current int4_matmul_dma_stacked (f32 dequant)
+  int4_tiled   int4 f32-dequant, contiguous tiles
+  w4a8_tiled   int4->int8 convert + int8 dot + group scale-after-dot
+               (only if Mosaic takes the int4->int8 convert)
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iaas_sglang_tpu.ops.quant_matmul import (
+    q8_matmul_dma_stacked, int4_matmul_dma_stacked)
+
+GROUP = 128
+T, K, N, L = 32, 4096, 14336, 32
+
+
+# ------------------------------------------------------------ tiled kernels
+
+def _tiled_kernel(layer_ref, x_ref, w_hbm, s_hbm, o_ref,
+                  wbuf, wsem, sbuf, ssem, pipe,
+                  *, n_k, n_j, BK, BN, group, mode):
+    """Globally pipelined DMA GEMM over pre-tiled weights.
+
+    w_hbm: [L, n_j, n_k, BKr, BN] (BKr = BK for 8-bit, BK/2 for packed
+    int4) -- chunk (j, k) is ONE contiguous DMA.
+    s_hbm: q8/int4 modes: [L, K/G, N] f32 group scales (strided, small);
+           w8a8: [L, 8, N] f32 per-channel scale (row 0 used; 8 rows for
+           sublane alignment).
+    mode: "q8" f32-dequant int8 | "int4" f32-dequant nibbles |
+          "w8a8" int8 dot | "w4a8" int4->int8 dot + group scale |
+          "dma" copy only.
+    """
+    j = pl.program_id(0)
+    li = layer_ref[0]
+    nG = BK // group
+    w_l = w_hbm.at[li]
+    s_l = s_hbm.at[li]
+    strided = w_hbm.ndim == 3   # [L, Kr, N] production layout
+
+    def w_copy(jj, k, slot):
+        if strided:
+            rows = wbuf.shape[1]
+            return pltpu.make_async_copy(
+                w_l.at[pl.ds(k * rows, rows), pl.ds(jj * BN, BN)],
+                wbuf.at[slot], wsem.at[slot])
+        return pltpu.make_async_copy(
+            w_l.at[jj, k], wbuf.at[slot], wsem.at[slot])
+
+    def s_copy(jj, slot):
+        return pltpu.make_async_copy(
+            s_l.at[:, pl.ds(jj * BN, BN)], sbuf.at[slot], ssem.at[slot])
+
+    def start_block(jj, slot):
+        s_copy(jj, lax.rem(jj, 2)).start()
+        w_copy(jj, 0, slot).start()
+
+    @pl.when(j == 0)
+    def _boot():
+        pipe[0] = 0
+        start_block(0, 0)
+
+    jslot = lax.rem(j, 2)
+    s_copy(j, jslot).wait()
+
+    Tq = x_ref.shape[0]
+    acc_dtype = jnp.int32 if mode in ("w8a8",) else jnp.float32
+
+    def body(k, acc):
+        gc = pipe[0]
+        slot = lax.rem(gc, 2)
+        nslot = lax.rem(gc + 1, 2)
+
+        @pl.when(k + 1 < n_k)
+        def _():
+            w_copy(j, k + 1, nslot).start()
+
+        @pl.when((k + 1 >= n_k) & (j + 1 < n_j))
+        def _():
+            start_block(j + 1, nslot)
+
+        w_copy(j, k, slot).wait()
+        pipe[0] = gc + 1
+        xk = x_ref[:, pl.ds(k * BK, BK)]
+        if mode == "dma":
+            return acc + wbuf[slot][0:Tq, 0:BN].astype(jnp.float32)
+        if mode == "q8":
+            s = sbuf[jslot, pl.ds(k * nG, nG)]
+            wf = (wbuf[slot].astype(jnp.float32).reshape(nG, group, BN)
+                  * s[:, None, :]).reshape(BK, BN).astype(x_ref.dtype)
+            return acc + lax.dot_general(
+                xk, wf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if mode == "int4":
+            w4 = pltpu.bitcast(wbuf[slot], jnp.int4)
+            s = sbuf[jslot, pl.ds(k * nG, nG)]
+            wf = (w4.astype(jnp.float32).reshape(nG, group, BN)
+                  * s[:, None, :]).reshape(BK, BN).astype(x_ref.dtype)
+            return acc + lax.dot_general(
+                xk, wf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if mode == "w8a8":
+            return acc + lax.dot_general(
+                xk, wbuf[slot], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        if mode in ("w4a8", "w4a8_direct", "w8a8g"):
+            if mode == "w8a8g":
+                w8 = wbuf[slot]
+            else:
+                w8 = pltpu.bitcast(wbuf[slot], jnp.int4)
+                if mode == "w4a8":
+                    w8 = w8.astype(jnp.int8)
+            s = sbuf[jslot, pl.ds(k * nG, nG)]
+            part = lax.dot_general(   # [nG, T, BN] int32 group partials
+                xk.reshape(Tq, nG, group).transpose(1, 0, 2),
+                w8.reshape(nG, group, BN),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            return acc + jnp.sum(
+                part.astype(jnp.float32) * s[:, None, :], axis=0)
+        raise ValueError(mode)
+
+    acc = lax.fori_loop(0, n_k, body,
+                        jnp.zeros((Tq, BN), acc_dtype))
+    if mode == "w8a8":
+        o_ref[...] = (acc.astype(jnp.float32)
+                      * sbuf[jslot, 0:1, :]).astype(o_ref.dtype)
+    else:
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def tiled_matmul(x, w_tiled, scale, layer, *, mode, BK, BN, group=GROUP,
+                 interpret=False):
+    if w_tiled.ndim == 3:        # strided [L, Kr, N] production layout
+        _, Kr, Nw = w_tiled.shape
+        n_k = x.shape[1] // BK
+        n_j = Nw // BN
+        buf_shape = (Kr // n_k, BN)
+    else:
+        n_j, n_k = w_tiled.shape[1], w_tiled.shape[2]
+        Nw = n_j * BN
+        buf_shape = w_tiled.shape[3:]
+    srows = scale.shape[1]
+    kernel = functools.partial(
+        _tiled_kernel, n_k=n_k, n_j=n_j, BK=BK, BN=BN, group=group,
+        mode=mode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((x.shape[0], x.shape[1]), lambda j, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((x.shape[0], BN), lambda j, *_: (0, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + buf_shape, w_tiled.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, srows, BN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    out_dtype = jnp.bfloat16
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], Nw), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_tiled, scale)
+
+
+def _selftest():
+    """CPU interpret-mode numerics check of the tiled kernels."""
+    rng = np.random.default_rng(0)
+    Lt, Kt, Nt = 2, 512, 512
+    BKt, BNt = 256, 256
+    w = rng.integers(-127, 128, (Lt, Kt, Nt), dtype=np.int8)
+    sc = (rng.random((Lt, Kt // GROUP, Nt)).astype(np.float32) * 0.001
+          + 0.01)
+    xt = (rng.standard_normal((8, Kt)).astype(np.float32) * 0.1
+          ).astype(jnp.bfloat16)
+    wt = jnp.asarray(w).reshape(
+        Lt, Kt // BKt, BKt, Nt // BNt, BNt).transpose(0, 3, 1, 2, 4)
+    for li in range(Lt):
+        ref = np.asarray(xt, np.float32) @ (
+            w[li].astype(np.float32)
+            * np.repeat(sc[li], GROUP, axis=0))
+        got = tiled_matmul(xt, wt, jnp.asarray(sc), li, mode="q8",
+                           BK=BKt, BN=BNt, interpret=True)
+        err = np.abs(np.asarray(got, np.float32) - ref).max() / (
+            np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, ("q8", li, err)
+    # w8a8: per-channel scale (row 0 of [L, 8, N])
+    scpc = np.tile(sc[:, 0:1, :], (1, 8, 1))
+    xq, xs = quant_act(xt)
+    for li in range(Lt):
+        ref = (np.asarray(xq, np.int32) @ w[li].astype(np.int32)
+               ).astype(np.float32) * scpc[li, 0]
+        got = tiled_matmul(xq, wt, jnp.asarray(scpc), li, mode="w8a8",
+                           BK=BKt, BN=BNt, interpret=True)
+        err = np.abs(np.asarray(got, np.float32) - ref).max() / (
+            np.abs(ref).max() + 1e-9)
+        assert err < 1e-2, ("w8a8", li, err)
+    # int4 + w4a8
+    q = rng.integers(-8, 8, (Lt, Kt, Nt), dtype=np.int8)
+    lo = q[:, 0::2].astype(np.uint8) & 0xF
+    hi = q[:, 1::2].astype(np.uint8) & 0xF
+    p4 = ((hi << 4) | lo).astype(np.int8)
+    p4t = jnp.asarray(p4).reshape(
+        Lt, Kt // BKt, BKt // 2, Nt // BNt, BNt).transpose(0, 3, 1, 2, 4)
+    for li in range(Lt):
+        ref = np.asarray(xt, np.float32) @ (
+            q[li].astype(np.float32)
+            * np.repeat(sc[li], GROUP, axis=0))
+        got = tiled_matmul(xt, p4t, jnp.asarray(sc), li, mode="int4",
+                           BK=BKt, BN=BNt, interpret=True)
+        err = np.abs(np.asarray(got, np.float32) - ref).max() / (
+            np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, ("int4", li, err)
+        refq = (np.asarray(xq, np.float32) @ (
+            q[li].astype(np.float32)
+            * np.repeat(sc[li], GROUP, axis=0)))
+        gotq = tiled_matmul(xq, p4t, jnp.asarray(sc), li, mode="w4a8",
+                            BK=BKt, BN=BNt, interpret=True)
+        errq = np.abs(np.asarray(gotq, np.float32) - refq).max() / (
+            np.abs(refq).max() + 1e-9)
+        assert errq < 1e-2, ("w4a8", li, errq)
+    print("selftest OK", flush=True)
+
+
+# ------------------------------------------------------------ harness
+
+def timed_slope(name, make_fn, bytes_per_rep, n1=4, n2=16, iters=3):
+    ts = {}
+    tc = 0.0
+    for n in (n1, n2):
+        fn, args = make_fn(n)
+        t0 = time.perf_counter()
+        exe = fn.lower(*args).compile()
+        tc = max(tc, time.perf_counter() - t0)
+        out = exe(*args)
+        _ = float(jnp.sum(out).astype(jnp.float32))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = exe(*args)
+        _ = float(jnp.sum(out).astype(jnp.float32))
+        ts[n] = (time.perf_counter() - t0) / iters
+    per = (ts[n2] - ts[n1]) / (n2 - n1)
+    print(f"{name:>30}: {per*1000:7.3f} ms/rep  "
+          f"{bytes_per_rep/per:6.1f} GB/s  compile={tc:.1f}s",
+          flush=True)
+    return per
+
+
+_n = [0]
+
+
+def stack(per_layer):
+    n = _n[0]
+
+    @jax.jit
+    def run(x, *consts):
+        def rep(h, _):
+            def body(h, li):
+                y = per_layer(h, li, *consts)
+                return (h + y[:, :K].astype(h.dtype) * 1e-6), None
+            h, _ = lax.scan(body, h, jnp.arange(L, dtype=jnp.int32))
+            return h * (1.0 + 1e-6), None
+        h, _ = lax.scan(rep, x, None, length=n)
+        return h
+    return run
+
+
+@jax.jit
+def quant_act(x):
+    """Per-token int8 activation quant: returns (xq int8, combined scale
+    rows [8, N]-broadcastable... here just [T, 1] f32)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                  ).astype(jnp.int8)
+    return xq, s
+
+
+def main():
+    if sys.argv[1:] == ["selftest"]:
+        _selftest()
+        return
+    which = sys.argv[1:] or [
+        "q8_base", "dma_tiled", "q8_tiled", "w8a8_tiled",
+        "int4_base", "int4_tiled", "w4a8_tiled"]
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def gen(key):
+        w8 = jax.random.randint(key, (L, K, N), -127, 128, jnp.int8)
+        sc = (jax.random.uniform(key, (L, K // GROUP, N)) * 0.001 + 0.01
+              ).astype(jnp.float32)
+        x = (jax.random.normal(key, (T, K)) * 0.1).astype(jnp.bfloat16)
+        return w8, sc, x
+
+    w8, sc, x = gen(key)
+    w8.block_until_ready()
+    print("generated", flush=True)
+
+    BK8, BN8 = 2048, 1024
+    BK4, BN4 = 4096, 1024
+
+    def tile8(w):   # [L, K, N] -> [L, nj, nk, BK, BN]
+        return w.reshape(L, K // BK8, BK8, N // BN8, BN8).transpose(
+            0, 3, 1, 2, 4)
+
+    res = {}
+    for v in which:
+        try:
+            if v == "q8_base":
+                def mk(n):
+                    _n[0] = n
+                    f = stack(lambda h, li, w, s: q8_matmul_dma_stacked(
+                        h, w, s, li))
+                    return f, (x, w8, sc)
+                res[v] = timed_slope(v, mk, L * K * N / 1e9)
+            elif v in ("dma_tiled", "q8_tiled", "w8a8_tiled",
+                       "w8a8_strided"):
+                wt = jax.jit(tile8)(w8)
+                wt.block_until_ready()
+                if v in ("dma_tiled", "q8_tiled"):
+                    def mk(n, v=v):
+                        _n[0] = n
+                        mode = "dma" if v == "dma_tiled" else "q8"
+                        f = stack(lambda h, li, w, s: tiled_matmul(
+                            h, w, s, li, mode=mode, BK=BK8, BN=BN8))
+                        return f, (x, wt, sc)
+                    res[v] = timed_slope(v, mk, L * K * N / 1e9)
+                else:
+                    # per-channel scale rows: [L, 8, N] f32, row 0 = scale
+                    # (activation per-token scale is a [T,1] broadcast on
+                    # the final multiply — negligible; omitted for timing)
+                    wsc = jax.jit(lambda s: jnp.tile(
+                        s[:, 0:1, :], (1, 8, 1)))(sc)
+                    wsc.block_until_ready()
+
+                    def mk(n):
+                        _n[0] = n
+                        f = stack(lambda h, li, w, s: tiled_matmul(
+                            quant_act(h)[0], w, s, li, mode="w8a8",
+                            BK=BK8, BN=BN8))
+                        return f, (x, wt, wsc)
+                    res[v] = timed_slope(v, mk, L * K * N / 1e9)
+                del wt
+            elif v in ("int4_base", "int4_tiled", "w4a8_tiled"):
+                @jax.jit
+                def gen4(key):
+                    q = jax.random.randint(key, (L, K, N), -8, 8, jnp.int8)
+                    lo = (q[:, 0::2].astype(jnp.uint8) & 0xF)
+                    hi = (q[:, 1::2].astype(jnp.uint8) & 0xF)
+                    return ((hi << 4) | lo).astype(jnp.int8)
+                p4 = gen4(key)
+                p4.block_until_ready()
+                if v == "int4_base":
+                    def mk(n):
+                        _n[0] = n
+                        f = stack(
+                            lambda h, li, w, s: int4_matmul_dma_stacked(
+                                h, w, s, None, li))
+                        return f, (x, p4, sc)
+                    res[v] = timed_slope(v, mk, L * K * N / 2 / 1e9)
+                else:
+                    p4t = jax.jit(lambda w: w.reshape(
+                        L, K // BK4, BK4 // 2, N // BN4, BN4).transpose(
+                            0, 3, 1, 2, 4))(p4)
+                    p4t.block_until_ready()
+                    mode = "int4" if v == "int4_tiled" else "w4a8"
+                    if mode == "w4a8":
+                        def mk(n):
+                            _n[0] = n
+                            f = stack(lambda h, li, w, s: tiled_matmul(
+                                quant_act(h)[0], w, s, li, mode="w4a8",
+                                BK=BK4, BN=BN4))
+                            return f, (x, p4t, sc)
+                    else:
+                        def mk(n):
+                            _n[0] = n
+                            f = stack(lambda h, li, w, s: tiled_matmul(
+                                h, w, s, li, mode="int4", BK=BK4, BN=BN4))
+                            return f, (x, p4t, sc)
+                    res[v] = timed_slope(v, mk, L * K * N / 2 / 1e9)
+                    del p4t
+                del p4
+            elif v.startswith("p2:"):
+                # round-2 variants: p2:<mode>:<layout>:<BK>:<BN>
+                _, mode, layout, bk_s, bn_s = v.split(":")
+                BK, BN = int(bk_s), int(bn_s)
+                four_bit = mode.startswith("w4") or mode == "int4"
+                if four_bit:
+                    @jax.jit
+                    def gen4(key):
+                        q = jax.random.randint(
+                            key, (L, K, N), -8, 8, jnp.int8)
+                        lo = (q[:, 0::2].astype(jnp.uint8) & 0xF)
+                        hi = (q[:, 1::2].astype(jnp.uint8) & 0xF)
+                        return ((hi << 4) | lo).astype(jnp.int8)
+                    w = gen4(key)
+                else:
+                    w = w8
+                if layout == "tiled":
+                    r = 1 if not four_bit else 2
+                    w = jax.jit(lambda w: w.reshape(
+                        L, K // BK, BK // r, N // BN, BN).transpose(
+                            0, 3, 1, 2, 4))(w)
+                w.block_until_ready()
+                if mode == "w8a8":
+                    wsc = jax.jit(lambda s: jnp.tile(
+                        s[:, 0:1, :], (1, 8, 1)))(sc)
+                    wsc.block_until_ready()
+
+                    def mk(n, w=w, wsc=wsc):
+                        _n[0] = n
+                        f = stack(lambda h, li, w, s: tiled_matmul(
+                            quant_act(h)[0], w, s, li, mode="w8a8",
+                            BK=BK, BN=BN))
+                        return f, (x, w, wsc)
+                elif mode.startswith("w4a8") or mode == "w8a8g":
+                    def mk(n, w=w, mode=mode):
+                        _n[0] = n
+                        f = stack(lambda h, li, w, s: tiled_matmul(
+                            quant_act(h)[0], w, s, li, mode=mode,
+                            BK=BK, BN=BN))
+                        return f, (x, w, sc)
+                else:  # dma / q8 / int4
+                    def mk(n, w=w, mode=mode):
+                        _n[0] = n
+                        f = stack(lambda h, li, w, s: tiled_matmul(
+                            h, w, s, li, mode=mode, BK=BK, BN=BN))
+                        return f, (x, w, sc)
+                gb = L * K * N / (2e9 if four_bit else 1e9)
+                res[v] = timed_slope(v, mk, gb)
+                del w
+        except Exception as e:
+            print(f"{v:>14}: FAILED {type(e).__name__}: {e}"[:500],
+                  flush=True)
+
+    print(f"\nroofline: int8 {L*K*N/819e9*1000:.2f} ms, "
+          f"int4 {L*K*N/2/819e9*1000:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -615,3 +615,77 @@ def test_q8_matmul_dma_interpret(dtype):
                 group=G, block_n=128, block_k=512)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ wd[l],
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["split", "split_t"])
+def test_decode_kernel_split_interpret(shapes, mode):
+    """r4 deinterleaved compute variants (half-width packed dot /
+    transposed scores) must match the jnp reference, including sliding
+    windows and multi-chunk pipelines."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    B = 6
+    kv_lens_l = [0, 97, 0, 128, 3, 33]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    out = paged_decode_attention(q, kv, kv_lens, page_indices,
+                                 sm_scale=D ** -0.5, chunk_pages=2,
+                                 compute=mode, interpret=True)
+    ref = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
+        rtol=3e-2, atol=3e-2)
+    # sliding window
+    out_w = paged_decode_attention(q, kv, kv_lens, page_indices, 40,
+                                   sm_scale=D ** -0.5, chunk_pages=2,
+                                   compute=mode, interpret=True)
+    ref_w = _jnp_paged_attention(q, kv, kv_lens, page_indices, cu,
+                                 jnp.int32(B), sm_scale=D ** -0.5,
+                                 sliding_window=40)
+    np.testing.assert_allclose(
+        np.asarray(out_w, np.float32)[nz],
+        np.asarray(ref_w, np.float32)[nz], rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("zeros", [False, True])
+def test_q_a8_dma_interpret(zeros):
+    """Integer-dot W4A8 stacked kernel vs the dequantized int reference
+    (same quantized activations): exact up to f32 accumulation order."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        q_matmul_dma_stacked_a8, quantize_act_int8, pack_int4)
+
+    rng = np.random.default_rng(5)
+    L, K, N, T, G = 3, 1024, 256, 8, 128
+    q = rng.integers(-8, 8, size=(L, K, N)).astype(np.int8)
+    packed = np.stack([pack_int4(q[l]) for l in range(L)])
+    sc = (rng.random((L, K // G, N)).astype(np.float32) * 0.001 + 0.01)
+    zs = (rng.random((L, K // G, N)).astype(np.float32) * 0.01 - 0.005
+          ) if zeros else None
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32) * 0.1,
+                    jnp.bfloat16)
+    xq, xs, rs = quantize_act_int8(x, G)
+    xq_np = np.asarray(xq, np.int32)
+    xs_np = np.asarray(xs, np.float32)
+    for li in range(L):
+        wf = q[li].astype(np.float64) * np.repeat(sc[li], G, axis=0)
+        ref = (xq_np.astype(np.float64) @ wf) * xs_np
+        if zeros:
+            rs_np = xq_np.reshape(T, K // G, G).sum(-1).astype(np.float64)
+            ref = ref - (rs_np @ zs[li].astype(np.float64)) * xs_np
+        got = q_matmul_dma_stacked_a8(
+            xq, xs, rs, jnp.asarray(packed), jnp.asarray(sc),
+            None if zs is None else jnp.asarray(zs),
+            li, group=G, interpret=True)
+        err = np.abs(np.asarray(got, np.float64) - ref).max() / (
+            np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, (li, err)
