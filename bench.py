@@ -108,7 +108,7 @@ def main():
 
     eng._outputs.clear()
     rids, reqs = [], []
-    t0 = time.perf_counter()
+    t0 = time.monotonic()
     for i, ids in enumerate(prompts):
         rid = f"bench-{i}"
         # first-token times must come from the scheduler's Req objects:
@@ -123,15 +123,18 @@ def main():
     while any(eng._outputs.get(r, {}).get("finished") is None for r in rids):
         if not eng.scheduler.step() and not eng.scheduler.has_work():
             raise RuntimeError("scheduler stalled")
-        now = time.perf_counter()
         for r in reqs:
-            if r.rid not in ttft and r.output_ids:
-                ttft[r.rid] = now - t0
+            # exact per-request emit timestamps (scheduler stamps the
+            # instant the first output token is appended — r4 #9; no
+            # longer a step-loop-granularity upper bound)
+            ts = getattr(r, "first_token_ts", None)
+            if r.rid not in ttft and ts is not None:
+                ttft[r.rid] = ts - t0
         if decode_t0 is None and len(ttft) == B:
-            decode_t0 = now
+            decode_t0 = t0 + max(ttft.values())
             decode_base = sum(len(r.output_ids) for r in reqs)
     eng.scheduler.drain()
-    dt_full = time.perf_counter() - t0
+    dt_full = time.monotonic() - t0
     outs = [eng._finalize(r) for r in rids]
     decode_toks = sum(len(o["output_ids"]) for o in outs) - decode_base
     assert decode_toks > 0, "phase split failed (no pure-decode tokens)"

@@ -534,10 +534,9 @@ class Scheduler:
         """start/stop/dump expert-distribution recording (reference
         /start_expert_distribution_record endpoints; scheduler samples a
         device-side capture every few MoE batches while recording)."""
-        if (not self.model_config.is_moe or self.server_args.pp_size > 1
-                or self.attn_dp > 1):
-            # DP attention stacks cu_q_lens per rank — the capture tap
-            # indexes it flat; gate until the tap is rank-aware
+        if not self.model_config.is_moe or self.server_args.pp_size > 1:
+            # PP still gated: the capture tap would need per-stage
+            # programs + cross-stage count reduction
             return ExpertDistributionReqOutput(
                 success=False, counts=None)
         if m.action == "start":
@@ -768,7 +767,6 @@ class Scheduler:
         instead) and custom logit processors (arbitrary host python)."""
         return (
             self.multi_steps > 1
-            and self.attn_dp == 1
             and self.model_config.mrope_section is None
             and batch.mode.is_decode()
             and all(
@@ -828,7 +826,6 @@ class Scheduler:
         chains cost ~2 ms/token-step at N=32)."""
         return (
             self.enable_overlap
-            and self.server_args.nnodes == 1
             and self._prefill_blocked()
             and bool(mb.reqs)
             and all(not r.is_finished() and not getattr(r, "cleaned", False)
@@ -877,6 +874,18 @@ class Scheduler:
         self._watchdog_busy = False
         return True
 
+    @staticmethod
+    def _stamp_first_tokens(reqs) -> None:
+        """Exact TTFT timestamps (VERDICT r3 #9): stamp the monotonic
+        instant a request's FIRST output token is appended (the emit
+        point), so published TTFT is no longer a step-loop-granularity
+        upper bound. bench.py and the metrics collector read
+        req.first_token_ts."""
+        now = time.monotonic()
+        for r in reqs:
+            if r.output_ids and getattr(r, "first_token_ts", None) is None:
+                r.first_token_ts = now
+
     def process_multi_result(self, batch: ScheduleBatch,
                              toks: np.ndarray) -> None:
         finished: List[Req] = []
@@ -917,6 +926,7 @@ class Scheduler:
                 finished.append(req)
                 if self.eagle is not None:
                     self.eagle.evict(req.rid)
+        self._stamp_first_tokens(batch.reqs)
         if finished:
             fin_ids = {id(r) for r in finished}
             self.running_batch.reqs = [
@@ -1047,6 +1057,7 @@ class Scheduler:
         if eagle_items:
             self.eagle.feed_pairs(eagle_items)
         self.spec_steps += 1
+        self._stamp_first_tokens(batch.reqs)
         if finished:
             fin_ids = {id(r) for r in finished}
             self.running_batch.reqs = [
@@ -1328,6 +1339,7 @@ class Scheduler:
                         sess.commit_turn(
                             req.rid, req.input_ids, req.output_ids)
 
+        self._stamp_first_tokens(batch.reqs)
         if batch.mode.is_extend():
             # move prompt-complete requests into the running decode batch
             already = {id(r) for r in self.running_batch.reqs}
@@ -1637,10 +1649,6 @@ class Scheduler:
         request needs host-visible tokens before sampling (penalties)."""
         return (
             self.enable_overlap
-            # multihost: chained launches hand DEVICE token arrays across
-            # dispatches; followers can't see them, so every launch must
-            # carry host input_ids (in-program multi-step still applies)
-            and self.server_args.nnodes == 1
             and ib.mode.is_decode()
             and bool(ib.reqs)
             and not self.waiting_queue
@@ -1663,7 +1671,6 @@ class Scheduler:
         the per-dispatch path token-for-token."""
         return (
             self.enable_overlap
-            and self.server_args.nnodes == 1
             and ib.mode.is_decode()
             and bool(ib.reqs)
             and not self.waiting_queue
@@ -1767,7 +1774,6 @@ class Scheduler:
                     return True
             elif (ib.mode.is_extend()
                   and self.enable_overlap
-                  and self.server_args.nnodes == 1
                   and self.chunked_req is None
                   and self.eagle is None
                   # disjointness MUST hold before the batch is built: the

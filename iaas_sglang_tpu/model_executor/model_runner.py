@@ -98,6 +98,11 @@ class HostBatch:
     lp_token_ids: Any = None        # np i32[B, J] (-1 padded) | None
     _device_idlp: Any = None        # jnp f32[B_pad, N, J] handle
     token_ids_logprob_vals: Any = None  # np f32[B, N, J]
+    # multihost wire markers (multihost._wire_hb): this launch chains on
+    # the previous launch's device tokens / penalty counts — the follower
+    # substitutes its own local handles
+    chained: bool = False
+    chain_pen: bool = False
     # DP attention: per-seq attention-rank assignment (None = off)
     dp_ranks: Any = None            # np i32[B] | None
     # multimodal rows for THIS chunk (scheduler attaches; runner pads)
@@ -277,6 +282,27 @@ class ModelRunner:
         kv_bytes_per_token = (c.num_layers * ne * ed
                               * jnp.dtype(kv_dtype).itemsize)
 
+        # K/V-split page layout (r4, ops/split_attention.py): planes
+        # [ps, 2, Nk, D] instead of interleaved [ps, 2Nk, D]. Only for
+        # plain MHA/GQA bf16/f32 pools — fp8 KV keeps the packed decode
+        # kernel, double sparsity and cross-attention models read the
+        # interleaved layout directly.
+        is_mha = (not c.is_mla) and ne == 2 * c.num_kv_heads
+        if sa.kv_layout == "split":
+            self.kv_split = True
+        elif sa.kv_layout == "interleaved":
+            self.kv_split = False
+        else:
+            self.kv_split = (
+                is_mha
+                and kv_dtype != jnp.float8_e4m3fn
+                and not sa.enable_double_sparsity
+                and getattr(self.model, "write_cross_kv", None) is None
+                and sa.attention_backend != "jax_rpa"   # needs interleaved
+            )
+        assert not (self.kv_split and not is_mha), \
+            "--kv-layout split needs a plain MHA/GQA KV pool"
+
         if sa.max_total_tokens is not None:
             total_tokens = sa.max_total_tokens
         else:
@@ -290,14 +316,19 @@ class ModelRunner:
         # +1 garbage page per layer (write sink for padding lanes)
         self.pages_per_layer = pages_per_layer
         self.num_usable_pages = pages_per_layer  # per attention rank
+        entry = (2, ne // 2, ed) if self.kv_split else (ne, ed)
         if G > 1:
             # per-rank private page spaces, sharded over BOTH mesh axes:
             # zero KV duplication (the DP-attention memory win for MLA)
-            shape = (G, c.num_layers * (pages_per_layer + 1), ps, ne, ed)
+            shape = (G, c.num_layers * (pages_per_layer + 1), ps) + entry
             sharding = self.mesh_ctx.sharding(("dp", "tp"))
         else:
-            shape = (c.num_layers * (pages_per_layer + 1), ps, ne, ed)
-            sharding = self.mesh_ctx.sharding(*self.model.kv_shard_dims())
+            shape = (c.num_layers * (pages_per_layer + 1), ps) + entry
+            dims = self.model.kv_shard_dims()
+            if self.kv_split:
+                # heads dim moved one inward: [NP, ps, 2, Nk, D]
+                dims = dims[:2] + (None,) + dims[2:]
+            sharding = self.mesh_ctx.sharding(*dims)
         if self.multihost:
             # born-sharded allocation: no single process can hold (or
             # device_put from) the full pod-scale pool
@@ -525,8 +556,14 @@ class ModelRunner:
             def body(carry, i):
                 tok, kv, counts = carry
                 pos = fb.positions + i
+                # DP attention: page tables are [G, B_r, MP] rank-local;
+                # decode rows are rank-major flat so a plain reshape
+                # aligns row t with table row t (T_r == B_r at decode)
+                pi = fb.page_indices
+                pi_flat = (pi.reshape(-1, pi.shape[-1])
+                           if pi.ndim == 3 else pi)
                 page = jnp.take_along_axis(
-                    fb.page_indices, (pos // ps)[:, None], axis=1)[:, 0]
+                    pi_flat, (pos // ps)[:, None], axis=1)[:, 0]
                 fb_i = fb.replace(
                     input_ids=tok, positions=pos,
                     out_slots=page * ps + pos % ps,
@@ -736,8 +773,6 @@ class ModelRunner:
 
     def _forward_multi(self, hb: HostBatch,
                        fetch: bool = True) -> Optional[np.ndarray]:
-        assert self.attn_dp == 1, \
-            "multi-step decode is gated off under DP attention"
         fb, meta, B = self._pad_to_device(hb)
         hb.num_valid = B
         B_pad = meta.temperatures.shape[0]
@@ -753,7 +788,10 @@ class ModelRunner:
         if hb.lp_token_ids is not None:
             J = hb.lp_token_ids.shape[1]
             lp_pad = np.full((B_pad, J), -1, np.int32)
-            lp_pad[: hb.lp_token_ids.shape[0]] = hb.lp_token_ids
+            if hb.row_of_req is not None:   # DP attention placement
+                lp_pad[hb.row_of_req] = hb.lp_token_ids
+            else:
+                lp_pad[: hb.lp_token_ids.shape[0]] = hb.lp_token_ids
             lp_ids = jnp.asarray(lp_pad)
         sampling_mode = (
             "greedy" if bool(np.all(hb.temperatures < 1e-5)) else "full")
@@ -810,15 +848,18 @@ class ModelRunner:
         """Materialize a launched multi-step chain's sampled tokens (and,
         for logprob requests, the per-step logprob tables)."""
         B = hb.num_valid
-        hb.multi_tokens = np.asarray(hb._device_multi)[:B]
+        rows = hb.row_of_req  # DP attention: rank-major placement map
+        take = (lambda a: np.asarray(a)[rows]) if rows is not None \
+            else (lambda a: np.asarray(a)[:B])
+        hb.multi_tokens = take(hb._device_multi)
         lp, topv, topi = hb.device_logprobs
         if lp is not None:
-            hb.token_logprobs = np.asarray(lp)[:B]          # [B, N]
+            hb.token_logprobs = take(lp)                    # [B, N]
             if topv is not None:
-                hb.top_logprob_vals = np.asarray(topv)[:B]  # [B, N, K]
-                hb.top_logprob_ids = np.asarray(topi)[:B]
+                hb.top_logprob_vals = take(topv)            # [B, N, K]
+                hb.top_logprob_ids = take(topi)
         if hb._device_idlp is not None:
-            hb.token_ids_logprob_vals = np.asarray(hb._device_idlp)[:B]
+            hb.token_ids_logprob_vals = take(hb._device_idlp)
         return hb.multi_tokens
 
     def fetch_tokens(self, hb: HostBatch) -> np.ndarray:
@@ -1423,6 +1464,15 @@ class ModelRunner:
         for the tap (reference expert_distribution.py per-pass gatherer)."""
         assert self.model_config.is_moe, "expert capture needs a MoE model"
         fb, _meta, _B = self._pad_to_device(hb)
+        if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
+            rep = self.mesh_ctx.replicated
+            if self.multihost:
+                put = lambda x: (jax.device_put(np.asarray(x), rep)
+                                 if hasattr(x, "shape") else x)
+            else:
+                put = lambda x: (jax.device_put(x, rep)
+                                 if isinstance(x, jax.Array) else x)
+            fb = jax.tree.map(put, fb)
         if not hasattr(self, "_capture_fn"):
             model = self.model
             attn_backend = self.attn_backend
@@ -1805,9 +1855,10 @@ class ModelRunner:
         """Host bytes one page costs across all layers (HiCache host-tier
         sizing for --hicache-size)."""
         shape = self.kv_pages.shape
-        # [..., L*(P+1), ps, ne, ed]: one page across layers
+        # [(G,) L*(P+1), ps, <entry dims>]: one page = ps * entry elems
+        lead = 2 if self.attn_dp > 1 else 1
         per_page = (self.model_config.num_layers
-                    * int(np.prod(shape[-3:]))
+                    * int(np.prod(shape[lead:]))
                     * self.kv_pages.dtype.itemsize)
         return per_page
 

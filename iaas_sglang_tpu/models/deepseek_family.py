@@ -211,7 +211,7 @@ class DeepseekFamilyForCausalLM:
         # DP attention (the natural multi-chip mode for MLA: the single
         # latent head cannot shard over tp, so KV shards over attention
         # ranks instead — pool [G, L*(P+1), ps, 1, Dk])
-        dp_attn = kv_pages.ndim == 5
+        dp_attn = fb.kv_lens.ndim == 2
         pages_per_layer = kv_pages.shape[-4] // L
         ps = kv_pages.shape[-3]
 
@@ -330,8 +330,19 @@ class DeepseekFamilyForCausalLM:
             shared = jax.nn.silu(h2 @ lp["ws_gate"]) * (h2 @ lp["ws_up"])
             out = routed + (shared @ lp["ws_down"]).astype(routed.dtype)
             if _capture:
-                valid = (jnp.arange(combine.shape[0])
-                         < fb.cu_q_lens[-1])[:, None]
+                # padding mask; DP attention stacks cu_q_lens per rank
+                # [G, B_r+1] with rank-major tokens (see llama_family
+                # capture tap) — mask each rank's tail by its cu[num_seqs]
+                Tt = combine.shape[0]
+                cu = fb.cu_q_lens
+                if cu.ndim == 2:
+                    Gr = cu.shape[0]
+                    lim = jnp.take_along_axis(
+                        cu, fb.num_seqs[:, None], axis=1)[:, 0]
+                    tloc = jnp.arange(Tt) % (Tt // Gr)
+                    valid = (tloc < jnp.repeat(lim, Tt // Gr))[:, None]
+                else:
+                    valid = (jnp.arange(Tt) < cu[-1])[:, None]
                 counts = jnp.sum(
                     (combine > 0) & valid, axis=0).astype(jnp.int32)
                 return out, counts

@@ -736,11 +736,12 @@ class LlamaFamilyForCausalLM:
         # double sparsity: kv carry is (kv, heavy-channel labels)
         ds = isinstance(kv_pages, tuple)
         kv_main0 = kv_pages[0] if ds else kv_pages
-        # DP attention: the pool carries a leading attention-rank dim
-        # [G, L*(P+1), ps, 2Nk, D] and batch metadata is rank-stacked
-        dp_attn = (not ds) and kv_pages.ndim == 5
-        pages_per_layer = kv_main0.shape[-4] // L
-        ps = kv_main0.shape[-3]
+        # DP attention: the pool carries a leading attention-rank dim and
+        # batch metadata is rank-stacked — kv_lens [G, B_r] is the
+        # unambiguous signal (the K/V-split pool is also 5D: r4)
+        dp_attn = (not ds) and fb.kv_lens.ndim == 2
+        pages_per_layer = kv_main0.shape[1 if dp_attn else 0] // L
+        ps = kv_main0.shape[2 if dp_attn else 1]
 
         from iaas_sglang_tpu.layers.norms import layer_norm
 
@@ -1114,9 +1115,21 @@ class LlamaFamilyForCausalLM:
                     mlp, combine = moe_mlp(h2, lp, capture_experts)
                 if capture_experts:
                     # EPLB distribution tap: tokens routed per expert
-                    # (padding rows masked out via cu_q_lens)
-                    valid = (jnp.arange(combine.shape[0])
-                             < fb.cu_q_lens[-1])[:, None]
+                    # (padding rows masked out via cu_q_lens). DP
+                    # attention stacks cu_q_lens per rank [G, B_r+1] with
+                    # rank-major tokens — mask each rank's tail by its
+                    # own cu[num_seqs] (r4: recorder works under DP-attn)
+                    Tt = combine.shape[0]
+                    cu = fb.cu_q_lens
+                    if cu.ndim == 2:
+                        Gr = cu.shape[0]
+                        lim = jnp.take_along_axis(
+                            cu, fb.num_seqs[:, None], axis=1)[:, 0]  # [G]
+                        tloc = jnp.arange(Tt) % (Tt // Gr)
+                        valid = (tloc
+                                 < jnp.repeat(lim, Tt // Gr))[:, None]
+                    else:
+                        valid = (jnp.arange(Tt) < cu[-1])[:, None]
                     counts = jnp.sum(
                         (combine > 0) & valid, axis=0).astype(jnp.int32)
             else:

@@ -62,6 +62,7 @@ def paged_attention(
             window_chunked=window_chunked,
             logit_softcap=logit_softcap, tree_bits=tree_bits,
         )
+    split = kv_pages.ndim == 5   # [NP, ps, 2, Nk, D] K/V-split layout (r4)
     if tree_bits is not None:
         # only our own extend kernel supports the tree mask on TPU
         from iaas_sglang_tpu.ops.extend_attention import (
@@ -75,12 +76,36 @@ def paged_attention(
         )
     if backend in ("pallas", "pallas_own"):
         if mode == "decode":
+            if split:
+                from iaas_sglang_tpu.ops.split_attention import (
+                    paged_decode_attention_split,
+                )
+
+                return paged_decode_attention_split(
+                    q, kv_pages, kv_lens, page_indices,
+                    sm_scale=sm_scale, sliding_window=sliding_window,
+                    window_chunked=window_chunked,
+                    logit_softcap=logit_softcap,
+                )
             from iaas_sglang_tpu.ops.decode_attention import (
                 paged_decode_attention,
             )
 
             return paged_decode_attention(
                 q, kv_pages, kv_lens, page_indices,
+                sm_scale=sm_scale, sliding_window=sliding_window,
+                window_chunked=window_chunked,
+                logit_softcap=logit_softcap,
+            )
+        if split and backend != "pallas_own":
+            # jax_rpa hard-codes interleaved pages: the split layout's
+            # extend default is our flat-q-block kernel
+            from iaas_sglang_tpu.ops.split_attention import (
+                ragged_extend_attention_split,
+            )
+
+            return ragged_extend_attention_split(
+                q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                 sm_scale=sm_scale, sliding_window=sliding_window,
                 window_chunked=window_chunked,
                 logit_softcap=logit_softcap,
@@ -127,8 +152,12 @@ def _jnp_paged_attention(
     logit_softcap=None, tree_bits=None,
 ):
     T, Nq, D = q.shape
-    NP, ps, NK2, _ = kv_pages.shape
-    Nk = NK2 // 2
+    split = kv_pages.ndim == 5
+    if split:
+        NP, ps, _, Nk, _ = kv_pages.shape
+    else:
+        NP, ps, NK2, _ = kv_pages.shape
+        Nk = NK2 // 2
     Bmax, MP = page_indices.shape
     S = MP * ps
     group = Nq // Nk
@@ -147,10 +176,14 @@ def _jnp_paged_attention(
     )  # [T]
 
     # gather whole sequences (reference path only; kernels stream pages)
-    kv_seq = kv_pages[page_indices]  # [Bmax, MP, ps, 2Nk, D]
-    kv_seq = kv_seq.reshape(Bmax, S, 2 * Nk, D)
-    k_seq = kv_seq[:, :, 0::2, :]  # [Bmax, S, Nk, D]
-    v_seq = kv_seq[:, :, 1::2, :]
+    kv_seq = kv_pages[page_indices]  # [Bmax, MP, ps, 2Nk, D] | split 6D
+    if split:
+        k_seq = kv_seq[:, :, :, 0].reshape(Bmax, S, Nk, D)
+        v_seq = kv_seq[:, :, :, 1].reshape(Bmax, S, Nk, D)
+    else:
+        kv_seq = kv_seq.reshape(Bmax, S, 2 * Nk, D)
+        k_seq = kv_seq[:, :, 0::2, :]  # [Bmax, S, Nk, D]
+        v_seq = kv_seq[:, :, 1::2, :]
 
     k_tok = k_seq[seg_ids]  # [T, S, Nk, D]
     v_tok = v_seq[seg_ids]
@@ -482,8 +515,14 @@ def write_kv_pages(
     """Scatter new K/V into the paged pool. Padding lanes must point at the
     garbage page. (TPU analog of the reference's Triton
     write_req_to_token_pool / set_kv_buffer paths, schedule_batch.py:1778.)"""
-    NP, ps, NK2, D = kv_pages.shape
-    T, Nk, _ = k.shape
+    T, Nk, D = k.shape
+    if kv_pages.ndim == 5:   # K/V-split layout [NP, ps, 2, Nk, D]
+        NP, ps = kv_pages.shape[:2]
+        updates = jnp.stack([k, v], axis=1).astype(kv_pages.dtype)
+        flat = kv_pages.reshape(NP * ps, 2, Nk, D)
+        flat = flat.at[out_slots].set(updates)
+        return flat.reshape(NP, ps, 2, Nk, D)
+    NP, ps, NK2, _ = kv_pages.shape
     updates = jnp.stack([k, v], axis=2).reshape(T, 2 * Nk, D).astype(kv_pages.dtype)
     flat = kv_pages.reshape(NP * ps, NK2, D)
     # NOTE: padding lanes share garbage slots, so indices are NOT unique.

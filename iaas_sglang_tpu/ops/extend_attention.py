@@ -60,6 +60,7 @@ def _extend_kernel(
     logit_softcap: Optional[float],
     tree: bool = False,
     chunked: bool = False,
+    split: bool = False,   # K/V-split page layout [NP, ps, 2, NkD]
 ):
     s = pl.program_id(0)
     qt = pl.program_id(1)
@@ -87,15 +88,30 @@ def _extend_kernel(
             for j in range(CP):
                 pidx = jnp.minimum(ci * CP + j, max_pages - 1)
                 page = page_indices_ref[s, pidx]
-                pltpu.make_async_copy(
-                    kv_hbm.at[page], kv_buf.at[slot, j], kv_sems.at[slot, j],
-                ).start()
+                if split:
+                    for e in range(2):
+                        pltpu.make_async_copy(
+                            kv_hbm.at[page, :, e], kv_buf.at[slot, j, e],
+                            kv_sems.at[slot, j, e],
+                        ).start()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page], kv_buf.at[slot, j],
+                        kv_sems.at[slot, j],
+                    ).start()
 
         def wait_chunk(slot):
             for j in range(CP):
-                pltpu.make_async_copy(
-                    kv_hbm.at[0], kv_buf.at[slot, j], kv_sems.at[slot, j],
-                ).wait()
+                if split:
+                    for e in range(2):
+                        pltpu.make_async_copy(
+                            kv_hbm.at[0, :, 0], kv_buf.at[slot, j, e],
+                            kv_sems.at[slot, j, e],
+                        ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0], kv_buf.at[slot, j], kv_sems.at[slot, j],
+                    ).wait()
 
         start_chunk(0, 0)
         in_q.wait()
@@ -123,7 +139,11 @@ def _extend_kernel(
                 start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
 
             wait_chunk(slot)
-            flat2 = kv_buf[slot].reshape(CT, 2 * Nk * D)
+            if split:
+                kr_all = kv_buf[slot, :, 0].reshape(CT, Nk * D)
+                vr_all = kv_buf[slot, :, 1].reshape(CT, Nk * D)
+            else:
+                flat2 = kv_buf[slot].reshape(CT, 2 * Nk * D)
             key_pos = ci * CT + jax.lax.broadcasted_iota(
                 jnp.int32, (1, CT), 1)                       # [1, CT]
             if tree:
@@ -147,8 +167,12 @@ def _extend_kernel(
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(Nk):
-                k_h = flat2[:, (2 * h) * D:(2 * h + 1) * D]      # [CT, D]
-                v_h = flat2[:, (2 * h + 1) * D:(2 * h + 2) * D]  # [CT, D]
+                if split:
+                    k_h = kr_all[:, h * D:(h + 1) * D]           # [CT, D]
+                    v_h = vr_all[:, h * D:(h + 1) * D]
+                else:
+                    k_h = flat2[:, (2 * h) * D:(2 * h + 1) * D]
+                    v_h = flat2[:, (2 * h + 1) * D:(2 * h + 2) * D]
                 if k_h.dtype != q.dtype:   # fp8 KV: upcast for the MXU
                     k_h = k_h.astype(q.dtype)
                     v_h = v_h.astype(q.dtype)
@@ -390,8 +414,13 @@ def ragged_extend_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     T, Nq, D = q.shape
-    NP, ps, NK2, _ = kv_pages.shape
-    Nk = NK2 // 2
+    split = kv_pages.ndim == 5           # [NP, ps, 2, Nk, D] K/V-split
+    if split:
+        NP, ps, _, Nk, _ = kv_pages.shape
+        kv_pages = kv_pages.reshape(NP, ps, 2, Nk * D)  # free (contiguous)
+    else:
+        NP, ps, NK2, _ = kv_pages.shape
+        Nk = NK2 // 2
     B, MP = page_indices.shape
     CP = min(chunk_pages, MP)
     tree = tree_bits is not None
@@ -418,18 +447,20 @@ def ragged_extend_attention(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((BQ, Nq, D), q.dtype),
-            pltpu.VMEM((2, CP, ps, NK2, D), kv_pages.dtype),
+            (pltpu.VMEM((2, CP, 2, ps, Nk * D), kv_pages.dtype) if split
+             else pltpu.VMEM((2, CP, ps, 2 * Nk, D), kv_pages.dtype)),
             pltpu.VMEM((BQ, Nq, D), q.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, CP)),
+            (pltpu.SemaphoreType.DMA((2, CP, 2)) if split
+             else pltpu.SemaphoreType.DMA((2, CP))),
         ],
     )
     kernel = functools.partial(
         _extend_kernel,
         num_kv_heads=Nk, bq=BQ, chunk_pages=CP, page_size=ps,
         max_pages=MP, sm_scale=sm_scale, logit_softcap=logit_softcap,
-        tree=tree, chunked=window_chunked,
+        tree=tree, chunked=window_chunked, split=split,
     )
     out = pl.pallas_call(
         kernel,

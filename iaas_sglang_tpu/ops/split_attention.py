@@ -1,0 +1,635 @@
+"""Pallas TPU kernels for the K/V-SPLIT page layout.
+
+Layout: pages are [NP, ps, 2, Nk*D] — plane 0 holds K of all heads flat,
+plane 1 holds V (the pool stores [NP, ps, 2, Nk, D]; the (2, Nk, D)
+minor dims are contiguous so the flat view is a free reshape).
+
+Why (r4, VERDICT #1): with the interleaved [ps, 2Nk, D] layout the
+decode kernel's one-wide-dot formulation contracts 2*Nk*D lanes of which
+only D are live per head — in-register deinterleaving (u32 bitcast
+shifts, probed r4) costs as much as it saves (394 -> 409 GB/s at
+ctx 192). The split layout gives the kernels native [CT, Nk*D] K and V
+chunks: the decode score dot contracts NkD (half the packed width, no
+V-lane waste) and the extend kernel takes per-head [CT, D] K/V as free
+static lane slices.
+
+The price is jax_rpa (which hard-codes interleaved K at even combined
+head indices, ragged_paged_attention/kernel.py:118): the extend kernel
+here replaces it — same flat-q-block / per-sequence streaming structure,
+with our global cross-block DMA pipeline, plus the features jax_rpa
+lacks (traced per-layer sliding windows, chunked local attention, logit
+softcap, speculative tree masks).
+
+Reference bars: sgl-kernel FA3/FlashInfer extend+decode backends
+(srt/layers/attention/flashattention_backend.py:65-337).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_CHUNK_PAGES = 16
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ------------------------------------------------------------------ decode
+
+
+def _decode_split_kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[B]            (SMEM)
+    page_indices_ref,  # i32[B, MP]        (SMEM)
+    window_ref,        # i32[1] sliding window, -1 = full attention (SMEM)
+    # inputs
+    q_ref,             # [1, Nq, D]        (VMEM block)
+    kv_hbm_ref,        # [NP, ps, 2, NkD]  (ANY/HBM)
+    # outputs
+    o_ref,             # [1, Nq, D]        (VMEM block)
+    # scratch
+    kv_buf,            # [NBUF, CP, 2, ps, NkD] VMEM (persists across grid)
+    sems,              # DMA sems (NBUF, CP, 2)
+    pipe_ref,          # i32[2] SMEM: [global chunk counter, prefetched seq]
+    *,
+    num_kv_heads: int,
+    num_seqs: int,
+    num_bufs: int,
+    chunk_pages: int,
+    page_size: int,
+    max_pages: int,
+    sm_scale: float,
+    logit_softcap: Optional[float],
+    win_chunked: bool = False,
+):
+    """Same global cross-sequence DMA pipeline as the interleaved decode
+    kernel (ops/decode_attention.py), with plane-separated page copies:
+    each page issues one K-plane and one V-plane DMA, so compute reads
+    native [CT, NkD] K/V with no lane games. The score dot contracts NkD
+    (vs 2NkD packed) and PV produces NkD — half the MXU work at short
+    contexts where the kernel is MXU-bound (367 of 819 GB/s at ctx 192,
+    PARITY.md r3)."""
+    s = pl.program_id(0)
+    B = num_seqs
+    NBUF = num_bufs
+    CP = chunk_pages
+    CT = CP * page_size
+    Nk = num_kv_heads
+
+    def first_chunk(kvl):
+        win = window_ref[0]
+        if win_chunked:
+            start = ((kvl - 1) // jnp.maximum(win, 1)) * jnp.maximum(win, 1)
+        else:
+            start = kvl - win
+        start = jnp.where(win < 0, 0, jnp.maximum(start, 0))
+        return start // CT
+
+    def start_chunk(s2, ci, slot):
+        npg = pl.cdiv(kv_lens_ref[s2], page_size)
+        for j in range(CP):
+            idx = ci * CP + j
+
+            @pl.when(idx < npg)
+            def _():
+                page = page_indices_ref[s2, jnp.minimum(idx, max_pages - 1)]
+                for e in range(2):
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[page, :, e],
+                        kv_buf.at[slot, j, e],
+                        sems.at[slot, j, e],
+                    ).start()
+
+    def wait_chunk(s2, ci, slot):
+        npg = pl.cdiv(kv_lens_ref[s2], page_size)
+        for j in range(CP):
+
+            @pl.when(ci * CP + j < npg)
+            def _():
+                for e in range(2):
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, :, 0],
+                        kv_buf.at[slot, j, e],
+                        sems.at[slot, j, e],
+                    ).wait()
+
+    @pl.when(s == 0)
+    def _boot():
+        pipe_ref[0] = 0
+        pipe_ref[1] = -1
+        for n in range(NBUF):
+            for j in range(CP):
+                for e in range(2):
+                    kv_buf[n, j, e] = jnp.zeros_like(kv_buf[n, j, e])
+
+    kv_len = kv_lens_ref[s]
+    n_chunks = pl.cdiv(kv_len, CT)
+
+    @pl.when(n_chunks > 0)
+    def _run():
+        @pl.when(pipe_ref[1] < s)
+        def _():
+            start_chunk(s, first_chunk(kv_len),
+                        jax.lax.rem(pipe_ref[0], NBUF))
+            pipe_ref[1] = s
+
+        q = q_ref[0]                          # [Nq, D]
+        Nq, D = q.shape
+        G = Nq // Nk
+
+        # K-plane lane layout: row i (query head i) sits at the lane block
+        # of its kv head — one [Nq, NkD] x [NkD, CT] dot scores every head
+        row = jax.lax.broadcasted_iota(jnp.int32, (Nq, 1), 0)
+        q_pad = jnp.concatenate(
+            [jnp.where((row >= h * G) & (row < (h + 1) * G), q, 0)
+             for h in range(Nk)], axis=1)     # [Nq, NkD]
+
+        c0 = first_chunk(kv_len)
+
+        def body(ci, carry):
+            m, l, acc = carry
+            gc = pipe_ref[0]
+            slot = jax.lax.rem(gc, NBUF)
+            wait_chunk(s, ci, slot)
+
+            nslot = jax.lax.rem(gc + 1, NBUF)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                start_chunk(s, ci + 1, nslot)
+
+            @pl.when((ci + 1 >= n_chunks) & (s + 1 < B))
+            def _():
+                nxt = jnp.minimum(s + 1, B - 1)
+
+                @pl.when(kv_lens_ref[nxt] > 0)
+                def _():
+                    start_chunk(nxt, first_chunk(kv_lens_ref[nxt]), nslot)
+                    pipe_ref[1] = nxt
+
+            pipe_ref[0] = gc + 1
+
+            kr = kv_buf[slot, :, 0].reshape(CT, Nk * D)
+            vr = kv_buf[slot, :, 1].reshape(CT, Nk * D)
+            if kr.dtype != q.dtype:
+                kr = kr.astype(q.dtype)
+                vr = vr.astype(q.dtype)
+
+            pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
+            valid = pos < kv_len
+            win = window_ref[0]
+            if win_chunked:
+                valid &= (win < 0) | (pos >= ((kv_len - 1) // win) * win)
+            else:
+                valid &= (win < 0) | (pos > kv_len - 1 - win)
+
+            scores = jax.lax.dot_general(
+                q_pad, kr, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                      # f32 [Nq, CT]
+            if logit_softcap:
+                scores = logit_softcap * jnp.tanh(scores / logit_softcap)
+            scores = jnp.where(valid, scores, -jnp.inf)
+
+            m_c = jnp.max(scores, axis=-1, keepdims=True)
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)
+            p = jnp.exp(scores - m_n)
+            l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vr.dtype), vr, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # f32 [Nq, NkD]
+            return m_n, l_n, alpha * acc + pv
+
+        m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((Nq, 1), jnp.float32)
+        acc0 = jnp.zeros((Nq, Nk * D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
+        acc = acc / jnp.maximum(l, 1e-30)
+        out = jnp.concatenate(
+            [acc[h * G:(h + 1) * G, h * D:(h + 1) * D]
+             for h in range(Nk)], axis=0)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    @pl.when(n_chunks == 0)
+    def _pad():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        @pl.when(s + 1 < B)
+        def _():
+            nxt = jnp.minimum(s + 1, B - 1)
+
+            @pl.when((pipe_ref[1] < nxt) & (kv_lens_ref[nxt] > 0))
+            def _():
+                start_chunk(nxt, first_chunk(kv_lens_ref[nxt]),
+                            jax.lax.rem(pipe_ref[0], NBUF))
+                pipe_ref[1] = nxt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "logit_softcap", "chunk_pages",
+                     "window_chunked", "num_bufs", "interpret"),
+)
+def paged_decode_attention_split(
+    q: jnp.ndarray,             # [B, Nq, D]
+    kv_pages: jnp.ndarray,      # [NP, ps, 2, Nk, D] split layout
+    kv_lens: jnp.ndarray,       # i32[B]
+    page_indices: jnp.ndarray,  # i32[B, MP]
+    sliding_window=None,
+    *,
+    sm_scale: float,
+    logit_softcap: Optional[float] = None,
+    window_chunked: bool = False,
+    chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    num_bufs: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Nq, D = q.shape
+    NP, ps, _, Nk, _ = kv_pages.shape
+    kv_flat = kv_pages.reshape(NP, ps, 2, Nk * D)   # free (contiguous)
+    MP = page_indices.shape[1]
+    CP = min(chunk_pages, MP)
+    window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
+        else jnp.asarray(sliding_window, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((num_bufs, CP, 2, ps, Nk * D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((num_bufs, CP, 2)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_split_kernel,
+        num_kv_heads=Nk,
+        num_seqs=B,
+        num_bufs=num_bufs,
+        chunk_pages=CP,
+        page_size=ps,
+        max_pages=MP,
+        sm_scale=sm_scale,
+        logit_softcap=logit_softcap,
+        win_chunked=window_chunked,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens, page_indices, window, q, kv_flat)
+
+
+# ------------------------------------------------------------------ extend
+
+
+def _extend_split_kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[B]
+    page_indices_ref,  # i32[B, MP]
+    cu_q_lens_ref,     # i32[B+1]
+    seq_buf_ref,       # i32[2] (seq, buf) carry across grid steps
+    num_seqs_ref,      # i32[1]
+    window_ref,        # i32[1]
+    # inputs
+    q_ref,             # [NQB, Nq, D] (VMEM block, auto-pipelined)
+    kv_hbm,            # [NP, ps, 2, NkD] (ANY)
+    # outputs
+    o_ref,             # [NQB, Nq, D]
+    # scratch
+    kv_buf,            # [2, KVP, 2, ps, NkD]
+    sems,              # DMA (2, KVP, 2)
+    m_scr,             # f32 [Nk, NQB*G, 128]
+    l_scr,             # f32 [Nk, NQB*G, 128]
+    acc_scr,           # f32 [NQB, Nq, D]
+    *,
+    num_kv_heads: int,
+    kv_pages_per_blk: int,
+    page_size: int,
+    max_pages: int,
+    sm_scale: float,
+    logit_softcap: Optional[float],
+    chunked: bool = False,
+):
+    """Flat-q-block ragged extend over split-layout pages.
+
+    Structure follows jax's ragged_paged_attention (q blocks tile the
+    flat token stream; a while loop walks the sequences overlapping each
+    block; per sequence, a while loop walks its KV blocks with the next
+    consumer's first block always in flight — the (seq, buf) carry keeps
+    ONE global double-buffered DMA pipeline alive across grid steps).
+    Improvements over the library kernel: causal KV-block SKIPPING (a q
+    block only walks KV blocks its rows can see — jax_rpa walks every
+    block below kv_len for every q block and masks), sliding-window
+    block skipping from below, traced per-layer windows, chunked local
+    attention, and logit softcap. The split layout makes per-head K/V
+    free static lane slices (no u32 deinterleave games)."""
+    NQB, Nq, D = q_ref.shape
+    Nk = num_kv_heads
+    G = Nq // Nk
+    KVP = kv_pages_per_blk
+    CT = KVP * page_size
+    q_blk = pl.program_id(0)
+    n_q_blks = pl.num_programs(0)
+    num_seqs = num_seqs_ref[0]
+    q_lo_t = q_blk * NQB
+    q_hi_t = q_lo_t + NQB
+
+    def q_len_of(s):
+        return cu_q_lens_ref[s + 1] - cu_q_lens_ref[s]
+
+    def kv_lo_blk(s, qlo):
+        """First KV block any row >= qlo of seq s can see (window)."""
+        base = kv_lens_ref[s] - q_len_of(s)
+        minpos = base + (qlo - cu_q_lens_ref[s])
+        win = window_ref[0]
+        wsafe = jnp.maximum(win, 1)
+        if chunked:
+            lo = (minpos // wsafe) * wsafe
+        else:
+            lo = jnp.maximum(minpos - wsafe + 1, 0)
+        lo = jnp.where(win < 0, 0, jnp.maximum(lo, 0))
+        return lo // CT
+
+    def kv_hi_blk(s, qhi):
+        """One past the last KV block rows < qhi of seq s can see."""
+        base = kv_lens_ref[s] - q_len_of(s)
+        maxpos = base + (qhi - 1 - cu_q_lens_ref[s])
+        return pl.cdiv(jnp.minimum(maxpos + 1, kv_lens_ref[s]), CT)
+
+    def start_kv(s, blk, buf):
+        npg = pl.cdiv(kv_lens_ref[s], page_size)
+        for j in range(KVP):
+            idx = blk * KVP + j
+
+            @pl.when(idx < npg)
+            def _():
+                page = page_indices_ref[s, jnp.minimum(idx, max_pages - 1)]
+                for e in range(2):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page, :, e],
+                        kv_buf.at[buf, j, e],
+                        sems.at[buf, j, e],
+                    ).start()
+
+    def wait_kv(s, blk, buf):
+        npg = pl.cdiv(kv_lens_ref[s], page_size)
+        for j in range(KVP):
+
+            @pl.when(blk * KVP + j < npg)
+            def _():
+                for e in range(2):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, :, 0],
+                        kv_buf.at[buf, j, e],
+                        sems.at[buf, j, e],
+                    ).wait()
+
+    init_seq = seq_buf_ref[0]
+    init_buf = seq_buf_ref[1]
+
+    @pl.when(q_blk == 0)
+    def _boot():
+        # NaN safety needs no buffer zeroing here: flash() explicitly
+        # zeroes KV rows past kv_len before the dots
+        start_kv(init_seq, kv_lo_blk(init_seq, q_lo_t), init_buf)
+
+    def next_ids(seq, kv_blk, hi):
+        """(valid, seq', blk') of the NEXT (q_blk, seq, kv_blk) consumer
+        after (this q_blk, seq, kv_blk) — what to prefetch."""
+        in_cur = kv_blk + 1 < hi
+        q_end = cu_q_lens_ref[seq + 1]
+        seq_ends_here = q_end <= q_hi_t
+        nseq1 = jnp.minimum(seq + 1, num_seqs - 1)
+        c1 = seq_ends_here & (seq + 1 < num_seqs) \
+            & (cu_q_lens_ref[nseq1] < q_hi_t)
+        nseq2 = jnp.where(seq_ends_here, nseq1, seq)
+        c2 = (q_blk + 1 < n_q_blks) & (q_hi_t < cu_q_lens_ref[num_seqs]) \
+            & (jnp.where(seq_ends_here, seq + 1, seq) < num_seqs)
+        seq_n = jnp.where(in_cur, seq, jnp.where(c1, nseq1, nseq2))
+        qlo_n = jnp.where(
+            in_cur, 0,
+            jnp.where(c1,
+                      jnp.maximum(cu_q_lens_ref[nseq1], q_lo_t),
+                      jnp.maximum(cu_q_lens_ref[nseq2], q_hi_t)))
+        blk_n = jnp.where(in_cur, kv_blk + 1, kv_lo_blk(seq_n, qlo_n))
+        return in_cur | c1 | c2, seq_n, blk_n
+
+    def flash(seq, kv_blk, lo, buf):
+        q_start = cu_q_lens_ref[seq]
+        q_len = q_len_of(seq)
+        kvl = kv_lens_ref[seq]
+        base = kvl - q_len
+        store_lo = jnp.maximum(q_start - q_lo_t, 0)
+        store_hi = jnp.minimum(cu_q_lens_ref[seq + 1] - q_lo_t, NQB)
+        is_first = kv_blk == lo
+        kv_start = kv_blk * CT
+
+        kr = kv_buf[buf, :, 0].reshape(CT, Nk * D)
+        vr = kv_buf[buf, :, 1].reshape(CT, Nk * D)
+        if kr.dtype != q_ref.dtype:
+            kr = kr.astype(q_ref.dtype)
+            vr = vr.astype(q_ref.dtype)
+        # zero KV rows past the sequence (garbage pages -> exact zeros)
+        kv_rows = jax.lax.broadcasted_iota(jnp.int32, (CT, 1), 0)
+        kv_ok = kv_rows < (kvl - kv_start)
+        kr = jnp.where(kv_ok, kr, 0)
+        vr = jnp.where(kv_ok, vr, 0)
+
+        M = NQB * G
+        # absolute position of each folded row's token
+        row_pos = base + q_lo_t - q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (M, CT), 0) // G
+        col_pos = kv_start + jax.lax.broadcasted_iota(
+            jnp.int32, (M, CT), 1)
+        masked = row_pos < col_pos              # causal
+        win = window_ref[0]
+        if chunked:
+            masked |= (win >= 0) & (
+                col_pos < (row_pos // jnp.maximum(win, 1))
+                * jnp.maximum(win, 1))
+        else:
+            masked |= (win >= 0) & (row_pos - win >= col_pos)
+
+        def masked_rows(ref_shape_rows):
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, ref_shape_rows, 0) // G
+            return (iota >= store_lo) & (iota < store_hi)
+
+        for h in range(Nk):
+            q_h = q_ref[:, h * G:(h + 1) * G, :].reshape(M, D)
+            k_h = kr[:, h * D:(h + 1) * D]
+            v_h = vr[:, h * D:(h + 1) * D]
+            qk = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if logit_softcap:
+                qk = logit_softcap * jnp.tanh(qk / logit_softcap)
+            qk = qk + jnp.where(masked, NEG_INF, 0.0)
+            m_c = jnp.max(qk, axis=1, keepdims=True)       # [M, 1]
+            p = jnp.exp(qk - m_c)
+            pv = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [M, D]
+            l_c = jnp.sum(p, axis=1, keepdims=True)
+
+            m_prev = jnp.where(is_first,
+                               jnp.full((M, 128), -jnp.inf, jnp.float32),
+                               m_scr[h])
+            l_prev = jnp.where(is_first, jnp.zeros((M, 128), jnp.float32),
+                               l_scr[h])
+            m_cb = jnp.broadcast_to(m_c, (M, 128))
+            l_cb = jnp.broadcast_to(l_c, (M, 128))
+            m_next = jnp.maximum(m_prev, m_cb)
+            alpha = jnp.exp(m_prev - m_next)
+            beta = jnp.exp(m_cb - m_next)
+            l_next = alpha * l_prev + beta * l_cb
+            l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+
+            rows_m = masked_rows((M, 128))
+            pltpu.store(m_scr.at[h], m_next, mask=rows_m)
+            pltpu.store(l_scr.at[h], l_next, mask=rows_m)
+
+            o_prev = jnp.where(
+                is_first, jnp.zeros((M, D), jnp.float32),
+                acc_scr[:, h * G:(h + 1) * G, :].reshape(M, D))
+            out = (alpha[:, :1] * l_prev[:, :1] * o_prev
+                   + beta[:, :1] * pv) / l_safe[:, :1]
+            rows3 = jax.lax.broadcasted_iota(
+                jnp.int32, (NQB, G, D), 0)
+            pltpu.store(
+                acc_scr.at[:, h * G:(h + 1) * G, :],
+                out.reshape(NQB, G, D),
+                mask=(rows3 >= store_lo) & (rows3 < store_hi))
+
+    def is_needed(state):
+        done, seq, buf = state
+        return (done == 0) & (seq < num_seqs) \
+            & (q_lo_t < cu_q_lens_ref[num_seqs])
+
+    def per_seq(state):
+        done, seq, buf = state
+        q_start = cu_q_lens_ref[seq]
+        q_end = cu_q_lens_ref[seq + 1]
+        qlo = jnp.maximum(q_start, q_lo_t)
+        qhi = jnp.minimum(q_end, q_hi_t)
+        lo = kv_lo_blk(seq, qlo)
+        hi = kv_hi_blk(seq, qhi)
+
+        def kv_cond(st):
+            kv_blk, _ = st
+            return kv_blk < hi
+
+        def kv_body(st):
+            kv_blk, buf = st
+            valid, nseq, nblk = next_ids(seq, kv_blk, hi)
+            nbuf = 1 - buf
+
+            @pl.when(valid)
+            def _():
+                start_kv(nseq, nblk, nbuf)
+
+            wait_kv(seq, kv_blk, buf)
+            flash(seq, kv_blk, lo, buf)
+            return kv_blk + 1, nbuf
+
+        _, buf = jax.lax.while_loop(kv_cond, kv_body, (lo, buf))
+        nseq = jnp.where(q_end <= q_hi_t, seq + 1, seq)
+        ndone = jnp.where(q_end < q_hi_t, done, 1)
+        return ndone, nseq, buf
+
+    _, seq, buf = jax.lax.while_loop(
+        is_needed, per_seq, (jnp.int32(0), init_seq, init_buf))
+    seq_buf_ref[0] = jnp.where(seq < num_seqs, seq, 0)
+    seq_buf_ref[1] = buf
+    o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "logit_softcap", "window_chunked",
+                     "num_q_per_blk", "kv_pages_per_blk", "interpret"),
+)
+def ragged_extend_attention_split(
+    q: jnp.ndarray,             # [T, Nq, D]
+    kv_pages: jnp.ndarray,      # [NP, ps, 2, Nk, D]
+    kv_lens: jnp.ndarray,       # i32[B]
+    page_indices: jnp.ndarray,  # i32[B, MP]
+    cu_q_lens: jnp.ndarray,     # i32[B+1]
+    num_seqs: jnp.ndarray,      # i32[]
+    sliding_window=None,
+    *,
+    sm_scale: float,
+    logit_softcap: Optional[float] = None,
+    window_chunked: bool = False,
+    num_q_per_blk: int = 64,
+    kv_pages_per_blk: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, Nq, D = q.shape
+    NP, ps, _, Nk, _ = kv_pages.shape
+    kv_flat = kv_pages.reshape(NP, ps, 2, Nk * D)
+    B, MP = page_indices.shape
+    KVP = min(kv_pages_per_blk, MP)
+    NQB = min(num_q_per_blk, max(16, T))
+    T_pad = ((T + NQB - 1) // NQB) * NQB
+    q_pad = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))
+    window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
+        else jnp.asarray(sliding_window, jnp.int32).reshape(1)
+    G = Nq // Nk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(T_pad // NQB,),
+        in_specs=[
+            pl.BlockSpec((NQB, Nq, D), lambda qb, *_: (qb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((NQB, Nq, D), lambda qb, *_: (qb, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, KVP, 2, ps, Nk * D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, KVP, 2)),
+            pltpu.VMEM((Nk, NQB * G, 128), jnp.float32),
+            pltpu.VMEM((Nk, NQB * G, 128), jnp.float32),
+            pltpu.VMEM((NQB, Nq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _extend_split_kernel,
+        num_kv_heads=Nk,
+        kv_pages_per_blk=KVP,
+        page_size=ps,
+        max_pages=MP,
+        sm_scale=sm_scale,
+        logit_softcap=logit_softcap,
+        chunked=window_chunked,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_pad, Nq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens, page_indices, cu_q_lens,
+      jnp.zeros(2, jnp.int32), num_seqs.reshape(1), window, q_pad, kv_flat)
+    return out[:T]

@@ -29,6 +29,13 @@ class ServerArgs:
     load_format: str = "auto"  # auto | safetensors | dummy
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"  # auto | bf16 | fp8_e4m3 (later round)
+    # KV page layout (r4): "split" stores K and V as separate planes per
+    # page [ps, 2, Nk, D] so the decode kernel's score dot contracts NkD
+    # (not 2NkD) and the extend kernel slices per-head K/V from lanes —
+    # ~2x less MXU work at short decode contexts. "interleaved" is the
+    # r1-r3 [ps, 2Nk, D] layout (kept for fp8 KV / double sparsity /
+    # cross-attention models, where "auto" falls back to it).
+    kv_layout: str = "auto"  # auto | split | interleaved
     context_length: Optional[int] = None
     quantization: Optional[str] = None  # int4_awq | fp8 (later rounds)
     # also quantize the LM head (the bf16 head is ~1.3 ms / 1 GB of an 8B

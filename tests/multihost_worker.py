@@ -90,7 +90,9 @@ def main() -> None:
     outs = eng.generate(
         input_ids=PROMPTS, sampling_params=[dict(SAMPLING)] * len(PROMPTS))
     with open(outfile, "w") as f:
-        json.dump([o["output_ids"] for o in outs], f)
+        json.dump({"out": [o["output_ids"] for o in outs],
+                   "mchain": eng.scheduler._mchain_steps,
+                   "pchain": eng.scheduler._pchain_steps}, f)
     eng.shutdown()
 
 

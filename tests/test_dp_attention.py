@@ -216,3 +216,62 @@ def test_tbo_moe_parity():
     ours = driver.prefill_logits(PROMPT)
     ref = hf_forward_logits(hf_model, PROMPT)
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_multi_step_decode_under_dp_attention(baseline_qwen):
+    """r4 (VERDICT #5): multi-step decode (and cross-dispatch chaining)
+    now runs under DP attention — the in-program page/slot recompute is
+    rank-aware. Token-for-token parity vs the single-step baseline, with
+    the multi path demonstrably engaged."""
+    eng = Engine(_args(tp_size=2, dp_size=2, enable_dp_attention=True,
+                       decode_steps_per_dispatch=4),
+                 hf_config_override=TINY_QWEN)
+    try:
+        calls = {"multi": 0}
+        orig = type(eng.scheduler).run_multi_batch
+
+        def spy(self, b):
+            calls["multi"] += 1
+            return orig(self, b)
+
+        type(eng.scheduler).run_multi_batch = spy
+        sp = {"max_new_tokens": 11, "temperature": 0.0, "ignore_eos": True}
+        try:
+            outs = _gen(eng, PROMPTS, sp)
+        finally:
+            type(eng.scheduler).run_multi_batch = orig
+        refs = _gen(baseline_qwen, PROMPTS, sp)
+        assert calls["multi"] > 0, "multi-step did not engage under DP"
+        assert outs == refs
+        # penalties ride too (device count state under DP placement)
+        spp = {"max_new_tokens": 9, "temperature": 0.0, "ignore_eos": True,
+               "frequency_penalty": 0.6, "repetition_penalty": 1.15}
+        outs_p = _gen(eng, PROMPTS[:3], spp)
+        refs_p = _gen(baseline_qwen, PROMPTS[:3], spp)
+        assert outs_p == refs_p
+        eng.scheduler.check_memory_leak()
+    finally:
+        eng.shutdown()
+
+
+def test_expert_capture_under_dp_attention():
+    """r4: expert-distribution recording works under DP attention (the
+    capture tap masks per-rank token tails)."""
+    eng = Engine(_args(tp_size=2, dp_size=2, ep_size=2,
+                       enable_dp_attention=True),
+                 hf_config_override=TINY_DSV3)
+    try:
+        from iaas_sglang_tpu.managers.io_struct import ExpertDistributionReq
+        eng.scheduler.expert_capture_interval = 1
+        r = eng.scheduler.handle_expert_distribution(
+            ExpertDistributionReq(action="start"))
+        assert r.success, "capture must start under DP attention"
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        _gen(eng, PROMPTS[:4], sp)
+        r = eng.scheduler.handle_expert_distribution(
+            ExpertDistributionReq(action="stop"))
+        assert r.success and r.counts is not None
+        counts = np.asarray(r.counts)
+        assert counts.sum() > 0, "no routed tokens recorded"
+    finally:
+        eng.shutdown()

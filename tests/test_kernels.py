@@ -689,3 +689,145 @@ def test_q_a8_dma_interpret(zeros):
         err = np.abs(np.asarray(got, np.float64) - ref).max() / (
             np.abs(ref).max() + 1e-9)
         assert err < 2e-2, (li, err)
+
+
+def _to_split(kv):
+    """[NP, ps, 2Nk, D] interleaved -> [NP, ps, 2, Nk, D] split."""
+    import jax.numpy as jnp
+    NP, ps, NK2, D = kv.shape
+    k = kv[:, :, 0::2, :]
+    v = kv[:, :, 1::2, :]
+    return jnp.stack([k, v], axis=2)
+
+
+def test_decode_split_kernel_interpret(shapes):
+    """r4 K/V-split decode kernel vs the jnp reference (split pages),
+    including sliding windows and the multi-chunk pipeline."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.split_attention import (
+        paged_decode_attention_split)
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    kvs = _to_split(kv)
+    B = 6
+    kv_lens_l = [0, 97, 0, 128, 3, 33]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    out = paged_decode_attention_split(q, kvs, kv_lens, page_indices,
+                                       sm_scale=D ** -0.5, chunk_pages=2,
+                                       interpret=True)
+    ref = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
+        rtol=3e-2, atol=3e-2)
+    out_w = paged_decode_attention_split(q, kvs, kv_lens, page_indices, 40,
+                                         sm_scale=D ** -0.5, chunk_pages=2,
+                                         interpret=True)
+    ref_w = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
+                                 jnp.int32(B), sm_scale=D ** -0.5,
+                                 sliding_window=40)
+    np.testing.assert_allclose(
+        np.asarray(out_w, np.float32)[nz],
+        np.asarray(ref_w, np.float32)[nz], rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("case", ["plain", "window", "chunked", "softcap"])
+def test_extend_split_kernel_interpret(shapes, case):
+    """r4 flat-q-block split extend kernel vs the jnp reference: ragged
+    multi-sequence batches crossing q-block boundaries, causal KV-block
+    skipping, windows (incl. chunked local) and softcap."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.split_attention import (
+        ragged_extend_attention_split)
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    kvs = _to_split(kv)
+    B = 4
+    kv_lens_l = [39, 90, 17, 128]
+    q_lens = [7, 60, 17, 33]          # ragged; spans q-block boundaries
+    T = sum(q_lens)
+    q = jnp.asarray(rng.standard_normal((T, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    kw = dict(sm_scale=D ** -0.5, num_q_per_blk=32, kv_pages_per_blk=2,
+              interpret=True)
+    rkw = dict(sm_scale=D ** -0.5)
+    if case == "window":
+        kw["sliding_window"] = 25
+        rkw["sliding_window"] = 25
+    elif case == "chunked":
+        kw["sliding_window"] = 32
+        kw["window_chunked"] = True
+        rkw["sliding_window"] = 32
+        rkw["window_chunked"] = True
+    elif case == "softcap":
+        kw["logit_softcap"] = 30.0
+        rkw["logit_softcap"] = 30.0
+    out = ragged_extend_attention_split(
+        q, kvs, kv_lens, page_indices, cu, jnp.int32(B),
+        kw.pop("sliding_window", None), **kw)
+    ref = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
+                               jnp.int32(B), **rkw)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_extend_interleaved_kernel_split_layout_interpret(shapes):
+    """The per-(seq, q-tile) extend kernel (tree-mask path) reads the
+    split layout too."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.extend_attention import ragged_extend_attention
+
+    rng, Nq, Nk, D, ps, MP, NPg, kv = shapes
+    kvs = _to_split(kv)
+    B = 3
+    kv_lens_l = [39, 90, 17]
+    q_lens = [7, 30, 17]
+    T = sum(q_lens)
+    q = jnp.asarray(rng.standard_normal((T, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, q_lens, ps, MP, NPg)
+    out = ragged_extend_attention(
+        q, kvs, kv_lens, page_indices, cu, jnp.int32(B),
+        sm_scale=D ** -0.5, interpret=True)
+    ref = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+    # tree-mask path on split pages
+    q_lens_t = [4, 4, 4]
+    Tt = sum(q_lens_t)
+    qt = jnp.asarray(rng.standard_normal((Tt, Nq, D), dtype=np.float32),
+                     dtype=jnp.bfloat16)
+    kv_lens_t, pit, cut = _mk_batch(
+        rng, B, kv_lens_l, q_lens_t, ps, MP, NPg)
+    bits = np.zeros((B, 32), np.int32)
+    for b in range(B):
+        bits[b, 0] = 0b0001
+        bits[b, 1] = 0b0011
+        bits[b, 2] = 0b0101
+        bits[b, 3] = 0b1011
+    out_t = ragged_extend_attention(
+        qt, kvs, kv_lens_t, pit, cut, jnp.int32(B),
+        None, jnp.asarray(bits),
+        sm_scale=D ** -0.5, interpret=True)
+    ref_t = _jnp_paged_attention(qt, kvs, kv_lens_t, pit, cut,
+                                 jnp.int32(B), sm_scale=D ** -0.5,
+                                 tree_bits=jnp.asarray(bits))
+    np.testing.assert_allclose(
+        np.asarray(out_t, np.float32), np.asarray(ref_t, np.float32),
+        rtol=3e-2, atol=3e-2)

@@ -89,8 +89,9 @@ def test_two_process_greedy_parity(tmp_path):
         ref = json.load(f)
     with open(mh_out) as f:
         mh = json.load(f)
-    assert ref == mh, f"multihost greedy divergence:\nref {ref}\nmh  {mh}"
-    assert all(len(r) == 12 for r in ref)
+    assert ref["out"] == mh["out"], \
+        f"multihost greedy divergence:\nref {ref}\nmh  {mh}"
+    assert all(len(r) == 12 for r in ref["out"])
 
 
 def test_two_process_multistep_parity(tmp_path):
@@ -117,8 +118,12 @@ def test_two_process_multistep_parity(tmp_path):
         ref = json.load(f)
     with open(mh_out) as f:
         mh = json.load(f)
-    assert ref == mh, \
+    assert ref["out"] == mh["out"], \
         f"multihost multi-step divergence:\nref {ref}\nmh  {mh}"
+    # r4 (VERDICT #6): cross-dispatch chaining engages under multihost —
+    # the follower replays chained launches by substituting its own local
+    # device handles (a failed substitution would diverge or crash)
+    assert mh["mchain"] >= 1, mh
 
 
 def _wait_ready(path: str, proc: subprocess.Popen, timeout: float = 300):
@@ -210,4 +215,5 @@ def test_two_process_ep_moe_parity(tmp_path):
         ref = json.load(f)
     with open(mh_out) as f:
         mh = json.load(f)
-    assert ref == mh, f"multihost EP divergence:\nref {ref}\nmh  {mh}"
+    assert ref["out"] == mh["out"], \
+        f"multihost EP divergence:\nref {ref}\nmh  {mh}"

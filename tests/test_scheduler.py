@@ -623,3 +623,19 @@ def test_chain_engages_when_prefill_blocked():
         assert a["output_ids"] == b["output_ids"]
     assert eng.scheduler._mchain_steps >= 1, eng.scheduler._mchain_steps
     eng.scheduler.check_memory_leak()
+
+
+def test_kv_layout_split_greedy_parity():
+    """r4: the K/V-split page layout must be token-for-token identical to
+    the interleaved layout (and is the auto default for MHA pools)."""
+    eng_s = make_engine()                      # auto -> split
+    eng_i = make_engine(kv_layout="interleaved")
+    assert eng_s.scheduler.model_runner.kv_split
+    assert not eng_i.scheduler.model_runner.kv_split
+    prompts = [list(range(10)), list(range(40, 70)), [5, 6] * 8]
+    sp = {"max_new_tokens": 11, "temperature": 0.0, "ignore_eos": True}
+    outs_s = eng_s.generate(input_ids=prompts, sampling_params=sp)
+    outs_i = eng_i.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs_s, outs_i):
+        assert a["output_ids"] == b["output_ids"]
+    eng_s.scheduler.check_memory_leak()
