@@ -293,12 +293,19 @@ class HiRadixCache(RadixCache):
             k = split_len // self.page_size
             n_total = getattr(node, "num_pages_host", 0) or \
                 (k + len(node.pages))
+            # page axis: interleaved gather is [L*n, ps, ne, ed]; the
+            # K/V-split pool gathers plane-outermost [2, L*n, ps, NkD]
+            pax = 1 if getattr(self.runner, "kv_split", False) else 0
+            lead = host_data.shape[:pax]
             per_layer = host_data.reshape(
-                (-1, n_total) + host_data.shape[1:])
+                lead + (-1, n_total) + host_data.shape[pax + 1:])
+            tail = (-1,) + host_data.shape[pax + 1:]
             new_node.host_data = np.ascontiguousarray(
-                per_layer[:, :k]).reshape((-1,) + host_data.shape[1:])
+                np.take(per_layer, range(k), axis=pax + 1)
+            ).reshape(lead + tail)
             node.host_data = np.ascontiguousarray(
-                per_layer[:, k:]).reshape((-1,) + host_data.shape[1:])
+                np.take(per_layer, range(k, n_total), axis=pax + 1)
+            ).reshape(lead + tail)
             new_node.num_pages_host = k
             node.num_pages_host = n_total - k
         return new_node

@@ -293,12 +293,17 @@ class ModelRunner:
         elif sa.kv_layout == "interleaved":
             self.kv_split = False
         else:
+            tp = max(self.mesh_ctx.tp_size, 1)
             self.kv_split = (
                 is_mha
                 and kv_dtype != jnp.float8_e4m3fn
                 and not sa.enable_double_sparsity
                 and getattr(self.model, "write_cross_kv", None) is None
                 and sa.attention_backend != "jax_rpa"   # needs interleaved
+                # TP shards the pool on the Nk dim (interleaved shards
+                # the 2Nk combined dim, which tolerates tp == 2*Nk)
+                and (self.attn_dp > 1
+                     or c.num_kv_heads % tp == 0)
             )
         assert not (self.kv_split and not is_mha), \
             "--kv-layout split needs a plain MHA/GQA KV pool"
@@ -316,18 +321,22 @@ class ModelRunner:
         # +1 garbage page per layer (write sink for padding lanes)
         self.pages_per_layer = pages_per_layer
         self.num_usable_pages = pages_per_layer  # per attention rank
-        entry = (2, ne // 2, ed) if self.kv_split else (ne, ed)
+        NPp = c.num_layers * (pages_per_layer + 1)
+        if self.kv_split:
+            # plane-outermost, lane-flat STORED shape [2, NP, ps, Nk*D]:
+            # any reshape view of the pool re-tiles and copies 100% of it
+            # per call (xprof r4), so the flat lane dim is physical
+            shape = (2, NPp, ps, (ne // 2) * ed)
+            dims = (None, None, None, "tp")   # heads = lane blocks
+        else:
+            shape = (NPp, ps, ne, ed)
+            dims = self.model.kv_shard_dims()
         if G > 1:
             # per-rank private page spaces, sharded over BOTH mesh axes:
             # zero KV duplication (the DP-attention memory win for MLA)
-            shape = (G, c.num_layers * (pages_per_layer + 1), ps) + entry
+            shape = (G,) + shape
             sharding = self.mesh_ctx.sharding(("dp", "tp"))
         else:
-            shape = (c.num_layers * (pages_per_layer + 1), ps) + entry
-            dims = self.model.kv_shard_dims()
-            if self.kv_split:
-                # heads dim moved one inward: [NP, ps, 2, Nk, D]
-                dims = dims[:2] + (None,) + dims[2:]
             sharding = self.mesh_ctx.sharding(*dims)
         if self.multihost:
             # born-sharded allocation: no single process can hold (or
@@ -438,7 +447,22 @@ class ModelRunner:
             (tree-speculative acceptance canonicalization: accepted tree
             rows' KV relocates to the chain-canonical slots). Pad entries
             are garbage->garbage self-copies."""
-            Lp, ps_ = kv.shape[0], kv.shape[1]
+            Lp = kv.shape[0]
+            if kv.ndim == 4 and kv.shape[0] == 2:
+                # K/V-split plane-outermost [2, NP, ps, NkD]: same slot
+                # space per plane, V offset by the whole K plane
+                _, NPt, ps_, _ = kv.shape
+                span = (NPt // num_layers) * ps_
+                kvf = kv.reshape(2 * NPt * ps_, kv.shape[3])
+                base = (jnp.arange(num_layers, dtype=jnp.int32)
+                        * span)[:, None]
+                sk = (src[None, :] + base).reshape(-1)
+                dk = (dst[None, :] + base).reshape(-1)
+                s = jnp.concatenate([sk, NPt * ps_ + sk])
+                d = jnp.concatenate([dk, NPt * ps_ + dk])
+                kvf = kvf.at[d].set(kvf[s])
+                return kvf.reshape(kv.shape)
+            ps_ = kv.shape[1]
             span = (Lp // num_layers) * ps_
             kvf = kv.reshape(Lp * ps_, *kv.shape[2:])
             base = (jnp.arange(num_layers, dtype=jnp.int32) * span)[:, None]
@@ -720,9 +744,18 @@ class ModelRunner:
             rep = self.mesh_ctx.replicated
             if self.multihost:
                 # commit host metadata as global replicated arrays (every
-                # process holds an identical copy of the broadcast batch)
-                put = lambda x: (jax.device_put(np.asarray(x), rep)
-                                 if hasattr(x, "shape") else x)
+                # process holds an identical copy of the broadcast batch).
+                # Device arrays (chained tokens / penalty counts) are
+                # already global outputs of the previous program — leave
+                # them alone (np.asarray would need a cross-host fetch)
+                # global arrays (chained tokens / penalty counts —
+                # outputs of the previous global program) pass through;
+                # process-local arrays commit via host as replicated
+                put = lambda x: (
+                    x if isinstance(x, jax.Array)
+                    and not x.is_fully_addressable
+                    else jax.device_put(np.asarray(x), rep)
+                    if hasattr(x, "shape") else x)
             else:
                 put = lambda x: (jax.device_put(x, rep)
                                  if isinstance(x, jax.Array) else x)
@@ -798,8 +831,14 @@ class ModelRunner:
         if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
             rep = self.mesh_ctx.replicated
             if self.multihost:
-                put = lambda x: (jax.device_put(np.asarray(x), rep)
-                                 if hasattr(x, "shape") else x)
+                # global arrays (chained tokens / penalty counts —
+                # outputs of the previous global program) pass through;
+                # process-local arrays commit via host as replicated
+                put = lambda x: (
+                    x if isinstance(x, jax.Array)
+                    and not x.is_fully_addressable
+                    else jax.device_put(np.asarray(x), rep)
+                    if hasattr(x, "shape") else x)
             else:
                 put = lambda x: (jax.device_put(x, rep)
                                  if isinstance(x, jax.Array) else x)
@@ -1280,14 +1319,28 @@ class ModelRunner:
         """Overlap mode: the next decode step's input_ids are the previous
         step's on-device sampled tokens — the TPU analog of the reference's
         future-token-ids resolution (tp_worker_overlap_thread.py:45), with
-        no host roundtrip at all."""
+        no host roundtrip at all. The shape fit runs as a tiny compiled
+        program with replicated output sharding: an eager slice of a
+        multihost global array would land process-local and poison the
+        next program's device assignment."""
         toks = hb.device_tokens
         assert toks is not None, "device token chain not set"
         if toks.shape[0] == T_pad:
             return toks
-        if toks.shape[0] > T_pad:
-            return toks[:T_pad]
-        return jnp.pad(toks, (0, T_pad - toks.shape[0]))
+        if not hasattr(self, "_chain_fit_fn"):
+            def _fit(t, n: int):
+                return (t[:n] if t.shape[0] >= n
+                        else jnp.pad(t, (0, n - t.shape[0])))
+
+            kw = {}
+            if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
+                kw["out_shardings"] = self.mesh_ctx.replicated
+            self._chain_fit_fn = jax.jit(
+                _fit, static_argnums=(1,), **kw)
+        with self.mesh_ctx.mesh:
+            return self._aot_call(
+                ("chain_fit", toks.shape, T_pad),
+                self._chain_fit_fn, (toks,), (T_pad,))
 
     def _aot_call(self, key, jit_fn, args, statics=()):
         """AOT lower().compile() with an executable cache — runtime jit
@@ -1467,8 +1520,14 @@ class ModelRunner:
         if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
             rep = self.mesh_ctx.replicated
             if self.multihost:
-                put = lambda x: (jax.device_put(np.asarray(x), rep)
-                                 if hasattr(x, "shape") else x)
+                # global arrays (chained tokens / penalty counts —
+                # outputs of the previous global program) pass through;
+                # process-local arrays commit via host as replicated
+                put = lambda x: (
+                    x if isinstance(x, jax.Array)
+                    and not x.is_fully_addressable
+                    else jax.device_put(np.asarray(x), rep)
+                    if hasattr(x, "shape") else x)
             else:
                 put = lambda x: (jax.device_put(x, rep)
                                  if isinstance(x, jax.Array) else x)
@@ -1855,10 +1914,14 @@ class ModelRunner:
         """Host bytes one page costs across all layers (HiCache host-tier
         sizing for --hicache-size)."""
         shape = self.kv_pages.shape
-        # [(G,) L*(P+1), ps, <entry dims>]: one page = ps * entry elems
+        # interleaved [(G,) NP, ps, ne, ed] | split [(G,) 2, NP, ps, NkD]:
+        # one page = ps * entry elems (x2 planes when split)
         lead = 2 if self.attn_dp > 1 else 1
-        per_page = (self.model_config.num_layers
-                    * int(np.prod(shape[lead:]))
+        if self.kv_split:
+            elems = 2 * int(np.prod(shape[lead + 1:]))
+        else:
+            elems = int(np.prod(shape[lead:]))
+        per_page = (self.model_config.num_layers * elems
                     * self.kv_pages.dtype.itemsize)
         return per_page
 
@@ -1866,6 +1929,8 @@ class ModelRunner:
         """Fetch KV of the given pages (all layers) to host numpy —
         the HiCache write-back path (kvcacheio/transfer.cu analog)."""
         ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
+        if self.kv_split:
+            return np.asarray(self.kv_pages[:, ids])
         return np.asarray(self.kv_pages[ids])
 
     def gather_kv_pages_async(self, pages: np.ndarray):
@@ -1874,7 +1939,8 @@ class ModelRunner:
         reference's dedicated write-back CUDA stream,
         cache_controller.py:162). Resolve later with np.asarray()."""
         ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
-        out = self.kv_pages[ids]
+        out = (self.kv_pages[:, ids] if self.kv_split
+               else self.kv_pages[ids])
         try:
             out.copy_to_host_async()
         except Exception:  # noqa: BLE001 — backends without async copy
@@ -1884,8 +1950,12 @@ class ModelRunner:
     def scatter_kv_pages(self, pages: np.ndarray, data: np.ndarray) -> None:
         """Load host KV back into the given device pages (all layers)."""
         ids = jnp.asarray(self._flat_page_ids(np.asarray(pages, np.int32)))
-        self.kv_pages = self.kv_pages.at[ids].set(
-            jnp.asarray(data, dtype=self.kv_pages.dtype))
+        if self.kv_split:
+            self.kv_pages = self.kv_pages.at[:, ids].set(
+                jnp.asarray(data, dtype=self.kv_pages.dtype))
+        else:
+            self.kv_pages = self.kv_pages.at[ids].set(
+                jnp.asarray(data, dtype=self.kv_pages.dtype))
 
     # --------------------------------------------------------------- misc
 

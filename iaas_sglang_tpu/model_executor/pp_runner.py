@@ -142,6 +142,9 @@ class PPModelRunner(ModelRunner):
         self.num_usable_pages = pages_per_layer
         Ls = self.layers_per_stage
         kv_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        # PP stages keep the interleaved layout (stage KV slices + the
+        # PD-gather path are layout-agnostic but untested under split)
+        self.kv_split = False
         shape = (Ls * (pages_per_layer + 1), ps, ne, ed)
         kv_dims = self.model.kv_shard_dims()
         self.stage_kv = [

@@ -261,7 +261,8 @@ def put_params(host: Dict[str, np.ndarray], specs: Dict[str, WeightSpec],
             packed = quantization.startswith("int4")
             _set_nested(tree, name,
                         QuantizedWeight(q=q_dev, scale=s_dev, packed=packed,
-                                        block=block))
+                                        block=block,
+                                        act_quant=quantization == "w8a8_int8"))
         else:
             arr = jax.device_put(host[name], sharding)
             _set_nested(tree, name, arr)
@@ -355,7 +356,8 @@ def _dummy_device_params(specs: Dict[str, WeightSpec], config: ModelConfig,
                 gen_q, out_shardings=(sharding, s_sharding))(key)
             _set_nested(tree, name, QuantizedWeight(
                 q=q_dev, scale=s_dev,
-                packed=quantization.startswith("int4"), block=block))
+                packed=quantization.startswith("int4"), block=block,
+                act_quant=quantization == "w8a8_int8"))
             continue
         arr = jax.jit(lambda k: mapped(draw_one, k),
                       out_shardings=sharding)(key)

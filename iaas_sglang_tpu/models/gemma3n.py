@@ -230,8 +230,10 @@ class Gemma3nForCausalLM:
         A, Dpl = self.A, self.dpl
         eps = c.rms_norm_eps
         H = c.hidden_size
-        pages_per_layer = kv_pages.shape[-4] // L
-        ps = kv_pages.shape[-3]
+        # K/V-split pool is plane-outermost [2, NP, ps, NkD]
+        kv_split = kv_pages.shape[0] == 2
+        pages_per_layer = kv_pages.shape[1 if kv_split else 0] // L
+        ps = kv_pages.shape[2 if kv_split else 1]
         f32 = jnp.float32
 
         # ---- embeddings + per-layer inputs (gemma3n_causal.py:765-800)

@@ -740,8 +740,14 @@ class LlamaFamilyForCausalLM:
         # batch metadata is rank-stacked — kv_lens [G, B_r] is the
         # unambiguous signal (the K/V-split pool is also 5D: r4)
         dp_attn = (not ds) and fb.kv_lens.ndim == 2
-        pages_per_layer = kv_main0.shape[1 if dp_attn else 0] // L
-        ps = kv_main0.shape[2 if dp_attn else 1]
+        # K/V-split pool is plane-outermost [(G,) 2, NP, ps, NkD]: the
+        # page-count / page-size dims sit one slot further in than the
+        # interleaved [(G,) NP, ps, 2Nk, D] (plane dim == 2; a page count
+        # is always > 2)
+        lead = 1 if dp_attn else 0
+        kv_split = kv_main0.shape[lead] == 2
+        pages_per_layer = kv_main0.shape[lead + (1 if kv_split else 0)] // L
+        ps = kv_main0.shape[lead + (2 if kv_split else 1)]
 
         from iaas_sglang_tpu.layers.norms import layer_norm
 

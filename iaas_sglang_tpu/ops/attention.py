@@ -29,6 +29,13 @@ import jax
 import jax.numpy as jnp
 
 
+def is_split_layout(kv_pages) -> bool:
+    """K/V-split plane-outermost pool [2, NP, ps, Nk*D] (r4). An
+    interleaved pool [NP, ps, 2Nk, D] always has dim 0 = page count > 2
+    (>= num_layers * 17 pages)."""
+    return kv_pages.ndim == 4 and kv_pages.shape[0] == 2
+
+
 def paged_attention(
     q: jnp.ndarray,
     kv_pages: jnp.ndarray,
@@ -62,7 +69,7 @@ def paged_attention(
             window_chunked=window_chunked,
             logit_softcap=logit_softcap, tree_bits=tree_bits,
         )
-    split = kv_pages.ndim == 5   # [NP, ps, 2, Nk, D] K/V-split layout (r4)
+    split = is_split_layout(kv_pages)
     if tree_bits is not None:
         # only our own extend kernel supports the tree mask on TPU
         from iaas_sglang_tpu.ops.extend_attention import (
@@ -152,9 +159,10 @@ def _jnp_paged_attention(
     logit_softcap=None, tree_bits=None,
 ):
     T, Nq, D = q.shape
-    split = kv_pages.ndim == 5
+    split = is_split_layout(kv_pages)
     if split:
-        NP, ps, _, Nk, _ = kv_pages.shape
+        _, NP, ps, NkD = kv_pages.shape
+        Nk = NkD // D
     else:
         NP, ps, NK2, _ = kv_pages.shape
         Nk = NK2 // 2
@@ -176,12 +184,11 @@ def _jnp_paged_attention(
     )  # [T]
 
     # gather whole sequences (reference path only; kernels stream pages)
-    kv_seq = kv_pages[page_indices]  # [Bmax, MP, ps, 2Nk, D] | split 6D
-    if split:
-        k_seq = kv_seq[:, :, :, 0].reshape(Bmax, S, Nk, D)
-        v_seq = kv_seq[:, :, :, 1].reshape(Bmax, S, Nk, D)
+    if split:   # plane-outermost [2, NP, ps, NkD]
+        k_seq = kv_pages[0][page_indices].reshape(Bmax, S, Nk, D)
+        v_seq = kv_pages[1][page_indices].reshape(Bmax, S, Nk, D)
     else:
-        kv_seq = kv_seq.reshape(Bmax, S, 2 * Nk, D)
+        kv_seq = kv_pages[page_indices].reshape(Bmax, S, 2 * Nk, D)
         k_seq = kv_seq[:, :, 0::2, :]  # [Bmax, S, Nk, D]
         v_seq = kv_seq[:, :, 1::2, :]
 
@@ -516,12 +523,14 @@ def write_kv_pages(
     garbage page. (TPU analog of the reference's Triton
     write_req_to_token_pool / set_kv_buffer paths, schedule_batch.py:1778.)"""
     T, Nk, D = k.shape
-    if kv_pages.ndim == 5:   # K/V-split layout [NP, ps, 2, Nk, D]
-        NP, ps = kv_pages.shape[:2]
-        updates = jnp.stack([k, v], axis=1).astype(kv_pages.dtype)
-        flat = kv_pages.reshape(NP * ps, 2, Nk, D)
-        flat = flat.at[out_slots].set(updates)
-        return flat.reshape(NP, ps, 2, Nk, D)
+    if is_split_layout(kv_pages):   # plane-outermost [2, NP, ps, NkD]
+        _, NP, ps, NkD = kv_pages.shape
+        flat = kv_pages.reshape(2 * NP * ps, NkD)
+        kf = k.reshape(T, NkD).astype(kv_pages.dtype)
+        vf = v.reshape(T, NkD).astype(kv_pages.dtype)
+        flat = flat.at[out_slots].set(kf)
+        flat = flat.at[NP * ps + out_slots].set(vf)
+        return flat.reshape(2, NP, ps, NkD)
     NP, ps, NK2, _ = kv_pages.shape
     updates = jnp.stack([k, v], axis=2).reshape(T, 2 * Nk, D).astype(kv_pages.dtype)
     flat = kv_pages.reshape(NP * ps, NK2, D)

@@ -42,7 +42,7 @@ def _extend_kernel(
     tree_bits_ref,     # i32[B, 32] spec-tree ancestor bitmasks (or [1, 1])
     # inputs (ANY: manual DMA)
     q_hbm,             # [Tpad, Nq, D]
-    kv_hbm,            # [NP, ps, 2Nk, D]
+    kv_hbm,            # [NP, ps, 2Nk, D] | split [2, NP, ps, NkD]
     # output (ANY: manual DMA)
     o_hbm,             # [Tpad, Nq, D]
     # scratch
@@ -91,8 +91,8 @@ def _extend_kernel(
                 if split:
                     for e in range(2):
                         pltpu.make_async_copy(
-                            kv_hbm.at[page, :, e], kv_buf.at[slot, j, e],
-                            kv_sems.at[slot, j, e],
+                            kv_hbm.at[e, page], kv_buf.at[slot, e, j],
+                            kv_sems.at[slot, e, j],
                         ).start()
                 else:
                     pltpu.make_async_copy(
@@ -105,8 +105,8 @@ def _extend_kernel(
                 if split:
                     for e in range(2):
                         pltpu.make_async_copy(
-                            kv_hbm.at[0, :, 0], kv_buf.at[slot, j, e],
-                            kv_sems.at[slot, j, e],
+                            kv_hbm.at[e, 0], kv_buf.at[slot, e, j],
+                            kv_sems.at[slot, e, j],
                         ).wait()
                 else:
                     pltpu.make_async_copy(
@@ -140,8 +140,8 @@ def _extend_kernel(
 
             wait_chunk(slot)
             if split:
-                kr_all = kv_buf[slot, :, 0].reshape(CT, Nk * D)
-                vr_all = kv_buf[slot, :, 1].reshape(CT, Nk * D)
+                kr_all = kv_buf[slot, 0].reshape(CT, Nk * D)
+                vr_all = kv_buf[slot, 1].reshape(CT, Nk * D)
             else:
                 flat2 = kv_buf[slot].reshape(CT, 2 * Nk * D)
             key_pos = ci * CT + jax.lax.broadcasted_iota(
@@ -414,10 +414,12 @@ def ragged_extend_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     T, Nq, D = q.shape
-    split = kv_pages.ndim == 5           # [NP, ps, 2, Nk, D] K/V-split
+    from iaas_sglang_tpu.ops.attention import is_split_layout
+
+    split = is_split_layout(kv_pages)   # [2, NP, ps, NkD] stored flat
     if split:
-        NP, ps, _, Nk, _ = kv_pages.shape
-        kv_pages = kv_pages.reshape(NP, ps, 2, Nk * D)  # free (contiguous)
+        _, NP, ps, NkD = kv_pages.shape
+        Nk = NkD // D
     else:
         NP, ps, NK2, _ = kv_pages.shape
         Nk = NK2 // 2
@@ -447,12 +449,12 @@ def ragged_extend_attention(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((BQ, Nq, D), q.dtype),
-            (pltpu.VMEM((2, CP, 2, ps, Nk * D), kv_pages.dtype) if split
+            (pltpu.VMEM((2, 2, CP, ps, Nk * D), kv_pages.dtype) if split
              else pltpu.VMEM((2, CP, ps, 2 * Nk, D), kv_pages.dtype)),
             pltpu.VMEM((BQ, Nq, D), q.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-            (pltpu.SemaphoreType.DMA((2, CP, 2)) if split
+            (pltpu.SemaphoreType.DMA((2, 2, CP)) if split
              else pltpu.SemaphoreType.DMA((2, CP))),
         ],
     )

@@ -1,8 +1,13 @@
 """Pallas TPU kernels for the K/V-SPLIT page layout.
 
-Layout: pages are [NP, ps, 2, Nk*D] — plane 0 holds K of all heads flat,
-plane 1 holds V (the pool stores [NP, ps, 2, Nk, D]; the (2, Nk, D)
-minor dims are contiguous so the flat view is a free reshape).
+Layout: the pool is PHYSICALLY [2, NP, ps, Nk*D] — plane 0 holds K of
+all heads lane-flat per token, plane 1 holds V. The flat lane dim is the
+STORED shape, not a view: an XLA reshape from [.., Nk, D] re-tiles and
+silently copies the entire pool per layer call (xprof r4: 4.9 ms/call of
+a 1.6 GB pool — 2.3x the kernel itself). Plane-outermost also keeps
+every kernel ref index LEADING-dim only (Mosaic rejects DMA sources
+indexed through a middle dim). Detection: ndim == 4 and shape[0] == 2
+(an interleaved pool's dim 0 is the page count, always > 2).
 
 Why (r4, VERDICT #1): with the interleaved [ps, 2Nk, D] layout the
 decode kernel's one-wide-dot formulation contracts 2*Nk*D lanes of which
@@ -48,12 +53,12 @@ def _decode_split_kernel(
     window_ref,        # i32[1] sliding window, -1 = full attention (SMEM)
     # inputs
     q_ref,             # [1, Nq, D]        (VMEM block)
-    kv_hbm_ref,        # [NP, ps, 2, NkD]  (ANY/HBM)
+    kv_hbm_ref,        # [2, NP, ps, NkD]  (ANY/HBM)
     # outputs
     o_ref,             # [1, Nq, D]        (VMEM block)
     # scratch
-    kv_buf,            # [NBUF, CP, 2, ps, NkD] VMEM (persists across grid)
-    sems,              # DMA sems (NBUF, CP, 2)
+    kv_buf,            # [NBUF, 2, CP, ps, NkD] VMEM (persists across grid)
+    sems,              # DMA sems (NBUF, 2, CP)
     pipe_ref,          # i32[2] SMEM: [global chunk counter, prefetched seq]
     *,
     num_kv_heads: int,
@@ -99,9 +104,9 @@ def _decode_split_kernel(
                 page = page_indices_ref[s2, jnp.minimum(idx, max_pages - 1)]
                 for e in range(2):
                     pltpu.make_async_copy(
-                        kv_hbm_ref.at[page, :, e],
-                        kv_buf.at[slot, j, e],
-                        sems.at[slot, j, e],
+                        kv_hbm_ref.at[e, page],
+                        kv_buf.at[slot, e, j],
+                        sems.at[slot, e, j],
                     ).start()
 
     def wait_chunk(s2, ci, slot):
@@ -112,9 +117,9 @@ def _decode_split_kernel(
             def _():
                 for e in range(2):
                     pltpu.make_async_copy(
-                        kv_hbm_ref.at[0, :, 0],
-                        kv_buf.at[slot, j, e],
-                        sems.at[slot, j, e],
+                        kv_hbm_ref.at[e, 0],
+                        kv_buf.at[slot, e, j],
+                        sems.at[slot, e, j],
                     ).wait()
 
     @pl.when(s == 0)
@@ -122,9 +127,9 @@ def _decode_split_kernel(
         pipe_ref[0] = 0
         pipe_ref[1] = -1
         for n in range(NBUF):
-            for j in range(CP):
-                for e in range(2):
-                    kv_buf[n, j, e] = jnp.zeros_like(kv_buf[n, j, e])
+            for e in range(2):
+                for j in range(CP):
+                    kv_buf[n, e, j] = jnp.zeros_like(kv_buf[n, e, j])
 
     kv_len = kv_lens_ref[s]
     n_chunks = pl.cdiv(kv_len, CT)
@@ -173,8 +178,8 @@ def _decode_split_kernel(
 
             pipe_ref[0] = gc + 1
 
-            kr = kv_buf[slot, :, 0].reshape(CT, Nk * D)
-            vr = kv_buf[slot, :, 1].reshape(CT, Nk * D)
+            kr = kv_buf[slot, 0].reshape(CT, Nk * D)
+            vr = kv_buf[slot, 1].reshape(CT, Nk * D)
             if kr.dtype != q.dtype:
                 kr = kr.astype(q.dtype)
                 vr = vr.astype(q.dtype)
@@ -238,7 +243,7 @@ def _decode_split_kernel(
 )
 def paged_decode_attention_split(
     q: jnp.ndarray,             # [B, Nq, D]
-    kv_pages: jnp.ndarray,      # [NP, ps, 2, Nk, D] split layout
+    kv_pages: jnp.ndarray,      # [2, NP, ps, NkD] split layout
     kv_lens: jnp.ndarray,       # i32[B]
     page_indices: jnp.ndarray,  # i32[B, MP]
     sliding_window=None,
@@ -251,8 +256,9 @@ def paged_decode_attention_split(
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
-    NP, ps, _, Nk, _ = kv_pages.shape
-    kv_flat = kv_pages.reshape(NP, ps, 2, Nk * D)   # free (contiguous)
+    _, NP, ps, NkD = kv_pages.shape
+    Nk = NkD // D
+    kv_flat = kv_pages                      # stored flat: NO reshape
     MP = page_indices.shape[1]
     CP = min(chunk_pages, MP)
     window = jnp.full((1,), -1, jnp.int32) if sliding_window is None \
@@ -269,8 +275,8 @@ def paged_decode_attention_split(
         out_specs=pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((num_bufs, CP, 2, ps, Nk * D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((num_bufs, CP, 2)),
+            pltpu.VMEM((num_bufs, 2, CP, ps, Nk * D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((num_bufs, 2, CP)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
@@ -310,12 +316,12 @@ def _extend_split_kernel(
     window_ref,        # i32[1]
     # inputs
     q_ref,             # [NQB, Nq, D] (VMEM block, auto-pipelined)
-    kv_hbm,            # [NP, ps, 2, NkD] (ANY)
+    kv_hbm,            # [2, NP, ps, NkD] (ANY)
     # outputs
     o_ref,             # [NQB, Nq, D]
     # scratch
-    kv_buf,            # [2, KVP, 2, ps, NkD]
-    sems,              # DMA (2, KVP, 2)
+    kv_buf,            # [2, 2, KVP, ps, NkD]
+    sems,              # DMA (2, 2, KVP)
     m_scr,             # f32 [Nk, NQB*G, 128]
     l_scr,             # f32 [Nk, NQB*G, 128]
     acc_scr,           # f32 [NQB, Nq, D]
@@ -327,6 +333,7 @@ def _extend_split_kernel(
     sm_scale: float,
     logit_softcap: Optional[float],
     chunked: bool = False,
+    debug_heads: int = 0,   # probe-only: limit flash to N heads (0 = all)
 ):
     """Flat-q-block ragged extend over split-layout pages.
 
@@ -384,9 +391,9 @@ def _extend_split_kernel(
                 page = page_indices_ref[s, jnp.minimum(idx, max_pages - 1)]
                 for e in range(2):
                     pltpu.make_async_copy(
-                        kv_hbm.at[page, :, e],
-                        kv_buf.at[buf, j, e],
-                        sems.at[buf, j, e],
+                        kv_hbm.at[e, page],
+                        kv_buf.at[buf, e, j],
+                        sems.at[buf, e, j],
                     ).start()
 
     def wait_kv(s, blk, buf):
@@ -397,9 +404,9 @@ def _extend_split_kernel(
             def _():
                 for e in range(2):
                     pltpu.make_async_copy(
-                        kv_hbm.at[0, :, 0],
-                        kv_buf.at[buf, j, e],
-                        sems.at[buf, j, e],
+                        kv_hbm.at[e, 0],
+                        kv_buf.at[buf, e, j],
+                        sems.at[buf, e, j],
                     ).wait()
 
     init_seq = seq_buf_ref[0]
@@ -442,16 +449,19 @@ def _extend_split_kernel(
         is_first = kv_blk == lo
         kv_start = kv_blk * CT
 
-        kr = kv_buf[buf, :, 0].reshape(CT, Nk * D)
-        vr = kv_buf[buf, :, 1].reshape(CT, Nk * D)
-        if kr.dtype != q_ref.dtype:
-            kr = kr.astype(q_ref.dtype)
-            vr = vr.astype(q_ref.dtype)
-        # zero KV rows past the sequence (garbage pages -> exact zeros)
+        # per-head lane-sliced buffer reads (NOT a whole-[CT, NkD]
+        # materialization — that spills half a MB of vregs and measured
+        # 3.7x slower than jax_rpa); rows past kv_len zero per head
         kv_rows = jax.lax.broadcasted_iota(jnp.int32, (CT, 1), 0)
         kv_ok = kv_rows < (kvl - kv_start)
-        kr = jnp.where(kv_ok, kr, 0)
-        vr = jnp.where(kv_ok, vr, 0)
+
+        def head_kv(h):
+            k_h = kv_buf[buf, 0, :, :, h * D:(h + 1) * D].reshape(CT, D)
+            v_h = kv_buf[buf, 1, :, :, h * D:(h + 1) * D].reshape(CT, D)
+            if k_h.dtype != q_ref.dtype:
+                k_h = k_h.astype(q_ref.dtype)
+                v_h = v_h.astype(q_ref.dtype)
+            return jnp.where(kv_ok, k_h, 0), jnp.where(kv_ok, v_h, 0)
 
         M = NQB * G
         # absolute position of each folded row's token
@@ -473,10 +483,9 @@ def _extend_split_kernel(
                 jnp.int32, ref_shape_rows, 0) // G
             return (iota >= store_lo) & (iota < store_hi)
 
-        for h in range(Nk):
+        for h in range(debug_heads or Nk):
             q_h = q_ref[:, h * G:(h + 1) * G, :].reshape(M, D)
-            k_h = kr[:, h * D:(h + 1) * D]
-            v_h = vr[:, h * D:(h + 1) * D]
+            k_h, v_h = head_kv(h)
             qk = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
@@ -565,11 +574,12 @@ def _extend_split_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "window_chunked",
-                     "num_q_per_blk", "kv_pages_per_blk", "interpret"),
+                     "num_q_per_blk", "kv_pages_per_blk", "debug_heads",
+                     "interpret"),
 )
 def ragged_extend_attention_split(
     q: jnp.ndarray,             # [T, Nq, D]
-    kv_pages: jnp.ndarray,      # [NP, ps, 2, Nk, D]
+    kv_pages: jnp.ndarray,      # [2, NP, ps, NkD]
     kv_lens: jnp.ndarray,       # i32[B]
     page_indices: jnp.ndarray,  # i32[B, MP]
     cu_q_lens: jnp.ndarray,     # i32[B+1]
@@ -580,12 +590,14 @@ def ragged_extend_attention_split(
     logit_softcap: Optional[float] = None,
     window_chunked: bool = False,
     num_q_per_blk: int = 64,
-    kv_pages_per_blk: int = 16,
+    kv_pages_per_blk: int = 32,
+    debug_heads: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     T, Nq, D = q.shape
-    NP, ps, _, Nk, _ = kv_pages.shape
-    kv_flat = kv_pages.reshape(NP, ps, 2, Nk * D)
+    _, NP, ps, NkD = kv_pages.shape
+    Nk = NkD // D
+    kv_flat = kv_pages                     # stored flat: NO reshape
     B, MP = page_indices.shape
     KVP = min(kv_pages_per_blk, MP)
     NQB = min(num_q_per_blk, max(16, T))
@@ -604,8 +616,8 @@ def ragged_extend_attention_split(
         ],
         out_specs=pl.BlockSpec((NQB, Nq, D), lambda qb, *_: (qb, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, KVP, 2, ps, Nk * D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, KVP, 2)),
+            pltpu.VMEM((2, 2, KVP, ps, Nk * D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, KVP)),
             pltpu.VMEM((Nk, NQB * G, 128), jnp.float32),
             pltpu.VMEM((Nk, NQB * G, 128), jnp.float32),
             pltpu.VMEM((NQB, Nq, D), jnp.float32),
@@ -620,6 +632,7 @@ def ragged_extend_attention_split(
         sm_scale=sm_scale,
         logit_softcap=logit_softcap,
         chunked=window_chunked,
+        debug_heads=debug_heads,
     )
     out = pl.pallas_call(
         kernel,

@@ -36,6 +36,9 @@ class QuantizedWeight:
     # dequant(q_unsigned) = (q_u - z)*s == q_signed*s - zero_scale
     zero_scale: Optional[jnp.ndarray] = None  # [in/G, out] f32 | None
     packed: bool = struct.field(pytree_node=False, default=False)
+    # W8A8 (reference w8a8_int8.py): per-channel int8 weights served with
+    # per-token int8 activation quant + native int8 MXU dots at decode
+    act_quant: bool = struct.field(pytree_node=False, default=False)
     # blockwise (128x128) FP8 scales — the DeepSeek-V3 checkpoint scheme
     # (reference layers/quantization/fp8.py:1151 weight_scale_inv +
     # fp8_kernel.py DeepGEMM blockwise path): dequant w = q * scale[block]
@@ -88,9 +91,13 @@ def quantize_weight_jnp(w: jnp.ndarray, method: str):
     that stream a 15-minute tax per bench run)."""
     inn, out = w.shape
     w = w.astype(jnp.float32)
-    if method in ("int4", "int4_awq", "int8", "w8a16"):
+    if method in ("int4", "int4_awq", "int8", "w8a16", "w8a8_int8"):
         bits = 4 if method.startswith("int4") else 8
-        group = GROUP if inn % GROUP == 0 else inn
+        # w8a8_int8: per-CHANNEL scale (one group spanning in) — the
+        # reference's w8a8 scheme; int dots accumulate int32 over all of
+        # K and scale once
+        group = inn if method == "w8a8_int8" else (
+            GROUP if inn % GROUP == 0 else inn)
         qmax = 2 ** (bits - 1) - 1
         wg = w.reshape(inn // group, group, out)
         absmax = jnp.abs(wg).max(axis=1, keepdims=True)
@@ -133,6 +140,12 @@ def quantize_weight(w: np.ndarray, method: str):
     if method in ("int8", "w8a16"):
         q, s = _np_group_quantize(w, 8)
         return q.astype(np.int8), s.astype(np.float32), jnp.int8
+    if method == "w8a8_int8":
+        w32 = w.astype(np.float32)
+        absmax = np.abs(w32).max(axis=0, keepdims=True)   # [1, out]
+        scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+        q = np.clip(np.rint(w32 / scale), -127, 127)
+        return q.astype(np.int8), scale.astype(np.float32), jnp.int8
     if method in ("fp8_block", "fp8_blockwise"):
         # per-(128, 128)-block scales: the on-the-fly analog of the
         # DeepSeek-V3 FP8 checkpoint format (weight_scale_inv semantics:
@@ -280,7 +293,10 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
             return y.reshape(*lead, qw.q.shape[2]).astype(out_dtype)
         if _q8_pallas_ok(w.qw) and w.qw.q.ndim == 3:
             from iaas_sglang_tpu.ops.quant_matmul import (
+                W4A8_MAX_T,
                 q8_matmul_dma_stacked,
+                q_matmul_dma_stacked_a8,
+                quantize_act_int8,
             )
 
             out_dtype = out_dtype or x.dtype
@@ -288,8 +304,17 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
             inn = qw.q.shape[1]
             s, group = _q8_group_scale(qw.scale, inn)
             lead = x.shape[:-1]
-            y = q8_matmul_dma_stacked(
-                x.reshape(-1, inn), qw.q, s, w.idx, group=group)
+            x2 = x.reshape(-1, inn)
+            if (qw.act_quant and qw.q.dtype == jnp.int8
+                    and x2.shape[0] <= W4A8_MAX_T):
+                # W8A8 decode: int8 activations + native int8 MXU dots
+                xq, xs, _rs = quantize_act_int8(x2, group)
+                y = q_matmul_dma_stacked_a8(
+                    xq, xs, _rs, qw.q, s, None, w.idx, group=group,
+                    eight_bit=True)
+            else:
+                y = q8_matmul_dma_stacked(
+                    x2, qw.q, s, w.idx, group=group)
             return y.reshape(*lead, qw.q.shape[2]).astype(out_dtype)
         return qmatmul(x, w.sliced(), out_dtype)
     if not isinstance(w, QuantizedWeight):

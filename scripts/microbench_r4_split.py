@@ -46,9 +46,10 @@ def mk_pool(rng, split, NP, ps=16):
         jnp.bfloat16)
     if not split:
         return kv_i
-    k = kv_i[:, :, 0::2, :]
-    v = kv_i[:, :, 1::2, :]
-    return jnp.stack([k, v], axis=2)
+    NPx, psx, NK2, Dx = kv_i.shape
+    k = kv_i[:, :, 0::2, :].reshape(NPx, psx, NK2 // 2 * Dx)
+    v = kv_i[:, :, 1::2, :].reshape(NPx, psx, NK2 // 2 * Dx)
+    return jnp.stack([k, v], axis=0)
 
 
 def run_extend(which, rng, nqb=64, kvp=16):
@@ -58,7 +59,7 @@ def run_extend(which, rng, nqb=64, kvp=16):
     NP = 32 * (pages_per_layer + 1)
     B, ctx, qlen = 8, 256, 64
     T = B * qlen
-    split = which in ("split", "old_split")
+    split = which.startswith("split") or which == "old_split"
     kv = mk_pool(rng, split, NP, ps)
     q0 = jnp.asarray(rng.standard_normal((T, 32, 128), dtype=np.float32),
                      jnp.bfloat16)
@@ -98,11 +99,13 @@ def run_extend(which, rng, nqb=64, kvp=16):
     else:
         from iaas_sglang_tpu.ops.split_attention import (
             ragged_extend_attention_split)
+        dh = int(which.split("dh")[1]) if "dh" in which else 0
 
         def call(h, kvx, l):
             return ragged_extend_attention_split(
                 h, kvx, kv_lens, pt + l * (pages_per_layer + 1), cu, ns,
-                sm_scale=0.088, num_q_per_blk=nqb, kv_pages_per_blk=kvp)
+                sm_scale=0.088, num_q_per_blk=nqb, kv_pages_per_blk=kvp,
+                debug_heads=dh)
 
     def make(n):
         @jax.jit
@@ -229,8 +232,9 @@ def main():
         run_decode("split", 1024, rng)
     for a in args:
         if a.startswith("ex:"):
-            _, nqb, kvp = a.split(":")
-            run_extend("split", rng, nqb=int(nqb), kvp=int(kvp))
+            parts = a.split(":")
+            run_extend("split" + (parts[3] if len(parts) > 3 else ""),
+                       rng, nqb=int(parts[1]), kvp=int(parts[2]))
 
 
 if __name__ == "__main__":

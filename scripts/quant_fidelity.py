@@ -104,7 +104,7 @@ def main():
     gc.collect()
     jax.clear_caches()
 
-    for quant in ("int4", "fp8_block"):
+    for quant in ("int4", "int8", "fp8_block"):
         runner, sa = make_runner(quant)
         q_logits = teacher_logits(runner, sa, seqs)
         q_out = [lg[sl] for lg in q_logits]
@@ -128,6 +128,30 @@ def main():
             idx = np.arange(len(t))
             dlp.extend(np.abs(qlse[idx, t] - rlse[idx, t]))
             dlog.extend(np.abs(q - r).mean(-1))
+        # margin-conditioned agreement (r4, VERDICT #7): random weights
+        # give near-zero top-1 margins, so RAW agreement is uninformative
+        # — but agreement AS A FUNCTION of the BF16 margin lets a reader
+        # map the proxy onto a real checkpoint: flips need noise > margin,
+        # real instruction-tuned models sit at multi-logit margins, so the
+        # margin where agreement saturates bounds the plausible delta-acc.
+        qcat = np.concatenate([q.argmax(-1) for q in q_out])
+        tcat = np.concatenate(ref_top1)
+        order = np.argsort(margins)
+        deciles = {}
+        nq = 10
+        for d in range(nq):
+            seg = order[d * len(order) // nq:(d + 1) * len(order) // nq]
+            deciles[f"p{d*10}-{d*10+10}"] = [
+                round(float(np.median(margins[seg])), 3),
+                round(float((qcat[seg] == tcat[seg]).mean()), 4)]
+        # smallest margin above which agreement >= 99%
+        agree_sorted = (qcat[order] == tcat[order]).astype(np.float64)
+        csum = np.cumsum(agree_sorted[::-1])[::-1]
+        cnt = np.arange(len(csum), 0, -1)
+        tail_acc = csum / cnt
+        ix = np.argmax(tail_acc >= 0.99) if (tail_acc >= 0.99).any() \
+            else len(order) - 1
+        m99 = float(margins[order][ix])
         print(json.dumps({
             "metric": f"{quant}_vs_bf16_teacher_forced_llama3_12L",
             "argmax_agreement": round(float(agree.mean()), 4),
@@ -135,14 +159,58 @@ def main():
             "mean_abs_dlogprob_chosen": round(float(np.mean(dlp)), 4),
             "mean_abs_dlogit": round(float(np.mean(dlog)), 4),
             "bf16_top1_margin_p50": round(float(np.median(margins)), 4),
-            "note": ("random dummy weights -> near-uniform logits; the "
-                     "p50 top-1 margin shows how little noise flips an "
-                     "argmax here vs a real checkpoint"),
+            "agreement_by_margin_decile": deciles,
+            "margin_at_99pct_agreement": round(m99, 3),
+            "note": ("random dummy weights -> near-uniform logits; "
+                     "agreement conditioned on the BF16 top-1 margin is "
+                     "the informative signal: positions whose margin "
+                     "exceeds margin_at_99pct_agreement keep their "
+                     "argmax under this quantization. Real checkpoints "
+                     "sit at multi-logit margins."),
             "positions": int(agree.size), "batch": B,
         }), flush=True)
+        if quant == "int4":
+            w4a8_fidelity(runner)
         del runner
         gc.collect()
         jax.clear_caches()
+
+
+def w4a8_fidelity(runner):
+    """Integer-dot W4A8 decode path vs the W4A16 f32-dequant chain on the
+    SAME loaded AWQ-format weights (r4: the INT4 decode default moved to
+    int8 activation quant + int8 MXU dots — this bounds the activation-
+    quantization error the switch adds)."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        int4_matmul_dma_stacked, q_matmul_dma_stacked_a8,
+        quantize_act_int8)
+
+    qw = runner.params["layers"]["w_gate"]
+    rng = np.random.default_rng(3)
+    T = 32
+    K = qw.q.shape[1] * 2
+    group = K // qw.scale.shape[1]
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    li = 0
+    ref = np.asarray(int4_matmul_dma_stacked(
+        x, qw.q, qw.scale, qw.zero_scale, li, group=group), np.float32)
+    xq, xs, rs = quantize_act_int8(x, group)
+    got = np.asarray(q_matmul_dma_stacked_a8(
+        xq, xs, rs, qw.q, qw.scale, qw.zero_scale, li, group=group),
+        np.float32)
+    rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-9)
+    print(json.dumps({
+        "metric": "w4a8_vs_w4a16_same_weights_gate_proj",
+        "mean_rel_err": round(float(rel.mean()), 5),
+        "p99_rel_err": round(float(np.percentile(rel, 99)), 5),
+        "note": ("per-token int8 activation quantization error of the "
+                 "integer-dot decode GEMM vs the f32 dequant chain on "
+                 "identical weights; W8A8-class error (reference serves "
+                 "w8a8_int8/qserve W4A8 with the same scheme)"),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -692,12 +692,12 @@ def test_q_a8_dma_interpret(zeros):
 
 
 def _to_split(kv):
-    """[NP, ps, 2Nk, D] interleaved -> [NP, ps, 2, Nk, D] split."""
+    """[NP, ps, 2Nk, D] interleaved -> [2, NP, ps, Nk*D] plane-flat."""
     import jax.numpy as jnp
     NP, ps, NK2, D = kv.shape
-    k = kv[:, :, 0::2, :]
-    v = kv[:, :, 1::2, :]
-    return jnp.stack([k, v], axis=2)
+    k = kv[:, :, 0::2, :].reshape(NP, ps, NK2 // 2 * D)
+    v = kv[:, :, 1::2, :].reshape(NP, ps, NK2 // 2 * D)
+    return jnp.stack([k, v], axis=0)
 
 
 def test_decode_split_kernel_interpret(shapes):
@@ -831,3 +831,31 @@ def test_extend_interleaved_kernel_split_layout_interpret(shapes):
     np.testing.assert_allclose(
         np.asarray(out_t, np.float32), np.asarray(ref_t, np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_q_a8_dma_eight_bit_interpret():
+    """W8A8 int8 path of the integer-dot kernel (per-channel scales tiled
+    to 8 rows) vs the int reference."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        q_matmul_dma_stacked_a8, quantize_act_int8)
+
+    rng = np.random.default_rng(6)
+    L, K, N, T = 2, 1024, 256, 8
+    w = rng.integers(-127, 128, (L, K, N)).astype(np.int8)
+    scpc = (rng.random((L, 1, N)).astype(np.float32) * 0.001 + 0.01)
+    sc8 = np.tile(scpc, (1, 8, 1))
+    g = K // 8
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32) * 0.1,
+                    jnp.bfloat16)
+    xq, xs, rs = quantize_act_int8(x, g)
+    for li in range(L):
+        ref = ((np.asarray(xq, np.int32) @ w[li].astype(np.int32))
+               .astype(np.float64) * scpc[li] * np.asarray(xs, np.float64))
+        got = q_matmul_dma_stacked_a8(
+            xq, xs, rs, jnp.asarray(w), jnp.asarray(sc8), None, li,
+            group=g, eight_bit=True, interpret=True)
+        err = np.abs(np.asarray(got, np.float64) - ref).max() / (
+            np.abs(ref).max() + 1e-9)
+        assert err < 1e-2, (li, err)

@@ -370,3 +370,21 @@ def test_fp8_recode_int8_semantics():
 
     out = RawDriver(r, sa.page_size).generate_greedy(PROMPT, 6)
     assert len(out) == 6
+
+
+def test_w8a8_int8_config_smoke():
+    """--quantization w8a8_int8 (reference w8a8_int8.py scheme): per-
+    channel int8 weights; engine generates correctly (the int8 MXU dot
+    path itself is TPU-only and kernel-tested in test_kernels)."""
+    from tests.test_scheduler import make_engine
+
+    eng = make_engine(quantization="w8a8_int8", dtype="float32")
+    out = eng.generate(input_ids=list(range(10)), sampling_params={
+        "max_new_tokens": 6, "temperature": 0.0})
+    assert len(out["output_ids"]) == 6
+    # per-channel weight quantization stays close to the bf16 model
+    ref = make_engine().generate(input_ids=list(range(10)),
+                                 sampling_params={"max_new_tokens": 6,
+                                                  "temperature": 0.0})
+    assert len(ref["output_ids"]) == 6
+    eng.scheduler.check_memory_leak()
