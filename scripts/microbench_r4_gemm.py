@@ -431,7 +431,10 @@ def main():
                 # round-2 variants: p2:<mode>:<layout>:<BK>:<BN>
                 _, mode, layout, bk_s, bn_s = v.split(":")
                 BK, BN = int(bk_s), int(bn_s)
-                four_bit = mode.startswith("w4") or mode == "int4"
+                four_bit = (mode.startswith("w4") or mode == "int4"
+                            or mode == "dma4")
+                if mode == "dma4":
+                    mode = "dma"
                 if four_bit:
                     @jax.jit
                     def gen4(key):
