@@ -70,6 +70,7 @@ def _decode_split_kernel(
     sm_scale: float,
     logit_softcap: Optional[float],
     win_chunked: bool = False,
+    head_group: int = 4,
 ):
     """Same global cross-sequence DMA pipeline as the interleaved decode
     kernel (ops/decode_attention.py), with plane-separated page copies:
@@ -181,13 +182,22 @@ def _decode_split_kernel(
         q = q_ref[0]                          # [Nq, D]
         Nq, D = q.shape
         G = Nq // Nk
+        HG = min(head_group, Nk)              # kv heads per packed dot
+        ng = Nk // HG
 
-        # K-plane lane layout: row i (query head i) sits at the lane block
-        # of its kv head — one [Nq, NkD] x [NkD, CT] dot scores every head
-        row = jax.lax.broadcasted_iota(jnp.int32, (Nq, 1), 0)
-        q_pad = jnp.concatenate(
-            [jnp.where((row >= h * G) & (row < (h + 1) * G), q, 0)
-             for h in range(Nk)], axis=1)     # [Nq, NkD]
+        # K-plane lane layout per head GROUP: within group g, query row i
+        # (head g*HG + i//G) sits at the lane block of its kv head, so one
+        # [HG*G, HG*D] x [HG*D, CT] dot scores the whole group. HG trades
+        # packed-dot redundancy (MAC ∝ HG) against dot count (ng): HG=Nk
+        # is the r2 single-wide-dot; smaller HG deletes redundancy until
+        # the dots go MXU-latency-bound.
+        row = jax.lax.broadcasted_iota(jnp.int32, (HG * G, 1), 0)
+        q_pads = []
+        for g in range(ng):
+            qg = q[g * HG * G:(g + 1) * HG * G]          # [HG*G, D]
+            q_pads.append(jnp.concatenate(
+                [jnp.where((row >= h * G) & (row < (h + 1) * G), qg, 0)
+                 for h in range(HG)], axis=1))           # [HG*G, HG*D]
 
         c0 = first_chunk(kv_len)
 
@@ -212,10 +222,12 @@ def _decode_split_kernel(
             else:
                 valid &= (win < 0) | (pos > kv_len - 1 - win)
 
-            scores = jax.lax.dot_general(
-                q_pad, kr, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                      # f32 [Nq, CT]
+            scores = jnp.concatenate([
+                jax.lax.dot_general(
+                    q_pads[g], kr[:, g * HG * D:(g + 1) * HG * D],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for g in range(ng)], axis=0) * sm_scale   # f32 [Nq, CT]
             if logit_softcap:
                 scores = logit_softcap * jnp.tanh(scores / logit_softcap)
             scores = jnp.where(valid, scores, -jnp.inf)
@@ -225,21 +237,34 @@ def _decode_split_kernel(
             alpha = jnp.exp(m - m_n)
             p = jnp.exp(scores - m_n)
             l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(vr.dtype), vr, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                 # f32 [Nq, NkD]
-            return m_n, l_n, alpha * acc + pv
+            # accumulator is [HG*G, Nk*D] with group-major column blocks:
+            # block g holds group g's query rows, so each block scales by
+            # ITS rows' alpha slice
+            blocks = []
+            for g in range(ng):
+                pv_g = jax.lax.dot_general(
+                    p[g * HG * G:(g + 1) * HG * G].astype(vr.dtype),
+                    vr[:, g * HG * D:(g + 1) * HG * D],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [HG*G, HG*D]
+                a_g = alpha[g * HG * G:(g + 1) * HG * G]
+                blocks.append(
+                    a_g * acc[:, g * HG * D:(g + 1) * HG * D] + pv_g)
+            return m_n, l_n, jnp.concatenate(blocks, axis=1)
 
         m0 = jnp.full((Nq, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((Nq, 1), jnp.float32)
-        acc0 = jnp.zeros((Nq, Nk * D), jnp.float32)
+        acc0 = jnp.zeros((HG * G, Nk * D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
-        acc = acc / jnp.maximum(l, 1e-30)
-        out = jnp.concatenate(
-            [acc[h * G:(h + 1) * G, h * D:(h + 1) * D]
-             for h in range(Nk)], axis=0)
-        o_ref[0] = out.astype(o_ref.dtype)
+        outs = []
+        for g in range(ng):
+            acc_g = acc[:, g * HG * D:(g + 1) * HG * D]   # [HG*G, HG*D]
+            l_g = l[g * HG * G:(g + 1) * HG * G]
+            for h in range(HG):
+                outs.append(
+                    acc_g[h * G:(h + 1) * G, h * D:(h + 1) * D]
+                    / jnp.maximum(l_g[h * G:(h + 1) * G], 1e-30))
+        o_ref[0] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype)
 
     @pl.when(n_chunks == 0)
     def _pad():
@@ -251,7 +276,8 @@ def _decode_split_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "logit_softcap", "chunk_pages",
-                     "window_chunked", "num_bufs", "interpret"),
+                     "window_chunked", "num_bufs", "head_group",
+                     "interpret"),
 )
 def paged_decode_attention_split(
     q: jnp.ndarray,             # [B, Nq, D]
@@ -267,6 +293,7 @@ def paged_decode_attention_split(
     # depth-3 prefetch (4 buffers): 557 -> 729 GB/s at ctx 1024 (DMA-
     # latency-bound regime); no effect at short ctx (MXU-bound)
     num_bufs: int = 4,
+    head_group: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
@@ -305,6 +332,7 @@ def paged_decode_attention_split(
         sm_scale=sm_scale,
         logit_softcap=logit_softcap,
         win_chunked=window_chunked,
+        head_group=head_group,
     )
     return pl.pallas_call(
         kernel,

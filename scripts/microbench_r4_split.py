@@ -127,7 +127,7 @@ def run_extend(which, rng, nqb=64, kvp=16):
     return timed_slope(tag, make)
 
 
-def run_decode(which, ctx, rng, cp=16, nb=2):
+def run_decode(which, ctx, rng, cp=16, nb=2, hg=4):
     from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
     from iaas_sglang_tpu.ops.split_attention import (
         paged_decode_attention_split)
@@ -154,8 +154,10 @@ def run_decode(which, ctx, rng, cp=16, nb=2):
         def run(q, kv):
             def step(h, _):
                 def body(h, l):
+                    kw = {"head_group": hg} if split else {}
                     o = fn(h, kv, kv_lens, pt + l * (pages_per_layer + 1),
-                           sm_scale=0.088, chunk_pages=cp, num_bufs=nb)
+                           sm_scale=0.088, chunk_pages=cp, num_bufs=nb,
+                           **kw)
                     return o, None
 
                 h, _ = jax.lax.scan(body, h, jnp.arange(32, dtype=jnp.int32))
@@ -166,7 +168,7 @@ def run_decode(which, ctx, rng, cp=16, nb=2):
 
         return run, (q0, kv)
 
-    t = timed_slope(f"decode {which} ctx={ctx} cp={cp} nb={nb}", make)
+    t = timed_slope(f"decode {which} ctx={ctx} cp={cp} nb={nb} hg={hg}", make)
     useful = B * ctx * 32 * 2 * 8 * 128 * 2
     print(f"   -> {useful/t/1e9:.0f} GB/s effective "
           f"(roofline {useful/819e9*1000:.2f} ms)", flush=True)
@@ -232,9 +234,10 @@ def main():
         run_decode("split", 1024, rng)
     for a in args:
         if a.startswith("dec:"):
-            _, ctx_s, cp_s, nb_s = a.split(":")
-            run_decode("split", int(ctx_s), rng, cp=int(cp_s),
-                       nb=int(nb_s))
+            parts = a.split(":")
+            run_decode("split", int(parts[1]), rng, cp=int(parts[2]),
+                       nb=int(parts[3]),
+                       hg=int(parts[4]) if len(parts) > 4 else 4)
         if a.startswith("ex:"):
             parts = a.split(":")
             run_extend("split" + (parts[3] if len(parts) > 3 else ""),

@@ -700,9 +700,11 @@ def _to_split(kv):
     return jnp.stack([k, v], axis=0)
 
 
-def test_decode_split_kernel_interpret(shapes):
-    """r4 K/V-split decode kernel vs the jnp reference (split pages),
-    including sliding windows and the multi-chunk pipeline."""
+@pytest.mark.parametrize("hg,nb", [(4, 4), (2, 4), (8, 2)])
+def test_decode_split_kernel_interpret(shapes, hg, nb):
+    """r4 K/V-split decode kernel vs the jnp reference (split pages):
+    head-group packed dots (incl. multi-group), depth-N prefetch,
+    sliding windows, multi-chunk pipeline."""
     import jax.numpy as jnp
 
     from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
@@ -719,6 +721,7 @@ def test_decode_split_kernel_interpret(shapes):
         rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
     out = paged_decode_attention_split(q, kvs, kv_lens, page_indices,
                                        sm_scale=D ** -0.5, chunk_pages=2,
+                                       head_group=hg, num_bufs=nb,
                                        interpret=True)
     ref = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
                                jnp.int32(B), sm_scale=D ** -0.5)
@@ -728,6 +731,7 @@ def test_decode_split_kernel_interpret(shapes):
         rtol=3e-2, atol=3e-2)
     out_w = paged_decode_attention_split(q, kvs, kv_lens, page_indices, 40,
                                          sm_scale=D ** -0.5, chunk_pages=2,
+                                         head_group=hg, num_bufs=nb,
                                          interpret=True)
     ref_w = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
                                  jnp.int32(B), sm_scale=D ** -0.5,
