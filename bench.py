@@ -157,9 +157,17 @@ def main():
     )
     wbytes = quant_params // 2 if quant.startswith("int4") \
         else quant_params                            # 8-bit: 1 byte/weight
+    if quant == "w8a8_int8":
+        # per-CHANNEL scales: one f32 per output column per projection
+        scale_bytes = NUM_LAYERS * 4 * (
+            N_HEADS * HEAD_DIM + 2 * N_KV * HEAD_DIM   # wq, wk, wv
+            + HIDDEN                                    # wo
+            + 2 * INTER + HIDDEN)                       # gate, up, down
+    else:
+        scale_bytes = quant_params // 128 * 4        # group-128 scales
     param_bytes = (
         wbytes
-        + quant_params // 128 * 4                    # group scales
+        + scale_bytes
         + VOCAB * HIDDEN * 2                         # lm_head bf16
         + NUM_LAYERS * 2 * HIDDEN * 2                # norms bf16
     )

@@ -429,10 +429,22 @@ def quantize_act_int8(x: jnp.ndarray, group: int = GROUP):
     return xq, s, rs
 
 
+def group_act_int8(xq: jnp.ndarray, group: int = GROUP) -> jnp.ndarray:
+    """[T, K] int8 -> [K/g, T, g] grouped layout for the a8 kernel.
+
+    The a8 kernel's batched group dots need [nG, T, g] operands; doing
+    that reshape+transpose inside the kernel repeats it once per N-block
+    grid step (n_j times per call, VPU sublane shuffles on the critical
+    path before each dot). One XLA transpose here replaces all of them."""
+    T, K = xq.shape
+    g = group if K % group == 0 else K
+    return xq.reshape(T, K // g, g).transpose(1, 0, 2)
+
+
 def _q_a8_dma_kernel(xq_ref, xs_ref, rs_ref, w_hbm, s_hbm, zs_hbm, o_ref,
                      wbuf, wsem, sbuf, ssem, zbuf, zsem, pipe,
                      *, n_k, n_j, BK, BN, group, has_zero, layer_ref=None,
-                     eight_bit=False):
+                     eight_bit=False, pre_grouped=False):
     """Same global cross-grid-step DMA pipeline as _int4_dma_kernel, with
     integer-dot compute: per K-chunk, batched [nG, T, g] x [nG, g, BN]
     int8 dots -> int32 partials, scaled by the f32 group scales into the
@@ -441,7 +453,7 @@ def _q_a8_dma_kernel(xq_ref, xs_ref, rs_ref, w_hbm, s_hbm, zs_hbm, o_ref,
     xs * (idot(xq, q) * s - rowsum(xq) @ zs)."""
     j = pl.program_id(0)
     nG = BK // group
-    T = xq_ref.shape[0]
+    T = xq_ref.shape[1] if pre_grouped else xq_ref.shape[0]
 
     if layer_ref is not None:
         li = layer_ref[0]
@@ -502,8 +514,11 @@ def _q_a8_dma_kernel(xq_ref, xs_ref, rs_ref, w_hbm, s_hbm, zs_hbm, o_ref,
         else:
             w8 = pltpu.bitcast(wbuf[slot], jnp.int4).astype(jnp.int8)
         s = sbuf[jslot, pl.ds(k * nG, nG)]                   # f32 [nG, BN]
-        xg = (xq_ref[:, pl.ds(k * BK, BK)]
-              .reshape(T, nG, group).transpose(1, 0, 2))     # [nG, T, g]
+        if pre_grouped:
+            xg = xq_ref[pl.ds(k * nG, nG)]                   # [nG, T, g]
+        else:
+            xg = (xq_ref[:, pl.ds(k * BK, BK)]
+                  .reshape(T, nG, group).transpose(1, 0, 2))  # [nG, T, g]
         part = jax.lax.dot_general(
             xg, w8.reshape(nG, group, BN),
             (((2,), (1,)), ((0,), (0,))),
@@ -525,9 +540,9 @@ def _q_a8_dma_kernel(xq_ref, xs_ref, rs_ref, w_hbm, s_hbm, zs_hbm, o_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("group", "block_n", "block_k", "eight_bit",
-                              "interpret"))
+                              "pre_grouped", "interpret"))
 def q_matmul_dma_stacked_a8(
-    xq: jnp.ndarray,         # [T, K] int8 (quantize_act_int8)
+    xq: jnp.ndarray,         # [T, K] int8 | [K/G, T, G] (pre_grouped)
     xs: jnp.ndarray,         # [T, 1] f32 per-token scale
     rs: jnp.ndarray,         # [T, K/G] f32 per-group row sums of xq
     packed: jnp.ndarray,     # [L, K/2, N] int8 nibbles | [L, K, N] int8
@@ -539,9 +554,14 @@ def q_matmul_dma_stacked_a8(
     block_n: int = 1024,
     block_k: int = 4096,
     eight_bit: bool = False,
+    pre_grouped: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    T, K = xq.shape
+    if pre_grouped:
+        nGt, T, g0 = xq.shape
+        K = nGt * g0
+    else:
+        T, K = xq.shape
     L = packed.shape[0]
     N = packed.shape[2]
     g = group if K % group == 0 else K
@@ -550,7 +570,7 @@ def q_matmul_dma_stacked_a8(
     has_zero = zero_scale is not None
     kernel = functools.partial(
         _q_a8_dma_kernel, n_k=K // BK, n_j=N // BN, BK=BK, BN=BN, group=g,
-        has_zero=has_zero, eight_bit=eight_bit)
+        has_zero=has_zero, eight_bit=eight_bit, pre_grouped=pre_grouped)
 
     def kern(layer_r, xq_r, xs_r, rs_r, w_r, s_r, *rest):
         if has_zero:
@@ -563,7 +583,8 @@ def q_matmul_dma_stacked_a8(
     args = [jnp.asarray(layer, jnp.int32).reshape(1), xq, xs, rs,
             packed, scale]
     in_specs = [
-        pl.BlockSpec((T, K), lambda j, *_: (0, 0)),
+        (pl.BlockSpec((K // g, T, g), lambda j, *_: (0, 0, 0))
+         if pre_grouped else pl.BlockSpec((T, K), lambda j, *_: (0, 0))),
         pl.BlockSpec((T, 1), lambda j, *_: (0, 0)),
         pl.BlockSpec((T, K // g), lambda j, *_: (0, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),

@@ -256,15 +256,34 @@ def _decode_split_kernel(
         l0 = jnp.zeros((Nq, 1), jnp.float32)
         acc0 = jnp.zeros((HG * G, Nk * D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
-        outs = []
-        for g in range(ng):
-            acc_g = acc[:, g * HG * D:(g + 1) * HG * D]   # [HG*G, HG*D]
-            l_g = l[g * HG * G:(g + 1) * HG * G]
-            for h in range(HG):
-                outs.append(
-                    acc_g[h * G:(h + 1) * G, h * D:(h + 1) * D]
-                    / jnp.maximum(l_g[h * G:(h + 1) * G], 1e-30))
-        o_ref[0] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype)
+        if D % 128 == 0:
+            # whole-vreg lane offsets: the concat epilogue lowers fine and
+            # is ~0.17 ms faster than per-head stores at ctx 192 (575 vs
+            # 512 GB/s, r4 A/B)
+            outs = []
+            for g in range(ng):
+                acc_g = acc[:, g * HG * D:(g + 1) * HG * D]  # [HG*G, HG*D]
+                l_g = l[g * HG * G:(g + 1) * HG * G]
+                for h in range(HG):
+                    outs.append(
+                        acc_g[h * G:(h + 1) * G, h * D:(h + 1) * D]
+                        / jnp.maximum(l_g[h * G:(h + 1) * G], 1e-30))
+            o_ref[0] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype)
+        else:
+            # D < 128: the per-head slices sit at distinct (sublane, lane)
+            # vreg offsets and Mosaic cannot relayout them through a
+            # concat ("result/input offset mismatch on non-concat
+            # dimension" — hit at head_dim 32/64 geometries); store each
+            # head's rows directly instead
+            for g in range(ng):
+                acc_g = acc[:, g * HG * D:(g + 1) * HG * D]  # [HG*G, HG*D]
+                l_g = l[g * HG * G:(g + 1) * HG * G]
+                for h in range(HG):
+                    hq = (g * HG + h) * G
+                    o_ref[0, hq:hq + G, :] = (
+                        acc_g[h * G:(h + 1) * G, h * D:(h + 1) * D]
+                        / jnp.maximum(l_g[h * G:(h + 1) * G], 1e-30)
+                    ).astype(o_ref.dtype)
 
     @pl.when(n_chunks == 0)
     def _pad():

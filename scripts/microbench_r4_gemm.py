@@ -44,7 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from iaas_sglang_tpu.ops.quant_matmul import (
-    q8_matmul_dma_stacked, int4_matmul_dma_stacked)
+    q8_matmul_dma_stacked, int4_matmul_dma_stacked,
+    q_matmul_dma_stacked_a8, quantize_act_int8, group_act_int8)
 
 GROUP = 128
 T, K, N, L = 32, 4096, 14336, 32
@@ -426,6 +427,34 @@ def main():
                             return f, (x, p4t, sc)
                     res[v] = timed_slope(v, mk, L * K * N / 2 / 1e9)
                     del p4t
+                del p4
+            elif v in ("a8_prod", "a8_pre"):
+                # PRODUCTION W4A8 kernel A/B: in-kernel per-grid-step
+                # activation transpose vs pre-grouped [K/g, T, g] layout
+                # (one XLA transpose per call)
+                @jax.jit
+                def gen4(key):
+                    q = jax.random.randint(key, (L, K, N), -8, 8, jnp.int8)
+                    lo = (q[:, 0::2].astype(jnp.uint8) & 0xF)
+                    hi = (q[:, 1::2].astype(jnp.uint8) & 0xF)
+                    return ((hi << 4) | lo).astype(jnp.int8)
+                p4 = gen4(key)
+                p4.block_until_ready()
+                pre = v == "a8_pre"
+
+                def mk(n, pre=pre):
+                    _n[0] = n
+
+                    def layer_fn(h, li, w, s):
+                        xq, xs, rs = quantize_act_int8(h, GROUP)
+                        if pre:
+                            xq = group_act_int8(xq, GROUP)
+                        return q_matmul_dma_stacked_a8(
+                            xq, xs, rs, w, s, None, li, group=GROUP,
+                            pre_grouped=pre)
+                    f = stack(layer_fn)
+                    return f, (x, p4, sc)
+                res[v] = timed_slope(v, mk, L * K * N / 2 / 1e9)
                 del p4
             elif v.startswith("p2:"):
                 # round-2 variants: p2:<mode>:<layout>:<BK>:<BN>

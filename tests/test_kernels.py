@@ -655,14 +655,18 @@ def test_decode_kernel_split_interpret(shapes, mode):
         np.asarray(ref_w, np.float32)[nz], rtol=3e-2, atol=3e-2)
 
 
-@pytest.mark.parametrize("zeros", [False, True])
-def test_q_a8_dma_interpret(zeros):
+@pytest.mark.parametrize("zeros,pre", [(False, False), (True, False),
+                                       (False, True), (True, True)])
+def test_q_a8_dma_interpret(zeros, pre):
     """Integer-dot W4A8 stacked kernel vs the dequantized int reference
-    (same quantized activations): exact up to f32 accumulation order."""
+    (same quantized activations): exact up to f32 accumulation order.
+    pre=True feeds the pre-grouped [K/g, T, g] activation layout (the
+    hoisted-transpose variant)."""
     import jax.numpy as jnp
 
     from iaas_sglang_tpu.ops.quant_matmul import (
-        q_matmul_dma_stacked_a8, quantize_act_int8, pack_int4)
+        q_matmul_dma_stacked_a8, quantize_act_int8, group_act_int8,
+        pack_int4)
 
     rng = np.random.default_rng(5)
     L, K, N, T, G = 3, 1024, 256, 8, 128
@@ -683,9 +687,10 @@ def test_q_a8_dma_interpret(zeros):
             rs_np = xq_np.reshape(T, K // G, G).sum(-1).astype(np.float64)
             ref = ref - (rs_np @ zs[li].astype(np.float64)) * xs_np
         got = q_matmul_dma_stacked_a8(
-            xq, xs, rs, jnp.asarray(packed), jnp.asarray(sc),
+            group_act_int8(xq, G) if pre else xq, xs, rs,
+            jnp.asarray(packed), jnp.asarray(sc),
             None if zs is None else jnp.asarray(zs),
-            li, group=G, interpret=True)
+            li, group=G, pre_grouped=pre, interpret=True)
         err = np.abs(np.asarray(got, np.float64) - ref).max() / (
             np.abs(ref).max() + 1e-9)
         assert err < 2e-2, (li, err)
