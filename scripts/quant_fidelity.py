@@ -187,7 +187,10 @@ def w4a8_fidelity(runner):
         int4_matmul_dma_stacked, q_matmul_dma_stacked_a8,
         quantize_act_int8)
 
-    qw = runner.params["layers"]["w_gate"]
+    layers = runner.params["layers"]
+    # fused qkv/gate-up is default-on: the gate projection lives in
+    # w_gateup_fused there, w_gate when fusion is off
+    qw = layers.get("w_gate") or layers["w_gateup_fused"]
     rng = np.random.default_rng(3)
     T = 32
     K = qw.q.shape[1] * 2
