@@ -52,6 +52,12 @@ class Detokenizer:
         for i, rid in enumerate(batch.rids):
             ids = batch.decode_ids[i]
             fin = batch.finished_reasons[i]
+            if self.tokenizer is None:
+                # --skip-tokenizer-init: token-id pass-through (clients
+                # consume output_ids; there is no text to detokenize)
+                out_strs.append("")
+                out_ids.append(ids)
+                continue
             skip_special = batch.skip_special_tokens[i]
             st = self.states.get(rid)
             if st is None:
@@ -111,7 +117,10 @@ def run_detokenizer_process(server_args, port_args):
     from iaas_sglang_tpu.utils import configure_logger
 
     configure_logger(prefix=" detok")
-    tokenizer = AutoTokenizer.from_pretrained(server_args.tokenizer_path)
+    # --skip-tokenizer-init servers have no tokenizer files on disk; the
+    # detokenizer then runs in token-id pass-through mode
+    tokenizer = None if server_args.skip_tokenizer_init else \
+        AutoTokenizer.from_pretrained(server_args.tokenizer_path)
     detok = Detokenizer(tokenizer)
 
     ctx = zmq.Context(2)

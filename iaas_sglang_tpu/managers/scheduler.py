@@ -670,11 +670,25 @@ class Scheduler:
     def get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
         if not self.waiting_queue and self.chunked_req is None:
             return None
+        # requests in an IN-FLIGHT pipelined prefill are not yet in
+        # running_batch (they join when the result is processed) but they
+        # will be: count them or a burst of arrivals over-admits past
+        # max_running_requests (measured: 43 running with the cap at 32 —
+        # the decode bucket then has no home and the scheduler dies)
+        running_now = len(self.running_batch.reqs)
+        if self._inflight is not None:
+            b0 = self._inflight[0]
+            if b0.mode.is_extend():
+                already = {id(r) for r in self.running_batch.reqs}
+                running_now += sum(
+                    1 for r in b0.reqs
+                    if not r.is_embedding and not r.is_finished()
+                    and id(r) not in already)
         adder = PrefillAdder(
             self.tree_caches, self.allocators, self.page_size,
             chunk_budget=self.server_args.chunked_prefill_size,
             max_batch_reqs=self.server_args.max_running_requests,
-            running_reqs=len(self.running_batch.reqs),
+            running_reqs=running_now,
         )
         # an in-flight chunked request continues first (scheduler.py:1529)
         if self.chunked_req is not None:
@@ -727,8 +741,27 @@ class Scheduler:
         if batch is not None:
             return batch
         if self.running_batch.reqs:
+            self._shed_over_cap(self.running_batch)
             return self.running_batch
         return None
+
+    def _shed_over_cap(self, batch: ScheduleBatch) -> None:
+        """A decode batch larger than the biggest compiled bucket must
+        shed requests (retraction requeues them) — never crash the
+        scheduler. Belt-and-braces behind the PrefillAdder admission cap
+        (which now also counts in-flight pipelined prefills)."""
+        cap = max(self.model_runner.decode_bs_buckets)
+        while len(batch.reqs) > cap:
+            retracted = batch.retract_decode()
+            if not retracted:
+                return
+            self.num_retracted += len(retracted)
+            logger.warning("retracted %d reqs over decode bucket cap %d",
+                           len(retracted), cap)
+            if self.eagle is not None:
+                for r in retracted:
+                    self.eagle.evict(r.rid)
+            self.waiting_queue.extend(retracted)
 
     # ------------------------------------------------------------- running
 
@@ -1932,7 +1965,10 @@ class Scheduler:
                 except zmq.Again:
                     break
                 resp = self.process_input(msg)
-                if resp is not None:
+                # process_input returns the Req for generate inputs (the
+                # embedded Engine uses it); over ZMQ that is not a
+                # response — outputs flow through out_callback
+                if resp is not None and not isinstance(resp, Req):
                     send_socket.send_pyobj(resp)
                 flags = zmq.NOBLOCK
             self.step()

@@ -639,3 +639,44 @@ def test_kv_layout_split_greedy_parity():
     for a, b in zip(outs_s, outs_i):
         assert a["output_ids"] == b["output_ids"]
     eng_s.scheduler.check_memory_leak()
+
+
+def test_burst_admission_respects_max_running():
+    """A burst of arrivals with pipelined prefill must never grow the
+    running set past max_running_requests: requests in an IN-FLIGHT
+    prefill batch are not yet in running_batch, and the PrefillAdder
+    must count them (r4 serving-load crash: 43 running with the cap at
+    32 -> decode bucket_size() ValueError in the multi-step path)."""
+    from iaas_sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from iaas_sglang_tpu.sampling.sampling_params import SamplingParams
+
+    eng = make_engine(max_running_requests=8, decode_bs_buckets=[8],
+                      max_prefill_tokens=24, chunked_prefill_size=24)
+    sched = eng.scheduler
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+    rids = []
+    for i in range(20):
+        rid = f"burst-{i}"
+        sched.process_input(TokenizedGenerateReqInput(
+            rid=rid, input_text=None, input_ids=list(range(i, i + 12)),
+            sampling_params=SamplingParams.from_dict(dict(sp)),
+            stream=False))
+        rids.append(rid)
+    peak = 0
+    spins = 0
+    while sched.has_work() and spins < 10000:
+        sched.step()
+        spins += 1
+        infl = 0
+        if sched._inflight is not None \
+                and sched._inflight[0].mode.is_extend():
+            already = {id(r) for r in sched.running_batch.reqs}
+            infl = sum(1 for r in sched._inflight[0].reqs
+                       if id(r) not in already)
+        peak = max(peak, len(sched.running_batch.reqs) + infl)
+    sched.drain()
+    assert peak <= 8, f"running set peaked at {peak} (cap 8)"
+    assert sched.num_retracted == 0, "admission should prevent shedding"
+    outs = [eng._finalize(r) for r in rids]
+    assert all(len(o["output_ids"]) == 8 for o in outs)
+    sched.check_memory_leak()
