@@ -98,18 +98,28 @@ def main():
         reqs = sample_random_requests(8, IN_LEN, 4, HF["vocab_size"])
         asyncio.run(run_benchmark(base, 8, float("inf"),
                                   IN_LEN, 4, requests=reqs))
+        import requests as rq
         for rate in rates:
             n = 64 if rate != float("inf") else 96
             reqs = sample_random_requests(
                 n, IN_LEN, OUT_LEN, HF["vocab_size"])
+            pre = rq.get(f"{base}/get_server_info", timeout=10).json()[
+                "internal_states"][0]
             m = asyncio.run(run_benchmark(
                 base, n, rate, IN_LEN, OUT_LEN, requests=reqs))
+            post = rq.get(f"{base}/get_server_info", timeout=10).json()[
+                "internal_states"][0]
             print(json.dumps({
                 "metric": "online_serving_llama3_8b_int4",
                 "dataset": f"random {IN_LEN}in/{OUT_LEN}out x{n}",
                 "request_rate_qps": rate if rate != float("inf") else "inf",
                 **{k: round(v, 2) if isinstance(v, float) else v
                    for k, v in m.__dict__.items()},
+                # chain engagement DURING this rate's run (VERDICT r3 #3)
+                "mchain_steps": post.get("mchain_steps", 0)
+                - pre.get("mchain_steps", 0),
+                "pchain_steps": post.get("pchain_steps", 0)
+                - pre.get("pchain_steps", 0),
             }), flush=True)
     finally:
         proc.send_signal(2)
