@@ -79,7 +79,8 @@ def main():
         # relay costs ~24 ms per dispatch+fetch round-trip, which would cap
         # B=32 single-step decode at ~1300 tok/s regardless of compute
         # (and still ~8% overhead at 16 steps once the step itself is fast)
-        decode_steps_per_dispatch=32,
+        decode_steps_per_dispatch=int(
+            os.environ.get("IAAS_BENCH_STEPS", "32")),
         skip_tokenizer_init=True, random_seed=0,
     )
     eng = Engine(sa, hf_config_override=hf)

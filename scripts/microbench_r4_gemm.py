@@ -428,6 +428,31 @@ def main():
                     res[v] = timed_slope(v, mk, L * K * N / 2 / 1e9)
                     del p4t
                 del p4
+            elif v.startswith("a8bn:"):
+                # production W4A8 kernel block_n sweep: a8bn:<BN>
+                BNs = int(v.split(":")[1])
+
+                @jax.jit
+                def gen4(key):
+                    q = jax.random.randint(key, (L, K, N), -8, 8, jnp.int8)
+                    lo = (q[:, 0::2].astype(jnp.uint8) & 0xF)
+                    hi = (q[:, 1::2].astype(jnp.uint8) & 0xF)
+                    return ((hi << 4) | lo).astype(jnp.int8)
+                p4 = gen4(key)
+                p4.block_until_ready()
+
+                def mk(n, BNs=BNs):
+                    _n[0] = n
+
+                    def layer_fn(h, li, w, s):
+                        xq, xs, rs = quantize_act_int8(h, GROUP)
+                        return q_matmul_dma_stacked_a8(
+                            xq, xs, rs, w, s, None, li, group=GROUP,
+                            block_n=BNs)
+                    f = stack(layer_fn)
+                    return f, (x, p4, sc)
+                res[v] = timed_slope(v, mk, L * K * N / 2 / 1e9)
+                del p4
             elif v in ("a8_prod", "a8_pre"):
                 # PRODUCTION W4A8 kernel A/B: in-kernel per-grid-step
                 # activation transpose vs pre-grouped [K/g, T, g] layout
