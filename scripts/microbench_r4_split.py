@@ -127,7 +127,7 @@ def run_extend(which, rng, nqb=64, kvp=16):
     return timed_slope(tag, make)
 
 
-def run_decode(which, ctx, rng, cp=16, nb=2, hg=4):
+def run_decode(which, ctx, rng, cp=16, nb=2, hg=4, kvdtype="bf16"):
     from iaas_sglang_tpu.ops.decode_attention import paged_decode_attention
     from iaas_sglang_tpu.ops.split_attention import (
         paged_decode_attention_split)
@@ -139,6 +139,11 @@ def run_decode(which, ctx, rng, cp=16, nb=2, hg=4):
     NP = 32 * (pages_per_layer + 1)
     split = which == "split"
     kv = mk_pool(rng, split, NP, ps)
+    if kvdtype != "bf16":
+        # narrow-KV bandwidth/convert A/B (VERDICT r3 weak #6): numerics
+        # irrelevant here, only the dtype's tile layout + VPU upcast cost
+        kv = kv.astype(dict(int8=jnp.int8,
+                            fp8=jnp.float8_e4m3fn)[kvdtype])
     q0 = jnp.asarray(rng.standard_normal((B, 32, 128), dtype=np.float32),
                      jnp.bfloat16)
     pt_np = np.zeros((B, MP), np.int32)
@@ -168,7 +173,9 @@ def run_decode(which, ctx, rng, cp=16, nb=2, hg=4):
 
         return run, (q0, kv)
 
-    t = timed_slope(f"decode {which} ctx={ctx} cp={cp} nb={nb} hg={hg}", make)
+    t = timed_slope(
+        f"decode {which} ctx={ctx} cp={cp} nb={nb} hg={hg} kv={kvdtype}",
+        make)
     useful = B * ctx * 32 * 2 * 8 * 128 * 2
     print(f"   -> {useful/t/1e9:.0f} GB/s effective "
           f"(roofline {useful/819e9*1000:.2f} ms)", flush=True)
@@ -237,7 +244,8 @@ def main():
             parts = a.split(":")
             run_decode("split", int(parts[1]), rng, cp=int(parts[2]),
                        nb=int(parts[3]),
-                       hg=int(parts[4]) if len(parts) > 4 else 4)
+                       hg=int(parts[4]) if len(parts) > 4 else 4,
+                       kvdtype=parts[5] if len(parts) > 5 else "bf16")
         if a.startswith("ex:"):
             parts = a.split(":")
             run_extend("split" + (parts[3] if len(parts) > 3 else ""),
