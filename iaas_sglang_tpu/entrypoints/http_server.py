@@ -586,6 +586,11 @@ async def handle_completions(request: web.Request) -> web.StreamResponse:
 
     async def run_one(p):
         if isinstance(p, str):
+            from iaas_sglang_tpu.code_completion import apply_fim
+
+            # FIM: a `suffix` request is rewritten into the model's
+            # fill-in-the-middle prompt format (--completion-template)
+            p = apply_fim(p, req.suffix)
             gri = GenerateReqInput(
                 rid=uuid.uuid4().hex, text=p,
                 sampling_params=req.to_sampling_params())
@@ -618,8 +623,40 @@ async def handle_completions(request: web.Request) -> web.StreamResponse:
 # ------------------------------------------------------------------- launch
 
 
+async def handle_open_session(request: web.Request) -> web.Response:
+    """HTTP surface of SessionController (reference http_server.py:630):
+    returns the session id as a JSON string."""
+    state: ServerState = request.app["state"]
+    try:
+        body = await request.json()
+    except Exception:
+        body = {}
+    out = await state.tokenizer_manager.open_session(
+        session_id=body.get("session_id"))
+    if not out.success:
+        return web.json_response(
+            {"error": {"message": f"session {body.get('session_id')!r} "
+                                  "could not be opened"}}, status=400)
+    return web.json_response(out.session_id)
+
+
+async def handle_close_session(request: web.Request) -> web.Response:
+    """Reference http_server.py:644 analog."""
+    state: ServerState = request.app["state"]
+    body = await request.json()
+    if "session_id" not in body:
+        return web.json_response(
+            {"error": {"message": "session_id required"}}, status=400)
+    await state.tokenizer_manager.close_session(body["session_id"])
+    return web.Response(status=200)
+
+
 def build_app(server_args: ServerArgs, port_args: PortArgs,
               procs) -> web.Application:
+    if server_args.completion_template:
+        from iaas_sglang_tpu.code_completion import load_completion_template
+
+        load_completion_template(server_args.completion_template)
     app = web.Application(middlewares=[error_middleware])
     tm = TokenizerManager(server_args, port_args)
     app["state"] = ServerState(server_args, port_args, tm, procs)
@@ -649,6 +686,8 @@ def build_app(server_args: ServerArgs, port_args: PortArgs,
         handle_expert_distribution)
     app.router.add_post("/eplb_rebalance", handle_eplb_rebalance)
     app.router.add_post("/stop_profile", handle_stop_profile)
+    app.router.add_post("/open_session", handle_open_session)
+    app.router.add_post("/close_session", handle_close_session)
     app.router.add_get("/disagg_wait/{rid}", handle_disagg_wait)
     app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/v1/models", handle_v1_models)

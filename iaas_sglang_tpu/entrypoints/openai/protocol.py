@@ -165,6 +165,9 @@ class CompletionRequest(BaseModel):
     stop: Optional[Union[str, List[str]]] = None
     stream: bool = False
     echo: bool = False
+    # FIM: completion after `prompt` and before `suffix` (rewritten via
+    # --completion-template; reference code_completion_parser.py)
+    suffix: Optional[str] = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     # extensions

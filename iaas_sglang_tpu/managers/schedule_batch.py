@@ -687,14 +687,17 @@ class ScheduleBatch:
     def merge(self, other: "ScheduleBatch") -> None:
         self.reqs.extend(other.reqs)
 
-    def retract_decode(self) -> List[Req]:
+    def retract_decode(self, target: int = 0) -> List[Req]:
         """Drop the most-recently-admitted requests back to the waiting queue
         to relieve memory pressure (analog of schedule_batch.py:1375).
-        Retracts ~1/4 of the batch, at least one."""
+        Retracts `target` requests when given (over-cap shedding retracts
+        exactly the excess — each retraction pays a full re-prefill), else
+        ~1/4 of the batch, at least one."""
         if len(self.reqs) <= 1:
             return []
         self.reqs.sort(key=lambda r: r.queue_time)
-        n_keep = max(1, len(self.reqs) - max(1, len(self.reqs) // 4))
+        n_drop = target if target > 0 else max(1, len(self.reqs) // 4)
+        n_keep = max(1, len(self.reqs) - n_drop)
         retracted = self.reqs[n_keep:]
         self.reqs = self.reqs[:n_keep]
         for r in retracted:

@@ -689,10 +689,15 @@ class Scheduler:
                     1 for r in b0.reqs
                     if not r.is_embedding and not r.is_finished()
                     and id(r) not in already)
+        # admission also respects the biggest compiled decode bucket: a
+        # max_running_requests above it would admit requests that
+        # _shed_over_cap immediately retracts every step (permanent
+        # re-prefill churn — ADVICE r4)
         adder = PrefillAdder(
             self.tree_caches, self.allocators, self.page_size,
             chunk_budget=self.server_args.chunked_prefill_size,
-            max_batch_reqs=self.server_args.max_running_requests,
+            max_batch_reqs=min(self.server_args.max_running_requests,
+                               max(self.model_runner.decode_bs_buckets)),
             running_reqs=running_now,
         )
         # an in-flight chunked request continues first (scheduler.py:1529)
@@ -757,7 +762,7 @@ class Scheduler:
         (which now also counts in-flight pipelined prefills)."""
         cap = max(self.model_runner.decode_bs_buckets)
         while len(batch.reqs) > cap:
-            retracted = batch.retract_decode()
+            retracted = batch.retract_decode(target=len(batch.reqs) - cap)
             if not retracted:
                 return
             self.num_retracted += len(retracted)

@@ -236,6 +236,21 @@ class TokenizerManager:
     async def flush_cache(self) -> FlushCacheReqOutput:
         return await self._rpc(FlushCacheReqInput(), FlushCacheReqOutput)
 
+    async def open_session(self, session_id=None):
+        from iaas_sglang_tpu.managers.io_struct import (
+            OpenSessionReqInput, OpenSessionReqOutput)
+
+        return await self._rpc(
+            OpenSessionReqInput(session_id=session_id), OpenSessionReqOutput)
+
+    async def close_session(self, session_id: str) -> None:
+        from iaas_sglang_tpu.managers.io_struct import CloseSessionReqInput
+
+        # fire-and-forget: the scheduler sends no reply for close
+        self.start()
+        await self.send_to_scheduler.send_pyobj(
+            CloseSessionReqInput(session_id=session_id))
+
     async def get_internal_state(self) -> dict:
         out = await self._rpc(GetInternalStateReq(), GetInternalStateReqOutput)
         return out.state

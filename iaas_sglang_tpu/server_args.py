@@ -214,6 +214,9 @@ class ServerArgs:
     enable_custom_logit_processor: bool = False
     warmups: Optional[str] = None          # comma-separated registry names
     chat_template: Optional[str] = None    # named template override
+    # FIM code-completion template for /v1/completions `suffix` requests
+    # (deepseek_coder | star_coder | qwen_coder | path/to/custom.json)
+    completion_template: Optional[str] = None
     skip_server_warmup: bool = False
     # quantized q/k/v + gate/up fused-GEMM params (single-shard only).
     # Default ON since r3: with the globally-pipelined DMA kernel the

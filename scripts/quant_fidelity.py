@@ -190,7 +190,7 @@ def w4a8_fidelity(runner):
     layers = runner.params["layers"]
     # fused qkv/gate-up is default-on: the gate projection lives in
     # w_gateup_fused there, w_gate when fusion is off
-    qw = layers.get("w_gate") or layers["w_gateup_fused"]
+    qw = layers["w_gate"] if "w_gate" in layers else layers["w_gateup_fused"]
     rng = np.random.default_rng(3)
     T = 32
     K = qw.q.shape[1] * 2

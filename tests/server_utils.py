@@ -5,6 +5,7 @@ byte-level tokenizer) and launches a real server subprocess on a free port.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import signal
@@ -16,6 +17,30 @@ from pathlib import Path
 import requests
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
+
+# every subprocess this harness launches, killed at interpreter exit even
+# when pytest dies abnormally (fixture finalizers don't run on SIGKILL'd
+# sessions — VERDICT r4 found leaked servers from a crashed run). Kills
+# stored PIDs only, never patterns.
+_launched: list = []
+
+
+def _kill_leftovers() -> None:
+    for proc in _launched:
+        if proc.poll() is None:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+
+
+atexit.register(_kill_leftovers)
+
+
+def track_proc(proc: subprocess.Popen) -> subprocess.Popen:
+    """Register an externally launched test subprocess for exit cleanup."""
+    _launched.append(proc)
+    return proc
 
 SERVER_TINY_LLAMA = dict(
     architectures=["LlamaForCausalLM"],
@@ -76,7 +101,7 @@ def popen_launch_server(model_dir: str, port: int, extra_args=(),
         "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_test_cache",
         "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0",
     })
-    proc = subprocess.Popen(
+    proc = track_proc(subprocess.Popen(
         [sys.executable, "-m", "iaas_sglang_tpu.launch_server",
          "--model-path", model_dir, "--load-format", "dummy",
          "--dtype", "float32", "--port", str(port),
@@ -86,7 +111,7 @@ def popen_launch_server(model_dir: str, port: int, extra_args=(),
          "--enable-metrics",
          *extra_args],
         env=env, start_new_session=True,
-    )
+    ))
     base = f"http://127.0.0.1:{port}"
     deadline = time.time() + timeout
     while time.time() < deadline:

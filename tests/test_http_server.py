@@ -422,3 +422,69 @@ def test_bench_one_batch_server_harness(server):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["batch_size"] == 2 and res["output_len"] == 4
     assert res["latency_s"] > 0 and res["output_throughput_tok_s"] >= 0
+
+
+def test_session_endpoints(server):
+    """/open_session + /close_session HTTP routes (reference
+    http_server.py:630,644): a session-continued /generate request must
+    see the session history (the scheduler composes the input)."""
+    sid = requests.post(f"{server}/open_session", json={}, timeout=30).json()
+    assert isinstance(sid, str) and sid
+
+    r1 = requests.post(f"{server}/generate", json={
+        "input_ids": list(range(10, 26)),
+        "session_id": sid,
+        "sampling_params": {"max_new_tokens": 4, "temperature": 0.0,
+                            "ignore_eos": True},
+    }, timeout=300).json()
+    assert len(r1["output_ids"]) == 4
+    # second turn continues the session (prompt_tokens includes history)
+    r2 = requests.post(f"{server}/generate", json={
+        "input_ids": list(range(30, 38)),
+        "session_id": sid,
+        "sampling_params": {"max_new_tokens": 2, "temperature": 0.0,
+                            "ignore_eos": True},
+    }, timeout=300).json()
+    assert r2["meta_info"]["prompt_tokens"] > 8
+
+    assert requests.post(f"{server}/close_session",
+                         json={"session_id": sid},
+                         timeout=30).status_code == 200
+    # explicit open with a chosen id
+    sid2 = requests.post(f"{server}/open_session",
+                         json={"session_id": "my-sess"},
+                         timeout=30).json()
+    assert sid2 == "my-sess"
+    requests.post(f"{server}/close_session", json={"session_id": sid2},
+                  timeout=30)
+
+
+def test_fim_completion_template(tmp_path_factory):
+    """--completion-template rewrites /v1/completions suffix requests into
+    the model's FIM format (reference code_completion_parser.py)."""
+    from iaas_sglang_tpu.utils import get_open_port
+
+    model_dir = make_tiny_model_dir(
+        str(tmp_path_factory.mktemp("model") / "tiny-fim"))
+    port = get_open_port()
+    proc = popen_launch_server(
+        model_dir, port, extra_args=["--completion-template", "star_coder"])
+    base = f"http://127.0.0.1:{port}"
+    try:
+        r = requests.post(f"{base}/v1/completions", json={
+            "prompt": "def add(a, b):", "suffix": "    return c",
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+            "echo": True,
+        }, timeout=300).json()
+        text = r["choices"][0]["text"]
+        # echo returns the rewritten FIM prompt: begin+prompt+end+suffix+mid
+        assert text.startswith("<fim_prefix>def add(a, b):<fim_suffix>"
+                               "    return c<fim_middle>")
+        # without suffix the prompt passes through untouched
+        r2 = requests.post(f"{base}/v1/completions", json={
+            "prompt": "plain", "max_tokens": 2, "temperature": 0.0,
+            "ignore_eos": True, "echo": True,
+        }, timeout=300).json()
+        assert r2["choices"][0]["text"].startswith("plain")
+    finally:
+        kill_server(proc)

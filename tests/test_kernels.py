@@ -746,6 +746,39 @@ def test_decode_split_kernel_interpret(shapes, hg, nb):
         np.asarray(ref_w, np.float32)[nz], rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("D", [64, 32])
+def test_decode_split_kernel_small_head_dim_interpret(D):
+    """D % 128 != 0 takes the per-head-store epilogue (Mosaic cannot
+    concat value slices at mismatched sub-128 lane offsets — r4); lock
+    both epilogue paths in (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import _jnp_paged_attention
+    from iaas_sglang_tpu.ops.split_attention import (
+        paged_decode_attention_split)
+
+    rng = np.random.default_rng(5)
+    Nq, Nk, ps, MP, NPg = 8, 4, 16, 8, 64
+    k = jnp.asarray(rng.standard_normal((NPg, ps, Nk * D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((NPg, ps, Nk * D)), jnp.bfloat16)
+    kvs = jnp.stack([k, v], axis=0) * 0.3
+    B = 4
+    kv_lens_l = [7, 97, 0, 128]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D), dtype=np.float32),
+                    dtype=jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+    out = paged_decode_attention_split(q, kvs, kv_lens, page_indices,
+                                       sm_scale=D ** -0.5, chunk_pages=2,
+                                       interpret=True)
+    ref = _jnp_paged_attention(q, kvs, kv_lens, page_indices, cu,
+                               jnp.int32(B), sm_scale=D ** -0.5)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[nz], np.asarray(ref, np.float32)[nz],
+        rtol=3e-2, atol=3e-2)
+
+
 @pytest.mark.parametrize("case", ["plain", "window", "chunked", "softcap"])
 def test_extend_split_kernel_interpret(shapes, case):
     """r4 flat-q-block split extend kernel vs the jnp reference: ragged

@@ -62,10 +62,12 @@ def _env(n_local: int) -> dict:
 
 def _run(mode: str, port: int, outfile: str, n_local: int,
          steps: int = 1) -> subprocess.Popen:
-    return subprocess.Popen(
+    from tests.server_utils import track_proc
+
+    return track_proc(subprocess.Popen(
         [sys.executable, WORKER, mode, str(port), outfile, str(steps)],
         env=_env(n_local), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True)
+        stderr=subprocess.STDOUT, text=True))
 
 
 def test_two_process_greedy_parity(tmp_path):

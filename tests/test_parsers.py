@@ -118,3 +118,44 @@ def test_chat_template_registry_renders():
     vic = get_chat_template("vicuna_v1.1").render(
         [{"role": "user", "content": "q"}])
     assert "curious user" in vic
+
+
+def test_fim_completion_templates():
+    """FIM registry semantics vs the reference code_completion_parser:
+    middle-position (deepseek) and end-position (starcoder/qwen) layouts,
+    JSON-file custom templates, and passthrough when inactive."""
+    import json as _json
+
+    from iaas_sglang_tpu import code_completion as cc
+
+    cc.load_completion_template("deepseek_coder")
+    assert cc.is_completion_template_defined()
+    out = cc.apply_fim("PRE", "SUF")
+    assert out == "<｜fim▁begin｜>PRE<｜fim▁hole｜>SUF<｜fim▁end｜>"
+
+    cc.load_completion_template("qwen_coder")
+    assert cc.apply_fim("PRE", "SUF") == \
+        "<|fim_prefix|>PRE<|fim_suffix|>SUF<|fim_middle|>"
+
+    # no suffix -> passthrough
+    assert cc.apply_fim("PRE", None) == "PRE"
+    assert cc.apply_fim("PRE", "") == "PRE"
+
+    # custom template from a json file
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tmpl.json")
+        with open(path, "w") as f:
+            _json.dump({"name": "custom", "fim_begin_token": "<B>",
+                        "fim_middle_token": "<M>", "fim_end_token": "<E>",
+                        "fim_position": "middle"}, f)
+        cc.load_completion_template(path)
+        assert cc.apply_fim("a", "b") == "<B>a<M>b<E>"
+
+    try:
+        cc.load_completion_template("nope")
+        raise AssertionError("unknown template must raise")
+    except ValueError:
+        pass
+    cc.load_completion_template(None)
+    assert not cc.is_completion_template_defined()

@@ -12,7 +12,8 @@ import requests
 
 from iaas_sglang_tpu.router_launcher import build_router, launch_router
 from iaas_sglang_tpu.utils import get_open_port
-from tests.server_utils import kill_server, make_tiny_model_dir, popen_launch_server
+from tests.server_utils import (kill_server, make_tiny_model_dir,
+                                popen_launch_server, track_proc)
 
 
 def test_router_builds():
@@ -27,8 +28,8 @@ def cluster(tmp_path_factory):
     ports = [get_open_port(), get_open_port()]
     procs = [popen_launch_server(model_dir, p) for p in ports]
     rport = get_open_port()
-    router = launch_router(
-        rport, [f"http://127.0.0.1:{p}" for p in ports])
+    router = track_proc(launch_router(
+        rport, [f"http://127.0.0.1:{p}" for p in ports]))
     yield f"http://127.0.0.1:{rport}", ports
     router.kill()
     for p in procs:
@@ -133,9 +134,9 @@ def test_router_cache_aware_shared_prefix_win(cluster):
     for p in ports:
         requests.post(f"http://127.0.0.1:{p}/flush_cache", timeout=30)
     rport = get_open_port()
-    rr_router = launch_router(
+    rr_router = track_proc(launch_router(
         rport, [f"http://127.0.0.1:{p}" for p in ports],
-        policy="round_robin")
+        policy="round_robin"))
     try:
         rr = _run_shared_prefix_groups(f"http://127.0.0.1:{rport}")
     finally:
@@ -159,7 +160,7 @@ def test_router_file_service_discovery(cluster, tmp_path):
     wl = tmp_path / "workers.txt"
     wl.write_text(urls[0] + "\n")
     rport = get_open_port()
-    router = launch_router(rport, [], worker_list_file=str(wl))
+    router = track_proc(launch_router(rport, [], worker_list_file=str(wl)))
     base = f"http://127.0.0.1:{rport}"
     try:
         deadline = time.time() + 10
