@@ -1,0 +1,174 @@
+"""Fused whole-layer decode megakernel (ops/fused_layer.py) vs a jnp
+reference composing the exact per-layer math of models/llama_family.py
+layer_body (rms_norm -> fused qkv dequant-GEMM -> rope -> KV write ->
+paged attention incl. the current token -> o -> +resid -> rms_norm ->
+gate/up -> silu*up -> down -> +resid), run in TPU interpret mode."""
+
+import numpy as np
+import pytest
+
+L, B, H, D, Nq, Nk, I = 2, 8, 256, 128, 2, 1, 512
+NqD, NkD = Nq * D, Nk * D
+PS, MP, PPL = 8, 6, 20         # page size, max pages/seq, pages per layer
+EPS = 1e-5
+
+
+def _quant_proj(rng, K, N, mode):
+    """Random weight -> (packed/int8 stack arrays, bf16 dequant ref)."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.quantization.qlinear import _np_group_quantize
+    from iaas_sglang_tpu.ops.quant_matmul import pack_int4
+
+    w = (rng.standard_normal((L, K, N)) * 0.05).astype(np.float32)
+    qs, ss, refs = [], [], []
+    for l in range(L):
+        bits = 4 if mode.startswith("w4") else 8
+        q, s = _np_group_quantize(w[l], bits)
+        deq = (q.astype(np.float32).reshape(s.shape[0], -1, N)
+               * s[:, None, :]).reshape(K, N)
+        refs.append(deq)
+        ss.append(s.astype(np.float32))
+        qs.append(pack_int4(q.astype(np.int8)) if bits == 4
+                  else q.astype(np.int8))
+    return (jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(ss)),
+            jnp.asarray(np.stack(refs), jnp.bfloat16))
+
+
+def _ref_matmul(x, wref, mode, packed=None, scale=None):
+    """Reference projection matching the kernel's numerics: w4a16/w8a16
+    = bf16 x @ dequantized bf16 w (f32 acc); w4a8 = int8 activation
+    quant + int dots on the EXACT packed nibbles, scaled per group."""
+    import jax
+    import jax.numpy as jnp
+
+    if mode != "w4a8":
+        y = jax.lax.dot_general(
+            x, wref, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(jnp.bfloat16)
+    from iaas_sglang_tpu.ops.quant_matmul import (
+        quantize_act_int8, unpack_int4_ref)
+
+    K = x.shape[1]
+    xq, xs, _ = quantize_act_int8(x, 128)
+    nG = K // 128
+    q = unpack_int4_ref(packed).reshape(nG, 128, -1)
+    xg = xq.reshape(-1, nG, 128).transpose(1, 0, 2).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        xg, q.astype(jnp.int8), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    y = jnp.sum(part.astype(jnp.float32) * scale[:, None, :], axis=0) * xs
+    return y.astype(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("mode", ["w4a16", "w8a16", "w4a8"])
+def test_fused_decode_layers_interpret(mode):
+    import jax
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.layers.norms import rms_norm
+    from iaas_sglang_tpu.layers.rotary import apply_rope
+    from iaas_sglang_tpu.ops.attention import (
+        _jnp_paged_attention, write_kv_pages)
+    from iaas_sglang_tpu.ops.fused_layer import fused_decode_layers
+
+    rng = np.random.default_rng(7)
+    # kv_lens INCLUDE the current token; 0 = padding row
+    kv_lens_l = [5, 17, 1, 0, 9, 33, 2, 16]
+    NP = L * PPL
+    kv = jnp.asarray(rng.standard_normal((2, NP, PS, NkD)) * 0.3,
+                     jnp.bfloat16)
+    # DISJOINT page lists: sequences must never share pages or the
+    # reference's current-token writes corrupt each other's history
+    pages = np.zeros((B, MP), np.int32)
+    nxt = 0
+    for b in range(B):
+        n = -(-kv_lens_l[b] // PS)
+        assert nxt + n < PPL
+        pages[b, :n] = np.arange(nxt, nxt + n)
+        nxt += n
+    kv_lens = jnp.asarray(kv_lens_l, jnp.int32)
+    page_indices = jnp.asarray(pages)
+
+    hidden0 = jnp.asarray(rng.standard_normal((B, H)) * 0.5, jnp.bfloat16)
+    n1 = jnp.asarray(rng.random((L, H)) + 0.5, jnp.bfloat16)
+    n2 = jnp.asarray(rng.random((L, H)) + 0.5, jnp.bfloat16)
+    positions = kv_lens - 1          # current token position (0 for pads)
+    positions = jnp.maximum(positions, 0)
+    inv_freq = jnp.asarray(
+        1.0 / (10000.0 ** (np.arange(0, D, 2) / D)), jnp.float32)
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+
+    qkv_q, qkv_s, qkv_ref = _quant_proj(rng, H, NqD + 2 * NkD, mode)
+    o_q, o_s, o_ref = _quant_proj(rng, NqD, H, mode)
+    gu_q, gu_s, gu_ref = _quant_proj(rng, H, 2 * I, mode)
+    dn_q, dn_s, dn_ref = _quant_proj(rng, I, H, mode)
+    sm_scale = D ** -0.5
+
+    # ---------------- reference: per-layer jnp composition
+    def ref_forward():
+        hidden = hidden0
+        pool = kv
+        cu = jnp.arange(B + 1, dtype=jnp.int32)
+        out_slots = []
+        for s in range(B):
+            if kv_lens_l[s] == 0:
+                # padding rows write to the garbage page (scheduler
+                # invariant) — never into another sequence's history
+                out_slots.append((PPL - 1) * PS)
+                continue
+            pos = kv_lens_l[s] - 1
+            out_slots.append(int(pages[s, pos // PS]) * PS + pos % PS)
+        out_slots = jnp.asarray(out_slots, jnp.int32)
+        k_all, v_all = [], []
+        for l in range(L):
+            h = rms_norm(hidden, n1[l], EPS)
+            qkv = _ref_matmul(h, qkv_ref[l], mode, qkv_q[l], qkv_s[l])
+            q = qkv[:, :NqD].reshape(B, Nq, D)
+            k = qkv[:, NqD:NqD + NkD].reshape(B, Nk, D)
+            v = qkv[:, NqD + NkD:].reshape(B, Nk, D)
+            q, k = apply_rope(q, k, positions, inv_freq)
+            k_all.append(k.reshape(B, NkD))
+            v_all.append(v.reshape(B, NkD))
+            pool = write_kv_pages(pool, out_slots + l * PPL * PS, k, v)
+            attn = _jnp_paged_attention(
+                q, pool, kv_lens, page_indices + l * PPL, cu,
+                jnp.int32(B), sm_scale=sm_scale)
+            attn_out = _ref_matmul(
+                attn.reshape(B, NqD).astype(jnp.bfloat16), o_ref[l], mode,
+                o_q[l], o_s[l])
+            hidden = hidden + attn_out
+            h2 = rms_norm(hidden, n2[l], EPS)
+            gu = _ref_matmul(h2, gu_ref[l], mode, gu_q[l], gu_s[l])
+            gate, up = gu[:, :I], gu[:, I:]
+            inter = (jax.nn.silu(gate.astype(jnp.float32))
+                     * up.astype(jnp.float32)).astype(jnp.bfloat16)
+            mlp = _ref_matmul(inter, dn_ref[l], mode, dn_q[l], dn_s[l])
+            hidden = hidden + mlp
+        return hidden, jnp.stack(k_all), jnp.stack(v_all)
+
+    ref_h, ref_k, ref_v = ref_forward()
+
+    out_h, out_k, out_v = fused_decode_layers(
+        hidden0, cos, sin, kv_lens, page_indices, kv, n1, n2,
+        qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s,
+        num_q_heads=Nq, num_kv_heads=Nk, head_dim=D,
+        mode=mode, sm_scale=sm_scale, eps=EPS, pages_per_layer=PPL,
+        chunk_pages=2, nkv=3, nw=6, interpret=True)
+
+    real = np.asarray(kv_lens) > 0
+    # w4a8: the kernel quantizes activations from the SAME bf16 values
+    # but in a different op order — a rounding tie can move one int step
+    # (observed 2/1792 elements at 0.034); everything else is exact
+    tol = 5e-2 if mode == "w4a8" else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32)[:, real],
+        np.asarray(ref_k, np.float32)[:, real], rtol=tol, atol=tol)
+    np.testing.assert_allclose(
+        np.asarray(out_v, np.float32)[:, real],
+        np.asarray(ref_v, np.float32)[:, real], rtol=tol, atol=tol)
+    np.testing.assert_allclose(
+        np.asarray(out_h, np.float32)[real],
+        np.asarray(ref_h, np.float32)[real], rtol=5e-2, atol=5e-2)
