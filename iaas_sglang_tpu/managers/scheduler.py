@@ -14,6 +14,7 @@ Runs in two harnesses:
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -178,9 +179,15 @@ class Scheduler:
         # computed from the PREVIOUS step's token (VERDICT r2 missing #1)
         self._gchain: Optional[tuple] = None
         self._gchain_steps = 0   # chained grammar steps (observability/tests)
-        # in-flight multi-step decode chain (batch, HostBatch): fetched and
-        # processed while the NEXT chained multi-step dispatch runs
-        self._minflight: Optional[tuple] = None
+        # in-flight multi-step decode chains (batch, HostBatch), oldest
+        # first: the head is fetched + processed while the later chained
+        # dispatches run. Depth 1 (+ the one launched ahead) offline;
+        # streaming requests use short chains with a deeper launch-ahead
+        # queue so tokens emit every few steps instead of every N=32
+        # (VERDICT r4 missing #1 — per-step streaming under multi-step)
+        self._mqueue: deque = deque()
+        self.stream_steps = server_args.stream_chain_steps
+        self.stream_depth = server_args.stream_chain_depth
         self._mchain_steps = 0   # chained multi-step dispatches (tests)
         self._pchain_steps = 0   # pipelined prefill dispatches (tests)
         self.enable_overlap = (not server_args.disable_overlap_schedule
@@ -230,8 +237,6 @@ class Scheduler:
             self.eos_token_ids.update(gen_cfg)
 
         # stats
-        from collections import deque
-
         self._recent_finished = deque(maxlen=100)
         self._watchdog_busy = False
         self._watchdog_last = time.monotonic()
@@ -819,16 +824,33 @@ class Scheduler:
             )
         )
 
+    def _chain_steps_for(self, batch: ScheduleBatch) -> int:
+        """Decode steps per dispatch: streaming requests cap the chain
+        length so tokens reach the detokenizer every few steps (each
+        distinct N is its own compiled program — keep the set tiny)."""
+        if self.stream_steps and any(r.stream for r in batch.reqs):
+            return min(self.multi_steps, self.stream_steps)
+        return self.multi_steps
+
+    def _chain_depth_for(self, batch: ScheduleBatch) -> int:
+        """Chains kept in flight beyond the head: short streaming chains
+        need a deeper queue so the ~2-RTT host fetch of chain k overlaps
+        the device execution of chains k+1..k+d."""
+        if self.stream_steps and any(r.stream for r in batch.reqs):
+            return max(1, self.stream_depth)
+        return 1
+
     def run_multi_batch(self, batch: ScheduleBatch) -> bool:
-        hb = batch.prepare_for_decode_multi(self.multi_steps)
+        n = self._chain_steps_for(batch)
+        hb = batch.prepare_for_decode_multi(n)
         if hb is None:
             return False  # page pressure: single-step path retracts
         self._attach_encoder(batch, hb)
         self.model_runner.forward(hb, fetch=False)   # launch only
         for r in batch.reqs:
-            r.pending_steps += self.multi_steps
+            r.pending_steps += n
         batch.last_hb = hb
-        self._minflight = (batch, hb)
+        self._mqueue.append((batch, hb))
         return True
 
     def _prefill_blocked(self) -> bool:
@@ -883,37 +905,55 @@ class Scheduler:
             and self._multi_eligible(mb)
         )
 
+    def _launch_chained(self, mb: ScheduleBatch, mhb) -> Optional[tuple]:
+        """Launch one multi-step dispatch chained on (mb, mhb)'s device
+        tokens; returns (batch, hb) or None when chaining is not safe."""
+        nb = ScheduleBatch(
+            list(mb.reqs), ForwardMode.DECODE,
+            self.allocators, self.tree_caches, self.page_size,
+        )
+        n = self._chain_steps_for(nb)
+        hb2 = nb.prepare_for_decode_multi(n, chain_from=mhb)
+        if hb2 is not None and hb2.penalty_arrays is not None \
+                and mhb._device_counts is None:
+            # a penalty batch can only chain on a device count state;
+            # chain N ran penalty-free (e.g. min_new just activated —
+            # cannot happen for static penalties) so fall back to a
+            # fresh dispatch after processing
+            hb2 = None
+        if hb2 is None:
+            return None
+        self._attach_encoder(nb, hb2)
+        self.model_runner.forward(hb2, fetch=False)
+        for r in nb.reqs:
+            r.pending_steps += n
+        nb.last_hb = hb2
+        self._mchain_steps += 1
+        return (nb, hb2)
+
     def _step_multi_chain(self) -> bool:
-        mb, mhb = self._minflight
-        self._minflight = None
         self._watchdog_last = time.monotonic()
         self._watchdog_busy = True
-        launched = None
-        if self._can_chain_multi(mb):
-            nb = ScheduleBatch(
-                list(mb.reqs), ForwardMode.DECODE,
-                self.allocators, self.tree_caches, self.page_size,
-            )
-            hb2 = nb.prepare_for_decode_multi(
-                self.multi_steps, chain_from=mhb)
-            if hb2 is not None and hb2.penalty_arrays is not None \
-                    and mhb._device_counts is None:
-                # a penalty batch can only chain on a device count state;
-                # chain N ran penalty-free (e.g. min_new just activated —
-                # cannot happen for static penalties) so fall back to a
-                # fresh dispatch after processing
-                hb2 = None
-            if hb2 is not None:
-                self._attach_encoder(nb, hb2)
-                self.model_runner.forward(hb2, fetch=False)
-                for r in nb.reqs:
-                    r.pending_steps += self.multi_steps
-                nb.last_hb = hb2
-                launched = (nb, hb2)
-                self._mchain_steps += 1
+        q = self._mqueue
+        # top up the launch-ahead window chained on the TAIL (depth 1 =
+        # the r3/r4 behavior: exactly one chain launched before the head
+        # is fetched)
+        depth = self._chain_depth_for(q[-1][0])
+        while len(q) < depth + 1:
+            tb, thb = q[-1]
+            if not self._can_chain_multi(tb):
+                break
+            launched = self._launch_chained(tb, thb)
+            if launched is None:
+                break
+            q.append(launched)
+        # start async device->host copies for every completed chain so
+        # the ~2-RTT relay fetch latency pipelines instead of serializing
+        for _, hbq in q:
+            self.model_runner.prefetch_multi(hbq)
+        mb, mhb = q.popleft()
         toks = self.model_runner.fetch_multi(mhb)
         self.process_multi_result(mb, toks)
-        self._minflight = launched
         self._watchdog_busy = False
         return True
 
@@ -1784,7 +1824,7 @@ class Scheduler:
         token ids for this, tp_worker_overlap_thread.py:53; JAX async
         dispatch + device-token chaining gives it directly)."""
         self._poll_grammar_queue()
-        if self._minflight is not None:
+        if self._mqueue:
             return self._step_multi_chain()
         if self._gchain is not None:
             return self._step_grammar_chain()
@@ -1867,9 +1907,8 @@ class Scheduler:
 
     def drain(self) -> None:
         """Fetch+process any in-flight speculative step (idle cleanup)."""
-        while self._minflight is not None:
-            mb, mhb = self._minflight
-            self._minflight = None
+        while self._mqueue:
+            mb, mhb = self._mqueue.popleft()
             toks = self.model_runner.fetch_multi(mhb)
             self.process_multi_result(mb, toks)
         while self._gchain is not None:
@@ -1888,7 +1927,7 @@ class Scheduler:
             self.waiting_queue or self.running_batch.reqs
             or self.chunked_req or self._inflight is not None
             or self._gchain is not None or self.grammar_queue
-            or self._minflight is not None
+            or bool(self._mqueue)
         )
 
     def start_watchdog(self) -> None:

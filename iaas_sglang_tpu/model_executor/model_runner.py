@@ -883,6 +883,23 @@ class ModelRunner:
             return None                   # fetch_multi() materializes later
         return self.fetch_multi(hb)
 
+    def prefetch_multi(self, hb: HostBatch) -> None:
+        """Start async device->host copies of a launched chain's outputs
+        (no-op until the program completes on device): with several short
+        chains in flight, the head's ~2-RTT relay fetch then overlaps the
+        later chains' execution instead of serializing behind it."""
+        if getattr(hb, "_host_prefetched", False):
+            return
+        try:
+            arrs = [hb._device_multi, hb._device_idlp,
+                    *(hb.device_logprobs or ())]
+            for a in arrs:
+                if a is not None and hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+        except Exception:
+            pass  # relay backends without async host copies: fetch blocks
+        hb._host_prefetched = True
+
     def fetch_multi(self, hb: HostBatch) -> np.ndarray:
         """Materialize a launched multi-step chain's sampled tokens (and,
         for logprob requests, the per-step logprob tables)."""

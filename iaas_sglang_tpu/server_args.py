@@ -88,6 +88,14 @@ class ServerArgs:
     # (amortizes dispatch latency; 1 = off). Batches with grammar/penalties/
     # logprobs fall back to single-step automatically.
     decode_steps_per_dispatch: int = 1
+    # streaming under multi-step decode (reference stream_interval analog,
+    # scheduler_output_processor_mixin.py:521): while any running request
+    # streams, chains shorten to this many steps (tokens reach the
+    # detokenizer every few steps instead of every N) and up to
+    # stream_chain_depth chained dispatches stay in flight so the relay
+    # fetch RTT pipelines. 0 disables (full-depth chains always).
+    stream_chain_steps: int = 4
+    stream_chain_depth: int = 4
 
     # Parallelism (logical mesh over ICI/DCN)
     tp_size: int = 1
