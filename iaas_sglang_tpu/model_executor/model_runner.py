@@ -276,10 +276,20 @@ class ModelRunner:
             # dtype): halves attention HBM traffic; direct e4m3 cast (range
             # ±448 covers attention K/V), kernels upcast on read
             kv_dtype = jnp.float8_e4m3fn
+        elif sa.kv_cache_dtype == "int8":
+            # INT8 KV with per-token power-of-two scales stored inline in
+            # the page row (+128 lanes): ~2x KV capacity at bf16-parity
+            # decode latency on v5e (PARITY.md r4 Narrow-KV A/B) — the
+            # recommended capacity dtype here; fp8 stays a 3x latency hit
+            # on this chip (no native fp8 compute). Split layout only.
+            kv_dtype = jnp.int8
         elif sa.kv_cache_dtype not in ("auto", "bf16", "bfloat16"):
             raise ValueError(
                 f"unknown kv_cache_dtype {sa.kv_cache_dtype!r}")
-        kv_bytes_per_token = (c.num_layers * ne * ed
+        int8_kv = kv_dtype == jnp.int8
+        lane_pad = 128 if int8_kv else 0
+        kv_bytes_per_token = (c.num_layers
+                              * (ne * ed + 2 * lane_pad)
                               * jnp.dtype(kv_dtype).itemsize)
 
         # K/V-split page layout (r4, ops/split_attention.py): planes
@@ -307,6 +317,15 @@ class ModelRunner:
             )
         assert not (self.kv_split and not is_mha), \
             "--kv-layout split needs a plain MHA/GQA KV pool"
+        if int8_kv:
+            tp = max(self.mesh_ctx.tp_size, 1)
+            if not self.kv_split or tp > 1 or sa.speculative_algorithm \
+                    or sa.enable_hierarchical_cache \
+                    or sa.disaggregation_mode != "none":
+                raise ValueError(
+                    "--kv-cache-dtype int8 needs the K/V-split page "
+                    "layout on a single tp shard (MHA/GQA, no spec/"
+                    "hicache/disaggregation yet)")
 
         if sa.max_total_tokens is not None:
             total_tokens = sa.max_total_tokens
@@ -323,10 +342,11 @@ class ModelRunner:
         self.num_usable_pages = pages_per_layer  # per attention rank
         NPp = c.num_layers * (pages_per_layer + 1)
         if self.kv_split:
-            # plane-outermost, lane-flat STORED shape [2, NP, ps, Nk*D]:
-            # any reshape view of the pool re-tiles and copies 100% of it
-            # per call (xprof r4), so the flat lane dim is physical
-            shape = (2, NPp, ps, (ne // 2) * ed)
+            # plane-outermost, lane-flat STORED shape [2, NP, ps, Nk*D]
+            # (+128 scale lanes for int8): any reshape view of the pool
+            # re-tiles and copies 100% of it per call (xprof r4), so the
+            # flat lane dim is physical
+            shape = (2, NPp, ps, (ne // 2) * ed + lane_pad)
             dims = (None, None, None, "tp")   # heads = lane blocks
         else:
             shape = (NPp, ps, ne, ed)

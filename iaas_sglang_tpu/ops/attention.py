@@ -160,8 +160,10 @@ def _jnp_paged_attention(
 ):
     T, Nq, D = q.shape
     split = is_split_layout(kv_pages)
+    int8_kv = split and kv_pages.dtype == jnp.int8
     if split:
-        _, NP, ps, NkD = kv_pages.shape
+        _, NP, ps, LD = kv_pages.shape
+        NkD = LD - 128 if int8_kv else LD
         Nk = NkD // D
     else:
         NP, ps, NK2, _ = kv_pages.shape
@@ -184,7 +186,12 @@ def _jnp_paged_attention(
     )  # [T]
 
     # gather whole sequences (reference path only; kernels stream pages)
-    if split:   # plane-outermost [2, NP, ps, NkD]
+    if int8_kv:
+        k_seq = dequantize_kv_int8(
+            kv_pages[0][page_indices], jnp.float32).reshape(Bmax, S, Nk, D)
+        v_seq = dequantize_kv_int8(
+            kv_pages[1][page_indices], jnp.float32).reshape(Bmax, S, Nk, D)
+    elif split:   # plane-outermost [2, NP, ps, NkD]
         k_seq = kv_pages[0][page_indices].reshape(Bmax, S, Nk, D)
         v_seq = kv_pages[1][page_indices].reshape(Bmax, S, Nk, D)
     else:
@@ -513,6 +520,31 @@ def write_kv_entries(
     return flat.reshape(NP, ps, NE, D)
 
 
+def quantize_kv_int8(x: jnp.ndarray) -> jnp.ndarray:
+    """[T, NkD] -> [T, NkD + 128] int8 page rows: per-token power-of-two
+    scale (dequant = q * 2^e), exponent replicated across the trailing
+    128-lane block so every page-row copy (KV moves, PD streaming,
+    HiCache) carries its scale for free and kernels read it as a free
+    [CT, 1] lane slice. Reference analog: fp8 KV set_kv_buffer scaling
+    (srt/mem_cache/memory_pool.py:99) — int8+po2 keeps v5e decode at
+    bf16-parity latency where fp8's convert does not (PARITY.md r4)."""
+    T, NkD = x.shape
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    e = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-30) / 127.0)),
+                 -62, 61)
+    q = jnp.clip(jnp.round(xf * jnp.exp2(-e)), -127, 127).astype(jnp.int8)
+    erow = jnp.broadcast_to(e.astype(jnp.int8), (T, 128))
+    return jnp.concatenate([q, erow], axis=-1)
+
+
+def dequantize_kv_int8(rows: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., NkD + 128] int8 page rows -> [..., NkD] dequantized."""
+    NkD = rows.shape[-1] - 128
+    e = rows[..., NkD:NkD + 1].astype(jnp.float32)
+    return (rows[..., :NkD].astype(jnp.float32) * jnp.exp2(e)).astype(dtype)
+
+
 def write_kv_pages(
     kv_pages: jnp.ndarray,   # [NP, ps, 2*Nk, D] (flat page space, all layers)
     out_slots: jnp.ndarray,  # i32[T] flat slot = page*ps + offset
@@ -523,14 +555,18 @@ def write_kv_pages(
     garbage page. (TPU analog of the reference's Triton
     write_req_to_token_pool / set_kv_buffer paths, schedule_batch.py:1778.)"""
     T, Nk, D = k.shape
-    if is_split_layout(kv_pages):   # plane-outermost [2, NP, ps, NkD]
-        _, NP, ps, NkD = kv_pages.shape
-        flat = kv_pages.reshape(2 * NP * ps, NkD)
-        kf = k.reshape(T, NkD).astype(kv_pages.dtype)
-        vf = v.reshape(T, NkD).astype(kv_pages.dtype)
+    if is_split_layout(kv_pages):   # plane-outermost [2, NP, ps, NkD(+128)]
+        _, NP, ps, LD = kv_pages.shape
+        flat = kv_pages.reshape(2 * NP * ps, LD)
+        if kv_pages.dtype == jnp.int8:
+            kf = quantize_kv_int8(k.reshape(T, Nk * D))
+            vf = quantize_kv_int8(v.reshape(T, Nk * D))
+        else:
+            kf = k.reshape(T, LD).astype(kv_pages.dtype)
+            vf = v.reshape(T, LD).astype(kv_pages.dtype)
         flat = flat.at[out_slots].set(kf)
         flat = flat.at[NP * ps + out_slots].set(vf)
-        return flat.reshape(2, NP, ps, NkD)
+        return flat.reshape(2, NP, ps, LD)
     NP, ps, NK2, _ = kv_pages.shape
     updates = jnp.stack([k, v], axis=2).reshape(T, 2 * Nk, D).astype(kv_pages.dtype)
     flat = kv_pages.reshape(NP * ps, NK2, D)

@@ -462,11 +462,23 @@ def _fused_kernel(
                 top_up_kv()
                 top_up_w(l * cpl + geos[P_O].off)
 
-                kr_c = kvbuf[slot, 0].reshape(CT, NkD)
-                vr_c = kvbuf[slot, 1].reshape(CT, NkD)
-                if kr_c.dtype != q.dtype:
-                    kr_c = kr_c.astype(q.dtype)
-                    vr_c = vr_c.astype(q.dtype)
+                LD = kvbuf.shape[-1]
+                kr_c = kvbuf[slot, 0].reshape(CT, LD)
+                vr_c = kvbuf[slot, 1].reshape(CT, LD)
+                if kr_c.dtype == jnp.int8:
+                    # inline per-token po2 scales (ops/attention.py
+                    # quantize_kv_int8): dequant rides the upcast
+                    ksc = jnp.exp2(
+                        kr_c[:, NkD:NkD + 1].astype(jnp.float32))
+                    vsc = jnp.exp2(
+                        vr_c[:, NkD:NkD + 1].astype(jnp.float32))
+                    kr_c = (kr_c[:, :NkD].astype(jnp.float32)
+                            * ksc).astype(q.dtype)
+                    vr_c = (vr_c[:, :NkD].astype(jnp.float32)
+                            * vsc).astype(q.dtype)
+                elif kr_c.dtype != q.dtype:
+                    kr_c = kr_c[:, :NkD].astype(q.dtype)
+                    vr_c = vr_c[:, :NkD].astype(q.dtype)
 
                 pos = ci * CT + jax.lax.broadcasted_iota(
                     jnp.int32, (1, CT), 1)
@@ -528,11 +540,28 @@ def _fused_kernel(
     jax.lax.fori_loop(0, B, seq_body, 0)
 
     # 5. fold the current token in (flat online-softmax merge): its K/V
-    # live in k3 / v_out_ref, quantized exactly like the pool entries
-    vr3 = v_out_ref[0].reshape(T, Nk, D).astype(jnp.float32)
+    # live in k3 / v_out_ref; under int8 pools the merge sees the
+    # quantize->dequantize roundtrip of the row exactly as the next
+    # step's pool read will
+    int8_kv = kv_hbm.dtype == jnp.int8
+
+    def qdq(rows):       # [T, NkD] f32 -> int8-pool roundtrip
+        amax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+        e = jnp.clip(
+            jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-30) / 127.0)), -62, 61)
+        qq = jnp.clip(jnp.round(rows * jnp.exp2(-e)), -127, 127)
+        return qq * jnp.exp2(e)
+
+    vrows = v_out_ref[0].astype(jnp.float32)
+    krows = k3[...].reshape(T, NkD).astype(jnp.float32)
+    if int8_kv:
+        vrows = qdq(vrows)
+        krows = qdq(krows)
+    vr3 = vrows.reshape(T, Nk, D)
+    kq3 = krows.reshape(T, Nk, D)
     for hk in range(Nk):
         qg = q3[:, hk * G:(hk + 1) * G, :].astype(jnp.float32)
-        kg = k3[:, hk:hk + 1, :].astype(jnp.float32)
+        kg = kq3[:, hk:hk + 1, :].astype(jnp.float32)
         sc = jnp.sum(qg * kg, axis=2, keepdims=True) * sm_scale
         scb = jnp.broadcast_to(sc, (T, G, 128))
         m_old = m3[:, hk * G:(hk + 1) * G, :]
@@ -611,7 +640,8 @@ def fused_decode_layers(
     B = kv_lens.shape[0]
     assert T == B, "fused decode needs one token per sequence"
     MP = page_indices.shape[1]
-    _, NP, ps, NkD = kv_pages.shape
+    _, NP, ps, LD = kv_pages.shape
+    NkD = LD - 128 if kv_pages.dtype == jnp.int8 else LD
     Nq, Nk, D = num_q_heads, num_kv_heads, head_dim
     NqD = Nq * D
     assert NkD == Nk * D
@@ -646,7 +676,8 @@ def fused_decode_layers(
         pltpu.SemaphoreType.DMA((nw,)),
         pltpu.VMEM((ns, SRmax, BNmax), jnp.float32),   # sbuf
         pltpu.SemaphoreType.DMA((ns,)),
-        pltpu.VMEM((nkv, 2, cp, ps, NkD), kv_pages.dtype),
+        pltpu.VMEM((nkv, 2, cp, ps,
+                    kv_pages.shape[3]), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((nkv, 2, cp)),
         pltpu.SMEM((8,), jnp.int32),
         pltpu.VMEM((T, Kmax), jnp.bfloat16),           # h_scr

@@ -208,11 +208,26 @@ def _decode_split_kernel(
             pipe_ref[0] = pipe_ref[0] + 1
             top_up()
 
-            kr = kv_buf[slot, 0].reshape(CT, Nk * D)
-            vr = kv_buf[slot, 1].reshape(CT, Nk * D)
-            if kr.dtype != q.dtype:
-                kr = kr.astype(q.dtype)
-                vr = vr.astype(q.dtype)
+            LD = kv_buf.shape[-1]
+            kr = kv_buf[slot, 0].reshape(CT, LD)
+            vr = kv_buf[slot, 1].reshape(CT, LD)
+            if kr.dtype == jnp.int8:
+                # int8 KV: per-token power-of-two scales live INLINE in
+                # the page row (lane block [NkD, NkD+128), exponent
+                # replicated) — dequant rides the existing upcast as one
+                # [CT, 1]-broadcast multiply; no score-side folding, no
+                # relayout (r4 Narrow-KV A/B: bf16-parity latency)
+                ks = jnp.exp2(
+                    kr[:, Nk * D:Nk * D + 1].astype(jnp.float32))
+                vs = jnp.exp2(
+                    vr[:, Nk * D:Nk * D + 1].astype(jnp.float32))
+                kr = (kr[:, :Nk * D].astype(jnp.float32)
+                      * ks).astype(q.dtype)
+                vr = (vr[:, :Nk * D].astype(jnp.float32)
+                      * vs).astype(q.dtype)
+            elif kr.dtype != q.dtype:
+                kr = kr[:, :Nk * D].astype(q.dtype)
+                vr = vr[:, :Nk * D].astype(q.dtype)
 
             pos = ci * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1)
             valid = pos < kv_len
@@ -316,7 +331,9 @@ def paged_decode_attention_split(
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
-    _, NP, ps, NkD = kv_pages.shape
+    _, NP, ps, LD = kv_pages.shape
+    # int8 pools carry an inline 128-lane per-token scale block
+    NkD = LD - 128 if kv_pages.dtype == jnp.int8 else LD
     Nk = NkD // D
     kv_flat = kv_pages                      # stored flat: NO reshape
     MP = page_indices.shape[1]
@@ -335,7 +352,7 @@ def paged_decode_attention_split(
         out_specs=pl.BlockSpec((1, Nq, D), lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((num_bufs, 2, CP, ps, Nk * D), kv_pages.dtype),
+            pltpu.VMEM((num_bufs, 2, CP, ps, LD), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((num_bufs, 2, CP)),
             pltpu.SMEM((4,), jnp.int32),
         ],
@@ -516,10 +533,22 @@ def _extend_split_kernel(
         kv_rows = jax.lax.broadcasted_iota(jnp.int32, (CT, 1), 0)
         kv_ok = kv_rows < (kvl - kv_start)
 
+        int8_kv = kv_buf.dtype == jnp.int8
+        if int8_kv:
+            ks_c = jnp.exp2(kv_buf[
+                buf, 0, :, :, Nk * D:Nk * D + 1
+            ].reshape(CT, 1).astype(jnp.float32))
+            vs_c = jnp.exp2(kv_buf[
+                buf, 1, :, :, Nk * D:Nk * D + 1
+            ].reshape(CT, 1).astype(jnp.float32))
+
         def head_kv(h):
             k_h = kv_buf[buf, 0, :, :, h * D:(h + 1) * D].reshape(CT, D)
             v_h = kv_buf[buf, 1, :, :, h * D:(h + 1) * D].reshape(CT, D)
-            if k_h.dtype != q_ref.dtype:
+            if int8_kv:
+                k_h = (k_h.astype(jnp.float32) * ks_c).astype(q_ref.dtype)
+                v_h = (v_h.astype(jnp.float32) * vs_c).astype(q_ref.dtype)
+            elif k_h.dtype != q_ref.dtype:
                 k_h = k_h.astype(q_ref.dtype)
                 v_h = v_h.astype(q_ref.dtype)
             return jnp.where(kv_ok, k_h, 0), jnp.where(kv_ok, v_h, 0)
@@ -656,7 +685,8 @@ def ragged_extend_attention_split(
     interpret: bool = False,
 ) -> jnp.ndarray:
     T, Nq, D = q.shape
-    _, NP, ps, NkD = kv_pages.shape
+    _, NP, ps, LD = kv_pages.shape
+    NkD = LD - 128 if kv_pages.dtype == jnp.int8 else LD
     Nk = NkD // D
     kv_flat = kv_pages                     # stored flat: NO reshape
     B, MP = page_indices.shape
@@ -677,7 +707,7 @@ def ragged_extend_attention_split(
         ],
         out_specs=pl.BlockSpec((NQB, Nq, D), lambda qb, *_: (qb, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, KVP, ps, Nk * D), kv_pages.dtype),
+            pltpu.VMEM((2, 2, KVP, ps, LD), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2, KVP)),
             pltpu.VMEM((Nk, NQB * G, 128), jnp.float32),
             pltpu.VMEM((Nk, NQB * G, 128), jnp.float32),

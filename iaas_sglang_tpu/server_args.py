@@ -28,7 +28,7 @@ class ServerArgs:
     tokenizer_path: Optional[str] = None
     load_format: str = "auto"  # auto | safetensors | dummy
     dtype: str = "bfloat16"
-    kv_cache_dtype: str = "auto"  # auto | bf16 | fp8_e4m3 (later round)
+    kv_cache_dtype: str = "auto"  # auto | bf16 | int8 | fp8_e4m3
     # KV page layout (r4): "split" stores K and V as separate planes per
     # page [ps, 2, Nk, D] so the decode kernel's score dot contracts NkD
     # (not 2NkD) and the extend kernel slices per-head K/V from lanes —

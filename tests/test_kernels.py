@@ -901,3 +901,75 @@ def test_q_a8_dma_eight_bit_interpret():
         err = np.abs(np.asarray(got, np.float64) - ref).max() / (
             np.abs(ref).max() + 1e-9)
         assert err < 1e-2, (li, err)
+
+
+def test_int8_kv_split_kernels_interpret():
+    """INT8 KV with inline per-token po2 scales (r5, VERDICT #3): the
+    split decode + extend kernels must match the jnp reference reading
+    the same int8 pool EXACTLY, and stay within quantization tolerance
+    of the bf16 pool."""
+    import jax.numpy as jnp
+
+    from iaas_sglang_tpu.ops.attention import (
+        _jnp_paged_attention, quantize_kv_int8, write_kv_pages)
+    from iaas_sglang_tpu.ops.split_attention import (
+        paged_decode_attention_split, ragged_extend_attention_split)
+
+    rng = np.random.default_rng(11)
+    Nq, Nk, D, ps, MP, NPg = 8, 4, 128, 16, 8, 64
+    NkD = Nk * D
+    kvf = jnp.asarray(rng.standard_normal((2, NPg, ps, NkD)) * 0.4,
+                      jnp.bfloat16)
+    # int8 pool built by the write path itself (token rows + scales)
+    kv8 = jnp.zeros((2, NPg, ps, NkD + 128), jnp.int8)
+    rows_k = kvf[0].reshape(NPg * ps, Nk, D)
+    rows_v = kvf[1].reshape(NPg * ps, Nk, D)
+    kv8 = write_kv_pages(kv8, jnp.arange(NPg * ps), rows_k, rows_v)
+    assert kv8.shape == (2, NPg, ps, NkD + 128)
+
+    B = 4
+    kv_lens_l = [7, 97, 0, 64]
+    q = jnp.asarray(rng.standard_normal((B, Nq, D)), jnp.bfloat16)
+    kv_lens, page_indices, cu = _mk_batch(
+        rng, B, kv_lens_l, [1] * B, ps, MP, NPg)
+
+    out8 = paged_decode_attention_split(
+        q, kv8, kv_lens, page_indices, sm_scale=D ** -0.5,
+        chunk_pages=2, interpret=True)
+    ref8 = _jnp_paged_attention(q, kv8, kv_lens, page_indices, cu,
+                                jnp.int32(B), sm_scale=D ** -0.5)
+    reff = _jnp_paged_attention(q, kvf, kv_lens, page_indices, cu,
+                                jnp.int32(B), sm_scale=D ** -0.5)
+    nz = np.asarray(kv_lens) > 0
+    np.testing.assert_allclose(
+        np.asarray(out8, np.float32)[nz], np.asarray(ref8, np.float32)[nz],
+        rtol=3e-2, atol=3e-2)
+    # int8 vs bf16: quantization error only
+    np.testing.assert_allclose(
+        np.asarray(ref8, np.float32)[nz], np.asarray(reff, np.float32)[nz],
+        rtol=8e-2, atol=8e-2)
+
+    # extend over the same int8 pool
+    q_lens = [3, 17, 1, 9]
+    T = sum(q_lens)
+    qe = jnp.asarray(rng.standard_normal((T, Nq, D)), jnp.bfloat16)
+    kv_lens2, page_indices2, cu2 = _mk_batch(
+        rng, B, [39, 97, 5, 64], q_lens, ps, MP, NPg)
+    oute = ragged_extend_attention_split(
+        qe, kv8, kv_lens2, page_indices2, cu2, jnp.int32(B), None,
+        sm_scale=D ** -0.5, num_q_per_blk=16, kv_pages_per_blk=2,
+        interpret=True)
+    refe = _jnp_paged_attention(qe, kv8, kv_lens2, page_indices2, cu2,
+                                jnp.int32(B), sm_scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(oute, np.float32), np.asarray(refe, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+    # quantize/dequantize roundtrip error bound (po2 scale: <= 2/127 rel)
+    x = jnp.asarray(rng.standard_normal((32, NkD)) * 3, jnp.float32)
+    rows = quantize_kv_int8(x)
+    from iaas_sglang_tpu.ops.attention import dequantize_kv_int8
+    back = dequantize_kv_int8(rows, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    amax = np.abs(np.asarray(x)).max(axis=1, keepdims=True)
+    assert (err <= amax * 2.01 / 127).all()

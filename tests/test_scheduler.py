@@ -748,3 +748,35 @@ def test_streaming_chain_mixed_batch():
     for a, b in zip(outs_s, outs_1):
         assert a["output_ids"] == b["output_ids"]
     eng_s.scheduler.check_memory_leak()
+
+
+def test_int8_kv_cache_engine():
+    """--kv-cache-dtype int8 (r5, VERDICT #3): end-to-end generation on
+    the int8 split pool with inline per-token scales — deterministic,
+    chunked-prefill + decode both read/write the quantized pool, and the
+    page accounting stays leak-free. Output quality is locked by the
+    kernel-level exactness tests; here greedy decode must at least agree
+    with the bf16 engine on the first tokens of a short continuation."""
+    eng8 = make_engine(kv_cache_dtype="int8")
+    engf = make_engine()
+    prompts = [list(range(10, 50)), [7, 8] * 10]
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    outs8 = eng8.generate(input_ids=prompts, sampling_params=sp)
+    outsf = engf.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(outs8, outsf):
+        assert len(a["output_ids"]) == 6
+        # int8 KV is a quantization: demand agreement on the first
+        # couple of greedy tokens (divergence later is legitimate)
+        assert a["output_ids"][:2] == b["output_ids"][:2]
+    o1 = eng8.generate(input_ids=prompts[0], sampling_params=sp)
+    o2 = eng8.generate(input_ids=prompts[0], sampling_params=sp)
+    assert o1["output_ids"] == o2["output_ids"]
+    eng8.scheduler.check_memory_leak()
+
+
+def test_int8_kv_cache_gates():
+    """int8 KV requires the split layout on one tp shard."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        make_engine(kv_cache_dtype="int8", kv_layout="interleaved")
