@@ -781,9 +781,17 @@ class Scheduler:
     # ------------------------------------------------------------- running
 
     def _spec_eligible(self, batch: ScheduleBatch) -> bool:
+        # DP-attention composes (r5, VERDICT #5): the verify program's
+        # batch prep is rank-major like any extend and tree-verify runs
+        # per-rank inside the shard_map boundary; the EAGLE draft worker
+        # runs replicated over the mesh (its pool/programs carry no
+        # sharding annotations). Reference: eagle_worker.py:68 runs under
+        # dp_attention.py:61 deployments. Tree drafting (topk > 1) stays
+        # single-rank: accepted-row KV moves address one flat slot space.
         return (
             self.spec_algorithm in ("ngram", "eagle")
-            and self.attn_dp == 1
+            and (self.attn_dp == 1
+                 or self.server_args.speculative_eagle_topk <= 1)
             and self.model_config.mrope_section is None
             and batch.mode.is_decode()
             and all(

@@ -809,7 +809,10 @@ class ModelRunner:
             #                         deferred sample program (same step ids)
         if hid is not None:
             if hidden_tap == "verify":
-                hb.verify_hidden = np.asarray(hid)[:B]
+                hid_np = np.asarray(hid)
+                hb.verify_hidden = (hid_np[hb.row_of_req]
+                                    if hb.row_of_req is not None
+                                    else hid_np[:B])
             elif hidden_tap == "all":
                 hid_np = np.asarray(hid)
                 hb.all_hidden = (hid_np[hb.tok_of_req]
@@ -1148,6 +1151,12 @@ class ModelRunner:
         kv_lens = np.zeros((G, B_r), dtype=np.int32)
         cu = np.zeros((G, B_r + 1), dtype=np.int32)
         last_token_idx = np.zeros(G * B_r, dtype=np.int32)
+        # speculative verify under DP-attention (r5): per-row draft-token
+        # gather indices remap into the rank-major token layout
+        verify_idx_p = (np.zeros((G * B_r, hb.verify_k + 1), np.int32)
+                        if hb.verify_k > 0 else None)
+        tree_bits_p = (np.zeros((G * B_r, 32), np.int32)
+                       if hb.tree_bits is not None else None)
         row_of_req = np.zeros(B, dtype=np.int64)
         tok_of_req = np.zeros(int(q_lens.sum()), dtype=np.int64)
         lp_targets_p = (np.zeros(G * T_r, dtype=np.int32)
@@ -1177,6 +1186,11 @@ class ModelRunner:
             kv_lens[r, j] = hb.seq_lens[i]
             cu[r, j + 1] = t0 + ql
             last_token_idx[r * B_r + j] = dst0 + ql - 1
+            if verify_idx_p is not None:
+                verify_idx_p[r * B_r + j] = (
+                    dst0 + hb.verify_idx[i] - int(cu_req[i]))
+            if tree_bits_p is not None:
+                tree_bits_p[r * B_r + j] = hb.tree_bits[i]
         for r in range(G):
             n = int(counts[r])
             cu[r, n + 1 :] = cu[r, n]
@@ -1194,6 +1208,10 @@ class ModelRunner:
         fb = ForwardBatch(
             mm_embeds=mm_embeds,
             mm_positions=mm_positions,
+            verify_idx=(jnp.asarray(verify_idx_p)
+                        if verify_idx_p is not None else None),
+            tree_bits=(jnp.asarray(tree_bits_p)
+                       if tree_bits_p is not None else None),
             lp_targets=jnp.asarray(lp_targets_p)
             if lp_targets_p is not None else None,
             input_ids=jnp.asarray(input_ids)
@@ -1224,9 +1242,9 @@ class ModelRunner:
 
     def _pad_to_device(self, hb: HostBatch):
         if self.attn_dp > 1:
-            assert hb.verify_k == 0 and hb.lora_ids is None \
-                and hb.mrope_positions is None, \
-                "speculative verify / LoRA / MRope not supported with " \
+            assert hb.lora_ids is None and hb.mrope_positions is None \
+                and hb.move_src is None, \
+                "LoRA / MRope / tree-KV-moves not supported with " \
                 "DP attention"
             return self._pad_to_device_dp(hb)
         ps = self.page_size

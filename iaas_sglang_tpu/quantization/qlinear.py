@@ -306,8 +306,14 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
             lead = x.shape[:-1]
             x2 = x.reshape(-1, inn)
             if (qw.act_quant and qw.q.dtype == jnp.int8
-                    and x2.shape[0] <= W4A8_MAX_T):
-                # W8A8 decode: int8 activations + native int8 MXU dots
+                    and x2.shape[0] > W4A8_MAX_T):
+                # W8A8 hybrid (r5, VERDICT #8): int8 MXU dots at PREFILL
+                # T, where the MXU's 2x int8 throughput pays (prefill is
+                # compute-bound); decode keeps the W8A16 dequant chain —
+                # the r4 A/B showed the [T=32, K] int dot MXU-latency-
+                # bound there (2097 vs 2335 tok/s e2e). Activation quant
+                # only wins when it feeds wider dots or deletes a
+                # convert, never per se (CLAUDE r4 lesson 5).
                 xq, xs, _rs = quantize_act_int8(x2, group)
                 y = q_matmul_dma_stacked_a8(
                     xq, xs, _rs, qw.q, s, None, w.idx, group=group,

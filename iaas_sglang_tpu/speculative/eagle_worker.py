@@ -257,12 +257,20 @@ class EagleWorker:
 
     def _run(self, tokens, feats, positions, out_slots,
              page_indices, kv_lens, cu_q_lens, B):
+        # on a multi-device mesh (tp / dp-attention) the target embed +
+        # lm_head args are mesh-committed; host batch metadata must be
+        # committed replicated too or lower() sees mixed device sets
+        if self.mesh_ctx.tp_size * self.mesh_ctx.dp_size > 1:
+            rep = self.mesh_ctx.replicated
+            put = lambda x: jax.device_put(jnp.asarray(x), rep)
+        else:
+            put = jnp.asarray
         args = (self.params, self.runner.params["embed"],
                 self.runner.params.get("lm_head"), self.kv_pages,
-                jnp.asarray(tokens), jnp.asarray(feats),
-                jnp.asarray(positions), jnp.asarray(out_slots),
-                jnp.asarray(page_indices), jnp.asarray(kv_lens),
-                jnp.asarray(cu_q_lens), jnp.asarray(B, dtype=jnp.int32))
+                put(tokens), put(feats),
+                put(positions), put(out_slots),
+                put(page_indices), put(kv_lens),
+                put(cu_q_lens), put(jnp.asarray(B, dtype=jnp.int32)))
         key = str(jax.tree.map(
             lambda x: (x.shape, str(x.dtype)) if hasattr(x, "shape") else x,
             args))
