@@ -544,9 +544,7 @@ class Scheduler:
         """start/stop/dump expert-distribution recording (reference
         /start_expert_distribution_record endpoints; scheduler samples a
         device-side capture every few MoE batches while recording)."""
-        if not self.model_config.is_moe or self.server_args.pp_size > 1:
-            # PP still gated: the capture tap would need per-stage
-            # programs + cross-stage count reduction
+        if not self.model_config.is_moe:
             return ExpertDistributionReqOutput(
                 success=False, counts=None)
         if m.action == "start":

@@ -1628,52 +1628,10 @@ class ModelRunner:
                     break
             if grp is None:
                 return False, "model has no relocatable expert stacks"
-            Lm = jax.tree.leaves(grp["we_gate"])[0].shape[0]
-            if p2l.shape[0] != Lm:
-                return False, (f"map has {p2l.shape[0]} layers, "
-                               f"model has {Lm} MoE layers")
-            # compose with the current physical layout (re-application)
-            cur = grp.get("expert_phys_map")
-            if cur is not None:
-                cur = np.asarray(cur)
-                idx = np.zeros_like(p2l)
-                for l in range(Lm):
-                    first = {}
-                    for slot, e in enumerate(cur[l]):
-                        first.setdefault(int(e), slot)
-                    idx[l] = [first[int(e)] for e in p2l[l]]
-            else:
-                idx = p2l
-            counts = np.zeros_like(p2l, np.float32)
-            for l in range(Lm):
-                bc = np.bincount(p2l[l], minlength=p2l[l].max() + 1)
-                counts[l] = bc[p2l[l]]
-            scale = (1.0 / counts).astype(np.float32)
-
-            idx_j = jnp.asarray(idx)
-            stacks = {k: grp[k] for k in ("we_gate", "we_up", "we_down")}
-
-            def gather(tree):
-                return jax.tree.map(
-                    lambda a: jax.vmap(lambda x, i: x[i])(a, idx_j), tree)
-
-            fn = jax.jit(gather)
-            with self.mesh_ctx.mesh:
-                exe = fn.lower(jax.tree.map(
-                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
-                                                   sharding=a.sharding),
-                    stacks)).compile()
-                new_stacks = exe(stacks)
-            for k, v in new_stacks.items():
-                grp[k] = v
-            grp["expert_phys_map"] = jax.device_put(
-                jnp.asarray(p2l), self.mesh_ctx.sharding(None, None))
-            grp["expert_phys_scale"] = jax.device_put(
-                jnp.asarray(scale), self.mesh_ctx.sharding(None, None))
-            self._compiled.clear()   # param shapes changed
-            n_rep = int((counts > 1).sum())
-            return True, (f"relocated {p2l.shape[1]} physical slots over "
-                          f"{Lm} layers ({n_rep} replicated entries)")
+            ok, msg = relocate_expert_group(grp, p2l, self.mesh_ctx)
+            if ok:
+                self._compiled.clear()   # param shapes changed
+            return ok, msg
         except Exception as e:  # noqa: BLE001
             return False, repr(e)
 
@@ -2016,3 +1974,58 @@ class ModelRunner:
 
     def flush_kv(self) -> None:
         self.kv_pages = jax.tree.map(jnp.zeros_like, self.kv_pages)
+
+
+def relocate_expert_group(grp: dict, p2l: np.ndarray, mesh_ctx
+                          ) -> tuple[bool, str]:
+    """Rebuild one expert-stack group ([Lm, E, ...] we_gate/up/down) as
+    physical slots per the [Lm, P] physical->logical map; shared by the
+    single-runner and the per-stage PP relocation."""
+    import jax
+    import jax.numpy as jnp
+
+    Lm = jax.tree.leaves(grp["we_gate"])[0].shape[0]
+    if p2l.shape[0] != Lm:
+        return False, (f"map has {p2l.shape[0]} layers, "
+                       f"group has {Lm} MoE layers")
+    # compose with the current physical layout (re-application)
+    cur = grp.get("expert_phys_map")
+    if cur is not None:
+        cur = np.asarray(cur)
+        idx = np.zeros_like(p2l)
+        for l in range(Lm):
+            first = {}
+            for slot, e in enumerate(cur[l]):
+                first.setdefault(int(e), slot)
+            idx[l] = [first[int(e)] for e in p2l[l]]
+    else:
+        idx = p2l
+    counts = np.zeros_like(p2l, np.float32)
+    for l in range(Lm):
+        bc = np.bincount(p2l[l], minlength=p2l[l].max() + 1)
+        counts[l] = bc[p2l[l]]
+    scale = (1.0 / counts).astype(np.float32)
+
+    idx_j = jnp.asarray(idx)
+    stacks = {k: grp[k] for k in ("we_gate", "we_up", "we_down")}
+
+    def gather(tree):
+        return jax.tree.map(
+            lambda a: jax.vmap(lambda x, i: x[i])(a, idx_j), tree)
+
+    fn = jax.jit(gather)
+    with mesh_ctx.mesh:
+        exe = fn.lower(jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=a.sharding),
+            stacks)).compile()
+        new_stacks = exe(stacks)
+    for k, v in new_stacks.items():
+        grp[k] = v
+    grp["expert_phys_map"] = jax.device_put(
+        jnp.asarray(p2l), mesh_ctx.sharding(None, None))
+    grp["expert_phys_scale"] = jax.device_put(
+        jnp.asarray(scale), mesh_ctx.sharding(None, None))
+    n_rep = int((counts > 1).sum())
+    return True, (f"relocated {p2l.shape[1]} physical slots over "
+                  f"{Lm} layers ({n_rep} replicated entries)")

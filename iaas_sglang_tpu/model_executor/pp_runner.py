@@ -286,6 +286,83 @@ class PPModelRunner(ModelRunner):
             return None
         return self.fetch_tokens(hb)
 
+    # --------------------------------------------------------------- EPLB
+
+    def run_expert_capture(self, hb: HostBatch) -> np.ndarray:
+        """Expert-distribution capture under PP (r5, VERDICT #7): each
+        stage re-runs its layer slice with the tap enabled (non-donating,
+        idempotent KV rewrite) and the per-stage [L_s, E] counts
+        concatenate to the full [L, E] histogram — the reference's
+        gatherers are PP-agnostic (eplb/expert_distribution.py:40)."""
+        assert self.model_config.is_moe, "expert capture needs a MoE model"
+        fb, _meta, _B = self._pad_to_device(hb)
+        attn_mode = "decode" if hb.mode.is_decode() else "extend"
+        Ls, S = self.layers_per_stage, self.pp_size
+        if not hasattr(self, "_cap_fn"):
+            model = self.model
+            attn_backend = self.attn_backend
+            scan_layers = self.server_args.scan_layers
+
+            def cap(params, kv, fb, h_in, attn_mode: str, offset: int,
+                    is_first: bool):
+                h, _kv, counts = model.forward(
+                    params, fb, kv, attn_backend=attn_backend,
+                    attn_mode=attn_mode, scan_layers=scan_layers,
+                    hidden_in=None if is_first else h_in,
+                    layer_offset=offset, apply_final_norm=False,
+                    capture_experts=True)
+                return h, counts
+
+            self._cap_fn = jax.jit(cap, static_argnums=(4, 5, 6))
+        h = jnp.zeros((fb.positions.shape[0], self.model_config.hidden_size),
+                      jnp.bfloat16 if self.model_config.dtype == "bfloat16"
+                      else jnp.float32)
+        out = []
+        for st in range(S):
+            rep = self.stage_meshes[st].replicated
+            fb_s = jax.device_put(fb, rep)
+            h = jax.device_put(h, rep)
+            with self.stage_meshes[st].mesh:
+                h, counts = self._cap_fn(
+                    self.stage_params[st], self.stage_kv[st], fb_s, h,
+                    attn_mode, st * Ls, st == 0)
+            out.append(np.asarray(counts))
+        return np.concatenate(out, axis=0)   # i32[L, E]
+
+    def apply_expert_locations(self, physical_to_logical) -> tuple:
+        """EPLB live relocation per PP stage: the [Lm, P] map splits by
+        the stages' MoE layer slices; each stage's expert stacks rebuild
+        on its own sub-mesh. Uniform-MoE stacks only (mixed dense/MoE
+        grouping puts 'moe' rows in slot order, which a stage slice
+        cannot address without the slot map)."""
+        from iaas_sglang_tpu.model_executor.model_runner import (
+            relocate_expert_group,
+        )
+
+        try:
+            p2l = np.asarray(physical_to_logical, np.int32)
+            Ls, S = self.layers_per_stage, self.pp_size
+            if p2l.shape[0] != Ls * S:
+                return False, (f"map has {p2l.shape[0]} layers; uniform-"
+                               f"MoE PP relocation needs {Ls * S}")
+            done = 0
+            for st in range(S):
+                grp = self.stage_params[st].get("layers")
+                if not isinstance(grp, dict) or "we_gate" not in grp:
+                    return False, f"stage {st} has no expert stacks"
+                ok, msg = relocate_expert_group(
+                    grp, p2l[st * Ls:(st + 1) * Ls], self.stage_meshes[st])
+                if not ok:
+                    return False, f"stage {st}: {msg}"
+                done += 1
+            self._compiled.clear()
+            if hasattr(self, "_cap_fn"):
+                del self._cap_fn   # param shapes changed
+            return True, (f"relocated {p2l.shape[1]} physical slots over "
+                          f"{S} stages")
+        except Exception as e:  # noqa: BLE001
+            return False, repr(e)
+
     # ------------------------------------------------------- compat stubs
 
     def flush_kv(self) -> None:

@@ -139,3 +139,51 @@ def test_eplb_live_relocation_greedy_parity():
     again = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
     assert again == before
     eng.shutdown()
+
+
+def test_eplb_capture_and_rebalance_under_pp():
+    """EPLB composes with pipeline parallelism (r5, VERDICT #7): the
+    capture tap re-runs per STAGE (counts concatenate across stage layer
+    slices) and live relocation rebuilds each stage's expert stacks on
+    its own sub-mesh — greedy outputs identical before/after."""
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.managers.io_struct import ExpertDistributionReq
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    hf = dict(architectures=["MixtralForCausalLM"], model_type="mixtral",
+              num_hidden_layers=2, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+              rms_norm_eps=1e-6, rope_theta=10000.0,
+              max_position_embeddings=512, tie_word_embeddings=False,
+              num_local_experts=4, num_experts_per_tok=2)
+    eng = Engine(ServerArgs(
+        model_path="dummy://moe", load_format="dummy", dtype="float32",
+        page_size=4, max_total_tokens=4096, skip_tokenizer_init=True,
+        chunked_prefill_size=32, random_seed=0,
+        pp_size=2, tp_size=2), hf_config_override=hf)
+    eng.scheduler.expert_capture_interval = 1
+    ids = list(range(3, 30))
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    out = eng.scheduler.process_input(ExpertDistributionReq("start"))
+    assert out.success, "capture must not be gated under PP anymore"
+    before = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    stop = eng.scheduler.process_input(ExpertDistributionReq("stop"))
+    assert stop.success
+    counts = stop.counts
+    assert counts.shape == (2, 4)          # both stages' layers present
+    assert counts[0].sum() > 0 and counts[1].sum() > 0, \
+        "every stage's layer slice must contribute counts"
+    assert counts.sum() % 2 == 0           # top-2 routing
+
+    # live relocation per stage + greedy parity
+    eng.scheduler.process_input(ExpertDistributionReq("start"))
+    eng.generate(input_ids=ids, sampling_params=sp)
+    eng.scheduler.process_input(ExpertDistributionReq("stop"))
+    ok, msg, score = eng.eplb_rebalance(num_redundant_experts=2)
+    assert ok, msg
+    layers0 = eng.scheduler.model_runner.stage_params[0]["layers"]
+    assert layers0["we_gate"].shape[1] == 6    # 4 logical + 2 replicas
+    eng.flush_cache()
+    after = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+    assert after == before
+    eng.shutdown()
