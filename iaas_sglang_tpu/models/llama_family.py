@@ -711,6 +711,134 @@ class LlamaFamilyForCausalLM:
         out["layers"] = new_lp
         return out
 
+    # ----------------------------------------------- fused decode (r5)
+
+    def _fused_decode_mode(self, fb, quant_stacked, layer_params,
+                           attn_mode, kv_split, dp_attn, ds,
+                           lora_onehot, capture_experts, aux_capture,
+                           hidden_in):
+        """Pick the fused whole-layer megakernel mode for this decode
+        step, or None for the scan path (ops/fused_layer.py — one
+        persistent weight+KV DMA pipeline across all layers). Env:
+        IAAS_FUSED_LAYER=0 disables; =interp forces the interpret-mode
+        kernel (CPU parity tests)."""
+        import os
+
+        env = os.environ.get("IAAS_FUSED_LAYER", "1")
+        if env == "0" or not getattr(self, "enable_fused_layer", True):
+            return None
+        interp = env == "interp"
+        if not interp:
+            from iaas_sglang_tpu.quantization.qlinear import _INT4_IMPL
+
+            if _INT4_IMPL != "pallas":   # only on the real TPU path
+                return None
+        c = self.config
+        if not (attn_mode == "decode" and kv_split and not dp_attn
+                and not ds and lora_onehot is None and not capture_experts
+                and aux_capture is None and hidden_in is None):
+            return None
+        if (fb.tree_bits is not None or fb.mm_embeds is not None
+                or fb.mrope_positions is not None):
+            return None
+        T = fb.positions.shape[0]
+        if fb.kv_lens.ndim != 1 or T != fb.kv_lens.shape[0]:
+            return None
+        if not (c.input_norms and not c.sandwich_norms
+                and not c.parallel_residual and c.norm_type != "layernorm"
+                and c.rms_weight_offset == 0
+                and not c.attention_bias and not c.o_bias and not c.mlp_bias
+                and not c.clip_qkv and not c.qk_norm and not c.qk_norm_post
+                and not c.qk_norm_full and not c.qk_l2_norm
+                and c.attn_temp_scale is None
+                and c.use_rope and c.mrope_section is None
+                and not c.rope_interleaved
+                and self.rotary_dim == c.head_dim
+                and self.rope_layer_mask is None
+                and self.layer_windows is None
+                and self.inv_freq_local is None
+                and not c.sliding_window and not c.attn_logit_softcap
+                and c.mlp_gated and c.hidden_act == "silu"
+                and not c.is_moe and self.is_moe_layer is None
+                and c.residual_multiplier == 1.0
+                and c.embed_multiplier == 1.0
+                and not c.learned_pos_embed
+                and c.head_dim == 128):
+            return None
+        if ("input_norm" not in layer_params
+                or "post_norm" not in layer_params):
+            return None
+        from iaas_sglang_tpu.quantization.qlinear import (
+            _W4A8, QuantizedWeight)
+
+        ws = [quant_stacked.get(k) for k in
+              ("wqkv_fused", "wo", "w_gateup_fused", "w_down")]
+        if not all(isinstance(w_, QuantizedWeight) for w_ in ws):
+            return None
+        if any(w_.zero_scale is not None or w_.block for w_ in ws):
+            return None
+        packed = {w_.packed for w_ in ws}
+        if len(packed) != 1:
+            return None
+        int4 = packed.pop()
+        if not int4 and any(w_.q.dtype != jnp.int8 for w_ in ws):
+            return None
+        for w_ in ws:
+            K = w_.q.shape[1] * (2 if int4 else 1)
+            if w_.scale.shape[1] * 128 != K:
+                return None   # needs group-128 scales
+            if not interp and (K % 2048 or w_.q.shape[2] % 1024):
+                return None   # ring-slot alignment (tiny models: interp)
+        mode = ("w4a8" if int4 and T <= 64 and _W4A8
+                else "w4a16" if int4 else "w8a16")
+        return (mode, interp)
+
+    def _fused_forward(self, fused_mode, hidden, fb, kv_pages,
+                       quant_stacked, layer_params, pages_per_layer, ps):
+        """Run all decoder layers through the fused megakernel and land
+        every layer's new K/V in the pool with ONE scatter."""
+        from iaas_sglang_tpu.ops.attention import quantize_kv_int8
+        from iaas_sglang_tpu.ops.fused_layer import fused_decode_layers
+
+        mode, interp = fused_mode
+        c = self.config
+        T = fb.positions.shape[0]
+        NkD = c.num_kv_heads * c.head_dim
+        freqs = (fb.positions.astype(jnp.float32)[:, None]
+                 * self.inv_freq[None, :])
+        cos = jnp.cos(freqs) * self.rope_attn_factor
+        sin = jnp.sin(freqs) * self.rope_attn_factor
+        qkv, o, gu, dn = (quant_stacked[k] for k in
+                          ("wqkv_fused", "wo", "w_gateup_fused", "w_down"))
+        hidden, k_out, v_out = fused_decode_layers(
+            hidden.astype(jnp.bfloat16), cos, sin, fb.kv_lens,
+            fb.page_indices, kv_pages,
+            layer_params["input_norm"], layer_params["post_norm"],
+            qkv.q, qkv.scale, o.q, o.scale, gu.q, gu.scale,
+            dn.q, dn.scale,
+            num_q_heads=c.num_heads, num_kv_heads=c.num_kv_heads,
+            head_dim=c.head_dim, mode=mode, sm_scale=float(self.sm_scale),
+            eps=c.rms_norm_eps, pages_per_layer=pages_per_layer,
+            interpret=interp)
+        # one scatter for ALL layers' new K/V (vs L in-layer scatters)
+        L = k_out.shape[0]
+        _, NP, ps2, LD = kv_pages.shape
+        flat = kv_pages.reshape(2 * NP * ps2, LD)
+        slots = (fb.out_slots[None, :]
+                 + (jnp.arange(L, dtype=jnp.int32)
+                    * (pages_per_layer * ps))[:, None]).reshape(-1)
+        k_rows = k_out.reshape(L * T, NkD)
+        v_rows = v_out.reshape(L * T, NkD)
+        if kv_pages.dtype == jnp.int8:
+            k_rows = quantize_kv_int8(k_rows)
+            v_rows = quantize_kv_int8(v_rows)
+        else:
+            k_rows = k_rows.astype(kv_pages.dtype)
+            v_rows = v_rows.astype(kv_pages.dtype)
+        flat = flat.at[slots].set(k_rows)
+        flat = flat.at[NP * ps2 + slots].set(v_rows)
+        return hidden, flat.reshape(2, NP, ps2, LD)
+
     # ------------------------------------------------------------- forward
 
     def forward(
@@ -1210,6 +1338,16 @@ class LlamaFamilyForCausalLM:
             for k in list(layer_params):
                 if isinstance(layer_params[k], QuantizedWeight):
                     quant_stacked[k] = layer_params.pop(k)
+        fused_mode = self._fused_decode_mode(
+            fb, quant_stacked, layer_params, attn_mode, kv_split, dp_attn,
+            ds, lora_onehot, capture_experts, aux_capture, hidden_in)
+        if fused_mode is not None:
+            hidden, kv_pages = self._fused_forward(
+                fused_mode, hidden, fb, kv_pages, quant_stacked,
+                layer_params, pages_per_layer, ps)
+            if apply_final_norm:
+                hidden = norm_fn(hidden, params, "final_norm")
+            return hidden, kv_pages
         layer_ids = jnp.arange(L, dtype=jnp.int32)
         global_ids = layer_ids + layer_offset
         aux = None

@@ -414,8 +414,9 @@ def _fused_kernel(
             quantize_a8(H)
 
     # ===================================================== layer program
-    # 1. input norm
-    rmsnorm_to_h(hidden_out_ref[...], norm1_ref[l])
+    # 1. input norm (norm refs arrive as per-layer (1, H) blocks — a
+    # traced-sublane read of the [L, H] stack cannot prove 8-alignment)
+    rmsnorm_to_h(hidden_out_ref[...], norm1_ref[0])
 
     # 2. qkv GEMM
     gemm(P_QKV, store_stg)
@@ -587,7 +588,7 @@ def _fused_kernel(
     gemm(P_O, store_resid)
 
     # 7. post-attention norm
-    rmsnorm_to_h(hidden_out_ref[...], norm2_ref[l])
+    rmsnorm_to_h(hidden_out_ref[...], norm2_ref[0])
 
     # 8. gate/up GEMM
     gemm(P_GU, store_stg)
@@ -705,17 +706,17 @@ def fused_decode_layers(
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
             pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
             pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
-            pl.BlockSpec((L, H), lambda li, *_: (0, 0)),
-            pl.BlockSpec((L, H), lambda li, *_: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # qkv_q
-            pl.BlockSpec(memory_space=pltpu.ANY),   # qkv_s
-            pl.BlockSpec(memory_space=pltpu.ANY),   # o_q
-            pl.BlockSpec(memory_space=pltpu.ANY),   # o_s
-            pl.BlockSpec(memory_space=pltpu.ANY),   # gu_q
-            pl.BlockSpec(memory_space=pltpu.ANY),   # gu_s
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dn_q
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dn_s
-            pl.BlockSpec(memory_space=pltpu.ANY),   # kv_pages
+            pl.BlockSpec((1, H), lambda li, *_: (li, 0)),
+            pl.BlockSpec((1, H), lambda li, *_: (li, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # qkv_q
+            pl.BlockSpec(memory_space=pl.ANY),   # qkv_s
+            pl.BlockSpec(memory_space=pl.ANY),   # o_q
+            pl.BlockSpec(memory_space=pl.ANY),   # o_s
+            pl.BlockSpec(memory_space=pl.ANY),   # gu_q
+            pl.BlockSpec(memory_space=pl.ANY),   # gu_s
+            pl.BlockSpec(memory_space=pl.ANY),   # dn_q
+            pl.BlockSpec(memory_space=pl.ANY),   # dn_s
+            pl.BlockSpec(memory_space=pl.ANY),   # kv_pages
         ],
         out_specs=[
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),

@@ -70,8 +70,12 @@ def main():
     sinf = jnp.ones((B, D // 2), jnp.float32) * 0.7
 
     def run_n(n):
+        # weights MUST be jit ARGUMENTS: closed-over device arrays bake
+        # into the program as constants (3.7 GB captured, pathological
+        # lowering + remote-compile memory — the r3 zero-arg-jit lesson)
         @jax.jit
-        def prog(hid, kv):
+        def prog(hid, kv, qkv, o, gu, dn, n1, n2, cosf, sinf,
+                 kv_lens, page_indices):
             def body(h, _):
                 h2, ko, vo = fused_decode_layers(
                     h, cosf, sinf, kv_lens, page_indices, kv, n1, n2,
@@ -85,17 +89,19 @@ def main():
             h, _ = jax.lax.scan(body, hid, None, length=n)
             return jnp.sum(h.astype(jnp.float32))
 
+        args = (hid, kv, qkv, o, gu, dn, n1, n2, cosf, sinf,
+                kv_lens, page_indices)
         t0 = time.monotonic()
-        r = float(prog(hid, kv))
+        r = float(prog(*args))
         compile_s = time.monotonic() - t0
         ts = []
         for _ in range(4):
             t0 = time.monotonic()
-            r = float(prog(hid, kv))
+            r = float(prog(*args))
             ts.append(time.monotonic() - t0)
         return min(ts), compile_s, r
 
-    N1, N2 = 2, 10
+    N1, N2 = int(os.environ.get('N1','2')), int(os.environ.get('N2','10'))
     t1, c1, r1 = run_n(N1)
     print(f"N={N1}: wall {t1 * 1e3:.2f} ms (compile {c1:.0f}s, r={r1:.3f})")
     t2, c2, r2 = run_n(N2)
