@@ -416,7 +416,7 @@ def _fused_kernel(
     # ===================================================== layer program
     # 1. input norm (norm refs arrive as per-layer (1, H) blocks — a
     # traced-sublane read of the [L, H] stack cannot prove 8-alignment)
-    rmsnorm_to_h(hidden_out_ref[...], norm1_ref[0])
+    rmsnorm_to_h(hidden_out_ref[...], norm1_ref[0, 0])
 
     # 2. qkv GEMM
     gemm(P_QKV, store_stg)
@@ -588,7 +588,7 @@ def _fused_kernel(
     gemm(P_O, store_resid)
 
     # 7. post-attention norm
-    rmsnorm_to_h(hidden_out_ref[...], norm2_ref[0])
+    rmsnorm_to_h(hidden_out_ref[...], norm2_ref[0, 0])
 
     # 8. gate/up GEMM
     gemm(P_GU, store_stg)
@@ -609,7 +609,8 @@ def _fused_kernel(
     jax.jit,
     static_argnames=("num_q_heads", "num_kv_heads", "head_dim", "mode",
                      "sm_scale", "eps", "pages_per_layer", "head_group",
-                     "nw", "nkv", "chunk_pages", "interpret", "debug_attn"))
+                     "nw", "nkv", "block_k", "block_n", "chunk_pages",
+                     "interpret", "debug_attn"))
 def fused_decode_layers(
     hidden_in: jnp.ndarray,      # [T, H] bf16
     cos: jnp.ndarray,            # [T, D/2] f32
@@ -631,6 +632,12 @@ def fused_decode_layers(
     head_group: int = 4,
     nw: int = 0,                 # 0 = mode default
     nkv: int = 4,
+    block_k: int = 2048,
+    # BN=2048 halves the dot count per K-chunk: the T=32-row dots are
+    # MXU-latency-bound, so fewer/wider wins (r5 sweep: w4a8 5.91 ms vs
+    # 6.98 at BN=1024; w8a16 10.8 vs 25.1 — the f32 dequant chain
+    # degrades catastrophically at BN=1024 in-kernel)
+    block_n: int = 2048,
     chunk_pages: int = 16,
     interpret: bool = False,
     debug_attn: bool = False,
@@ -650,9 +657,9 @@ def fused_decode_layers(
     int4 = mode in ("w4a8", "w4a16")
     I = dn_q.shape[1] * 2 if int4 else dn_q.shape[1]
 
-    geos, cpl, spl = _build_geos(H, NqD, NkD, I, 2048, 1024)
+    geos, cpl, spl = _build_geos(H, NqD, NkD, I, block_k, block_n)
     if nw == 0:
-        nw = 32 if int4 else 20
+        nw = 16 if int4 else 10   # ~32/40 MB weight ring (r5 sweep)
     ns = _ns_needed(geos, cpl, nw)
     BKmax = max(g.BK for g in geos)
     WR = BKmax // 2 if int4 else BKmax
@@ -706,8 +713,11 @@ def fused_decode_layers(
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
             pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
             pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
-            pl.BlockSpec((1, H), lambda li, *_: (li, 0)),
-            pl.BlockSpec((1, H), lambda li, *_: (li, 0)),
+            # [L, 1, H] with (1, 1, H) blocks: a (1, H) block of [L, H]
+            # violates the (8, 128)-divisible block rule; a middle
+            # singleton matching the array dim is allowed
+            pl.BlockSpec((1, 1, H), lambda li, *_: (li, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda li, *_: (li, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),   # qkv_q
             pl.BlockSpec(memory_space=pl.ANY),   # qkv_s
             pl.BlockSpec(memory_space=pl.ANY),   # o_q
@@ -738,5 +748,6 @@ def fused_decode_layers(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(kv_lens, page_indices, hidden_in, cos, sin, norm1, norm2,
+    )(kv_lens, page_indices, hidden_in, cos, sin,
+      norm1.reshape(L, 1, H), norm2.reshape(L, 1, H),
       qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages)

@@ -83,7 +83,12 @@ def main():
                     dn[0], dn[1],
                     num_q_heads=Nq, num_kv_heads=Nk, head_dim=D,
                     mode=MODE, sm_scale=D ** -0.5, eps=1e-5,
-                    pages_per_layer=PPL)
+                    pages_per_layer=PPL,
+                    nw=int(os.environ.get("FNW", "0")),
+                    nkv=int(os.environ.get("FNKV", "4")),
+                    block_k=int(os.environ.get("FBK", "2048")),
+                    block_n=int(os.environ.get("FBN", "1024")),
+                    head_group=int(os.environ.get("FHG", "4")))
                 # keep k/v alive (cheap reduce) so nothing is DCE'd
                 return (h2 + ko[0, :, :1] * 0 + vo[0, :, :1] * 0), 0
             h, _ = jax.lax.scan(body, hid, None, length=n)
