@@ -631,7 +631,11 @@ def fused_decode_layers(
     pages_per_layer: int,
     head_group: int = 4,
     nw: int = 0,                 # 0 = mode default
-    nkv: int = 4,
+    # KV-chunk prefetch ring: depth 5 (nkv-1) across sequences AND layers
+    # — the same-session sweep put nkv=6 at 5.83 ms vs nkv=4's 6.29 on
+    # the 32L stack (KV latency, not bandwidth, gates the attention
+    # phase at ctx 192)
+    nkv: int = 6,
     block_k: int = 2048,
     # BN=2048 halves the dot count per K-chunk: the T=32-row dots are
     # MXU-latency-bound, so fewer/wider wins (r5 sweep: w4a8 5.91 ms vs
