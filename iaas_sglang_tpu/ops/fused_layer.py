@@ -106,6 +106,7 @@ def _fused_kernel(
     # scalar prefetch
     kv_lens_ref,        # i32[B] (INCLUDING the current token)
     page_indices_ref,   # i32[B, MP] per-layer-local page ids
+    out_slots_ref,      # i32[B] layer-LOCAL pool slot of the new token
     # VMEM inputs
     hidden_in_ref,      # [T, H] bf16
     cos_ref, sin_ref,   # [T, D/2] f32 (attn_factor folded in)
@@ -118,10 +119,17 @@ def _fused_kernel(
     hidden_out_ref,     # [T, H] bf16 (doubles as the residual carry)
     k_out_ref,          # [1, T, NkD] block (by layer)
     v_out_ref,          # [1, T, NkD] block
+    kv_out,             # [2, NP, ps, LD] (ANY) — ALIASED to kv_hbm: the
+    #                     new token's rows DMA straight into the pool
+    #                     (an XLA scatter on the 1.6 GB pool measured
+    #                     ~1.5 ms/step — r5 glue attribution)
     # scratch
     wbuf, wsem,         # [NW, WR, BN] int8, DMA[NW]
     sbuf, ssem,         # [NS, SRmax, BN] f32, DMA[NS]
     kvbuf, kvsem,       # [NKV, 2, CP, ps, NkD], DMA[NKV, 2, CP]
+    kvw_sem,            # DMA (2, B) — per-row pool writebacks
+    kvw_scr,            # [2, B, LD] pool-dtype write rows (int8: holds
+    #                     the quantized rows; bf16: aliases k/v staging)
     pipe,               # i32[8] SMEM
     h_scr,              # [T, Kmax] bf16 (GEMM x staging, reused)
     stg,                # [T, Nmax] bf16 (GEMM output staging)
@@ -436,6 +444,61 @@ def _fused_kernel(
     k_out_ref[0] = k3[...].reshape(T, NkD)
     v_out_ref[0] = stg[:, pl.ds(NqD + NkD, NkD)]
 
+    # 3b. pool write-back: DMA the new token's K/V rows into the pool
+    # (aliased in/out). int8 pools quantize here (inline po2 scales,
+    # matching ops/attention.quantize_kv_int8 exactly).
+    int8_kv = kv_hbm.dtype == jnp.int8
+    LD = kv_out.shape[-1]
+
+    def q_rows(rows):     # [T, NkD] f32 -> int8 row block + exponents
+        amax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+        e = jnp.clip(
+            jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-30) / 127.0)), -62, 61)
+        qq = jnp.clip(jnp.round(rows * jnp.exp2(-e)),
+                      -127, 127).astype(jnp.int8)
+        return qq, e
+
+    if int8_kv:
+        kq, ke = q_rows(k3[...].reshape(T, NkD).astype(jnp.float32))
+        vq, ve = q_rows(
+            stg[:, pl.ds(NqD + NkD, NkD)].astype(jnp.float32))
+        kvw_scr[0, :, pl.ds(0, NkD)] = kq
+        kvw_scr[1, :, pl.ds(0, NkD)] = vq
+        kvw_scr[0, :, pl.ds(NkD, 128)] = jnp.broadcast_to(
+            ke.astype(jnp.int8), (T, 128))
+        kvw_scr[1, :, pl.ds(NkD, 128)] = jnp.broadcast_to(
+            ve.astype(jnp.int8), (T, 128))
+    else:
+        kvw_scr[0] = k3[...].reshape(T, NkD).astype(kvw_scr.dtype)
+        kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].astype(kvw_scr.dtype)
+
+    def w_row(e, s2):
+        return pltpu.make_async_copy(
+            kvw_scr.at[e, s2],
+            kv_out.at[e, l * ppl + out_slots_ref[s2] // ps,
+                      jax.lax.rem(out_slots_ref[s2], ps)],
+            kvw_sem.at[e, s2],
+        )
+
+    def wait_writes():
+        def wb(s2, _):
+            for e in range(2):
+                w_row(e, s2).wait()
+            return 0
+        jax.lax.fori_loop(0, B, wb, 0)
+
+    if not debug_attn:
+        @pl.when(l > 0)
+        def _wait_prev_writes():
+            wait_writes()   # sem slots reused each layer
+
+        def issue_writes(s2, _):
+            for e in range(2):
+                w_row(e, s2).start()
+            return 0
+
+        jax.lax.fori_loop(0, B, issue_writes, 0)
+
     # 4. paged attention over HBM (positions < kv_len-1), per sequence
     HG = min(head_group, Nk)
     ng = Nk // HG
@@ -544,7 +607,6 @@ def _fused_kernel(
     # live in k3 / v_out_ref; under int8 pools the merge sees the
     # quantize->dequantize roundtrip of the row exactly as the next
     # step's pool read will
-    int8_kv = kv_hbm.dtype == jnp.int8
 
     def qdq(rows):       # [T, NkD] f32 -> int8-pool roundtrip
         amax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
@@ -604,6 +666,11 @@ def _fused_kernel(
     # 10. down projection + residual
     gemm(P_DN, store_resid)
 
+    # outstanding pool write-backs must complete before the call ends
+    @pl.when(l == L - 1)
+    def _final_write_wait():
+        wait_writes()
+
 
 @functools.partial(
     jax.jit,
@@ -616,6 +683,7 @@ def fused_decode_layers(
     cos: jnp.ndarray,            # [T, D/2] f32
     sin: jnp.ndarray,            # [T, D/2] f32
     kv_lens: jnp.ndarray,        # i32[B] incl. current token
+    out_slots: jnp.ndarray,      # i32[B] layer-local slot of the new token
     page_indices: jnp.ndarray,   # i32[B, MP] per-layer-local
     kv_pages: jnp.ndarray,       # [2, NP, ps, NkD]
     norm1: jnp.ndarray,          # [L, H]
@@ -647,7 +715,7 @@ def fused_decode_layers(
     debug_attn: bool = False,
 ):
     """Returns (hidden_out [T, H] bf16, k_out [L, T, NkD] bf16,
-    v_out [L, T, NkD] bf16)."""
+    v_out [L, T, NkD] bf16, kv_pages updated in place via aliasing)."""
     T, H = hidden_in.shape
     B = kv_lens.shape[0]
     assert T == B, "fused decode needs one token per sequence"
@@ -691,6 +759,8 @@ def fused_decode_layers(
         pltpu.VMEM((nkv, 2, cp, ps,
                     kv_pages.shape[3]), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((nkv, 2, cp)),
+        pltpu.SemaphoreType.DMA((2, B)),               # kvw_sem
+        pltpu.VMEM((2, B, kv_pages.shape[3]), kv_pages.dtype),  # kvw_scr
         pltpu.SMEM((8,), jnp.int32),
         pltpu.VMEM((T, Kmax), jnp.bfloat16),           # h_scr
         pltpu.VMEM((T, Nmax), jnp.bfloat16),           # stg
@@ -711,7 +781,7 @@ def fused_decode_layers(
             return kernel(*refs, None, None)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(L,),
         in_specs=[
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
@@ -736,6 +806,7 @@ def fused_decode_layers(
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
             pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
             pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),         # kv pool (aliased)
         ],
         scratch_shapes=scratch,
     )
@@ -746,12 +817,16 @@ def fused_decode_layers(
             jax.ShapeDtypeStruct((T, H), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
+            jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
         ],
+        # flat arg 16 = kv_pages (3 scalar-prefetch + 13 tensor inputs)
+        input_output_aliases={16: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(kv_lens, page_indices, hidden_in, cos, sin,
+    )(kv_lens, page_indices, jnp.asarray(out_slots, jnp.int32),
+      hidden_in, cos, sin,
       norm1.reshape(L, 1, H), norm2.reshape(L, 1, H),
       qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages)

@@ -66,6 +66,10 @@ def main():
     for b in range(B):
         pages[b] = np.arange(b * PAGES_PER_SEQ, (b + 1) * PAGES_PER_SEQ)
     page_indices = jnp.asarray(pages)
+    pos = CTX - 1
+    out_slots = jnp.asarray(
+        [int(pages[b, pos // PS]) * PS + pos % PS for b in range(B)],
+        jnp.int32)
     cosf = jnp.ones((B, D // 2), jnp.float32) * 0.7
     sinf = jnp.ones((B, D // 2), jnp.float32) * 0.7
 
@@ -76,9 +80,11 @@ def main():
         @jax.jit
         def prog(hid, kv, qkv, o, gu, dn, n1, n2, cosf, sinf,
                  kv_lens, page_indices):
-            def body(h, _):
-                h2, ko, vo = fused_decode_layers(
-                    h, cosf, sinf, kv_lens, page_indices, kv, n1, n2,
+            def body(carry, _):
+                h, kv = carry
+                h2, ko, vo, kv = fused_decode_layers(
+                    h, cosf, sinf, kv_lens, out_slots, page_indices, kv,
+                    n1, n2,
                     qkv[0], qkv[1], o[0], o[1], gu[0], gu[1],
                     dn[0], dn[1],
                     num_q_heads=Nq, num_kv_heads=Nk, head_dim=D,
@@ -90,8 +96,8 @@ def main():
                     block_n=int(os.environ.get("FBN", "1024")),
                     head_group=int(os.environ.get("FHG", "4")))
                 # keep k/v alive (cheap reduce) so nothing is DCE'd
-                return (h2 + ko[0, :, :1] * 0 + vo[0, :, :1] * 0), 0
-            h, _ = jax.lax.scan(body, hid, None, length=n)
+                return (h2 + ko[0, :, :1] * 0 + vo[0, :, :1] * 0, kv), 0
+            (h, kv), _ = jax.lax.scan(body, (hid, kv), None, length=n)
             return jnp.sum(h.astype(jnp.float32))
 
         args = (hid, kv, qkv, o, gu, dn, n1, n2, cosf, sinf,

@@ -62,8 +62,10 @@ def _ref_matmul(x, wref, mode, packed=None, scale=None):
     return y.astype(jnp.bfloat16)
 
 
-@pytest.mark.parametrize("mode", ["w4a16", "w8a16", "w4a8"])
-def test_fused_decode_layers_interpret(mode):
+@pytest.mark.parametrize("mode,int8kv", [
+    ("w4a16", False), ("w8a16", False), ("w4a8", False),
+    ("w4a16", True)])
+def test_fused_decode_layers_interpret(mode, int8kv):
     import jax
     import jax.numpy as jnp
 
@@ -77,8 +79,18 @@ def test_fused_decode_layers_interpret(mode):
     # kv_lens INCLUDE the current token; 0 = padding row
     kv_lens_l = [5, 17, 1, 0, 9, 33, 2, 16]
     NP = L * PPL
-    kv = jnp.asarray(rng.standard_normal((2, NP, PS, NkD)) * 0.3,
-                     jnp.bfloat16)
+    kvf = jnp.asarray(rng.standard_normal((2, NP, PS, NkD)) * 0.3,
+                      jnp.bfloat16)
+    if int8kv:
+        # int8 pool with inline per-token po2 scales, built by the
+        # write path itself
+        from iaas_sglang_tpu.ops.attention import write_kv_pages as _w
+        kv = jnp.zeros((2, NP, PS, NkD + 128), jnp.int8)
+        kv = _w(kv, jnp.arange(NP * PS),
+                kvf[0].reshape(NP * PS, Nk, D),
+                kvf[1].reshape(NP * PS, Nk, D))
+    else:
+        kv = kvf
     # DISJOINT page lists: sequences must never share pages or the
     # reference's current-token writes corrupt each other's history
     pages = np.zeros((B, MP), np.int32)
@@ -150,19 +162,48 @@ def test_fused_decode_layers_interpret(mode):
         return hidden, jnp.stack(k_all), jnp.stack(v_all)
 
     ref_h, ref_k, ref_v = ref_forward()
+    # reference pool AFTER the step (the kernel writes in place)
+    ref_pool = kv
+    out_slots = []
+    for s2 in range(B):
+        if kv_lens_l[s2] == 0:
+            out_slots.append((PPL - 1) * PS)
+        else:
+            pos = kv_lens_l[s2] - 1
+            out_slots.append(int(pages[s2, pos // PS]) * PS + pos % PS)
+    out_slots = jnp.asarray(out_slots, jnp.int32)
+    for l in range(L):
+        ref_pool = write_kv_pages(
+            ref_pool, out_slots + l * PPL * PS,
+            ref_k[l].reshape(B, Nk, D), ref_v[l].reshape(B, Nk, D))
 
-    out_h, out_k, out_v = fused_decode_layers(
-        hidden0, cos, sin, kv_lens, page_indices, kv, n1, n2,
+    out_h, out_k, out_v, out_pool = fused_decode_layers(
+        hidden0, cos, sin, kv_lens, out_slots, page_indices, kv, n1, n2,
         qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s,
         num_q_heads=Nq, num_kv_heads=Nk, head_dim=D,
         mode=mode, sm_scale=sm_scale, eps=EPS, pages_per_layer=PPL,
         chunk_pages=2, nkv=3, nw=6, interpret=True)
+    # in-kernel pool write-back: real rows must match the reference's
+    # write path; pad rows share the garbage slot (don't compare)
+    op = np.asarray(out_pool, np.float32)
+    rp = np.asarray(ref_pool, np.float32)
+    for s2 in range(B):
+        if kv_lens_l[s2] == 0:
+            continue
+        sl = int(out_slots[s2])
+        for l in range(L):
+            pg, ro = (sl // PS) + l * PPL, sl % PS
+            # int8 pools: a 1-ulp bf16 difference in k/v flips the
+            # quantized int by one — allow +-1 on the int grid
+            np.testing.assert_allclose(
+                op[:, pg, ro], rp[:, pg, ro], rtol=5e-2,
+                atol=1.01 if int8kv else 5e-2)
 
     real = np.asarray(kv_lens) > 0
     # w4a8: the kernel quantizes activations from the SAME bf16 values
     # but in a different op order — a rounding tie can move one int step
     # (observed 2/1792 elements at 0.034); everything else is exact
-    tol = 5e-2 if mode == "w4a8" else 3e-2
+    tol = 5e-2 if (mode == "w4a8" or int8kv) else 3e-2
     np.testing.assert_allclose(
         np.asarray(out_k, np.float32)[:, real],
         np.asarray(ref_k, np.float32)[:, real], rtol=tol, atol=tol)
@@ -171,7 +212,8 @@ def test_fused_decode_layers_interpret(mode):
         np.asarray(ref_v, np.float32)[:, real], rtol=tol, atol=tol)
     np.testing.assert_allclose(
         np.asarray(out_h, np.float32)[real],
-        np.asarray(ref_h, np.float32)[real], rtol=5e-2, atol=5e-2)
+        np.asarray(ref_h, np.float32)[real],
+        rtol=8e-2 if int8kv else 5e-2, atol=8e-2 if int8kv else 5e-2)
 
 
 def test_fused_engine_greedy_parity():
