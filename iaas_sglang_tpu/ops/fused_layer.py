@@ -458,25 +458,31 @@ def _fused_kernel(
                       -127, 127).astype(jnp.int8)
         return qq, e
 
+    # staging is [2, B, 1, LD]: only the LAST TWO dims are tiled, so the
+    # per-row DMA source .at[e, s2] indexes untiled dims (a traced
+    # sublane index on a [2, B, LD] scratch fails Mosaic's alignment)
     if int8_kv:
         kq, ke = q_rows(k3[...].reshape(T, NkD).astype(jnp.float32))
         vq, ve = q_rows(
             stg[:, pl.ds(NqD + NkD, NkD)].astype(jnp.float32))
-        kvw_scr[0, :, pl.ds(0, NkD)] = kq
-        kvw_scr[1, :, pl.ds(0, NkD)] = vq
-        kvw_scr[0, :, pl.ds(NkD, 128)] = jnp.broadcast_to(
-            ke.astype(jnp.int8), (T, 128))
-        kvw_scr[1, :, pl.ds(NkD, 128)] = jnp.broadcast_to(
-            ve.astype(jnp.int8), (T, 128))
+        kvw_scr[0] = jnp.concatenate(
+            [kq.reshape(T, 1, NkD),
+             jnp.broadcast_to(ke.astype(jnp.int8)[:, None, :],
+                              (T, 1, 128))], axis=2)
+        kvw_scr[1] = jnp.concatenate(
+            [vq.reshape(T, 1, NkD),
+             jnp.broadcast_to(ve.astype(jnp.int8)[:, None, :],
+                              (T, 1, 128))], axis=2)
     else:
-        kvw_scr[0] = k3[...].reshape(T, NkD).astype(kvw_scr.dtype)
-        kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].astype(kvw_scr.dtype)
+        kvw_scr[0] = k3[...].reshape(T, 1, NkD).astype(kvw_scr.dtype)
+        kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].reshape(
+            T, 1, NkD).astype(kvw_scr.dtype)
 
     def w_row(e, s2):
         return pltpu.make_async_copy(
             kvw_scr.at[e, s2],
             kv_out.at[e, l * ppl + out_slots_ref[s2] // ps,
-                      jax.lax.rem(out_slots_ref[s2], ps)],
+                      pl.ds(jax.lax.rem(out_slots_ref[s2], ps), 1), :],
             kvw_sem.at[e, s2],
         )
 
@@ -760,7 +766,8 @@ def fused_decode_layers(
                     kv_pages.shape[3]), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((nkv, 2, cp)),
         pltpu.SemaphoreType.DMA((2, B)),               # kvw_sem
-        pltpu.VMEM((2, B, kv_pages.shape[3]), kv_pages.dtype),  # kvw_scr
+        pltpu.VMEM((2, B, 1, kv_pages.shape[3]),
+                   kv_pages.dtype),                    # kvw_scr
         pltpu.SMEM((8,), jnp.int32),
         pltpu.VMEM((T, Kmax), jnp.bfloat16),           # h_scr
         pltpu.VMEM((T, Nmax), jnp.bfloat16),           # stg
