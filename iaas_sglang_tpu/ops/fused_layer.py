@@ -115,6 +115,7 @@ def _fused_kernel(
     # HBM inputs
     qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s,
     kv_hbm,             # [2, NP, ps, NkD]
+    rows_hbm_in,        # [2, T, LD] HBM bounce buffer (aliased)
     # outputs
     hidden_out_ref,     # [T, H] bf16 (doubles as the residual carry)
     k_out_ref,          # [1, T, NkD] block (by layer)
@@ -123,13 +124,18 @@ def _fused_kernel(
     #                     new token's rows DMA straight into the pool
     #                     (an XLA scatter on the 1.6 GB pool measured
     #                     ~1.5 ms/step — r5 glue attribution)
+    rows_hbm,           # [2, T, LD] (ANY) — ALIASED bounce buffer: VMEM
+    #                     cannot source single-sublane row DMAs (Mosaic
+    #                     tiling), so rows go VMEM -> HBM in one aligned
+    #                     block copy, then HBM -> HBM per row
     # scratch
     wbuf, wsem,         # [NW, WR, BN] int8, DMA[NW]
     sbuf, ssem,         # [NS, SRmax, BN] f32, DMA[NS]
     kvbuf, kvsem,       # [NKV, 2, CP, ps, NkD], DMA[NKV, 2, CP]
     kvw_sem,            # DMA (2, B) — per-row pool writebacks
-    kvw_scr,            # [2, B, LD] pool-dtype write rows (int8: holds
-    #                     the quantized rows; bf16: aliases k/v staging)
+    kvw_blk_sem,        # DMA (2,) — the VMEM -> HBM block copies
+    kvw_scr,            # [2, T, LD] pool-dtype write rows (int8: holds
+    #                     the quantized rows incl. inline scales)
     pipe,               # i32[8] SMEM
     h_scr,              # [T, Kmax] bf16 (GEMM x staging, reused)
     stg,                # [T, Nmax] bf16 (GEMM output staging)
@@ -458,31 +464,27 @@ def _fused_kernel(
                       -127, 127).astype(jnp.int8)
         return qq, e
 
-    # staging is [2, B, 1, LD]: only the LAST TWO dims are tiled, so the
-    # per-row DMA source .at[e, s2] indexes untiled dims (a traced
-    # sublane index on a [2, B, LD] scratch fails Mosaic's alignment)
     if int8_kv:
         kq, ke = q_rows(k3[...].reshape(T, NkD).astype(jnp.float32))
         vq, ve = q_rows(
             stg[:, pl.ds(NqD + NkD, NkD)].astype(jnp.float32))
         kvw_scr[0] = jnp.concatenate(
-            [kq.reshape(T, 1, NkD),
-             jnp.broadcast_to(ke.astype(jnp.int8)[:, None, :],
-                              (T, 1, 128))], axis=2)
+            [kq, jnp.broadcast_to(ke.astype(jnp.int8), (T, 128))], axis=1)
         kvw_scr[1] = jnp.concatenate(
-            [vq.reshape(T, 1, NkD),
-             jnp.broadcast_to(ve.astype(jnp.int8)[:, None, :],
-                              (T, 1, 128))], axis=2)
+            [vq, jnp.broadcast_to(ve.astype(jnp.int8), (T, 128))], axis=1)
     else:
-        kvw_scr[0] = k3[...].reshape(T, 1, NkD).astype(kvw_scr.dtype)
-        kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].reshape(
-            T, 1, NkD).astype(kvw_scr.dtype)
+        kvw_scr[0] = k3[...].reshape(T, NkD).astype(kvw_scr.dtype)
+        kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].astype(kvw_scr.dtype)
+
+    def w_blk(e):
+        return pltpu.make_async_copy(
+            kvw_scr.at[e], rows_hbm.at[e], kvw_blk_sem.at[e])
 
     def w_row(e, s2):
         return pltpu.make_async_copy(
-            kvw_scr.at[e, s2],
+            rows_hbm.at[e, s2],
             kv_out.at[e, l * ppl + out_slots_ref[s2] // ps,
-                      pl.ds(jax.lax.rem(out_slots_ref[s2], ps), 1), :],
+                      jax.lax.rem(out_slots_ref[s2], ps)],
             kvw_sem.at[e, s2],
         )
 
@@ -496,7 +498,12 @@ def _fused_kernel(
     if not debug_attn:
         @pl.when(l > 0)
         def _wait_prev_writes():
-            wait_writes()   # sem slots reused each layer
+            wait_writes()   # row-sem slots reused each layer
+
+        for e in range(2):
+            w_blk(e).start()
+        for e in range(2):
+            w_blk(e).wait()
 
         def issue_writes(s2, _):
             for e in range(2):
@@ -766,7 +773,8 @@ def fused_decode_layers(
                     kv_pages.shape[3]), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((nkv, 2, cp)),
         pltpu.SemaphoreType.DMA((2, B)),               # kvw_sem
-        pltpu.VMEM((2, B, 1, kv_pages.shape[3]),
+        pltpu.SemaphoreType.DMA((2,)),                 # kvw_blk_sem
+        pltpu.VMEM((2, B, kv_pages.shape[3]),
                    kv_pages.dtype),                    # kvw_scr
         pltpu.SMEM((8,), jnp.int32),
         pltpu.VMEM((T, Kmax), jnp.bfloat16),           # h_scr
@@ -808,16 +816,18 @@ def fused_decode_layers(
             pl.BlockSpec(memory_space=pl.ANY),   # dn_q
             pl.BlockSpec(memory_space=pl.ANY),   # dn_s
             pl.BlockSpec(memory_space=pl.ANY),   # kv_pages
+            pl.BlockSpec(memory_space=pl.ANY),   # rows bounce buffer
         ],
         out_specs=[
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
             pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
             pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),         # kv pool (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),         # bounce (aliased)
         ],
         scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
@@ -825,9 +835,11 @@ def fused_decode_layers(
             jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
             jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
+            jax.ShapeDtypeStruct((2, T, kv_pages.shape[3]),
+                                 kv_pages.dtype),
         ],
-        # flat arg 16 = kv_pages (3 scalar-prefetch + 13 tensor inputs)
-        input_output_aliases={16: 3},
+        # flat args 16/17 = kv_pages / rows bounce buffer
+        input_output_aliases={16: 3, 17: 4},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -836,4 +848,6 @@ def fused_decode_layers(
     )(kv_lens, page_indices, jnp.asarray(out_slots, jnp.int32),
       hidden_in, cos, sin,
       norm1.reshape(L, 1, H), norm2.reshape(L, 1, H),
-      qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages)
+      qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages,
+      jnp.zeros((2, T, kv_pages.shape[3]), kv_pages.dtype))
+    return outs[0], outs[1], outs[2], outs[3]   # bounce buffer dropped
