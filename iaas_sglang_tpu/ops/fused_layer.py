@@ -115,27 +115,28 @@ def _fused_kernel(
     # HBM inputs
     qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s,
     kv_hbm,             # [2, NP, ps, NkD]
-    rows_hbm_in,        # [2, T, LD] HBM bounce buffer (aliased)
+    slots_v_ref,        # i32[B, 1] out_slots as a VMEM column (the
+    #                     masked row-insert needs them as a vector)
     # outputs
     hidden_out_ref,     # [T, H] bf16 (doubles as the residual carry)
     k_out_ref,          # [1, T, NkD] block (by layer)
     v_out_ref,          # [1, T, NkD] block
     kv_out,             # [2, NP, ps, LD] (ANY) — ALIASED to kv_hbm: the
-    #                     new token's rows DMA straight into the pool
-    #                     (an XLA scatter on the 1.6 GB pool measured
-    #                     ~1.5 ms/step — r5 glue attribution)
-    rows_hbm,           # [2, T, LD] (ANY) — ALIASED bounce buffer: VMEM
-    #                     cannot source single-sublane row DMAs (Mosaic
-    #                     tiling), so rows go VMEM -> HBM in one aligned
-    #                     block copy, then HBM -> HBM per row
+    #                     new token's rows land via page read-modify-
+    #                     write (an XLA scatter on the 1.6 GB pool
+    #                     measured ~1.5 ms/step — r5 glue attribution;
+    #                     single-ROW DMAs are impossible: TPU arrays are
+    #                     (8,128)-tiled in HBM too, so a 1-sublane slice
+    #                     fails Mosaic's alignment)
     # scratch
     wbuf, wsem,         # [NW, WR, BN] int8, DMA[NW]
     sbuf, ssem,         # [NS, SRmax, BN] f32, DMA[NS]
     kvbuf, kvsem,       # [NKV, 2, CP, ps, NkD], DMA[NKV, 2, CP]
-    kvw_sem,            # DMA (2, B) — per-row pool writebacks
-    kvw_blk_sem,        # DMA (2,) — the VMEM -> HBM block copies
+    kvw_sem,            # DMA (2, B) — page write-backs
+    kvr_sem,            # DMA (2, B) — page reads
     kvw_scr,            # [2, T, LD] pool-dtype write rows (int8: holds
     #                     the quantized rows incl. inline scales)
+    pgbuf,              # [2, B, ps, LD] page RMW staging
     pipe,               # i32[8] SMEM
     h_scr,              # [T, Kmax] bf16 (GEMM x staging, reused)
     stg,                # [T, Nmax] bf16 (GEMM output staging)
@@ -476,41 +477,58 @@ def _fused_kernel(
         kvw_scr[0] = k3[...].reshape(T, NkD).astype(kvw_scr.dtype)
         kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].astype(kvw_scr.dtype)
 
-    def w_blk(e):
-        return pltpu.make_async_copy(
-            kvw_scr.at[e], rows_hbm.at[e], kvw_blk_sem.at[e])
+    def pg_of(s2):
+        return l * ppl + out_slots_ref[s2] // ps
 
-    def w_row(e, s2):
+    def pg_rd(e, s2):
         return pltpu.make_async_copy(
-            rows_hbm.at[e, s2],
-            kv_out.at[e, l * ppl + out_slots_ref[s2] // ps,
-                      jax.lax.rem(out_slots_ref[s2], ps)],
-            kvw_sem.at[e, s2],
-        )
+            kv_hbm.at[e, pg_of(s2)], pgbuf.at[e, s2], kvr_sem.at[e, s2])
+
+    def pg_wr(e, s2):
+        return pltpu.make_async_copy(
+            pgbuf.at[e, s2], kv_out.at[e, pg_of(s2)], kvw_sem.at[e, s2])
 
     def wait_writes():
         def wb(s2, _):
             for e in range(2):
-                w_row(e, s2).wait()
+                pg_wr(e, s2).wait()
             return 0
         jax.lax.fori_loop(0, B, wb, 0)
 
     if not debug_attn:
         @pl.when(l > 0)
         def _wait_prev_writes():
-            wait_writes()   # row-sem slots reused each layer
+            wait_writes()   # page write sems reused each layer
 
-        for e in range(2):
-            w_blk(e).start()
-        for e in range(2):
-            w_blk(e).wait()
-
-        def issue_writes(s2, _):
+        def rd(s2, _):
             for e in range(2):
-                w_row(e, s2).start()
+                pg_rd(e, s2).start()
             return 0
 
-        jax.lax.fori_loop(0, B, issue_writes, 0)
+        def rdw(s2, _):
+            for e in range(2):
+                pg_rd(e, s2).wait()
+            return 0
+
+        jax.lax.fori_loop(0, B, rd, 0)
+        jax.lax.fori_loop(0, B, rdw, 0)
+        # insert the new row into every sequence's page (history rows
+        # rewrite with identical bytes — safe vs concurrent attention
+        # page reads; pads hit the garbage page)
+        row_col = jax.lax.rem(slots_v_ref[...], ps)        # [B, 1]
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (B, ps, 1), 1)
+                == row_col[:, :, None])
+        for e in range(2):
+            new3 = jnp.broadcast_to(
+                kvw_scr[e].reshape(T, 1, LD), (B, ps, LD))
+            pgbuf[e] = jnp.where(mask, new3, pgbuf[e])
+
+        def wr(s2, _):
+            for e in range(2):
+                pg_wr(e, s2).start()
+            return 0
+
+        jax.lax.fori_loop(0, B, wr, 0)
 
     # 4. paged attention over HBM (positions < kv_len-1), per sequence
     HG = min(head_group, Nk)
@@ -773,9 +791,11 @@ def fused_decode_layers(
                     kv_pages.shape[3]), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((nkv, 2, cp)),
         pltpu.SemaphoreType.DMA((2, B)),               # kvw_sem
-        pltpu.SemaphoreType.DMA((2,)),                 # kvw_blk_sem
+        pltpu.SemaphoreType.DMA((2, B)),               # kvr_sem
         pltpu.VMEM((2, B, kv_pages.shape[3]),
                    kv_pages.dtype),                    # kvw_scr
+        pltpu.VMEM((2, B, ps, kv_pages.shape[3]),
+                   kv_pages.dtype),                    # pgbuf
         pltpu.SMEM((8,), jnp.int32),
         pltpu.VMEM((T, Kmax), jnp.bfloat16),           # h_scr
         pltpu.VMEM((T, Nmax), jnp.bfloat16),           # stg
@@ -816,14 +836,13 @@ def fused_decode_layers(
             pl.BlockSpec(memory_space=pl.ANY),   # dn_q
             pl.BlockSpec(memory_space=pl.ANY),   # dn_s
             pl.BlockSpec(memory_space=pl.ANY),   # kv_pages
-            pl.BlockSpec(memory_space=pl.ANY),   # rows bounce buffer
+            pl.BlockSpec((B, 1), lambda li, *_: (0, 0)),  # slots column
         ],
         out_specs=[
             pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
             pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
             pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),         # kv pool (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),         # bounce (aliased)
         ],
         scratch_shapes=scratch,
     )
@@ -835,11 +854,10 @@ def fused_decode_layers(
             jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
             jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
-            jax.ShapeDtypeStruct((2, T, kv_pages.shape[3]),
-                                 kv_pages.dtype),
         ],
-        # flat args 16/17 = kv_pages / rows bounce buffer
-        input_output_aliases={16: 3, 17: 4},
+        # flat arg 16 = kv_pages (3 scalar-prefetch + 14 tensor inputs,
+        # kv_pages before the slots column)
+        input_output_aliases={16: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -849,5 +867,5 @@ def fused_decode_layers(
       hidden_in, cos, sin,
       norm1.reshape(L, 1, H), norm2.reshape(L, 1, H),
       qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages,
-      jnp.zeros((2, T, kv_pages.shape[3]), kv_pages.dtype))
-    return outs[0], outs[1], outs[2], outs[3]   # bounce buffer dropped
+      jnp.asarray(out_slots, jnp.int32).reshape(B, 1))
+    return outs
