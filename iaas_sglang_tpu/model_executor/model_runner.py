@@ -612,19 +612,33 @@ class ModelRunner:
                     input_ids=tok, positions=pos,
                     out_slots=page * ps + pos % ps,
                     kv_lens=fb.kv_lens + i)
-                hidden, kv = model.forward(
-                    params, fb_i, kv, attn_backend=attn_backend,
-                    attn_mode="decode", scan_layers=scan_layers)
-                logits = model.compute_logits(
-                    params, hidden[fb.last_token_idx])
-                if pen is not None:
-                    logits = apply_penalties_with_counts(
-                        logits, pen, counts, step=i)
-                if sampling_mode == "greedy":
-                    tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                fused_tok = None
+                if (sampling_mode == "greedy" and pen is None
+                        and logprob_top_k < 0 and lp_ids is None
+                        and hasattr(model, "fused_greedy_decode")):
+                    # the megakernel also runs the final norm + greedy
+                    # lm_head + argmax (deletes the XLA head tail from
+                    # the chain glue); None at trace time = ineligible
+                    fused_tok = model.fused_greedy_decode(
+                        params, fb_i, kv, attn_backend=attn_backend,
+                        scan_layers=scan_layers)
+                if fused_tok is not None:
+                    tok2, kv = fused_tok
                 else:
-                    tok2 = sample_tokens(
-                        logits, meta.replace(steps=meta.steps + i))
+                    hidden, kv = model.forward(
+                        params, fb_i, kv, attn_backend=attn_backend,
+                        attn_mode="decode", scan_layers=scan_layers)
+                    logits = model.compute_logits(
+                        params, hidden[fb.last_token_idx])
+                    if pen is not None:
+                        logits = apply_penalties_with_counts(
+                            logits, pen, counts, step=i)
+                    if sampling_mode == "greedy":
+                        tok2 = jnp.argmax(logits, axis=-1).astype(
+                            jnp.int32)
+                    else:
+                        tok2 = sample_tokens(
+                            logits, meta.replace(steps=meta.steps + i))
                 if pen is not None:
                     counts = counts.at[
                         jnp.arange(tok2.shape[0]), tok2].add(1.0)

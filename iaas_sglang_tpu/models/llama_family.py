@@ -821,6 +821,67 @@ class LlamaFamilyForCausalLM:
             interpret=interp)
         return hidden, kv_pages
 
+    def fused_greedy_decode(self, params, fb, kv_pages, *,
+                            attn_backend, scan_layers):
+        """Whole greedy decode step — layers AND final norm + lm_head +
+        argmax — in the megakernel (the XLA head tail is ~1.3 ms of an
+        8B step). Returns (tokens i32[T], kv_pages) or None when any
+        eligibility gate fails (caller falls back to forward +
+        compute_logits)."""
+        from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
+
+        c = self.config
+        head = params.get("lm_head")
+        if (not scan_layers or c.num_labels or head is None
+                or isinstance(head, QuantizedWeight)
+                or "lm_head_bias" in params
+                or c.logits_scale != 1.0 or c.final_logit_softcap
+                or c.dummy_token_indices or "final_norm" not in params
+                or isinstance(kv_pages, tuple)
+                or fb.kv_lens.ndim != 1
+                or kv_pages.ndim != 4 or kv_pages.shape[0] != 2):
+            return None
+        V = head.shape[1]
+        if not any(V % cand == 0
+                   for cand in (1024, 768, 512, 384, 256, 128)):
+            return None
+        layer_params = dict(params["layers"])
+        quant_stacked = {}
+        for k in list(layer_params):
+            if isinstance(layer_params[k], QuantizedWeight):
+                quant_stacked[k] = layer_params.pop(k)
+        L = jax.tree.leaves(params["layers"])[0].shape[0]
+        kv_split = True
+        pages_per_layer = kv_pages.shape[1] // L
+        fm = self._fused_decode_mode(
+            fb, quant_stacked, layer_params, "decode", kv_split, False,
+            False, None, False, None, None)
+        if fm is None:
+            return None
+        mode, interp = fm
+        from iaas_sglang_tpu.ops.fused_layer import fused_decode_layers
+
+        hidden = params["embed"][fb.input_ids]
+        freqs = (fb.positions.astype(jnp.float32)[:, None]
+                 * self.inv_freq[None, :])
+        cos = jnp.cos(freqs) * self.rope_attn_factor
+        sin = jnp.sin(freqs) * self.rope_attn_factor
+        qkv, o, gu, dn = (quant_stacked[k] for k in
+                          ("wqkv_fused", "wo", "w_gateup_fused", "w_down"))
+        outs = fused_decode_layers(
+            hidden.astype(jnp.bfloat16), cos, sin, fb.kv_lens,
+            fb.out_slots, fb.page_indices, kv_pages,
+            layer_params["input_norm"], layer_params["post_norm"],
+            qkv.q, qkv.scale, o.q, o.scale, gu.q, gu.scale,
+            dn.q, dn.scale,
+            num_q_heads=c.num_heads, num_kv_heads=c.num_kv_heads,
+            head_dim=c.head_dim, mode=mode, sm_scale=float(self.sm_scale),
+            eps=c.rms_norm_eps, pages_per_layer=pages_per_layer,
+            interpret=interp,
+            head_w=head.astype(jnp.bfloat16),
+            final_norm=params["final_norm"])
+        return outs[4][:, 0], outs[3]
+
     # ------------------------------------------------------------- forward
 
     def forward(

@@ -117,10 +117,13 @@ def _fused_kernel(
     kv_hbm,             # [2, NP, ps, NkD]
     slots_v_ref,        # i32[B, 1] out_slots as a VMEM column (the
     #                     masked row-insert needs them as a vector)
+    norm3_ref,          # [1, 1, H] final norm | None (head fusion)
+    head_hbm,           # [H, V] bf16 (ANY) | None
     # outputs
     hidden_out_ref,     # [T, H] bf16 (doubles as the residual carry)
     k_out_ref,          # [1, T, NkD] block (by layer)
     v_out_ref,          # [1, T, NkD] block
+    tok_out_ref,        # [T, 128] i32 | None — greedy argmax tokens
     kv_out,             # [2, NP, ps, LD] (ANY) — ALIASED to kv_hbm: the
     #                     new token's rows land via page read-modify-
     #                     write (an XLA scatter on the 1.6 GB pool
@@ -137,6 +140,8 @@ def _fused_kernel(
     kvw_scr,            # [2, T, LD] pool-dtype write rows (int8: holds
     #                     the quantized rows incl. inline scales)
     pgbuf,              # [2, B, ps, LD] page RMW staging
+    hbuf,               # [2, BKH, BNH] bf16 head ring | None
+    hsem,               # DMA (2,) | None
     pipe,               # i32[8] SMEM
     h_scr,              # [T, Kmax] bf16 (GEMM x staging, reused)
     stg,                # [T, Nmax] bf16 (GEMM output staging)
@@ -149,7 +154,8 @@ def _fused_kernel(
     geos, cpl, spl, L, B, MP, ppl, ps,
     num_q_heads, num_kv_heads, head_dim,
     mode, sm_scale, eps,
-    nw, ns, nkv, cp, head_group, debug_attn=False,
+    nw, ns, nkv, cp, head_group, vocab=0, bkh=0, bnh=0,
+    debug_attn=False,
 ):
     Nq, Nk, D = num_q_heads, num_kv_heads, head_dim
     G = Nq // Nk
@@ -702,6 +708,71 @@ def _fused_kernel(
     def _final_write_wait():
         wait_writes()
 
+    # 11. (optional) greedy head: final norm + lm_head GEMM streamed
+    # through its own double-buffered bf16 ring + in-kernel argmax —
+    # deletes the XLA lm_head/argmax tail (~1.3 ms at 8B) from the
+    # chain's critical path glue
+    if head_hbm is not None:
+        nkh, njh = geos[P_QKV].K // bkh, vocab // bnh
+        total_h = nkh * njh
+
+        @pl.when(l == L - 1)
+        def _head():
+            x32 = hidden_out_ref[...].astype(jnp.float32)
+            var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+            hh = (x32 * jax.lax.rsqrt(var + eps)
+                  * norm3_ref[0].astype(jnp.float32))
+            h_scr[:, pl.ds(0, geos[P_QKV].K)] = hh.astype(jnp.bfloat16)
+
+            def h_issue(c, slot):
+                j = c // nkh
+                k = c - (c // nkh) * nkh
+                pltpu.make_async_copy(
+                    head_hbm.at[pl.ds(k * bkh, bkh), pl.ds(j * bnh, bnh)],
+                    hbuf.at[slot], hsem.at[slot]).start()
+
+            for c0 in range(3):
+                @pl.when(c0 < total_h)
+                def _():
+                    h_issue(jnp.int32(c0), jnp.int32(c0))
+
+            def h_body(c, carry):
+                best_m, best_i, acc = carry
+                slot = jax.lax.rem(c, 4)
+                pltpu.make_async_copy(
+                    head_hbm.at[pl.ds(0, bkh), pl.ds(0, bnh)],
+                    hbuf.at[slot], hsem.at[slot]).wait()
+
+                @pl.when(c + 3 < total_h)
+                def _():
+                    # slot (c+3)%4 == (c-1)%4: consumed last iteration
+                    h_issue(c + 3, jax.lax.rem(c + 3, 4))
+                j = c // nkh
+                k = c - (c // nkh) * nkh
+                acc = acc + jax.lax.dot_general(
+                    h_scr[:, pl.ds(k * bkh, bkh)], hbuf[slot],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                done = k == nkh - 1
+                cols = j * bnh + jax.lax.broadcasted_iota(
+                    jnp.int32, (T, bnh), 1)
+                m_j = jnp.max(acc, axis=1, keepdims=True)
+                # first-index tie-break, matching XLA argmax
+                i_j = jnp.min(jnp.where(acc == m_j, cols, vocab),
+                              axis=1, keepdims=True)
+                upd = done & (m_j > best_m)
+                best_i = jnp.where(upd, i_j, best_i)
+                best_m = jnp.where(upd, m_j, best_m)
+                acc = jnp.where(done, jnp.zeros_like(acc), acc)
+                return best_m, best_i, acc
+
+            best_m0 = jnp.full((T, 1), -jnp.inf, jnp.float32)
+            best_i0 = jnp.zeros((T, 1), jnp.int32)
+            acc0 = jnp.zeros((T, bnh), jnp.float32)
+            _, best_i, _ = jax.lax.fori_loop(
+                0, total_h, h_body, (best_m0, best_i0, acc0))
+            tok_out_ref[...] = jnp.broadcast_to(best_i, (T, 128))
+
 
 @functools.partial(
     jax.jit,
@@ -744,9 +815,13 @@ def fused_decode_layers(
     chunk_pages: int = 16,
     interpret: bool = False,
     debug_attn: bool = False,
+    head_w: Optional[jnp.ndarray] = None,   # [H, V] bf16: fuse the
+    # greedy lm_head + argmax into the kernel (own bf16 chunk ring)
+    final_norm: Optional[jnp.ndarray] = None,   # [H] (required w/ head)
 ):
     """Returns (hidden_out [T, H] bf16, k_out [L, T, NkD] bf16,
-    v_out [L, T, NkD] bf16, kv_pages updated in place via aliasing)."""
+    v_out [L, T, NkD] bf16, kv_pages updated in place via aliasing
+    [, tokens i32[T] when head_w is given])."""
     T, H = hidden_in.shape
     B = kv_lens.shape[0]
     assert T == B, "fused decode needs one token per sequence"
@@ -772,6 +847,18 @@ def fused_decode_layers(
     Nmax = max(g.N for g in geos)
     cp = min(chunk_pages, MP)
 
+    with_head = head_w is not None
+    vocab = bkh = bnh = 0
+    if with_head:
+        Hh, vocab = head_w.shape
+        assert Hh == H and final_norm is not None
+        bkh = 2048 if H % 2048 == 0 else H
+        for cand in (1024, 768, 512, 384, 256, 128):
+            if vocab % cand == 0:
+                bnh = cand
+                break
+        assert bnh, f"vocab {vocab} has no 128-multiple block divisor"
+
     kernel = functools.partial(
         _fused_kernel,
         geos=geos, cpl=cpl, spl=spl, L=L, B=B, MP=MP,
@@ -779,10 +866,11 @@ def fused_decode_layers(
         num_q_heads=Nq, num_kv_heads=Nk, head_dim=D,
         mode=mode, sm_scale=sm_scale, eps=eps,
         nw=nw, ns=ns, nkv=nkv, cp=cp, head_group=head_group,
+        vocab=vocab, bkh=bkh, bnh=bnh,
         debug_attn=debug_attn,
     )
 
-    scratch = [
+    base_scratch = [
         pltpu.VMEM((nw, WR, BNmax), jnp.int8),         # wbuf
         pltpu.SemaphoreType.DMA((nw,)),
         pltpu.VMEM((ns, SRmax, BNmax), jnp.float32),   # sbuf
@@ -796,6 +884,10 @@ def fused_decode_layers(
                    kv_pages.dtype),                    # kvw_scr
         pltpu.VMEM((2, B, ps, kv_pages.shape[3]),
                    kv_pages.dtype),                    # pgbuf
+    ]
+    head_scratch = ([pltpu.VMEM((4, bkh, bnh), jnp.bfloat16),
+                     pltpu.SemaphoreType.DMA((4,))] if with_head else [])
+    tail_scratch = [
         pltpu.SMEM((8,), jnp.int32),
         pltpu.VMEM((T, Kmax), jnp.bfloat16),           # h_scr
         pltpu.VMEM((T, Nmax), jnp.bfloat16),           # stg
@@ -805,67 +897,94 @@ def fused_decode_layers(
         pltpu.VMEM((B, Nq, 128), jnp.float32),         # m3
         pltpu.VMEM((B, Nq, 128), jnp.float32),         # l3
     ]
-    if mode == "w4a8":
-        scratch += [
-            pltpu.VMEM((Kmax // GROUP, T, GROUP), jnp.int8),
-            pltpu.VMEM((T, 128), jnp.float32),
-        ]
-        kern = kernel
-    else:
-        def kern(*refs):
-            return kernel(*refs, None, None)
+    a8 = mode == "w4a8"
+    a8_scratch = ([pltpu.VMEM((Kmax // GROUP, T, GROUP), jnp.int8),
+                   pltpu.VMEM((T, 128), jnp.float32)] if a8 else [])
+    scratch = base_scratch + head_scratch + tail_scratch + a8_scratch
+    n_out = 5 if with_head else 4
+
+    def kern(*refs):
+        i = 18                      # 3 prefetch + 15 fixed inputs
+        norm3 = head = None
+        if with_head:
+            norm3, head = refs[i], refs[i + 1]
+            i += 2
+        if with_head:
+            hid_o, k_o, v_o, kv_o, tok_o = refs[i:i + 5]
+        else:
+            hid_o, k_o, v_o, kv_o = refs[i:i + 4]
+            tok_o = None
+        i += n_out
+        scr = list(refs[i:])
+        base = scr[:10]
+        si = 10
+        hbuf = hsem = None
+        if with_head:
+            hbuf, hsem = scr[si], scr[si + 1]
+            si += 2
+        rest = scr[si:si + 8]
+        xg = scr[si + 8] if a8 else None
+        xs = scr[si + 9] if a8 else None
+        return kernel(*refs[:18], norm3, head,
+                      hid_o, k_o, v_o, tok_o, kv_o,
+                      *base, hbuf, hsem, *rest, xg, xs)
+
+    in_specs = [
+        pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
+        pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
+        pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
+        # [L, 1, H] with (1, 1, H) blocks: a (1, H) block of [L, H]
+        # violates the (8, 128)-divisible block rule; a middle
+        # singleton matching the array dim is allowed
+        pl.BlockSpec((1, 1, H), lambda li, *_: (li, 0, 0)),
+        pl.BlockSpec((1, 1, H), lambda li, *_: (li, 0, 0)),
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * 9 + [
+        pl.BlockSpec((B, 1), lambda li, *_: (0, 0)),   # slots column
+    ]
+    args = [kv_lens, page_indices,
+            jnp.asarray(out_slots, jnp.int32),
+            hidden_in, cos, sin,
+            norm1.reshape(L, 1, H), norm2.reshape(L, 1, H),
+            qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages,
+            jnp.asarray(out_slots, jnp.int32).reshape(B, 1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, H), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
+        jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
+        pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
+        pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),             # kv pool (aliased)
+    ]
+    if with_head:
+        in_specs += [pl.BlockSpec((1, H), lambda li, *_: (0, 0)),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        args += [final_norm.reshape(1, H).astype(jnp.bfloat16),
+                 head_w]
+        out_shape.append(jax.ShapeDtypeStruct((T, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((T, 128), lambda li, *_: (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(L,),
-        in_specs=[
-            pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
-            pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
-            pl.BlockSpec((T, D // 2), lambda li, *_: (0, 0)),
-            # [L, 1, H] with (1, 1, H) blocks: a (1, H) block of [L, H]
-            # violates the (8, 128)-divisible block rule; a middle
-            # singleton matching the array dim is allowed
-            pl.BlockSpec((1, 1, H), lambda li, *_: (li, 0, 0)),
-            pl.BlockSpec((1, 1, H), lambda li, *_: (li, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),   # qkv_q
-            pl.BlockSpec(memory_space=pl.ANY),   # qkv_s
-            pl.BlockSpec(memory_space=pl.ANY),   # o_q
-            pl.BlockSpec(memory_space=pl.ANY),   # o_s
-            pl.BlockSpec(memory_space=pl.ANY),   # gu_q
-            pl.BlockSpec(memory_space=pl.ANY),   # gu_s
-            pl.BlockSpec(memory_space=pl.ANY),   # dn_q
-            pl.BlockSpec(memory_space=pl.ANY),   # dn_s
-            pl.BlockSpec(memory_space=pl.ANY),   # kv_pages
-            pl.BlockSpec((B, 1), lambda li, *_: (0, 0)),  # slots column
-        ],
-        out_specs=[
-            pl.BlockSpec((T, H), lambda li, *_: (0, 0)),
-            pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
-            pl.BlockSpec((1, T, NkD), lambda li, *_: (li, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),         # kv pool (aliased)
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, H), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, T, NkD), jnp.bfloat16),
-            jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
-        ],
-        # flat arg 16 = kv_pages (3 scalar-prefetch + 14 tensor inputs,
-        # kv_pages before the slots column)
+        out_shape=out_shape,
+        # flat arg 16 = kv_pages (3 scalar-prefetch + inputs; kv_pages
+        # sits before the slots column and the optional head inputs)
         input_output_aliases={16: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(kv_lens, page_indices, jnp.asarray(out_slots, jnp.int32),
-      hidden_in, cos, sin,
-      norm1.reshape(L, 1, H), norm2.reshape(L, 1, H),
-      qkv_q, qkv_s, o_q, o_s, gu_q, gu_s, dn_q, dn_s, kv_pages,
-      jnp.asarray(out_slots, jnp.int32).reshape(B, 1))
+    )(*args)
     return outs
