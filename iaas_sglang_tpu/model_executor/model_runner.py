@@ -613,6 +613,11 @@ class ModelRunner:
                     out_slots=page * ps + pos % ps,
                     kv_lens=fb.kv_lens + i)
                 fused_tok = None
+                import os as _os
+                if _os.environ.get("IAAS_FUSED_DEBUG") == "1":
+                    print("[fused-head hook]", sampling_mode, pen is None,
+                          logprob_top_k, lp_ids is None,
+                          hasattr(model, "fused_greedy_decode"), flush=True)
                 if (sampling_mode == "greedy" and pen is None
                         and logprob_top_k < 0 and lp_ids is None
                         and hasattr(model, "fused_greedy_decode")):

@@ -828,8 +828,11 @@ class LlamaFamilyForCausalLM:
         8B step). Returns (tokens i32[T], kv_pages) or None when any
         eligibility gate fails (caller falls back to forward +
         compute_logits)."""
+        import os
+
         from iaas_sglang_tpu.quantization.qlinear import QuantizedWeight
 
+        dbg = os.environ.get("IAAS_FUSED_DEBUG") == "1"
         c = self.config
         head = params.get("lm_head")
         if (not scan_layers or c.num_labels or head is None
@@ -840,6 +843,14 @@ class LlamaFamilyForCausalLM:
                 or isinstance(kv_pages, tuple)
                 or fb.kv_lens.ndim != 1
                 or kv_pages.ndim != 4 or kv_pages.shape[0] != 2):
+            if dbg:
+                print("[fused-head gate] basic:",
+                      scan_layers, c.num_labels, head is None,
+                      isinstance(head, QuantizedWeight),
+                      "lm_head_bias" in params, c.logits_scale,
+                      c.final_logit_softcap, c.dummy_token_indices,
+                      "final_norm" in params, isinstance(kv_pages, tuple),
+                      fb.kv_lens.ndim, kv_pages.ndim, flush=True)
             return None
         V = head.shape[1]
         if not any(V % cand == 0
@@ -857,8 +868,13 @@ class LlamaFamilyForCausalLM:
             fb, quant_stacked, layer_params, "decode", kv_split, False,
             False, None, False, None, None)
         if fm is None:
+            if dbg:
+                print("[fused-head gate] _fused_decode_mode None",
+                      flush=True)
             return None
         mode, interp = fm
+        if dbg:
+            print("[fused-head gate] ENGAGED mode", mode, flush=True)
         from iaas_sglang_tpu.ops.fused_layer import fused_decode_layers
 
         hidden = params["embed"][fb.input_ids]
