@@ -63,9 +63,11 @@ def main():
     IN_LEN = 128
     OUT_LEN = 128
 
+    kv_dtype = os.environ.get("IAAS_BENCH_KV_DTYPE", "auto")
     sa = ServerArgs(
         model_path=f"bench://llama3-8b-{quant}", load_format="dummy",
         dtype="bfloat16", page_size=16, quantization=quant,
+        kv_cache_dtype=kv_dtype,
         # the run needs B*(IN+OUT) + warmup tokens of KV; keep the pool
         # small to leave activation headroom next to ~4.8 GB of weights
         max_total_tokens=int(1.5 * B * (IN_LEN + OUT_LEN)),
@@ -178,7 +180,8 @@ def main():
     roofline_toks = B / step_time_roofline
 
     print(json.dumps({
-        "metric": f"decode_throughput_llama3_8b_32L_{quant}_bs32",
+        "metric": f"decode_throughput_llama3_8b_32L_{quant}_bs32" + (
+            f"_kv{kv_dtype}" if kv_dtype != "auto" else ""),
         "value": round(toks_per_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline_toks, 4),
