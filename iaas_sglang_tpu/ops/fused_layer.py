@@ -348,6 +348,17 @@ def _fused_kernel(
         pipe[KV_CHK] = c
         top_up_w(jnp.int32(0))
         top_up_kv()
+        if not debug_attn:
+            # prefetch layer 0's RMW target pages (inline: the pg_rd
+            # helper is defined later in the trace order)
+            def rd0(s2, _):
+                for e in range(2):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[e, out_slots_ref[s2] // ps],
+                        pgbuf.at[0, e, s2],
+                        kvr_sem.at[e, s2]).start()
+                return 0
+            jax.lax.fori_loop(0, B, rd0, 0)
 
     # --------------------------------------------------- a8 quantization
     def quantize_a8(K):
@@ -483,16 +494,26 @@ def _fused_kernel(
         kvw_scr[0] = k3[...].reshape(T, NkD).astype(kvw_scr.dtype)
         kvw_scr[1] = stg[:, pl.ds(NqD + NkD, NkD)].astype(kvw_scr.dtype)
 
-    def pg_of(s2):
-        return l * ppl + out_slots_ref[s2] // ps
+    # layer l's target pages prefetch into pgbuf[l%2] during layer l-1
+    # (layer 0's at boot), so only the sem wait — not the read latency —
+    # sits on the critical path; layer l's write-backs source the same
+    # half while l+1's reads land in the other, freed once l-1's writes
+    # drain
+    par = jax.lax.rem(l, 2)
 
-    def pg_rd(e, s2):
+    def pg_of(s2, lyr):
+        return lyr * ppl + out_slots_ref[s2] // ps
+
+    def pg_rd(e, s2, lyr):
         return pltpu.make_async_copy(
-            kv_hbm.at[e, pg_of(s2)], pgbuf.at[e, s2], kvr_sem.at[e, s2])
+            kv_hbm.at[e, pg_of(s2, lyr)],
+            pgbuf.at[jax.lax.rem(lyr, 2), e, s2],
+            kvr_sem.at[e, s2])
 
     def pg_wr(e, s2):
         return pltpu.make_async_copy(
-            pgbuf.at[e, s2], kv_out.at[e, pg_of(s2)], kvw_sem.at[e, s2])
+            pgbuf.at[par, e, s2], kv_out.at[e, pg_of(s2, l)],
+            kvw_sem.at[e, s2])
 
     def wait_writes():
         def wb(s2, _):
@@ -502,22 +523,17 @@ def _fused_kernel(
         jax.lax.fori_loop(0, B, wb, 0)
 
     if not debug_attn:
-        @pl.when(l > 0)
-        def _wait_prev_writes():
-            wait_writes()   # page write sems reused each layer
-
-        def rd(s2, _):
-            for e in range(2):
-                pg_rd(e, s2).start()
-            return 0
-
         def rdw(s2, _):
             for e in range(2):
-                pg_rd(e, s2).wait()
+                pg_rd(e, s2, l).wait()
             return 0
 
-        jax.lax.fori_loop(0, B, rd, 0)
         jax.lax.fori_loop(0, B, rdw, 0)
+
+        @pl.when(l > 0)
+        def _wait_prev_writes():
+            wait_writes()   # frees write sems + the other pgbuf half
+
         # insert the new row into every sequence's page (history rows
         # rewrite with identical bytes — safe vs concurrent attention
         # page reads; pads hit the garbage page)
@@ -527,7 +543,7 @@ def _fused_kernel(
         for e in range(2):
             new3 = jnp.broadcast_to(
                 kvw_scr[e].reshape(T, 1, LD), (B, ps, LD))
-            pgbuf[e] = jnp.where(mask, new3, pgbuf[e])
+            pgbuf[par, e] = jnp.where(mask, new3, pgbuf[par, e])
 
         def wr(s2, _):
             for e in range(2):
@@ -535,6 +551,14 @@ def _fused_kernel(
             return 0
 
         jax.lax.fori_loop(0, B, wr, 0)
+
+        @pl.when(l + 1 < L)
+        def _prefetch_next():
+            def rdn(s2, _):
+                for e in range(2):
+                    pg_rd(e, s2, l + 1).start()
+                return 0
+            jax.lax.fori_loop(0, B, rdn, 0)
 
     # 4. paged attention over HBM (positions < kv_len-1), per sequence
     HG = min(head_group, Nk)
@@ -882,8 +906,9 @@ def fused_decode_layers(
         pltpu.SemaphoreType.DMA((2, B)),               # kvr_sem
         pltpu.VMEM((2, B, kv_pages.shape[3]),
                    kv_pages.dtype),                    # kvw_scr
-        pltpu.VMEM((2, B, ps, kv_pages.shape[3]),
-                   kv_pages.dtype),                    # pgbuf
+        pltpu.VMEM((2, 2, B, ps, kv_pages.shape[3]),
+                   kv_pages.dtype),                    # pgbuf [parity,
+        #                                                plane, seq, ...]
     ]
     head_scratch = ([pltpu.VMEM((4, bkh, bnh), jnp.bfloat16),
                      pltpu.SemaphoreType.DMA((4,))] if with_head else [])
