@@ -166,7 +166,7 @@ def _fused_kernel(
     CT = cp * ps
     total_chunks = cpl * L
     int4 = mode in ("w4a8", "w4a16")
-    a8 = mode == "w4a8"
+    a8 = mode in ("w4a8", "w8a8")
     l = pl.program_id(0)
 
     # ------------------------------------------------ weight ring issue
@@ -395,9 +395,13 @@ def _fused_kernel(
                 slot = wait_w(c, g)
                 s_rows = sbuf[s_slot, pl.ds(k * nG, nG), pl.ds(0, g.BN)]
                 if a8:
-                    w8 = pltpu.bitcast(
-                        wbuf[slot, pl.ds(0, g.BK // 2), pl.ds(0, g.BN)],
-                        jnp.int4).astype(jnp.int8)
+                    if int4:
+                        w8 = pltpu.bitcast(
+                            wbuf[slot, pl.ds(0, g.BK // 2),
+                                 pl.ds(0, g.BN)],
+                            jnp.int4).astype(jnp.int8)
+                    else:
+                        w8 = wbuf[slot, pl.ds(0, g.BK), pl.ds(0, g.BN)]
                     xgk = xg_scr[pl.ds(k * nG, nG)]     # [nG, T, G]
                     part = jax.lax.dot_general(
                         xgk, w8.reshape(nG, GROUP, g.BN),
@@ -922,7 +926,7 @@ def fused_decode_layers(
         pltpu.VMEM((B, Nq, 128), jnp.float32),         # m3
         pltpu.VMEM((B, Nq, 128), jnp.float32),         # l3
     ]
-    a8 = mode == "w4a8"
+    a8 = mode in ("w4a8", "w8a8")
     a8_scratch = ([pltpu.VMEM((Kmax // GROUP, T, GROUP), jnp.int8),
                    pltpu.VMEM((T, 128), jnp.float32)] if a8 else [])
     scratch = base_scratch + head_scratch + tail_scratch + a8_scratch

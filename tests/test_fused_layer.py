@@ -42,7 +42,7 @@ def _ref_matmul(x, wref, mode, packed=None, scale=None):
     import jax
     import jax.numpy as jnp
 
-    if mode != "w4a8":
+    if mode not in ("w4a8", "w8a8"):
         y = jax.lax.dot_general(
             x, wref, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -53,7 +53,8 @@ def _ref_matmul(x, wref, mode, packed=None, scale=None):
     K = x.shape[1]
     xq, xs, _ = quantize_act_int8(x, 128)
     nG = K // 128
-    q = unpack_int4_ref(packed).reshape(nG, 128, -1)
+    q = (packed.astype(jnp.int32) if mode == "w8a8"
+         else unpack_int4_ref(packed)).reshape(nG, 128, -1)
     xg = xq.reshape(-1, nG, 128).transpose(1, 0, 2).astype(jnp.int8)
     part = jax.lax.dot_general(
         xg, q.astype(jnp.int8), (((2,), (1,)), ((0,), (0,))),
@@ -63,7 +64,7 @@ def _ref_matmul(x, wref, mode, packed=None, scale=None):
 
 
 @pytest.mark.parametrize("mode,int8kv", [
-    ("w4a16", False), ("w8a16", False), ("w4a8", False),
+    ("w4a16", False), ("w8a16", False), ("w4a8", False), ("w8a8", False),
     ("w4a16", True)])
 def test_fused_decode_layers_interpret(mode, int8kv):
     import jax
@@ -203,7 +204,7 @@ def test_fused_decode_layers_interpret(mode, int8kv):
     # w4a8: the kernel quantizes activations from the SAME bf16 values
     # but in a different op order — a rounding tie can move one int step
     # (observed 2/1792 elements at 0.034); everything else is exact
-    tol = 5e-2 if (mode == "w4a8" or int8kv) else 3e-2
+    tol = 5e-2 if (mode in ("w4a8", "w8a8") or int8kv) else 3e-2
     np.testing.assert_allclose(
         np.asarray(out_k, np.float32)[:, real],
         np.asarray(ref_k, np.float32)[:, real], rtol=tol, atol=tol)
