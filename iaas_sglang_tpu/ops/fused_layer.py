@@ -23,11 +23,17 @@ INT8 W8A16 group-quantized fused qkv + gate/up + o + down projections.
 
 Layer math mirrors models/llama_family.py layer_body exactly (same
 dtypes at every boundary: bf16 staging, f32 norm/softmax/accumulation).
-The new token's K/V never round-trips to HBM inside the step: attention
-reads HBM pages for positions < kv_len-1 and folds the VMEM-resident
-current token in with one flat online-softmax merge; per-layer K/V come
-back as [L, T, NkD] outputs and land in the pool via ONE XLA scatter
-per step (vs L in-layer scatters).
+Attention reads HBM pages for positions < kv_len-1 and folds the
+VMEM-resident current token in with one flat online-softmax merge; the
+new rows land in the (input/output-aliased) pool in-kernel by page
+read-modify-write — single-ROW DMAs are impossible on TPU ((8,128)
+tiling applies in HBM too), and an XLA pool scatter measured ~1.5 ms
+standalone — with the target pages prefetched one layer ahead. The
+greedy lm_head + argmax optionally stream as a final phase through
+their own bf16 chunk ring (head_w/final_norm args), emitting tokens
+directly. Reference bar: the reference hides inter-op glue with
+full-step CUDA graphs (srt/model_executor/cuda_graph_runner.py:203) —
+a graph replay cannot overlap weight reads with attention; this does.
 """
 
 from __future__ import annotations
