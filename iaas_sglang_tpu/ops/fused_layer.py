@@ -50,6 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# dequant-chain arithmetic for the non-a8 modes: "f32" (3 VPU passes,
+# the r1-r4 winner) or "bf16" (2 passes — re-probed per geometry
+# generation; r1 measured it slower for int4 at BN=1024)
+_DEQ = __import__("os").environ.get("IAAS_FUSED_DEQ", "f32")
+
 # projection ids (schedule order within a layer)
 P_QKV, P_O, P_GU, P_DN = 0, 1, 2, 3
 
@@ -422,9 +427,14 @@ def _fused_kernel(
                         jnp.int4)
                 else:
                     w4 = wbuf[slot, pl.ds(0, g.BK), pl.ds(0, g.BN)]
-                w3 = (w4.astype(jnp.float32).reshape(nG, GROUP, g.BN)
-                      * s_rows[:, None, :])
-                wf = w3.reshape(g.BK, g.BN).astype(jnp.bfloat16)
+                if _DEQ == "bf16":
+                    w3 = (w4.astype(jnp.bfloat16).reshape(nG, GROUP, g.BN)
+                          * s_rows.astype(jnp.bfloat16)[:, None, :])
+                    wf = w3.reshape(g.BK, g.BN)
+                else:
+                    w3 = (w4.astype(jnp.float32).reshape(nG, GROUP, g.BN)
+                          * s_rows[:, None, :])
+                    wf = w3.reshape(g.BK, g.BN).astype(jnp.bfloat16)
                 xk = h_scr[:, pl.ds(k * g.BK, g.BK)]
                 return acc + jax.lax.dot_general(
                     xk, wf, (((1,), (0,)), ((), ())),
