@@ -26,7 +26,7 @@ MODE = sys.argv[1] if len(sys.argv) > 1 else "w4a8"
 CTX = int(sys.argv[2]) if len(sys.argv) > 2 else 192
 
 L, H, Nq, Nk, D, I = 32, 4096, 32, 8, 128, 14336
-B, PS = 32, 16
+B, PS = int(os.environ.get('FB', '32')), 16
 NqD, NkD = Nq * D, Nk * D
 PAGES_PER_SEQ = -(-CTX // PS)
 PPL = B * PAGES_PER_SEQ + 1
