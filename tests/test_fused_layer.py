@@ -417,3 +417,48 @@ def test_fused_greedy_head_engine_parity():
     finally:
         os.environ.pop("IAAS_FUSED_LAYER", None)
         os.environ.pop("IAAS_W4A8", None)
+
+
+def test_fused_engine_penalties_fallback_parity():
+    """Penalty batches under the fused path: the in-kernel head gates
+    off (logits needed outside) but the headless fused layers still
+    serve the chain — token-for-token vs the scan engine."""
+    import os
+
+    from iaas_sglang_tpu.entrypoints.engine import Engine
+    from iaas_sglang_tpu.server_args import ServerArgs
+
+    hf = dict(architectures=["LlamaForCausalLM"], model_type="llama",
+              num_hidden_layers=2, hidden_size=128, num_attention_heads=1,
+              num_key_value_heads=1, intermediate_size=256, vocab_size=512,
+              rms_norm_eps=1e-5, rope_theta=10000.0,
+              max_position_embeddings=1024, tie_word_embeddings=False)
+
+    def make():
+        sa = ServerArgs(
+            model_path="dummy://fusedpen", load_format="dummy",
+            dtype="float32", page_size=4, max_total_tokens=2048,
+            skip_tokenizer_init=True, chunked_prefill_size=32,
+            random_seed=1, quantization="int4", kv_layout="split",
+            decode_steps_per_dispatch=4)
+        return Engine(sa, hf_config_override=hf)
+
+    prompts = [list(range(10, 26)), [5, 6] * 9]
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True,
+          "frequency_penalty": 0.6, "repetition_penalty": 1.2}
+
+    os.environ["IAAS_FUSED_LAYER"] = "0"
+    try:
+        base = [o["output_ids"] for o in
+                make().generate(input_ids=prompts, sampling_params=sp)]
+    finally:
+        os.environ.pop("IAAS_FUSED_LAYER", None)
+    os.environ["IAAS_FUSED_LAYER"] = "interp"
+    os.environ["IAAS_W4A8"] = "0"
+    try:
+        got = [o["output_ids"] for o in
+               make().generate(input_ids=prompts, sampling_params=sp)]
+        assert got == base, (got, base)
+    finally:
+        os.environ.pop("IAAS_FUSED_LAYER", None)
+        os.environ.pop("IAAS_W4A8", None)
