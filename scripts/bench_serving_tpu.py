@@ -56,6 +56,9 @@ def launch_server(model_dir: str) -> subprocess.Popen:
         "--random-seed", "0",
         "--host", "127.0.0.1", "--port", str(PORT),
     ]
+    extra = os.environ.get("IAAS_SERVE_EXTRA", "")
+    if extra:
+        args += extra.split()
     return subprocess.Popen(args, cwd=str(REPO), env=env)
 
 
